@@ -1,0 +1,229 @@
+"""The engine: SparkSession bootstrap + SQL front door.
+
+Maps the reference's engine/connection layer onto Spark:
+
+- ``Engine.query(sql)``       ≈ ``execute_query``
+  (``/root/reference/swanlake-core/src/engine/connection.rs:67-101``)
+- ``Engine.execute(sql)``     ≈ ``execute_statement`` (connection.rs:109-133)
+- ``Engine.execute_batch``    ≈ multi-statement scripts (connection.rs:135-146)
+- ``Engine.schema_for_query`` ≈ prepare-only schema probe (connection.rs:45-65)
+- ``Engine.table_schema``     ≈ ``DESC SELECT * FROM t`` (connection.rs:198-227)
+- bootstrap                   ≈ ``EngineFactory::create_connection``
+  (``engine/factory.rs:34-93``) — extension loading becomes Spark confs.
+
+Everything relational is delegated to Catalyst, exactly as the reference
+delegates to DuckDB; this layer is session-and-routing only.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from swanlake_spark.config import EngineConfig
+from swanlake_spark.errors import EngineError, InvalidArgument
+from swanlake_spark.metrics import Metrics
+from swanlake_spark.plans import classify, split_statements, strip_select_locks
+from swanlake_spark.sources import register_tables
+
+
+@dataclass
+class QueryResult:
+    """Result of one SQL front-door call.
+
+    ``df`` is lazy; ``rows``/``bytes`` are filled on collect — matching
+    the reference's ``QueryResult{schema, batches, rows, bytes}``.
+    """
+
+    df: DataFrame | None
+    schema: T.StructType | None
+    is_query: bool
+    affected_rows: int = -1
+    elapsed_s: float = 0.0
+    statements_run: int = 1
+
+    def collect(self):
+        return self.df.collect() if self.df is not None else []
+
+    def to_arrow(self):
+        return self.df.toArrow() if self.df is not None else None
+
+
+class Engine:
+    """A PySpark-native analytics engine with the reference's capability
+    surface: SQL queries/DDL/DML over a Parquet warehouse, sessions,
+    bulk Arrow ingest, metadata discovery, maintenance."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        config: EngineConfig | None = None,
+        warehouse: str | None = None,
+    ) -> None:
+        self.config = config or EngineConfig(warehouse_dir=warehouse)
+        if warehouse and not self.config.warehouse_dir:
+            self.config.warehouse_dir = warehouse
+        self.spark = spark or self._build_spark(self.config)
+        self.metrics = Metrics()
+        # runtime confs (safe to apply on an externally provided session)
+        for k, v in self.config.spark_confs().items():
+            if k == "spark.sql.warehouse.dir":
+                continue  # static conf; only honored at builder time
+            try:
+                self.spark.conf.set(k, v)
+            except Exception:
+                pass  # non-runtime conf on a shared session
+
+    # -- bootstrap ---------------------------------------------------------
+
+    @staticmethod
+    def _build_spark(config: EngineConfig) -> SparkSession:
+        builder = SparkSession.builder.appName(config.app_name).master(
+            config.master or f"local[{config.cpus}]"
+        )
+        for k, v in config.spark_confs().items():
+            builder = builder.config(k, v)
+        return builder.getOrCreate()
+
+    def attach_warehouse(self, sf_dir: str, tables: list[str] | None = None) -> list[str]:
+        """Expose a directory of Parquet tables as queryable names — the
+        Spark analogue of ``ATTACH 'ducklake:...'`` + ``USE``."""
+        return register_tables(self.spark, sf_dir, tables)
+
+    # -- SQL front door ----------------------------------------------------
+
+    def query(self, sql: str) -> QueryResult:
+        """Execute SQL that returns rows. Multi-statement scripts run
+        sequentially; the result is the last row-returning statement's
+        (reference: ``contains_query`` + ``execute_batch``)."""
+        t0 = time.perf_counter()
+        try:
+            res = self._run_script(sql)
+        except EngineError:
+            self.metrics.record_error()
+            raise
+        except Exception as e:
+            self.metrics.record_error()
+            raise EngineError(str(e)) from e
+        res.elapsed_s = time.perf_counter() - t0
+        self.metrics.record_query(res.elapsed_s, sql)
+        return res
+
+    def execute(self, sql: str) -> QueryResult:
+        """Execute any SQL (row-returning or not)."""
+        return self.query(sql)
+
+    def execute_update(self, sql: str) -> int:
+        """Execute a command/DML statement, returning affected rows when
+        the underlying writer reports them (−1 otherwise)."""
+        return self.query(sql).affected_rows
+
+    def _run_script(self, sql: str) -> QueryResult:
+        stripped = strip_select_locks(sql)
+        stmts = split_statements(stripped.sql)
+        if not stmts:
+            raise InvalidArgument("empty SQL")
+        last_df: DataFrame | None = None
+        affected = -1
+        parsed = classify(stripped.sql)
+        for stmt in stmts:
+            kw = stmt.lstrip()[:6].upper()
+            if kw.startswith("UPDATE") or kw.startswith("DELETE"):
+                # Parquet tables have no native DML → copy-on-write rewrite
+                # (operators/dml.py), same physical model as DuckLake.
+                from swanlake_spark.operators import dml
+
+                upd = dml.parse_update(stmt)
+                if upd is not None:
+                    table, sets, where = upd
+                    affected = dml.update_table(self.spark, table, sets, where)
+                    continue
+                dele = dml.parse_delete(stmt)
+                if dele is not None:
+                    table, where = dele
+                    affected = dml.delete_from(self.spark, table, where)
+                    continue
+            df = self.spark.sql(stmt)
+            if classify(stmt).is_query:
+                last_df = df
+        return QueryResult(
+            df=last_df,
+            schema=last_df.schema if last_df is not None else None,
+            is_query=parsed.contains_query,
+            affected_rows=affected,
+            statements_run=len(stmts),
+        )
+
+    # -- schema probes -----------------------------------------------------
+
+    def schema_for_query(self, sql: str) -> T.StructType:
+        """Result schema without executing (Catalyst analysis only) —
+        the reference achieves this by preparing and not fetching."""
+        one = split_statements(strip_select_locks(sql).sql)
+        if len(one) != 1:
+            raise InvalidArgument("schema_for_query takes a single statement")
+        return self.spark.sql(one[0]).schema
+
+    def table_schema(self, name: str) -> T.StructType:
+        return self.spark.table(name).schema
+
+    # -- catalog metadata (A20-A25) ----------------------------------------
+
+    def list_catalogs(self) -> list[str]:
+        return [r.catalog for r in self.spark.sql("SHOW CATALOGS").collect()]
+
+    def list_schemas(self, catalog: str | None = None) -> list[str]:
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
+    def list_tables(self, schema: str | None = None) -> list[dict]:
+        """Tables + views, types normalized to TABLE/VIEW like the
+        reference (metadata.rs:475-482)."""
+        out = []
+        for t in self.spark.catalog.listTables(schema):
+            ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") or t.isTemporary else "TABLE"
+            out.append(
+                {
+                    "catalog": t.catalog or "spark_catalog",
+                    "schema": t.namespace[0] if t.namespace else None,
+                    "name": t.name,
+                    "type": ttype,
+                }
+            )
+        return out
+
+    def table_types(self) -> list[str]:
+        return ["TABLE", "VIEW"]
+
+    def primary_keys(self, table: str) -> DataFrame:
+        """Always empty — the lakehouse has no enforced keys (reference
+        returns fixed-schema empty sets, metadata.rs:324-397)."""
+        schema = T.StructType(
+            [
+                T.StructField("catalog_name", T.StringType()),
+                T.StructField("db_schema_name", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("column_name", T.StringType()),
+                T.StructField("key_sequence", T.IntegerType()),
+                T.StructField("key_name", T.StringType()),
+            ]
+        )
+        return self.spark.createDataFrame([], schema)
+
+    foreign_keys = primary_keys
+
+    def sql_info(self) -> dict:
+        """Static capability map (reference sql_info.rs:20-36)."""
+        return {
+            "transactions_supported": True,
+            "isolation_level": "snapshot-per-statement",
+            "read_only": False,
+            "engine": "swanlake-spark",
+        }
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def stop(self) -> None:
+        self.spark.stop()

@@ -1,0 +1,557 @@
+"""The declared oracle query set (SURVEY.md §2.5, Q01–Q42).
+
+Each entry pairs a Spark-side builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent DuckDB SQL string; the driver executes both at
+sf0.01 and compares row count + schema + order-insensitive value hash.
+
+Dialect discipline (SURVEY §2.4/§7.4):
+- every aggregate/computed column is aliased identically on both sides;
+- integer aggregates are CAST to BIGINT on both sides (DuckDB widens
+  SUM(int) to HUGEINT, Spark to BIGINT);
+- ``year``/``month``/``length`` are CAST to INT (DuckDB returns BIGINT);
+- double→int conversions go through ``floor`` (DuckDB CAST rounds,
+  Spark CAST truncates);
+- float aggregates are wrapped in ``round``; total ORDER BY on
+  non-null keys, explicit NULLS FIRST/LAST where a key can be null.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from swanlake_spark.sources import register_tables
+
+# -- registry ----------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+
+
+ORACLE_QUERIES: dict[str, QuerySpec] = {}
+
+# spark-session id → sf_dir currently registered as temp views
+_REGISTERED: dict[int, str] = {}
+
+
+def ensure_tables(spark: SparkSession, sf_dir: str) -> None:
+    key = id(spark)
+    path = os.path.abspath(sf_dir)
+    if _REGISTERED.get(key) != path:
+        register_tables(spark, sf_dir)
+        _REGISTERED[key] = path
+
+
+def _add(name: str, build, oracle: str | None) -> None:
+    ORACLE_QUERIES[name] = QuerySpec(name, build, oracle)
+
+
+def sql_pair(name: str, spark_sql: str, duck_sql: str | None = "SAME") -> None:
+    """Register a query that is plain SQL on the Spark side; the DuckDB
+    oracle defaults to the identical text (common dialect)."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_tables(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    _add(name, build, spark_sql if duck_sql == "SAME" else duck_sql)
+
+
+# -- Q01–Q34: read-side relational surface -----------------------------------
+
+sql_pair(
+    "q01_agg_tpch1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+sql_pair(
+    "q02_filter",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+    ORDER BY o_orderkey
+    """,
+)
+
+sql_pair(
+    "q03_between_tpch6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+
+sql_pair(
+    "q04_in_list",
+    """
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_size IN (1, 5, 9, 13) ORDER BY p_partkey
+    """,
+)
+
+sql_pair(
+    "q05_like",
+    """
+    SELECT p_partkey, p_type FROM part
+    WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%' ORDER BY p_partkey
+    """,
+)
+
+sql_pair(
+    "q06_null_coalesce",
+    """
+    SELECT o_orderkey, coalesce(o_orderpriority, 'NONE') AS pri
+    FROM orders WHERE o_orderpriority IS NOT NULL ORDER BY o_orderkey LIMIT 100
+    """,
+)
+
+sql_pair(
+    "q07_boolean_tpch19",
+    """
+    SELECT count(*) AS cnt FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_size BETWEEN 1 AND 15 AND l_quantity < 20)
+       OR (p_size BETWEEN 16 AND 30 AND l_quantity >= 20 AND l_quantity < 40)
+    """,
+)
+
+sql_pair(
+    "q08_case_when",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS hi_disc,
+           CAST(sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) AS BIGINT)       AS no_tax
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+sql_pair(
+    "q09_cast",
+    """
+    SELECT CAST(o_orderkey AS STRING) AS k,
+           CAST(floor(o_totalprice) AS BIGINT) AS p
+    FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+
+sql_pair(
+    "q10_date_funcs",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           count(*) AS cnt
+    FROM orders GROUP BY year(o_orderdate), month(o_orderdate) ORDER BY y, m
+    """,
+)
+
+sql_pair(
+    "q11_join2",
+    """
+    SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+
+sql_pair(
+    "q12_join_multiway_tpch5",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+
+sql_pair(
+    "q13_left_join_tpch13",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey AS ck, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) t GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+sql_pair(
+    "q14_semi_exists_tpch4",
+    """
+    SELECT o_orderpriority, count(*) AS cnt FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+sql_pair(
+    "q15_anti_not_exists_tpch22",
+    """
+    SELECT c_nationkey, count(*) AS cnt FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+
+sql_pair(
+    "q16_cross_join",
+    """
+    SELECT r1.r_name AS a, r2.r_name AS b
+    FROM region r1 CROSS JOIN region r2 ORDER BY a, b
+    """,
+)
+
+sql_pair(
+    "q17_self_theta_tpch21",
+    """
+    SELECT count(*) AS cnt
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    WHERE l1.l_linenumber = 1
+    """,
+)
+
+sql_pair(
+    "q19_global_agg",
+    """
+    SELECT count(*) AS n, round(min(o_totalprice), 2) AS mn,
+           round(max(o_totalprice), 2) AS mx
+    FROM orders
+    """,
+)
+
+sql_pair(
+    "q20_count_distinct_tpch16",
+    """
+    SELECT p_brand, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    GROUP BY p_brand ORDER BY supplier_cnt DESC, p_brand
+    """,
+)
+
+sql_pair(
+    "q21_having_tpch11",
+    """
+    SELECT l_partkey, round(sum(l_extendedprice), 2) AS val
+    FROM lineitem GROUP BY l_partkey
+    HAVING sum(l_quantity) > 100 ORDER BY l_partkey
+    """,
+)
+
+sql_pair(
+    "q22_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+
+def _q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_tables(spark, sf_dir)
+    return spark.sql(
+        "SELECT approx_count_distinct(l_partkey) AS apx FROM lineitem"
+    )
+
+
+# Sketches differ across engines → rows-only check (SURVEY §2.5 Q23*).
+_add("q23_approx_count_distinct", _q23, None)
+
+sql_pair(
+    "q24_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3 ORDER BY o_custkey, rnk
+    """,
+)
+
+# events.ts is long nanos on the Spark side and TIMESTAMP on the DuckDB
+# side — ordering is identical, and ts itself is not output.
+sql_pair(
+    "q25_window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS prev_v,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS next_v
+    FROM events ORDER BY user_id, event_id LIMIT 500
+    """,
+)
+
+sql_pair(
+    "q26_window_frame",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv
+    FROM events ORDER BY user_id, event_id LIMIT 500
+    """,
+)
+
+sql_pair(
+    "q27_topk_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5
+    """,
+)
+
+sql_pair(
+    "q28_union_all",
+    """
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+      UNION ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    ) u ORDER BY k
+    """,
+)
+
+sql_pair(
+    "q29_intersect",
+    """
+    SELECT c_nationkey FROM customer
+    INTERSECT SELECT s_nationkey FROM supplier ORDER BY c_nationkey
+    """,
+)
+
+sql_pair(
+    "q30_scalar_subquery",
+    """
+    SELECT count(*) AS cnt FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+
+sql_pair(
+    "q31_correlated_subquery_tpch17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+
+sql_pair(
+    "q32_cte_tpch15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+sql_pair(
+    "q33_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+sql_pair(
+    "q34_scalar_battery",
+    """
+    SELECT n_nationkey,
+           upper(n_name) AS u, lower(n_name) AS l,
+           CAST(length(n_name) AS INT) AS len,
+           substr(n_name, 1, 3) AS pre, replace(n_name, 'A', '@') AS rep,
+           concat(n_name, '-', CAST(n_nationkey AS STRING)) AS ck,
+           abs(n_nationkey - 12) AS ab, round(sqrt(n_nationkey + 1), 4) AS sq,
+           round(power(2, n_regionkey), 2) AS pw,
+           CAST(mod(n_nationkey, 5) AS INT) AS md,
+           trim(concat('  ', n_name, '  ')) AS tr,
+           lpad(n_name, 12, '.') AS lp, rpad(n_name, 12, '.') AS rp,
+           reverse(n_name) AS rev,
+           greatest(n_nationkey, n_regionkey) AS gr,
+           least(n_nationkey, n_regionkey) AS le
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+# -- Q35–Q39: views / CTAS / DML on engine tables ----------------------------
+
+
+def _q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_tables(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMP VIEW big_orders AS
+           SELECT * FROM orders WHERE o_totalprice > 200000.0"""
+    )
+    return spark.sql("SELECT count(*) AS cnt FROM big_orders")
+
+
+_add(
+    "q35_temp_view",
+    _q35,
+    "SELECT count(*) AS cnt FROM orders WHERE o_totalprice > 200000.0",
+)
+
+
+def _scratch_location() -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="swl_tbl_")
+
+
+def _q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_tables(spark, sf_dir)
+    name = f"swl_ctas_{uuid.uuid4().hex[:8]}"
+    loc = _scratch_location()
+    spark.sql(
+        f"""CREATE TABLE {name} USING parquet LOCATION '{loc}' AS
+            SELECT l_returnflag, count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag"""
+    )
+    return spark.sql(f"SELECT l_returnflag, cnt FROM {name} ORDER BY l_returnflag")
+
+
+_add(
+    "q36_ctas",
+    _q36,
+    """SELECT l_returnflag, count(*) AS cnt
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+
+
+def _make_partial_table(spark: SparkSession) -> str:
+    name = f"swl_partial_{uuid.uuid4().hex[:8]}"
+    loc = _scratch_location()
+    spark.sql(
+        f"CREATE TABLE {name} (id INT, name STRING, age INT) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    # Partial column list: `age` NULL-filled (reference partial_insert.test,
+    # batch alignment A7).
+    spark.sql(f"INSERT INTO {name} (id, name) VALUES (1, 'Alice'), (2, 'Bob')")
+    return name
+
+
+def _q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = _make_partial_table(spark)
+    return spark.sql(f"SELECT id, name, age FROM {name} ORDER BY id")
+
+
+_add(
+    "q37_insert_partial",
+    _q37,
+    """SELECT * FROM (VALUES (1, 'Alice', CAST(NULL AS INTEGER)),
+                             (2, 'Bob',   CAST(NULL AS INTEGER)))
+       AS t(id, name, age) ORDER BY id""",
+)
+
+
+def _q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.engine import Engine
+
+    name = _make_partial_table(spark)
+    eng = Engine(spark=spark)
+    eng.execute_update(f"UPDATE {name} SET age = 30 WHERE id = 1")
+    return spark.sql(f"SELECT id, age FROM {name} ORDER BY id")
+
+
+_add(
+    "q38_update",
+    _q38,
+    """SELECT * FROM (VALUES (1, 30), (2, CAST(NULL AS INTEGER)))
+       AS t(id, age) ORDER BY id""",
+)
+
+
+def _q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.engine import Engine
+
+    name = _make_partial_table(spark)
+    eng = Engine(spark=spark)
+    eng.execute_update(f"DELETE FROM {name} WHERE id = 2")
+    return spark.sql(f"SELECT count(*) AS cnt FROM {name}")
+
+
+_add("q39_delete", _q39, "SELECT CAST(1 AS BIGINT) AS cnt")
+
+# -- Q40–Q42: arrays / JSON / regex ------------------------------------------
+
+sql_pair(
+    "q40_array_contains",
+    """
+    SELECT count(*) AS with_label FROM embeddings
+    WHERE label >= 0 AND array_contains(embedding, CAST(0.0 AS FLOAT))
+    """,
+)
+
+sql_pair(
+    "q40b_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(size(embedding) AS INT) AS dim,
+           round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS first_v
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_v
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+)
+
+sql_pair(
+    "q41_json_extract",
+    """
+    SELECT CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+    FROM events WHERE get_json_object(props, '$.k') IS NOT NULL
+    """,
+    """
+    SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+           count(*) AS cnt
+    FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+
+sql_pair(
+    "q42_regex",
+    """
+    SELECT count(*) AS cnt FROM part WHERE regexp_like(p_type, '^ECONOMY')
+    """,
+    """
+    SELECT count(*) AS cnt FROM part WHERE regexp_matches(p_type, '^ECONOMY')
+    """,
+)

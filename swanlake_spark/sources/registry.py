@@ -1,0 +1,83 @@
+"""Warehouse table registration.
+
+The reference's storage model is DuckLake: a catalog pointing at
+immutable Parquet data files (``SURVEY.md §1.1``). Here a "warehouse"
+is a directory of Parquet tables; ``register_tables`` exposes them as
+Spark temp views so the SQL front door and the oracle queries can name
+them directly — the Spark analogue of ``ATTACH 'ducklake:...'``.
+
+Scale note: registration is pure metadata (lazy scans); nothing is read
+until a query runs, and Catalyst pushes filters/column pruning into the
+Parquet scans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated synthetic warehouse (TESTDATA.md).
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table. ``events`` needs the nanosecond-timestamp
+    workaround (Spark has no TIMESTAMP(NANOS) type): `ts` is read as long
+    nanoseconds-since-epoch and a derived ``ts_ntz`` column (microsecond
+    TIMESTAMP_NTZ) is appended for time functions; long `ts` ordering is
+    identical to timestamp ordering."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts_ntz",
+                F_timestamp_ntz_from_nanos("ts"),
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def F_timestamp_ntz_from_nanos(colname: str):
+    # nanos-since-epoch → TIMESTAMP_NTZ via arithmetic on an NTZ base:
+    # timezone-independent (no session-tz dependency).
+    from pyspark.sql.functions import expr
+
+    return expr(
+        "timestampadd(MICROSECOND, CAST(" + colname + " / 1000 AS BIGINT), "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    )
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+) -> list[str]:
+    """Register every warehouse table found in ``sf_dir`` as a temp view.
+    Returns the list of registered names."""
+    registered = []
+    for name in tables or TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        registered.append(name)
+    return registered
