@@ -28,20 +28,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return ORACLE_QUERIES["q01_agg_tpch1"].build(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _all_specs():
     from swanlake_spark.queries.oracle import ORACLE_QUERIES
+    from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
+    from swanlake_spark.queries.tpch import TPCH_QUERIES
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, spec in ORACLE_QUERIES.items():
-        out[name] = spec.build
-    return out
+    return {**ORACLE_QUERIES, **TPCH_QUERIES, **PIPELINE_QUERIES}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.build for name, spec in _all_specs().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from swanlake_spark.queries.oracle import ORACLE_QUERIES
-
     return {
         name: spec.oracle
-        for name, spec in ORACLE_QUERIES.items()
+        for name, spec in _all_specs().items()
         if spec.oracle is not None
     }

@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed with built-in DataFrame functions (JVM-side
+execution; shuffles only where semantically required):
+
+- exact:        hash-groupBy on normalized content. One shuffle on the
+                content hash; at 100 TB use ``spark.sql.shuffle.partitions``
+                sized so each partition's hash-group state fits in memory.
+- MinHash+LSH:  shingle → per-seed min-hash signature → banded LSH →
+                candidate pairs via an equi-join on (band, band_hash) →
+                exact-jaccard verification of candidates only. Joins are
+                equi-joins on band hashes (no O(n²) cross product);
+                skewed bands (very common shingles) are capped.
+- SimHash:      32-bit sign-aggregated token-hash fingerprint; banded
+                candidate generation + Hamming-distance verification
+                (``bit_count(a XOR b)``).
+- n-gram Jaccard: candidate pairs via a shared word-n-gram (inverted
+                index join), verified with exact token-set Jaccard.
+
+Embedding-cosine near-dup lives in ``operators/similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from swanlake_spark.operators.text import tokens
+
+# -- exact -------------------------------------------------------------------
+
+
+def content_key(text_col: str | Column = "text") -> Column:
+    """Normalized content hash used for exact dedup."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group.
+    Single shuffle on the 128-bit content hash; no skew (hashes are
+    uniform)."""
+    key = content_key(text_col)
+    keep = (
+        df.select(F.col(id_col), key.alias("ck"))
+        .groupBy("ck")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("ck")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# -- shingling ---------------------------------------------------------------
+
+
+def shingles(text_col: str | Column = "text", n: int = 5) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    t = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — per-seed min of xxhash64(shingle, seed).
+
+    One explode + one groupBy(id): the shuffle is on the doc id, with
+    num_hashes partial-aggregated mins (map-side combine), so the
+    shuffle volume is O(docs × num_hashes), independent of text size.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("g")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("g"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{seed}") for seed in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(a, b) candidate pairs whose signatures collide in ≥1 LSH band.
+
+    Equi-join on (band, band_hash): Catalyst plans a shuffle-hash join
+    keyed on uniform hashes — no skew, no cross product. ``max_bucket``
+    caps degenerate buckets (a bucket of k docs yields k²/2 pairs; a
+    pathological common-prefix bucket would dominate the stage).
+    """
+    rows = F.size(F.col("sig")) / bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                (b * rows + 1).cast("int"),
+                                rows.cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    # cap pathological buckets
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col("band"), F.col("bh"), F.col(id_col).alias("a"))
+    b = sized.select(F.col("band"), F.col("bh"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with exact-verified shingle
+    Jaccard ≥ threshold, discovered via MinHash LSH. Deterministic:
+    xxhash64 seeds are fixed."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, bands)
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "shb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return verified
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash: bigint) — sign-aggregated token-hash fingerprint.
+
+    Explode tokens once; ``bits`` conditional sums with map-side combine.
+    """
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    band_bits: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+    Candidates via exact match on one of bits/band_bits bands (pigeonhole:
+    any pair within Hamming k < bands must agree on ≥1 band)."""
+    sh = simhash(df, id_col, text_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a = banded.select("band", "bh", F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
+    b = banded.select("band", "bh", F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) pairs of documents sharing ≥1 word n-gram, with
+    exact *token-set* Jaccard ≥ threshold.
+
+    The shared-shingle equi-join is the inverted-index candidate
+    generator: cost O(Σ bucket²) on shingle buckets, not O(n²) on docs.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("g")
+    )
+    cand = (
+        sh.alias("x")
+        .join(sh.alias("y"), "g")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("t")
+    )
+    return (
+        cand.join(toks.select(F.col(id_col).alias("a"), F.col("t").alias("ta")), "a")
+        .join(toks.select(F.col(id_col).alias("b"), F.col("t").alias("tb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") > threshold)
+        .select("a", "b", "jaccard")
+    )

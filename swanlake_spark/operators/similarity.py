@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the standard ANN playbook:
+
+- ``cosine_topk``       — brute-force exact top-k. All math is built-in
+  (``zip_with`` + ``aggregate`` in double precision, JVM-side), one
+  narrow pass + a TakeOrderedAndProject; the 100 TB baseline.
+- ``cosine_topk_lsh``   — random-hyperplane LSH prefilter: sign-bit
+  signatures bucket the vectors; only same/near buckets are re-ranked
+  exactly. Hyperplanes are seeded deterministically (numpy seed=42) and
+  shipped as literal arrays (broadcast by Catalyst).
+- ``cosine_near_pairs`` — all-pairs near-duplicate detection by bucket
+  equi-join + exact verification (embedding near-dup dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a, b) -> Column:
+    """Double-precision dot product of two array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (id, sim) ordered by
+    (sim DESC, id). Catalyst executes this as a single scan +
+    TakeOrderedAndProject — no shuffle of the full table, only the
+    per-partition top-k rows move."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("sim"),
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((planes, dim))
+
+
+def lsh_bucket(vec_col, planes: np.ndarray) -> Column:
+    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+    v = _as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        s = F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: prefilter to vectors whose LSH bucket is within
+    Hamming distance 1 of the query's bucket, then exact re-rank. At
+    scale the bucket column is precomputed and partitioned on, making
+    the probe a partition-pruned scan."""
+    dim = dim or len(query_vec)
+    hp = _hyperplanes(dim, planes)
+    qsig = 0
+    for i, plane in enumerate(hp):
+        if float(np.dot(plane, np.asarray(query_vec, dtype=float))) > 0:
+            qsig |= 1 << i
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), hp))
+    cand = bucketed.filter(
+        F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qsig))) <= 1
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """(a, b, sim) pairs with cosine ≥ threshold, found via exact-bucket
+    equi-join (high-cosine pairs collide with high probability) and
+    verified exactly. Equi-join on the bucket key → shuffle-hash join,
+    no cross product."""
+    hp = _hyperplanes(dim, planes)
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), hp).alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col("_bucket"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = bucketed.select(
+        F.col("_bucket"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+        .distinct()
+    )

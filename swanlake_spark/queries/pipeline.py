@@ -1,0 +1,372 @@
+"""Training-data-pipeline query entries: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-parity operator surface
+(SURVEY.md §7.2 step 10), each wired to a DuckDB oracle where the
+semantics are SQL-expressible (rows-only otherwise: xxhash64-based
+sketches have no DuckDB equivalent).
+
+Formula discipline: Spark DataFrame expressions and DuckDB SQL compute
+byte-identical doubles — same operation order, same inner round() calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swanlake_spark.operators import dedup, multimodal, similarity, text
+from swanlake_spark.queries.oracle import QuerySpec, ensure_tables
+
+PIPELINE_QUERIES: dict[str, QuerySpec] = {}
+
+
+def _add(name: str, build, oracle: str | None) -> None:
+    PIPELINE_QUERIES[name] = QuerySpec(name, build, oracle)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_tables(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_tables(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    kept = dedup.exact_dedup(df)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+    ).crossJoin(kept.agg(F.count("*").alias("n_unique")))
+
+
+_add(
+    "pipe_dedup_exact",
+    _dedup_exact,
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique
+    FROM documents
+    """,
+)
+
+# -- fingerprinting ----------------------------------------------------------
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return (
+        df.filter(F.col("doc_id") < 100)
+        .select("doc_id", text.fingerprint("text").alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "pipe_fingerprint",
+    _fingerprint,
+    """
+    SELECT doc_id,
+           substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+
+# -- token counting ----------------------------------------------------------
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return (
+        df.select(
+            "doc_id",
+            text.token_count("text").alias("n_tokens"),
+            text.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        )
+        .filter(F.col("doc_id") < 200)
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "pipe_token_count",
+    _token_count,
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(list_sum(list_transform(
+                 string_split_regex(trim(text), '[^A-Za-z0-9]+'),
+                 w -> greatest(1, CAST(ceil(length(w) / 4) AS INT)))) AS INT) AS n_bpe_ish
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return (
+        text.quality_score(df)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_tokens", "alpha_ratio", "stopword_ratio", "quality")
+        .orderBy("doc_id")
+    )
+
+
+_STOP_EN = "'the','a','of','and','to','in','is','that','it','for'"
+
+_add(
+    "pipe_text_quality",
+    _quality,
+    f"""
+    SELECT doc_id, n_tokens,
+           round(alpha_raw, 4) AS alpha_ratio,
+           round(stop_raw, 4) AS stopword_ratio,
+           round(0.4 * least(n_tokens / 64.0, 1.0)
+               + 0.3 * alpha_raw
+               + 0.3 * least(stop_raw * 4, 1.0), 4) AS quality
+    FROM (
+      SELECT doc_id,
+             CAST(len(t) AS INT) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   / CAST(length(text) AS DOUBLE) AS alpha_raw,
+             len(list_filter(t, w -> lower(w) IN ({_STOP_EN})))
+                   / CAST(len(t) AS DOUBLE) AS stop_raw
+      FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents)
+    ) feats
+    WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+
+# -- language id -------------------------------------------------------------
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return (
+        text.language_id(df)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "pred_lang")
+        .orderBy("doc_id")
+    )
+
+
+def _stop_list(lang: str) -> str:
+    return ",".join(f"'{w}'" for w in text.STOPWORDS[lang])
+
+
+_add(
+    "pipe_lang_id",
+    _lang_id,
+    f"""
+    SELECT doc_id,
+           CASE WHEN best >= 0.02 THEN
+             CASE WHEN sc_en = best THEN 'en'
+                  WHEN sc_de = best THEN 'de'
+                  WHEN sc_es = best THEN 'es'
+                  WHEN sc_fr = best THEN 'fr'
+                  ELSE 'und' END
+           ELSE 'und' END AS pred_lang
+    FROM (
+      SELECT doc_id, sc_en, sc_de, sc_es, sc_fr,
+             greatest(sc_en, sc_de, sc_es, sc_fr) AS best
+      FROM (
+        SELECT doc_id,
+               len(list_filter(t, w -> lower(w) IN ({_stop_list('en')}))) / CAST(len(t) AS DOUBLE) AS sc_en,
+               len(list_filter(t, w -> lower(w) IN ({_stop_list('de')}))) / CAST(len(t) AS DOUBLE) AS sc_de,
+               len(list_filter(t, w -> lower(w) IN ({_stop_list('es')}))) / CAST(len(t) AS DOUBLE) AS sc_es,
+               len(list_filter(t, w -> lower(w) IN ({_stop_list('fr')}))) / CAST(len(t) AS DOUBLE) AS sc_fr
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents)
+      ) scores
+    ) ranked
+    WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+
+# -- n-gram Jaccard near-dup (full oracle) -----------------------------------
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(df, threshold=0.5).orderBy("a", "b")
+
+
+_add(
+    "pipe_dedup_ngram_jaccard",
+    _ngram_jaccard,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    dtoks AS (SELECT doc_id, list_distinct(t) AS t FROM toks),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b,
+           round(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+                 / len(list_distinct(ta.t || tb.t)), 4) AS jaccard
+    FROM cand
+    JOIN dtoks ta ON ta.doc_id = cand.a
+    JOIN dtoks tb ON tb.doc_id = cand.b
+    WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+          / len(list_distinct(ta.t || tb.t)) > 0.5
+    ORDER BY a, b
+    """,
+)
+
+# -- MinHash LSH + SimHash (sketches: rows-only checks) ----------------------
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(df, threshold=0.5).orderBy("a", "b")
+
+
+_add("pipe_dedup_minhash_lsh", _minhash, None)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return dedup.simhash_near_pairs(df, max_hamming=3).orderBy("a", "b")
+
+
+_add("pipe_dedup_simhash", _simhash, None)
+
+# -- embedding similarity ----------------------------------------------------
+
+
+def _cos_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _embs(spark, sf_dir)
+    qrow = df.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0][0]]
+    return similarity.cosine_topk(df, qvec, k=10)
+
+
+_add(
+    "pipe_sim_cosine_topk",
+    _cos_topk,
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS sim
+    FROM embeddings, q
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+
+
+def _cos_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _embs(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    a = df.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("sim", F.round(similarity.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("sim") >= 0.45)
+        .select("a", "b", "sim")
+        .orderBy("a", "b")
+    )
+
+
+_add(
+    "pipe_sim_cosine_pairs",
+    _cos_pairs_exact,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 1000)
+    SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 4) AS sim
+    FROM e x JOIN e y ON x.vec_id < y.vec_id
+    WHERE round(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.45
+    ORDER BY a, b
+    """,
+)
+
+
+def _cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _embs(spark, sf_dir)
+    qrow = df.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0][0]]
+    return similarity.cosine_topk_lsh(df, qvec, k=10, planes=8)
+
+
+_add("pipe_sim_cosine_topk_lsh", _cos_topk_lsh, None)
+
+# -- multimodal plumbing -----------------------------------------------------
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    decoded = multimodal.decode_media(media)
+    return (
+        decoded.groupBy("media_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_add(
+    "pipe_multimodal_decode",
+    _mm_decode,
+    """
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           count(*) AS cnt,
+           CAST(64 AS INT) AS min_bytes, CAST(64 AS INT) AS max_bytes
+    FROM documents
+    GROUP BY 1 ORDER BY media_type
+    """,
+)
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_k=10)
+    return frames.agg(F.count("*").alias("n_frames_sampled"))
+
+
+_add(
+    "pipe_multimodal_frames",
+    _mm_frames,
+    """
+    SELECT CAST(sum((doc_id % 120) // 10 + 1) AS BIGINT) AS n_frames_sampled
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "id", F.round(F.element_at("features", 1).cast("double"), 4).alias("f0")
+    ).orderBy("id").limit(100)
+
+
+_add("pipe_multimodal_features", _mm_features, None)

@@ -84,7 +84,16 @@ def main() -> int:
 
     from swanlake_spark.config import EngineConfig
     from swanlake_spark.engine import Engine
-    from swanlake_spark.queries.oracle import ORACLE_QUERIES
+    from swanlake_spark.queries.oracle import ORACLE_QUERIES as _Q
+    from swanlake_spark.queries.tpch import TPCH_QUERIES
+
+    ORACLE_QUERIES = {**_Q, **TPCH_QUERIES}
+    try:
+        from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
+
+        ORACLE_QUERIES.update(PIPELINE_QUERIES)
+    except ImportError:
+        pass
 
     eng = Engine(config=EngineConfig(app_name="oracle-compare", cpus=8, shuffle_partitions=8))
     eng.spark.sparkContext.setLogLevel("ERROR")
