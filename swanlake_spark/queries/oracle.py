@@ -38,6 +38,26 @@ class QuerySpec:
 
 ORACLE_QUERIES: dict[str, QuerySpec] = {}
 
+
+def dsum(expr: str, digits: int = 2) -> str:
+    """Order-independent rounded sum of a double expression.
+
+    ``sum(double)`` is non-deterministic in its last ulp (addition order
+    varies with partitioning), so ``round(sum(x), 2)`` can flip at a
+    rounding boundary between engines or even between runs. Summing in
+    exact DECIMAL makes the aggregate associative-exact and identical
+    everywhere; the per-row double→DECIMAL(25,6) conversion is itself
+    deterministic (binary doubles can never tie at a decimal midpoint).
+    Works verbatim in both Spark SQL and DuckDB.
+    """
+    return f"CAST(round(sum(CAST(({expr}) AS DECIMAL(25,6))), {digits}) AS DOUBLE)"
+
+
+def dsum_raw(expr: str) -> str:
+    """Order-independent unrounded sum (as DOUBLE) for ratio numerators/
+    denominators and threshold comparisons."""
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+
 # spark-session id → sf_dir currently registered as temp views
 _REGISTERED: dict[int, str] = {}
 
@@ -67,14 +87,16 @@ def sql_pair(name: str, spark_sql: str, duck_sql: str | None = "SAME") -> None:
 
 # -- Q01–Q34: read-side relational surface -----------------------------------
 
+# l_quantity is integral-valued → its double sum/avg is exact; the
+# price/discount sums are decimal-summed (see dsum).
 sql_pair(
     "q01_agg_tpch1",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                       AS sum_qty,
-           round(sum(l_extendedprice), 2)                                  AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {dsum('l_extendedprice')}                                       AS sum_base,
+           {dsum('l_extendedprice * (1 - l_discount)')}                    AS sum_disc,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}      AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS cnt
     FROM lineitem
@@ -95,8 +117,8 @@ sql_pair(
 
 sql_pair(
     "q03_between_tpch6",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+    SELECT {dsum('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
@@ -168,8 +190,8 @@ sql_pair(
 
 sql_pair(
     "q11_join2",
-    """
-    SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total
+    f"""
+    SELECT c_mktsegment, {dsum('o_totalprice')} AS total
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -177,8 +199,8 @@ sql_pair(
 
 sql_pair(
     "q12_join_multiway_tpch5",
-    """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM customer
     JOIN orders   ON c_custkey   = o_custkey
     JOIN lineitem ON l_orderkey  = o_orderkey
@@ -258,8 +280,8 @@ sql_pair(
 
 sql_pair(
     "q21_having_tpch11",
-    """
-    SELECT l_partkey, round(sum(l_extendedprice), 2) AS val
+    f"""
+    SELECT l_partkey, {dsum('l_extendedprice')} AS val
     FROM lineitem GROUP BY l_partkey
     HAVING sum(l_quantity) > 100 ORDER BY l_partkey
     """,
@@ -355,8 +377,8 @@ sql_pair(
 
 sql_pair(
     "q31_correlated_subquery_tpch17",
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT round({dsum_raw('l_extendedprice')} / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -366,10 +388,10 @@ sql_pair(
 
 sql_pair(
     "q32_cte_tpch15",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             {dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
       FROM lineitem GROUP BY l_suppkey)
     SELECT s_suppkey, s_name, total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no

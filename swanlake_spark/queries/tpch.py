@@ -6,15 +6,15 @@ Each query preserves the *shape* of its TPC-H counterpart — join graph,
 aggregate complexity, subquery structure — which is what the reference's
 benchmark exercises (`/root/reference/tests/benchbase/tpch-flight-sql.xml:26`,
 BASELINE.md per-query latencies). All queries are deterministic (total
-ORDER BY with tiebreakers) and dialect-common, so they double as oracle
-correctness entries.
+ORDER BY with tiebreakers, order-independent decimal sums via ``dsum``)
+and dialect-common, so they double as oracle correctness entries.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from swanlake_spark.queries.oracle import QuerySpec, ensure_tables
+from swanlake_spark.queries.oracle import QuerySpec, dsum, dsum_raw, ensure_tables
 
 TPCH_QUERIES: dict[str, QuerySpec] = {}
 
@@ -29,18 +29,20 @@ def _tpch(n: int, spark_sql: str, duck_sql: str | None = None) -> None:
     TPCH_QUERIES[name] = QuerySpec(name, build, duck_sql or spark_sql)
 
 
-# Q1 — pricing summary report (full scan + 8-aggregate groupBy)
+# Q1 — pricing summary report (full scan + 8-aggregate groupBy).
+# l_quantity/l_discount sums-avgs over integral/2-decimal doubles:
+# qty is exact; price aggregates are decimal-summed.
 _tpch(
     1,
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round({dsum_raw('l_extendedprice')} / count(*), 4) AS avg_price,
+           round({dsum_raw('l_discount')} / count(*), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -50,7 +52,7 @@ _tpch(
 )
 
 # Q2 — min-cost supplier (correlated subquery + 5-way join + top-N);
-# ps_supplycost is approximated by l_extendedprice.
+# ps_supplycost is approximated by l_extendedprice (exact double compare).
 _tpch(
     2,
     """
@@ -74,11 +76,9 @@ _tpch(
 )
 
 # Q3 — shipping priority (3-way join + groupBy + top-10)
-_tpch(
-    3,
-    """
+_Q3_SPARK = f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
            date_format(o_orderdate, 'yyyy-MM-dd') AS odate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -89,22 +89,9 @@ _tpch(
     GROUP BY l_orderkey, o_orderdate
     ORDER BY revenue DESC, odate, l_orderkey
     LIMIT 10
-    """,
-    """
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           strftime(o_orderdate, '%Y-%m-%d') AS odate
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
-      AND l_shipdate  > TIMESTAMP '1997-06-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, odate, l_orderkey
-    LIMIT 10
-    """,
-)
+"""
+_tpch(3, _Q3_SPARK, _Q3_SPARK.replace("date_format(o_orderdate, 'yyyy-MM-dd')",
+                                      "strftime(o_orderdate, '%Y-%m-%d')"))
 
 # Q4 — order priority checking (EXISTS semi join)
 _tpch(
@@ -122,8 +109,8 @@ _tpch(
 # Q5 — local supplier volume (6-way join + region filter)
 _tpch(
     5,
-    """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -140,8 +127,8 @@ _tpch(
 # Q6 — forecasting revenue change (pure scan + filter + agg)
 _tpch(
     6,
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    f"""
+    SELECT {dsum('l_extendedprice * l_discount')} AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -152,8 +139,8 @@ _tpch(
 # Q7 — volume shipping (6-way join incl. double nation, OR of nation pairs)
 _tpch(
     7,
-    """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum('volume')} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
@@ -174,13 +161,13 @@ _tpch(
     """,
 )
 
-# Q8 — national market share (8-way join + CASE ratio)
+# Q8 — national market share (8-way join + CASE ratio of decimal sums)
 _tpch(
     8,
-    """
+    f"""
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round({dsum_raw("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {dsum_raw('volume')}, 4) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -205,8 +192,8 @@ _tpch(
 # ps_supplycost approximated by p_retailprice.
 _tpch(
     9,
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    f"""
+    SELECT nation, o_year, {dsum('amount')} AS sum_profit
     FROM (
       SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount)
@@ -226,9 +213,9 @@ _tpch(
 # Q10 — returned item reporting (4-way join + top-20)
 _tpch(
     10,
-    """
+    f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -247,15 +234,15 @@ _tpch(
 # partsupp value approximated by lineitem extendedprice*quantity.
 _tpch(
     11,
-    """
-    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS val
+    f"""
+    SELECT l_partkey, {dsum('l_extendedprice * l_quantity')} AS val
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_7'
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) > (
-      SELECT sum(l_extendedprice * l_quantity) * 0.001
+    HAVING {dsum_raw('l_extendedprice * l_quantity')} > (
+      SELECT {dsum_raw('l_extendedprice * l_quantity')} * 0.001
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
@@ -298,11 +285,9 @@ _tpch(
 # Q14 — promotion effect (join + CASE ratio)
 _tpch(
     14,
-    """
-    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    f"""
+    SELECT round(100.00 * {dsum_raw("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+                 / {dsum_raw('l_extendedprice * (1 - l_discount)')}, 4) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -312,10 +297,10 @@ _tpch(
 # Q15 — top supplier (CTE + scalar-max subquery)
 _tpch(
     15,
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             {dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -341,11 +326,12 @@ _tpch(
     """,
 )
 
-# Q17 — small-quantity-order revenue (correlated avg subquery)
+# Q17 — small-quantity-order revenue (correlated avg subquery;
+# l_quantity is integral so the correlated avg is exact)
 _tpch(
     17,
-    """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    f"""
+    SELECT round({dsum_raw('l_extendedprice')} / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -354,9 +340,7 @@ _tpch(
 )
 
 # Q18 — large volume customer (IN-subquery with HAVING + top-100)
-_tpch(
-    18,
-    """
+_Q18_SPARK = """
     SELECT c_name, c_custkey, o_orderkey,
            date_format(o_orderdate, 'yyyy-MM-dd') AS odate, o_totalprice,
            round(sum(l_quantity), 2) AS sum_qty
@@ -368,27 +352,15 @@ _tpch(
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
-    """,
-    """
-    SELECT c_name, c_custkey, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
-    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 100
-    """,
-)
+"""
+_tpch(18, _Q18_SPARK, _Q18_SPARK.replace("date_format(o_orderdate, 'yyyy-MM-dd')",
+                                         "strftime(o_orderdate, '%Y-%m-%d')"))
 
 # Q19 — discounted revenue (OR-of-conjunctions join predicate)
 _tpch(
     19,
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+    SELECT {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
            AND p_size BETWEEN 1 AND 5)
@@ -439,24 +411,17 @@ _tpch(
     """,
 )
 
-# Q22 — global sales opportunity (anti join + scalar avg subquery)
+# Q22 — global sales opportunity (anti join + scalar avg subquery).
+# The avg threshold compare is on raw doubles: c_acctbal values are far
+# from the threshold boundary, and the filter is not rounded — a last-ulp
+# difference in avg() could only flip a row whose acctbal equals the avg
+# to 1e-12, which the 2-decimal data cannot produce.
 _tpch(
     22,
-    """
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    f"""
+    SELECT cntrycode, count(*) AS numcust, {dsum('c_acctbal')} AS totacctbal
     FROM (
       SELECT CAST(c_nationkey AS STRING) AS cntrycode, c_acctbal
-      FROM customer
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0.00)
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ) custsale
-    GROUP BY cntrycode ORDER BY cntrycode
-    """,
-    """
-    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
-    FROM (
-      SELECT CAST(c_nationkey AS VARCHAR) AS cntrycode, c_acctbal
       FROM customer
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                          WHERE c_acctbal > 0.00)
