@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": s, ...},
+   "sf": ...}
+
+Methodology mirrors BASELINE.md: warm session (one warmup pass), then
+per-query latency = best of MEASURE_RUNS timed runs of plan+execute+
+collect (the reference's numbers are steady-state warm-session BenchBase
+latencies).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "2"))
+
+
+def main() -> None:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+    from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
+    from swanlake_spark.queries.tpch import TPCH_QUERIES
+
+    cfg = EngineConfig(app_name="swanlake-spark-bench", cpus=CPUS)
+    eng = Engine(config=cfg)
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    spark = eng.spark
+
+    # Headline set: the 22 TPC-H-shaped queries (keys match BASELINE.md)
+    # plus representative large-scale pipeline operators.
+    suite: dict[str, object] = {}
+    for n in range(1, 23):
+        suite[f"q{n}"] = TPCH_QUERIES[f"tpch_q{n}"]
+    for key, pname in [
+        ("dedup_exact", "pipe_dedup_exact"),
+        ("dedup_minhash_lsh", "pipe_dedup_minhash_lsh"),
+        ("text_quality", "pipe_text_quality"),
+        ("sim_cosine_topk", "pipe_sim_cosine_topk"),
+    ]:
+        suite[key] = PIPELINE_QUERIES[pname]
+
+    # Warmup: registers tables, JITs codegen paths, warms file footers.
+    for spec in suite.values():
+        spec.build(spark, SF_DIR).collect()
+
+    results: dict[str, float] = {}
+    for key, spec in suite.items():
+        best = float("inf")
+        for _ in range(MEASURE_RUNS):
+            t0 = time.perf_counter()
+            spec.build(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+        results[key] = round(best, 4)
+
+    tpch_total = sum(v for k, v in results.items() if k.startswith("q"))
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "tpch22_total_warm_latency",
+                "value": round(tpch_total, 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+            }
+        )
+    )
+    eng.stop()
+
+
+if __name__ == "__main__":
+    main()
