@@ -31,7 +31,14 @@ def main() -> None:
     from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
     from swanlake_spark.queries.tpch import TPCH_QUERIES
 
-    cfg = EngineConfig(app_name="swanlake-spark-bench", cpus=CPUS)
+    # Shuffle partitions sized to the data scale (~600k-row lineitem →
+    # a handful of ~16 MB partitions); AQE stays on and would coalesce a
+    # larger setting at runtime anyway, but starting small avoids paying
+    # 32-task scheduling overhead per sub-second stage. At cluster scale
+    # this knob is deployment-sized (see EngineConfig docs).
+    cfg = EngineConfig(
+        app_name="swanlake-spark-bench", cpus=CPUS, shuffle_partitions=8
+    )
     eng = Engine(config=cfg)
     eng.spark.sparkContext.setLogLevel("ERROR")
     spark = eng.spark
@@ -50,6 +57,10 @@ def main() -> None:
         suite[key] = PIPELINE_QUERIES[pname]
 
     # Warmup: registers tables, JITs codegen paths, warms file footers.
+    # Each measured run rebuilds the DataFrame (fresh plan, fresh RDD
+    # lineage) so Spark cannot silently reuse shuffle outputs from the
+    # previous run — every run pays scan + shuffle + agg like the
+    # reference engine does. Plan/optimize time is therefore included.
     for spec in suite.values():
         spec.build(spark, SF_DIR).collect()
 
