@@ -17,8 +17,9 @@ delegates to DuckDB; this layer is session-and-routing only.
 
 from __future__ import annotations
 
+import re
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -95,10 +96,17 @@ class Engine:
 
     # -- SQL front door ----------------------------------------------------
 
-    def query(self, sql: str) -> QueryResult:
+    def query(self, sql: str, dialect: str | None = None) -> QueryResult:
         """Execute SQL that returns rows. Multi-statement scripts run
         sequentially; the result is the last row-returning statement's
-        (reference: ``contains_query`` + ``execute_batch``)."""
+        (reference: ``contains_query`` + ``execute_batch``).
+
+        ``dialect="duckdb"`` transpiles DuckDB-only function spellings
+        (the reference's native dialect) to Spark equivalents first."""
+        if dialect == "duckdb":
+            from swanlake_spark.functions import transpile_duckdb
+
+            sql = transpile_duckdb(sql)
         t0 = time.perf_counter()
         try:
             res = self._run_script(sql)
@@ -130,7 +138,18 @@ class Engine:
         affected = -1
         parsed = classify(stripped.sql)
         for stmt in stmts:
-            kw = stmt.lstrip()[:6].upper()
+            kw = stmt.lstrip()[:8].upper()
+            if kw.startswith("TRUNCATE"):
+                # Spark refuses TRUNCATE on external tables; DELETE-all
+                # through the copy-on-write layer has identical semantics.
+                m = re.match(
+                    r"^\s*TRUNCATE\s+(?:TABLE\s+)?([\w.`\"]+)", stmt, re.IGNORECASE
+                )
+                if m:
+                    from swanlake_spark.operators import dml
+
+                    affected = dml.delete_from(self.spark, m.group(1).strip('`"'), None)
+                    continue
             if kw.startswith("UPDATE") or kw.startswith("DELETE"):
                 # Parquet tables have no native DML → copy-on-write rewrite
                 # (operators/dml.py), same physical model as DuckLake.

@@ -1,0 +1,143 @@
+"""DuckDB-dialect → Spark SQL function transpile (pre-Catalyst text
+rewrite, per SURVEY.md §4.2: "a rule to rewrite DuckDB-dialect
+functions at parse time — pre-Catalyst, not a Catalyst rule").
+
+Covers the same-arity name divergences in the declared surface
+(SURVEY.md §2.4) plus strftime format-token conversion. Rewrites apply
+only outside string literals / quoted identifiers and only to call
+sites (``name(``), so column names that merely collide with a function
+name are untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+# name → name (same argument order and semantics)
+_NAME_MAP = {
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+    "list_distinct": "array_distinct",
+    "list_intersect": "array_intersect",
+    "list_cat": "concat",
+    "list_concat": "concat",
+    "array_to_string": "array_join",
+    "string_split_regex": "split",
+    "str_split_regex": "split",
+    "json_extract_string": "get_json_object",
+    "json_extract_path_text": "get_json_object",
+    "regexp_matches": "regexp_like",
+    "list_unique": "array_distinct",
+    "array_length": "size",
+    "list_sort": "array_sort",
+    "list_max": "array_max",
+    "list_min": "array_min",
+    "ends_with": "endswith",
+    "starts_with": "startswith",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "strpos": "instr",
+    "str_split": "split_literal_",  # handled specially below
+    "string_split": "split_literal_",
+}
+
+_STRFTIME_TOKENS = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%I": "hh",
+    "%M": "mm",
+    "%S": "ss",
+    "%f": "SSSSSS",
+    "%j": "DDD",
+    "%a": "EEE",
+    "%A": "EEEE",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%p": "a",
+    "%%": "%",
+}
+
+
+def _mask_spans(sql: str) -> list[tuple[int, int]]:
+    """Spans of string literals and quoted identifiers."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            q = c
+            start = i
+            i += 1
+            while i < n:
+                if sql[i] == q and i + 1 < n and sql[i + 1] == q:
+                    i += 2
+                elif sql[i] == q:
+                    i += 1
+                    break
+                else:
+                    i += 1
+            spans.append((start, i))
+            continue
+        i += 1
+    return spans
+
+
+def _in_span(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return any(s <= pos < e for s, e in spans)
+
+
+def strftime_to_date_format(fmt: str) -> str:
+    out = fmt
+    for k, v in _STRFTIME_TOKENS.items():
+        out = out.replace(k, v)
+    return out
+
+
+def transpile_duckdb(sql: str) -> str:
+    """Rewrite DuckDB-only spellings to Spark equivalents."""
+    spans = _mask_spans(sql)
+
+    # 1) plain name-for-name call-site rewrites
+    def repl(m: re.Match) -> str:
+        if _in_span(m.start(), spans):
+            return m.group(0)
+        name = m.group(1).lower()
+        target = _NAME_MAP.get(name)
+        if target is None or target.endswith("_"):
+            return m.group(0)
+        return target + "("
+
+    names = "|".join(sorted(_NAME_MAP, key=len, reverse=True))
+    out = re.sub(rf"\b({names})\s*\(", repl, sql, flags=re.IGNORECASE)
+
+    # 2) strftime(ts, '%Y-%m-%d') → date_format(ts, 'yyyy-MM-dd')
+    def strf(m: re.Match) -> str:
+        return f"date_format({m.group(1)}, '{strftime_to_date_format(m.group(2))}')"
+
+    out = re.sub(
+        r"\bstrftime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        strf,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 3) string_split / str_split with a literal separator → split with
+    #    the separator regex-escaped (DuckDB splits on the literal).
+    def lit_split(m: re.Match) -> str:
+        sep = re.escape(m.group(2))
+        return f"split({m.group(1)}, '{sep}')"
+
+    out = re.sub(
+        r"\b(?:str_split|string_split)\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        lit_split,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 4) list/array 1-based bracket indexing arr[i] is shared; DuckDB's
+    #    len() on lists maps to size() only when applied to an array —
+    #    ambiguous without types, so it is NOT rewritten (documented).
+    return out

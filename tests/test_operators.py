@@ -1,0 +1,208 @@
+"""Operator-level tests with small inline data and known answers:
+dedup (exact/minhash/simhash/ngram), similarity, text analysis,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from swanlake_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the old river bank tonight"),
+    (3, "completely different content about spark engines and distributed query planning"),
+    (4, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (5, "der hund läuft und das ist ein test von der sprache mit für auf"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_keeps_lowest_id(self, docs):
+        kept = dedup.exact_dedup(docs)
+        ids = sorted(r.doc_id for r in kept.collect())
+        assert ids == [1, 2, 3, 5]  # 4 is an exact dup of 1
+
+    def test_whitespace_normalized(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a  b   c"), (2, "a b c"), (3, "A b c")], ["doc_id", "text"]
+        )
+        kept = dedup.exact_dedup(df)
+        # whitespace collapse + lowercase → all three collapse to one
+        assert sorted(r.doc_id for r in kept.collect()) == [1]
+
+
+class TestNgramJaccard:
+    def test_near_dup_found(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        got = {(r.a, r.b) for r in pairs}
+        assert (1, 2) in got  # one-word difference
+        assert (1, 4) in got  # exact dup
+        assert all(3 not in p for p in got)  # unrelated doc not paired
+
+    def test_jaccard_value_exact_dup(self, docs):
+        pairs = {(r.a, r.b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
+        assert pairs[(1, 4)] == 1.0
+
+
+class TestMinhashLsh:
+    def test_finds_planted_dups(self, docs):
+        pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+        got = {(r.a, r.b) for r in pairs.collect()}
+        assert (1, 4) in got  # identical docs always collide
+        assert all(3 not in p and 5 not in p for p in got)
+
+    def test_signature_shape(self, docs):
+        sig = dedup.minhash_signature(docs, num_hashes=16).collect()
+        assert all(len(r.sig) == 16 for r in sig)
+
+    def test_deterministic(self, docs):
+        a = sorted(map(tuple, dedup.minhash_signature(docs, num_hashes=8).collect()))
+        b = sorted(map(tuple, dedup.minhash_signature(docs, num_hashes=8).collect()))
+        assert a == b
+
+
+class TestSimhash:
+    def test_identical_docs_same_hash(self, docs):
+        fps = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+        assert fps[1] == fps[4]
+
+    def test_near_pairs(self, docs):
+        pairs = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+        got = {(r.a, r.b): r.hamming for r in pairs}
+        assert got.get((1, 4)) == 0
+
+
+class TestSimilarity:
+    def test_topk_exact(self, spark):
+        vecs = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        top = similarity.cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+        assert [r.vec_id for r in top] == [0, 1]
+        assert top[0].sim == 1.0
+
+    def test_lsh_topk_contains_exact_match(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = rows[17][1]
+        top = similarity.cosine_topk_lsh(df, q, k=5, planes=6, dim=16).collect()
+        assert top[0].vec_id == 17  # the vector itself lands in its own bucket
+        assert top[0].sim == 1.0
+
+    def test_near_pairs_exact_dup(self, spark):
+        rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [4.0, -3.0, 2.0, -1.0])]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        pairs = similarity.cosine_near_pairs(df, threshold=0.99, planes=6, dim=4).collect()
+        assert {(r.a, r.b) for r in pairs} == {(0, 1)}
+
+
+class TestText:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([(1, "  a b   c  ")], ["doc_id", "text"])
+        assert df.select(text.token_count("text").alias("n")).collect()[0].n == 3
+
+    def test_quality_monotonic_in_length(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the of and " * 30), (2, "zzz qqq")], ["doc_id", "text"]
+        )
+        rows = {r.doc_id: r.quality for r in text.quality_score(df).collect()}
+        assert rows[1] > rows[2]
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat of the mat and it is that for a reason"),
+                (2, "der hund und die katze das ist ein von mit für"),
+                (3, "xyzzy plugh qwerty asdf"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r.pred_lang for r in text.language_id(df).collect()}
+        assert rows[1] == "en"
+        assert rows[2] == "de"
+        assert rows[3] == "und"
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world")], ["doc_id", "text"]
+        )
+        fps = [r.fp for r in df.select(text.fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1]
+        assert len(fps[0]) == 16
+
+
+class TestMultimodal:
+    def test_synthesize_and_decode(self, spark):
+        base = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+        media = multimodal.synthesize_media(base)
+        decoded = multimodal.decode_media(media)
+        rows = decoded.collect()
+        assert len(rows) == 30
+        assert all(r.n_bytes == 64 for r in rows)
+        types = {r.media_type for r in rows}
+        assert types == {"image", "audio", "video"}
+
+    def test_decode_deterministic(self, spark):
+        base = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        a = sorted((r.id, r.checksum) for r in multimodal.decode_media(
+            multimodal.synthesize_media(base)).collect())
+        b = sorted((r.id, r.checksum) for r in multimodal.decode_media(
+            multimodal.synthesize_media(base)).collect())
+        assert a == b
+
+    def test_strict_decoder_raises(self, spark):
+        base = spark.range(0, 3).withColumnRenamed("id", "doc_id")
+        media = multimodal.synthesize_media(base)
+        with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+            multimodal.decode_media_strict(media).collect()
+
+    def test_feature_extraction_shape(self, spark):
+        base = spark.range(0, 5).withColumnRenamed("id", "doc_id")
+        feats = multimodal.extract_features(multimodal.synthesize_media(base)).collect()
+        assert all(len(r.features) == multimodal.FEATURE_DIM for r in feats)
+        s = sum(feats[0].features)
+        assert abs(s - 1.0) < 1e-6  # L1 normalized
+
+    def test_frame_sampling(self, spark):
+        base = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+        media = multimodal.synthesize_media(base)
+        frames = multimodal.sample_frames(media, every_k=10)
+        per_doc = {
+            r.id: r.cnt
+            for r in frames.groupBy("id").agg(F.count("*").alias("cnt")).collect()
+        }
+        # doc_id=2 → n_frames=3 → frames 0 → 1 sample
+        assert per_doc[2] == 1
+
+
+class TestCompaction:
+    def test_compact_small_files(self, engine, spark):
+        import os
+        import tempfile
+        import uuid
+
+        from swanlake_spark.maintenance import compact_table
+
+        name = f"c_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(f"CREATE TABLE {name} (id INT) USING parquet LOCATION '{loc}'")
+        for i in range(6):  # 6 small appends → 6+ part files
+            engine.execute(f"INSERT INTO {name} VALUES ({i})")
+        before = engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c
+        stats = compact_table(spark, name, target_file_bytes=1 << 30, min_files=2)
+        assert stats["compacted"]
+        assert stats["files_after"] < stats["files_before"]
+        after = engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c
+        assert after == before == 6

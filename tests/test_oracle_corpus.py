@@ -1,0 +1,41 @@
+"""The oracle corpus as a pytest suite: every declared query (SURVEY.md
+§2.5 + TPC-H suite + pipeline operators) runs on Spark and its oracle on
+DuckDB over the same sf0.001 parquet; results must match (row count,
+columns, order-insensitive values) — the same gate the driver applies
+at sf0.01."""
+
+import pytest
+
+from swanlake_spark.testing import compare_frames, duck_connect
+
+
+def _all_specs():
+    from swanlake_spark.queries.oracle import ORACLE_QUERIES
+    from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
+    from swanlake_spark.queries.tpch import TPCH_QUERIES
+
+    return {**ORACLE_QUERIES, **TPCH_QUERIES, **PIPELINE_QUERIES}
+
+
+SPECS = _all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_oracle_query(name, spark, sf_dir):
+    spec = SPECS[name]
+    sdf = spec.build(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        # rows-only check (non-SQL-expressible sketches); just verify the
+        # query executes and is deterministic across two runs
+        again = spec.build(spark, sf_dir).toPandas()
+        from swanlake_spark.testing import normalize
+
+        assert normalize(sdf).astype(str).equals(normalize(again).astype(str))
+        return
+    con = duck_connect(sf_dir)
+    try:
+        ddf = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+    issues = compare_frames(sdf, ddf)
+    assert not issues, f"{name}: {issues}"

@@ -1,0 +1,193 @@
+"""Session layer tests: registry limits/eviction, prepared statements,
+parameter binding, transactions.
+
+Models the reference's integration scenarios
+(``tests/runner/src/scenarios/{prepared_statements,transaction_recovery,
+concurrent_sessions}.rs``) and registry unit tests
+(``session/registry.rs:246-399``).
+"""
+
+import tempfile
+import time
+import uuid
+
+import pytest
+
+from swanlake_spark.errors import FailedPrecondition, InvalidArgument, ResourceExhausted
+from swanlake_spark.session import SessionRegistry, bind_parameters
+
+
+@pytest.fixture(scope="module")
+def registry(engine):
+    return SessionRegistry(engine, max_sessions=50, idle_timeout_s=3600)
+
+
+def _mktable(sess, cols="id INT, val STRING"):
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="swl_test_")
+    sess.query(f"CREATE TABLE {name} ({cols}) USING parquet LOCATION '{loc}'")
+    return name
+
+
+class TestBinding:
+    def test_basic_types(self):
+        out = bind_parameters("SELECT ? AS a, ? AS b, ? AS c, ? AS d", [1, 2.5, "x", None])
+        assert out == "SELECT 1 AS a, 2.5 AS b, 'x' AS c, NULL AS d"
+
+    def test_string_escaping(self):
+        assert bind_parameters("SELECT ?", ["O'Brien"]) == "SELECT 'O''Brien'"
+
+    def test_bytes(self):
+        assert bind_parameters("SELECT ?", [b"\x01\x02"]) == "SELECT X'0102'"
+
+    def test_bool(self):
+        assert bind_parameters("SELECT ?, ?", [True, False]) == "SELECT TRUE, FALSE"
+
+    def test_dates(self):
+        import datetime
+
+        out = bind_parameters(
+            "SELECT ?, ?",
+            [datetime.date(2024, 1, 2), datetime.datetime(2024, 1, 2, 3, 4, 5)],
+        )
+        assert "DATE '2024-01-02'" in out
+        assert "TIMESTAMP '2024-01-02 03:04:05.000000'" in out
+
+    def test_placeholder_in_literal_not_bound(self):
+        out = bind_parameters("SELECT '?' , ?", [7])
+        assert out == "SELECT '?' , 7"
+
+    def test_arity_mismatch(self):
+        with pytest.raises(InvalidArgument):
+            bind_parameters("SELECT ?, ?", [1])
+
+
+class TestRegistry:
+    def test_get_or_create_stable(self, registry):
+        a = registry.get_or_create("client-1")
+        b = registry.get_or_create("client-1")
+        assert a is b
+
+    def test_max_sessions(self, engine):
+        reg = SessionRegistry(engine, max_sessions=2)
+        reg.get_or_create("a")
+        reg.get_or_create("b")
+        with pytest.raises(ResourceExhausted):
+            reg.get_or_create("c")
+
+    def test_idle_eviction(self, engine):
+        reg = SessionRegistry(engine, max_sessions=10, idle_timeout_s=0.01)
+        reg.get_or_create("x")
+        time.sleep(0.05)
+        assert reg.cleanup_idle_sessions() == 1
+        assert len(reg) == 0
+
+    def test_session_isolation_temp_views(self, registry):
+        s1 = registry.get_or_create("iso-1")
+        s2 = registry.get_or_create("iso-2")
+        s1.query("CREATE OR REPLACE TEMP VIEW iso_v AS SELECT 1 AS x")
+        assert s1.query("SELECT x FROM iso_v").collect()[0].x == 1
+        with pytest.raises(Exception):
+            s2.query("SELECT x FROM iso_v").collect()
+
+
+class TestPreparedStatements:
+    def test_query_with_params(self, registry):
+        s = registry.get_or_create("ps-1")
+        st = s.create_prepared_statement("SELECT ? + 1 AS v")
+        assert st.parameter_count == 1
+        s.set_parameters(st.handle, [[41]])
+        res = s.execute_prepared(st.handle)
+        assert res.collect()[0].v == 42
+
+    def test_schema_cached_with_null_fill(self, registry):
+        s = registry.get_or_create("ps-2")
+        st = s.create_prepared_statement("SELECT CAST(? AS INT) AS a")
+        schema = s.schema_for_prepared(st.handle)
+        assert schema.fields[0].name == "a"
+        assert st.schema is not None  # cached
+
+    def test_empty_handle_fallback(self, registry):
+        # reference prepared.rs:38-68: empty handle → most recent
+        s = registry.get_or_create("ps-3")
+        s.create_prepared_statement("SELECT 7 AS seven")
+        res = s.execute_prepared(None)
+        assert res.collect()[0].seven == 7
+
+    def test_unknown_handle(self, registry):
+        s = registry.get_or_create("ps-4")
+        with pytest.raises(InvalidArgument):
+            s.get_prepared_statement(9999)
+
+    def test_ephemeral_closes_after_execute(self, registry):
+        s = registry.get_or_create("ps-5")
+        st = s.create_prepared_statement("SELECT 1 AS one", ephemeral=True)
+        s.execute_prepared(st.handle)
+        with pytest.raises(InvalidArgument):
+            s.get_prepared_statement(st.handle)
+
+    def test_prepared_insert_param_sets(self, registry):
+        s = registry.get_or_create("ps-6")
+        t = _mktable(s)
+        st = s.create_prepared_statement(f"INSERT INTO {t} VALUES (?, ?)")
+        s.set_parameters(st.handle, [[1, "a"], [2, "b"], [3, None]])
+        s.execute_prepared(st.handle)
+        rows = s.query(f"SELECT id, val FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.val) for r in rows] == [(1, "a"), (2, "b"), (3, None)]
+
+    def test_prepared_update_accumulates_affected(self, registry):
+        s = registry.get_or_create("ps-7")
+        t = _mktable(s)
+        s.query(f"INSERT INTO {t} VALUES (1,'a'), (2,'b'), (3,'c')")
+        st = s.create_prepared_statement(f"UPDATE {t} SET val = 'z' WHERE id = ?")
+        s.set_parameters(st.handle, [[1], [3]])
+        res = s.execute_prepared(st.handle)
+        assert res.affected_rows == 2
+        rows = s.query(f"SELECT val FROM {t} ORDER BY id").collect()
+        assert [r.val for r in rows] == ["z", "b", "z"]
+
+    def test_close(self, registry):
+        s = registry.get_or_create("ps-8")
+        st = s.create_prepared_statement("SELECT 1")
+        s.close_prepared_statement(st.handle)
+        with pytest.raises(InvalidArgument):
+            s.get_prepared_statement(st.handle)
+
+
+class TestTransactions:
+    def test_commit_publishes(self, registry):
+        s = registry.get_or_create("tx-1")
+        t = _mktable(s)
+        s.query(f"INSERT INTO {t} VALUES (1,'a'), (2,'b')")
+        s.begin_transaction()
+        s.query(f"UPDATE {t} SET val = 'updated' WHERE id = 1")
+        s.query(f"DELETE FROM {t} WHERE id = 2")
+        # staged state visible inside the txn
+        rows = s.query(f"SELECT id, val FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.val) for r in rows] == [(1, "updated")]
+        s.commit_transaction()
+        rows = s.query(f"SELECT id, val FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.val) for r in rows] == [(1, "updated")]
+
+    def test_rollback_discards(self, registry):
+        s = registry.get_or_create("tx-2")
+        t = _mktable(s)
+        s.query(f"INSERT INTO {t} VALUES (1,'a')")
+        s.begin_transaction()
+        s.query(f"DELETE FROM {t} WHERE id = 1")
+        assert s.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 0
+        s.rollback_transaction()
+        assert s.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 1
+
+    def test_double_begin_fails(self, registry):
+        s = registry.get_or_create("tx-3")
+        s.begin_transaction()
+        with pytest.raises(FailedPrecondition):
+            s.begin_transaction()
+        s.rollback_transaction()
+
+    def test_commit_outside_txn_tolerated(self, registry):
+        # reference tolerates autocommit no-ops (transaction.rs)
+        s = registry.get_or_create("tx-4")
+        s.commit_transaction()
+        s.rollback_transaction()
