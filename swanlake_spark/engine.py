@@ -24,6 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from swanlake_spark import constraints
 from swanlake_spark.config import EngineConfig
 from swanlake_spark.errors import EngineError, InvalidArgument
 from swanlake_spark.metrics import Metrics
@@ -165,7 +166,23 @@ class Engine:
                     table, where = dele
                     affected = dml.delete_from(self.spark, table, where)
                     continue
+            pk_table: str | None = None
+            pk_cols: list[str] = []
+            if kw.startswith("CREATE"):
+                stmt, pk_table, pk_cols = constraints.extract_and_strip_pk(stmt)
+            elif kw.startswith("INSERT"):
+                constraints.check_insert_sql(self.spark, stmt)
+            elif kw.startswith("DROP"):
+                m = re.match(
+                    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`\"]+)",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if m:
+                    constraints.drop_pk(m.group(1))
             df = self.spark.sql(stmt)
+            if pk_table and pk_cols:
+                constraints.register_pk(pk_table, pk_cols)
             if classify(stmt).is_query:
                 last_df = df
         return QueryResult(
@@ -216,22 +233,32 @@ class Engine:
     def table_types(self) -> list[str]:
         return ["TABLE", "VIEW"]
 
-    def primary_keys(self, table: str) -> DataFrame:
-        """Always empty — the lakehouse has no enforced keys (reference
-        returns fixed-schema empty sets, metadata.rs:324-397)."""
-        schema = T.StructType(
-            [
-                T.StructField("catalog_name", T.StringType()),
-                T.StructField("db_schema_name", T.StringType()),
-                T.StructField("table_name", T.StringType()),
-                T.StructField("column_name", T.StringType()),
-                T.StructField("key_sequence", T.IntegerType()),
-                T.StructField("key_name", T.StringType()),
-            ]
-        )
-        return self.spark.createDataFrame([], schema)
+    _KEYS_SCHEMA = T.StructType(
+        [
+            T.StructField("catalog_name", T.StringType()),
+            T.StructField("db_schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("key_sequence", T.IntegerType()),
+            T.StructField("key_name", T.StringType()),
+        ]
+    )
 
-    foreign_keys = primary_keys
+    def primary_keys(self, table: str) -> DataFrame:
+        """Keys declared via CREATE TABLE ... PRIMARY KEY (engine-level
+        registry); empty otherwise, like the reference's fixed-schema
+        empty sets (metadata.rs:324-397)."""
+        cols = constraints.pk_columns(table) or []
+        rows = [
+            ("spark_catalog", "default", table, c, i + 1, f"{table}_pkey")
+            for i, c in enumerate(cols)
+        ]
+        return self.spark.createDataFrame(rows, self._KEYS_SCHEMA)
+
+    def foreign_keys(self, table: str) -> DataFrame:
+        """Always empty — the engine does not track FKs (reference returns
+        fixed-schema empty sets, metadata.rs:324-397)."""
+        return self.spark.createDataFrame([], self._KEYS_SCHEMA)
 
     def sql_info(self) -> dict:
         """Static capability map (reference sql_info.rs:20-36)."""

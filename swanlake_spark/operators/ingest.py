@@ -118,5 +118,10 @@ def insert_arrow(
     target = spark.table(table).schema
     df = spark.createDataFrame(tbl)
     aligned = align_to_schema(df, target, insert_columns)
+    # PK enforcement applies on every write path in the reference (DuckDB
+    # enforces the constraint under the appender too, error_status.test:6-13).
+    from swanlake_spark import constraints
+
+    constraints.check_insert_batch(spark, table, aligned)
     aligned.write.insertInto(table)
     return tbl.num_rows

@@ -161,6 +161,72 @@ class TestMetadata:
         assert info["transactions_supported"] is True
 
 
+def _mkpk(engine, decl):
+    """CREATE a parquet table with a PRIMARY KEY declaration."""
+    name = f"pk_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="swl_test_")
+    engine.execute(f"CREATE TABLE {name} ({decl}) USING parquet LOCATION '{loc}'")
+    return name
+
+
+class TestPrimaryKey:
+    """Engine-level PK enforcement (reference error_status.test:6-13 —
+    DuckDB rejects duplicate-PK inserts)."""
+
+    def test_column_level_pk_rejects_duplicate(self, engine):
+        t = _mkpk(engine, "id INT PRIMARY KEY, name STRING")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b')")
+        with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+            engine.execute(f"INSERT INTO {t} VALUES (1, 'dup')")
+        # non-conflicting insert still works; session survives
+        engine.execute(f"INSERT INTO {t} VALUES (3, 'c')")
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 3
+
+    def test_table_level_composite_pk(self, engine):
+        t = _mkpk(engine, "a INT, b INT, v STRING, PRIMARY KEY (a, b)")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 1, 'x'), (1, 2, 'y')")
+        with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+            engine.execute(f"INSERT INTO {t} VALUES (1, 2, 'dup')")
+        engine.execute(f"INSERT INTO {t} VALUES (2, 1, 'ok')")
+
+    def test_batch_internal_duplicate_rejected(self, engine):
+        t = _mkpk(engine, "id INT PRIMARY KEY, v STRING")
+        with pytest.raises(InvalidArgument, match="duplicate key"):
+            engine.execute(f"INSERT INTO {t} VALUES (1, 'a'), (1, 'b')")
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 0
+
+    def test_primary_keys_metadata(self, engine):
+        t = _mkpk(engine, "a INT, b INT, PRIMARY KEY (a, b)")
+        rows = engine.primary_keys(t).collect()
+        assert [(r.column_name, r.key_sequence) for r in rows] == [("a", 1), ("b", 2)]
+
+    def test_drop_clears_registry(self, engine):
+        t = _mkpk(engine, "id INT PRIMARY KEY, v STRING")
+        engine.execute(f"DROP TABLE {t}")
+        assert engine.primary_keys(t).count() == 0
+
+    def test_insert_select_checked(self, engine):
+        t = _mkpk(engine, "id INT PRIMARY KEY, v STRING")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a')")
+        with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+            engine.execute(f"INSERT INTO {t} SELECT 1 AS id, 'again' AS v")
+
+    def test_appender_path_checked(self, engine):
+        import pyarrow as pa
+
+        from swanlake_spark.operators.ingest import insert_arrow
+
+        t = _mkpk(engine, "id INT PRIMARY KEY, v STRING")
+        insert_arrow(engine.spark, t, pa.table({"id": [1, 2], "v": ["a", "b"]}))
+        with pytest.raises(InvalidArgument):
+            insert_arrow(engine.spark, t, pa.table({"id": [2], "v": ["dup"]}))
+
+    def test_unkeyed_table_unaffected(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (1, 'a', 10)")
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 2
+
+
 class TestDialect:
     def test_duckdb_functions_transpiled(self, engine):
         res = engine.query(
