@@ -140,6 +140,11 @@ class Engine:
         parsed = classify(stripped.sql)
         for stmt in stmts:
             kw = stmt.lstrip()[:8].upper()
+            if kw.startswith("ATTACH") or kw.startswith("DETACH"):
+                self._attach_detach(stmt)
+                continue
+            if re.search(r"\binformation_schema\s*\.\s*tables\b", stmt, re.IGNORECASE):
+                stmt = self._rewrite_information_schema(stmt)
             if kw.startswith("TRUNCATE"):
                 # Spark refuses TRUNCATE on external tables; DELETE-all
                 # through the copy-on-write layer has identical semantics.
@@ -229,6 +234,70 @@ class Engine:
                 }
             )
         return out
+
+    _ATTACH_RE = re.compile(
+        r"^\s*ATTACH\s+'(?P<target>[^']*)'\s+AS\s+(?P<name>[\w`\"]+)"
+        r"(?:\s*\(\s*DATA_PATH\s+'(?P<data>[^']*)'\s*\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _attach_detach(self, stmt: str) -> None:
+        """``ATTACH 'ducklake:<catalog>' AS name (DATA_PATH '...')`` maps to a
+        Spark database; ``DETACH name`` unbinds the handle while the data
+        persists — matching DuckLake semantics where a re-ATTACH sees the
+        same tables (reference tests/sql/ducklake_basic.test:54-86)."""
+        m = self._ATTACH_RE.match(stmt)
+        if m:
+            name = m.group("name").strip('`"')
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+            return
+        dm = re.match(
+            r"^\s*DETACH\s+(?:DATABASE\s+)?([\w`\"]+)\s*;?\s*$", stmt, re.IGNORECASE
+        )
+        if dm:
+            # the database (and its files) remain; only the handle is dropped
+            return
+        raise InvalidArgument(f"unsupported ATTACH/DETACH syntax: {stmt.strip()!r}")
+
+    def _rewrite_information_schema(self, stmt: str) -> str:
+        """Spark has no information_schema; materialize the reference's
+        ``information_schema.tables`` projection (metadata.rs:26-34 —
+        table_name + table_type with ``BASE TABLE``/``VIEW``) as a temp
+        view and point the query at it."""
+        seen = set()
+        rows = []
+        cat = self.spark.catalog
+        dbs = [d.name for d in cat.listDatabases()]
+        for db in dbs:
+            for t in cat.listTables(db):
+                schema_name = t.namespace[0] if t.namespace else db
+                key = (schema_name if not t.isTemporary else "", t.name)
+                if key in seen:
+                    continue
+                seen.add(key)
+                ttype = (
+                    "VIEW"
+                    if t.isTemporary or (t.tableType or "").upper() in ("VIEW", "TEMPORARY")
+                    else "BASE TABLE"
+                )
+                rows.append((t.catalog or "spark_catalog", schema_name, t.name, ttype))
+        schema = T.StructType(
+            [
+                T.StructField("table_catalog", T.StringType()),
+                T.StructField("table_schema", T.StringType()),
+                T.StructField("table_name", T.StringType()),
+                T.StructField("table_type", T.StringType()),
+            ]
+        )
+        self.spark.createDataFrame(rows, schema).createOrReplaceTempView(
+            "swl_information_schema_tables"
+        )
+        return re.sub(
+            r"\binformation_schema\s*\.\s*tables\b",
+            "swl_information_schema_tables",
+            stmt,
+            flags=re.IGNORECASE,
+        )
 
     def table_types(self) -> list[str]:
         return ["TABLE", "VIEW"]

@@ -126,6 +126,15 @@ def translate_ddl_types(sql: str) -> str:
     out = sql
     for duck, spark in replacements.items():
         out = re.sub(rf"\b{duck}\b", spark, out, flags=re.IGNORECASE)
+    # VARCHAR/CHAR with or without a length → STRING: DuckDB ignores the
+    # length (tpch-ddl char(25) unenforced, SURVEY §1.2) and Spark rejects
+    # bare VARCHAR, so dropping it matches both.
+    out = re.sub(
+        r"\b(?:VARCHAR|BPCHAR|CHARACTER\s+VARYING|CHAR|CHARACTER)\b(\s*\(\s*\d+\s*\))?",
+        "STRING",
+        out,
+        flags=re.IGNORECASE,
+    )
     # Bare TIMESTAMP means no-timezone in DuckDB (types.rs:55-58).
     out = re.sub(r"\bTIMESTAMP\b(?!_NTZ|\s+WITH)", "TIMESTAMP_NTZ", out, flags=re.IGNORECASE)
     return out

@@ -17,7 +17,16 @@ def spark():
     from swanlake_spark.config import EngineConfig
     from swanlake_spark.engine import Engine
 
-    cfg = EngineConfig(app_name="swanlake-spark-tests", cpus=8, shuffle_partitions=8)
+    import tempfile
+
+    cfg = EngineConfig(
+        app_name="swanlake-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        # per-run warehouse: managed-table names never collide with
+        # leftover directories from earlier runs
+        warehouse_dir=tempfile.mkdtemp(prefix="swl_wh_"),
+    )
     eng = Engine(config=cfg)
     eng.spark.sparkContext.setLogLevel("ERROR")
     yield eng.spark
