@@ -24,9 +24,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from swanlake_spark.operators.text import tokens
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source has
+    fewer partitions (e.g. one small Parquet file): shingling + explode
+    is CPU-bound and would otherwise run on a single core. No-op on wide
+    inputs (a 100-TB scan already has more partitions than cores)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 # -- exact -------------------------------------------------------------------
 
@@ -81,7 +91,7 @@ def minhash_signature(
     num_hashes partial-aggregated mins (map-side combine), so the
     shuffle volume is O(docs × num_hashes), independent of text size.
     """
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("g")
     )
     aggs = [
@@ -95,6 +105,46 @@ def minhash_signature(
     )
 
 
+def _bucket_pairs(
+    banded: DataFrame, payload: list[str], max_bucket: int
+) -> DataFrame:
+    """All unordered pairs within each (band, bh) bucket, skew-safe.
+
+    Single scan, single shuffle: one ``groupBy(band, bh)`` collects each
+    bucket's members, then buckets outside [2, max_bucket] are dropped —
+    singletons (the vast majority) generate nothing, pathological
+    buckets (k²/2 pairs) are capped. Pair generation is a row-local
+    explode, no further shuffle and no self-join.
+
+    Rejected alternatives, for the record: a window count + self-join
+    sorts every bucket and shuffles both join sides; a count-first
+    pre-filter plus join re-scans the whole upstream pipeline (Catalyst
+    can't reuse the exchange across the two aggregation shapes).
+    Residual scale risk: a bucket is materialized as one list before the
+    size filter, so an adversarial mega-bucket (>~10⁷ members on one
+    key) would pressure one executor; callers with such data should
+    pre-salt the band hash.
+    """
+    keys = ["band", "bh"]
+    member = F.struct(*[F.col(c) for c in payload])
+    buckets = (
+        banded.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(member)).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    n = F.size("ms")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, n),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select("p.x", "p.y")
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -103,10 +153,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(a, b) candidate pairs whose signatures collide in ≥1 LSH band.
 
-    Equi-join on (band, band_hash): Catalyst plans a shuffle-hash join
-    keyed on uniform hashes — no skew, no cross product. ``max_bucket``
-    caps degenerate buckets (a bucket of k docs yields k²/2 pairs; a
-    pathological common-prefix bucket would dominate the stage).
+    Banding is row-local (posexplode of per-band hashes); pair
+    generation is the skew-safe bucket plan in :func:`_bucket_pairs` —
+    no O(n²) cross product, no unbounded bucket state.
     """
     rows = F.size(F.col("sig")) / bands
     banded = sig_df.select(
@@ -131,16 +180,10 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bh"),
     )
-    # cap pathological buckets
-    sized = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select(F.col("band"), F.col("bh"), F.col(id_col).alias("a"))
-    b = sized.select(F.col("band"), F.col("bh"), F.col(id_col).alias("b"))
+    pairs = _bucket_pairs(banded, [id_col], max_bucket)
     return (
-        a.join(b, ["band", "bh"])
+        pairs.select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 
@@ -159,7 +202,7 @@ def minhash_dedup_pairs(
     xxhash64 seeds are fixed."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     cand = lsh_candidate_pairs(sig, id_col, bands)
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    sh = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sha"), "a")
         .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "shb"), "b")
@@ -190,7 +233,7 @@ def simhash(
 
     Explode tokens once; ``bits`` conditional sums with map-side combine.
     """
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    ex = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.xxhash64("tok")
     aggs = [
         F.sum(
@@ -233,16 +276,16 @@ def simhash_near_pairs(
             )
         ).alias("band", "bh"),
     )
-    a = banded.select("band", "bh", F.col(id_col).alias("a"), F.col("simhash").alias("fa"))
-    b = banded.select("band", "bh", F.col(id_col).alias("b"), F.col("simhash").alias("fb"))
+    pairs = _bucket_pairs(banded, [id_col, "simhash"], max_bucket=1 << 16)
     return (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        pairs.select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("a") < F.col("b"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -264,7 +307,7 @@ def ngram_jaccard_pairs(
     The shared-shingle equi-join is the inverted-index candidate
     generator: cost O(Σ bucket²) on shingle buckets, not O(n²) on docs.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("g")
     )
     cand = (
