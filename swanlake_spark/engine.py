@@ -109,16 +109,17 @@ class Engine:
 
             sql = transpile_duckdb(sql)
         t0 = time.perf_counter()
-        try:
-            res = self._run_script(sql)
-        except EngineError:
-            self.metrics.record_error()
-            raise
-        except Exception as e:
-            self.metrics.record_error()
-            raise EngineError(str(e)) from e
+        with self.metrics.start_query():
+            try:
+                res = self._run_script(sql)
+            except EngineError as e:
+                self.metrics.record_error(str(e), sql)
+                raise
+            except Exception as e:
+                self.metrics.record_error(str(e), sql)
+                raise EngineError(str(e)) from e
         res.elapsed_s = time.perf_counter() - t0
-        self.metrics.record_query(res.elapsed_s, sql)
+        self.metrics.record_query(res.elapsed_s, sql, is_query=res.is_query)
         return res
 
     def execute(self, sql: str) -> QueryResult:

@@ -256,3 +256,54 @@ class TestMetrics:
         snap = engine.metrics.snapshot()
         assert snap.total_queries == before + 1
         assert snap.p50_ms >= 0
+
+    def test_error_events_recorded(self, engine):
+        with pytest.raises(EngineError):
+            engine.query("SELECT * FROM no_such_table_metrics_test")
+        snap = engine.metrics.snapshot()
+        assert snap.total_errors >= 1
+        last = snap.recent_errors[-1]
+        assert "no_such_table_metrics_test" in (last["sql"] or "")
+        assert last["message"]
+
+    def test_slow_log_reasons_and_groups(self):
+        from swanlake_spark.metrics import Metrics
+
+        m = Metrics(slow_threshold_s=0.1)
+        sql = "SELECT * FROM t JOIN u ON t.id = u.id ORDER BY t.id"
+        m.record_query(0.5, sql)
+        m.record_query(0.9, sql)
+        snap = m.snapshot()
+        assert len(snap.slow_queries) == 2
+        assert "Join/aggregation/sort" in snap.slow_queries[0]["reasons"]
+        assert "Wide select" in snap.slow_queries[0]["reasons"]
+        (g,) = snap.slow_query_groups
+        assert g["count"] == 2 and g["max_ms"] >= 899
+
+    def test_reason_inference(self):
+        from swanlake_spark.metrics import infer_reasons
+
+        assert "Large result set" in infer_reasons("SELECT x FROM t", rows=200_000)
+        assert "Write-heavy statement" in infer_reasons("INSERT INTO t VALUES (1)", is_query=False)
+        assert "Leading wildcard match" in infer_reasons("SELECT c FROM t WHERE c LIKE '%x'")
+        assert "Very long-running" in infer_reasons(
+            "SELECT 1", duration_ms=5000, slow_threshold_ms=1000
+        )
+        assert infer_reasons("SELECT c FROM t WHERE c = 1") == []
+
+    def test_in_flight_gauge(self):
+        from swanlake_spark.metrics import Metrics
+
+        m = Metrics()
+        with m.start_query():
+            assert m.snapshot().in_flight_queries == 1
+        assert m.snapshot().in_flight_queries == 0
+
+    def test_status_endpoints(self, engine):
+        import json
+
+        engine.query("SELECT 1")
+        payload = json.loads(engine.metrics.status_json())
+        assert payload["total_queries"] >= 1
+        page = engine.metrics.status_html()
+        assert "Engine status" in page and "p95" in page
