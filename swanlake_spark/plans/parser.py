@@ -212,3 +212,54 @@ def insert_info(stmt: str) -> InsertInfo | None:
 def count_placeholders(stmt: str) -> int:
     """Number of ``?`` parameter placeholders outside literals."""
     return sum(1 for _, c in _scan(stmt) if c == "?")
+
+
+def _mask_literals(stmt: str) -> str:
+    """Same text with string/identifier literals and comments blanked
+    (positions preserved) so regexes can't match inside them."""
+    keep = {i for i, _ in _scan(stmt)}
+    return "".join(c if i in keep else " " for i, c in enumerate(stmt))
+
+
+_COL = rf"{_IDENT}(?:\.{_IDENT})*"
+_CMP = r"(?:=|<=|>=|<>|!=|<|>)"
+_BEHIND_CMP = re.compile(rf"({_COL})\s*{_CMP}\s*$", re.DOTALL)
+_AHEAD_CMP = re.compile(rf"^\s*{_CMP}\s*({_COL})")
+_BEHIND_BETWEEN_LOW = re.compile(
+    rf"({_COL})\s+(?:NOT\s+)?BETWEEN\s*$", re.IGNORECASE | re.DOTALL
+)
+_BEHIND_BETWEEN_HIGH = re.compile(
+    rf"({_COL})\s+(?:NOT\s+)?BETWEEN\s+\S+\s+AND\s*$", re.IGNORECASE | re.DOTALL
+)
+_BEHIND_IN = re.compile(
+    rf"({_COL})\s+(?:NOT\s+)?IN\s*\([^()]*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def parameter_columns(stmt: str) -> list[str] | None:
+    """Map each ``?`` placeholder to the column it constrains, for
+    parameter-schema inference: ``col = ?``, comparisons (either operand
+    order), ``col BETWEEN ? AND ?``, ``col IN (?, ...)``, and UPDATE
+    ``SET col = ?``. Returns None unless *every* placeholder resolves —
+    matching the reference's all-or-nothing contract
+    (``sql/parser.rs:103-133,323-404``)."""
+    masked = _mask_literals(stmt)
+    positions = [i for i, c in _scan(stmt) if c == "?"]
+    if not positions:
+        return []
+    cols: list[str] = []
+    for pos in positions:
+        before, after = masked[:pos], masked[pos + 1 :]
+        m = (
+            _BEHIND_CMP.search(before)
+            or _BEHIND_BETWEEN_LOW.search(before)
+            or _BEHIND_BETWEEN_HIGH.search(before)
+            or _BEHIND_IN.search(before)
+        )
+        if not m:
+            m = _AHEAD_CMP.match(after)
+        if not m:
+            return None
+        # qualified names bind to their final segment
+        cols.append(_unquote(m.group(1).split(".")[-1]))
+    return cols

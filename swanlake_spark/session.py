@@ -37,7 +37,11 @@ from swanlake_spark.errors import (
     ResourceExhausted,
 )
 from swanlake_spark.plans import classify, split_statements, strip_select_locks
-from swanlake_spark.plans.parser import count_placeholders
+from swanlake_spark.plans.parser import (
+    count_placeholders,
+    insert_info,
+    parameter_columns,
+)
 
 
 @dataclass
@@ -47,8 +51,70 @@ class PreparedStatement:
     is_query: bool
     parameter_count: int
     schema: T.StructType | None = None  # cached on first plan
+    parameter_schema: T.StructType | None = None
     pending_params: list[list] | None = None
     ephemeral: bool = False
+
+
+_TARGET_TABLE_RE = re.compile(
+    r"^\s*(?:UPDATE|DELETE\s+FROM)\s+([\w.`\"]+)"
+    r"|\bFROM\s+([\w.`\"]+)",
+    re.IGNORECASE,
+)
+
+
+def infer_parameter_schema(spark: SparkSession, sql: str) -> T.StructType:
+    """Expected parameter schema for a statement's ``?`` placeholders.
+
+    The reference's algorithm (``prepared.rs:123-242``):
+
+    - INSERT with all-placeholder VALUES → the target table's column
+      types, in INSERT-column-list order, repeated per VALUES row.
+    - UPDATE / DELETE / SELECT → map each placeholder to the column it
+      constrains (A13, ``parser.rs:103-133``) and take that column's
+      type from the statement's target table.
+    - anything unresolvable → all-string fields named ``"1".."n"``
+      (``prepared.rs:123-135``).
+    """
+    n = count_placeholders(sql)
+
+    def fallback() -> T.StructType:
+        return T.StructType(
+            [T.StructField(str(i + 1), T.StringType()) for i in range(n)]
+        )
+
+    if n == 0:
+        return T.StructType([])
+    info = insert_info(sql)
+    try:
+        if info is not None and info.source == "VALUES" and info.all_placeholders:
+            table_schema = spark.table(info.table).schema
+            cols = info.columns or [f.name for f in table_schema.fields]
+            by_name = {f.name.lower(): f for f in table_schema.fields}
+            fields = [by_name[c.lower()] for c in cols]
+            rows = info.values_rows or 1
+            if len(fields) * rows == n:
+                return T.StructType(
+                    [T.StructField(f.name, f.dataType) for f in fields] * rows
+                )
+            return fallback()
+        cols = parameter_columns(sql)
+        if not cols:
+            return fallback()
+        m = _TARGET_TABLE_RE.search(sql)
+        if not m:
+            return fallback()
+        table = (m.group(1) or m.group(2)).strip('`"')
+        by_name = {f.name.lower(): f for f in spark.table(table).schema.fields}
+        fields = []
+        for c in cols:
+            f = by_name.get(c.lower())
+            if f is None:
+                return fallback()
+            fields.append(T.StructField(f.name, f.dataType))
+        return T.StructType(fields)
+    except Exception:
+        return fallback()
 
 
 def _render_literal(v) -> str:
@@ -165,6 +231,7 @@ class Session:
             sql=stripped,
             is_query=parsed.is_query,
             parameter_count=count_placeholders(stripped),
+            parameter_schema=infer_parameter_schema(self.spark, stripped),
             ephemeral=ephemeral,
         )
         with self._lock:

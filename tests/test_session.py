@@ -154,6 +154,87 @@ class TestPreparedStatements:
             s.get_prepared_statement(st.handle)
 
 
+class TestParameterSchema:
+    """A13 (parameter-column inference, parser.rs:103-133,323-404) and
+    A30 (parameter schema inference, prepared.rs:123-242)."""
+
+    def test_parameter_columns_forms(self):
+        from swanlake_spark.plans.parser import parameter_columns
+
+        assert parameter_columns("SELECT * FROM t WHERE ycsb_key = ?") == ["ycsb_key"]
+        assert parameter_columns(
+            "SELECT * FROM t WHERE ycsb_key > ? AND ycsb_key < ?"
+        ) == ["ycsb_key", "ycsb_key"]
+        assert parameter_columns("SELECT * FROM t WHERE a BETWEEN ? AND ?") == ["a", "a"]
+        assert parameter_columns("SELECT * FROM t WHERE a IN (?, ?, ?)") == ["a", "a", "a"]
+        assert parameter_columns("UPDATE t SET v = ?, w = ? WHERE id = ?") == [
+            "v",
+            "w",
+            "id",
+        ]
+        assert parameter_columns("SELECT * FROM t WHERE ? = id") == ["id"]
+        assert parameter_columns("SELECT * FROM t WHERE t.id = ?") == ["id"]
+        # literal '?' must not count
+        assert parameter_columns("SELECT * FROM t WHERE v = '?' AND id = ?") == ["id"]
+        # unresolvable → None (all-or-nothing)
+        assert parameter_columns("SELECT * FROM t WHERE f(?) = 1") is None
+
+    def test_insert_schema_repeats_per_row(self, registry):
+        from swanlake_spark.session import infer_parameter_schema
+
+        sess = registry.get_or_create(f"ps_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess, "id INT, val STRING")
+        schema = infer_parameter_schema(sess.spark, f"INSERT INTO {t} VALUES (?, ?), (?, ?)")
+        assert [f.name for f in schema.fields] == ["id", "val", "id", "val"]
+        assert [f.dataType.simpleString() for f in schema.fields] == [
+            "int",
+            "string",
+            "int",
+            "string",
+        ]
+
+    def test_insert_schema_partial_columns(self, registry):
+        from swanlake_spark.session import infer_parameter_schema
+
+        sess = registry.get_or_create(f"ps_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess, "id INT, val STRING, extra DOUBLE")
+        schema = infer_parameter_schema(sess.spark, f"INSERT INTO {t} (val, id) VALUES (?, ?)")
+        assert [(f.name, f.dataType.simpleString()) for f in schema.fields] == [
+            ("val", "string"),
+            ("id", "int"),
+        ]
+
+    def test_where_schema_from_table(self, registry):
+        from swanlake_spark.session import infer_parameter_schema
+
+        sess = registry.get_or_create(f"ps_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess, "id INT, val STRING")
+        schema = infer_parameter_schema(
+            sess.spark, f"SELECT val FROM {t} WHERE id = ? AND val = ?"
+        )
+        assert [(f.name, f.dataType.simpleString()) for f in schema.fields] == [
+            ("id", "int"),
+            ("val", "string"),
+        ]
+
+    def test_fallback_all_strings(self, registry):
+        from swanlake_spark.session import infer_parameter_schema
+
+        sess = registry.get_or_create(f"ps_{uuid.uuid4().hex[:6]}")
+        schema = infer_parameter_schema(sess.spark, "SELECT * FROM nowhere_tbl WHERE f(?) > ?")
+        assert [f.name for f in schema.fields] == ["1", "2"]
+        assert all(f.dataType.simpleString() == "string" for f in schema.fields)
+
+    def test_prepared_statement_carries_schema(self, registry):
+        sess = registry.get_or_create(f"ps_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess, "id INT, val STRING")
+        st = sess.create_prepared_statement(f"SELECT * FROM {t} WHERE id = ?")
+        assert st.parameter_schema is not None
+        assert [(f.name, f.dataType.simpleString()) for f in st.parameter_schema.fields] == [
+            ("id", "int")
+        ]
+
+
 class TestTransactions:
     def test_commit_publishes(self, registry):
         s = registry.get_or_create("tx-1")
