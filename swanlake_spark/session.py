@@ -346,14 +346,45 @@ class Session:
                 table, where = dele
                 self._stage(table, dml_ops.apply_delete(self._table_snapshot(table), where))
                 continue
-            m = re.match(r"^\s*INSERT\s+INTO\s+(\w+)", stmt, re.IGNORECASE)
-            if m and m.group(1) in self._txn_staged:
-                raise InvalidArgument(
-                    "INSERT after staged DML on the same table within a "
-                    "transaction is not supported yet"
-                )
+            if self._stage_insert(stmt):
+                continue
             last = eng.query(stmt)
         return last if last is not None else eng.query("SELECT 1 AS ok")
+
+    def _stage_insert(self, stmt: str) -> bool:
+        """Stage an INSERT's rows instead of writing them, so ROLLBACK
+        discards and COMMIT publishes atomically with the rest of the
+        transaction. Returns False for non-INSERT statements."""
+        from swanlake_spark import constraints
+        from swanlake_spark.constraints import _INSERT_RE
+        from swanlake_spark.operators.ingest import align_to_schema
+
+        m = _INSERT_RE.match(stmt)
+        if not m:
+            return False
+        table = m.group("table").strip('`"')
+        src = m.group("src").rstrip().rstrip(";")
+        if src.upper().startswith("VALUES"):
+            src_df = self.spark.sql(f"SELECT * FROM ({src})")
+        else:
+            src_df = self.spark.sql(src)
+        snap = self._table_snapshot(table)
+        if m.group("cols"):
+            cols = [c.strip().strip('`"') for c in m.group("cols").split(",")]
+        else:
+            # SQL INSERT without a column list maps source columns
+            # positionally over the full table schema (a VALUES source
+            # arrives as col1..colN, so by-name matching would NULL-fill)
+            cols = [f.name for f in snap.schema.fields]
+        aligned = align_to_schema(src_df, snap.schema, cols)
+        overwrite = m.group("mode").upper() == "OVERWRITE"
+        # PK check runs against staged state (the shadow view), matching
+        # in-transaction enforcement (error_status.test semantics).
+        constraints.check_insert_batch(
+            self.spark, table, aligned, check_existing=not overwrite
+        )
+        self._stage(table, aligned if overwrite else snap.unionByName(aligned))
+        return True
 
     def commit_transaction(self) -> None:
         self.touch()
