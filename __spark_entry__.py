@@ -32,8 +32,9 @@ def _all_specs():
     from swanlake_spark.queries.oracle import ORACLE_QUERIES
     from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
     from swanlake_spark.queries.tpch import TPCH_QUERIES
+    from swanlake_spark.queries.ycsb import YCSB_QUERIES
 
-    return {**ORACLE_QUERIES, **TPCH_QUERIES, **PIPELINE_QUERIES}
+    return {**ORACLE_QUERIES, **TPCH_QUERIES, **PIPELINE_QUERIES, **YCSB_QUERIES}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -30,6 +30,7 @@ def main() -> None:
     from swanlake_spark.engine import Engine
     from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
     from swanlake_spark.queries.tpch import TPCH_QUERIES
+    from swanlake_spark.queries.ycsb import YCSB_QUERIES
 
     # Shuffle partitions sized to the data scale (~600k-row lineitem →
     # a handful of ~16 MB partitions); AQE stays on and would coalesce a
@@ -55,6 +56,8 @@ def main() -> None:
         ("sim_cosine_topk", "pipe_sim_cosine_topk"),
     ]:
         suite[key] = PIPELINE_QUERIES[pname]
+    suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
+    suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 
     # Warmup: registers tables, JITs codegen paths, warms file footers.
     # Each measured run rebuilds the DataFrame (fresh plan, fresh RDD

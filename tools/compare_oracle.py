@@ -84,16 +84,11 @@ def main() -> int:
 
     from swanlake_spark.config import EngineConfig
     from swanlake_spark.engine import Engine
-    from swanlake_spark.queries.oracle import ORACLE_QUERIES as _Q
-    from swanlake_spark.queries.tpch import TPCH_QUERIES
 
-    ORACLE_QUERIES = {**_Q, **TPCH_QUERIES}
-    try:
-        from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
+    # exactly the set the driver sees
+    import __spark_entry__ as entry_mod
 
-        ORACLE_QUERIES.update(PIPELINE_QUERIES)
-    except ImportError:
-        pass
+    ORACLE_QUERIES = entry_mod._all_specs()
 
     eng = Engine(config=EngineConfig(app_name="oracle-compare", cpus=8, shuffle_partitions=8))
     eng.spark.sparkContext.setLogLevel("ERROR")
