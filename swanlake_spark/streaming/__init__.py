@@ -8,6 +8,7 @@ sinks, with exactly-once checkpointing.
 """
 
 from swanlake_spark.streaming.ingest import (
+    sessionize,
     stream_events_from_directory,
     streaming_append_to_table,
     streaming_dedup,
@@ -15,6 +16,7 @@ from swanlake_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "sessionize",
     "stream_events_from_directory",
     "streaming_append_to_table",
     "streaming_dedup",

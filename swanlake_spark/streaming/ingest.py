@@ -91,6 +91,87 @@ def streaming_dedup(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: event-time sessionization per user via
+    ``applyInPandasWithState`` — the escape hatch for semantics Spark's
+    built-in streaming operators can't express (SURVEY §2.6 extension
+    path). A session is a run of events for one user with no gap longer
+    than ``gap``; a session row is emitted when event time (the
+    watermark) passes ``last_event + gap``.
+
+    State per user is four scalars — memory is O(active users), expired
+    by event-time timeout, the bounded-state contract that makes this
+    safe on an unbounded stream.
+    """
+    import pandas as pd  # noqa: F401 (applyInPandasWithState ships pandas)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, s double"
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(last, unit="ms")],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+        start = last = None
+        n, s = 0, 0.0
+        if state.exists:
+            start, last, n, s = state.get
+        for pdf in pdf_iter:
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            start = min([start, *ts_ms]) if start is not None else min(ts_ms)
+            last = max([last, *ts_ms]) if last is not None else max(ts_ms)
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((start, last, n, s))
+        # Late rows are NOT auto-dropped for flatMapGroupsWithState (only
+        # aggregations drop them), so last+gap can lie behind the
+        # watermark — clamp, else Spark rejects the past timestamp.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(text: str) -> int:
+    m = {"second": 1000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    parts = text.strip().split()
+    qty = int(parts[0])
+    unit = parts[1].rstrip("s")
+    if unit not in m:
+        raise ValueError(f"unsupported duration: {text!r}")
+    return qty * m[unit]
+
+
 def streaming_append_to_table(
     events: DataFrame,
     table: str,

@@ -105,3 +105,64 @@ def test_stream_append_to_table(spark, engine, event_dir):
     q = streaming_append_to_table(events, name, ckpt)
     q.awaitTermination(120)
     assert engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c == 101
+
+
+def test_sessionize_stateful(spark):
+    """Custom stateful operator (applyInPandasWithState): sessions close
+    when the watermark passes last_event + gap. Two files → two
+    micro-batches (maxFilesPerTrigger=1); the second batch's events push
+    the watermark far past the first users' sessions."""
+    import json
+    import os
+    import tempfile
+
+    from swanlake_spark.streaming import sessionize, stream_events_from_directory
+
+    d = tempfile.mkdtemp(prefix="swl_sess_")
+
+    def write(fname, rows):
+        with open(os.path.join(d, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # user 1: two events 30s apart (one session); user 2: one event
+    write(
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2025-01-01T00:00:00.000Z", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2025-01-01T00:00:30.000Z", "user_id": 1,
+             "event_type": "view", "value": 2.0, "props": "{}"},
+            {"event_id": 3, "ts": "2025-01-01T00:00:10.000Z", "user_id": 2,
+             "event_type": "click", "value": 5.0, "props": "{}"},
+        ],
+    )
+    # an hour later: advances the watermark beyond gap for users 1 and 2
+    write(
+        "b2.json",
+        [
+            {"event_id": 9, "ts": "2025-01-01T01:00:00.000Z", "user_id": 3,
+             "event_type": "click", "value": 0.0, "props": "{}"},
+        ],
+    )
+
+    events = stream_events_from_directory(spark, d, max_files_per_trigger=1)
+    sessions = sessionize(events, gap="5 minutes", watermark="1 minute")
+    name = "sess_out"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.user_id: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert 1 in rows and 2 in rows
+    s1 = rows[1]
+    assert s1.n_events == 2 and s1.sum_value == 3.0
+    assert (s1.session_end - s1.session_start).total_seconds() == 30.0
+    s2 = rows[2]
+    assert s2.n_events == 1 and s2.sum_value == 5.0
+    # user 3's session is still open (watermark never passed its gap)
+    assert 3 not in rows
