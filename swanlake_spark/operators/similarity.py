@@ -109,6 +109,99 @@ def cosine_topk_lsh(
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
 
+# -- IVF (inverted-file) ANN — the partitioned scale path --------------------
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seed with the vectors of the
+    ``n_centroids`` lowest ids, then ``refine_iters`` distributed Lloyd
+    steps (assign → per-cluster mean). The mean is computed as
+    posexplode → groupBy(cid, pos) avg — a shuffle of
+    O(rows × dim) scalars with full map-side combine; only
+    n_centroids × dim aggregates come back to the driver."""
+    seed_rows = (
+        df.select(id_col, _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [list(r.v) for r in seed_rows]
+    for _ in range(refine_iters):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        means = (
+            assigned.select(F.col("_cid"), F.posexplode(_as_double(vec_col)))
+            .groupBy("_cid", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r._cid, {})[r.pos] = r.m
+        cents = [
+            [by_cid[c][p] for p in sorted(by_cid[c])] if c in by_cid else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``_cid`` — the index of the nearest (cosine) centroid.
+    Centroids ship as one literal array-of-arrays (broadcast with the
+    plan); assignment is a single narrow pass, no shuffle. At scale the
+    assigned table is written partitioned by ``_cid`` so probes prune
+    partitions."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = _as_double(vec_col)
+    sims = F.transform(cents, lambda c: dot(v, c) / (norm(v) * norm(c)))
+    cid = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn("_cid", cid.cast("int"))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: score the query against the codebook
+    driver-side, probe only the ``n_probe`` nearest inverted lists, and
+    exact-re-rank inside them. With the assigned table partitioned by
+    ``_cid``, the probe reads n_probe/n_centroids of the data —
+    the standard ANN scale path next to the LSH variant."""
+    cents = centroids or ivf_centroids(df, n_centroids, id_col, vec_col)
+    qv = np.asarray(query_vec, dtype=float)
+    qn = float(np.linalg.norm(qv)) or 1.0
+    sims = [
+        float(np.dot(qv, np.asarray(c)) / (qn * (np.linalg.norm(c) or 1.0)))
+        for c in cents
+    ]
+    probe = sorted(range(len(cents)), key=lambda i: -sims[i])[:n_probe]
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    cand = assigned.filter(F.col("_cid").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def cosine_near_pairs(
     df: DataFrame,
     threshold: float = 0.95,

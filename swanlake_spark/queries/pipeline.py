@@ -314,6 +314,16 @@ def _cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("pipe_sim_cosine_topk_lsh", _cos_topk_lsh, None)
 
+
+def _cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _embs(spark, sf_dir)
+    qrow = df.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0][0]]
+    return similarity.cosine_topk_ivf(df, qvec, k=10, n_centroids=16, n_probe=4)
+
+
+_add("pipe_sim_cosine_topk_ivf", _cos_topk_ivf, None)
+
 # -- multimodal plumbing -----------------------------------------------------
 
 

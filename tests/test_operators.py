@@ -101,6 +101,49 @@ class TestSimilarity:
         assert top[0].vec_id == 17  # the vector itself lands in its own bucket
         assert top[0].sim == 1.0
 
+    def test_ivf_assign_and_centroids(self, spark):
+        # two obvious clusters around +x and +y
+        rows = [(i, [1.0 + 0.01 * i, 0.0, 0.0]) for i in range(5)]
+        rows += [(10 + i, [0.0, 1.0 + 0.01 * i, 0.0]) for i in range(5)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = similarity.ivf_centroids(df, n_centroids=2, refine_iters=1)
+        assert len(cents) == 2 and len(cents[0]) == 3
+        assigned = similarity.ivf_assign(df, cents).collect()
+        by_cid = {}
+        for r in assigned:
+            by_cid.setdefault(r._cid, set()).add(r.vec_id)
+        # each cluster's members land together
+        assert {frozenset(v) for v in by_cid.values()} == {
+            frozenset(range(5)),
+            frozenset(range(10, 15)),
+        }
+
+    def test_ivf_topk_recall(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = rows[42][1]
+        exact = [r.vec_id for r in similarity.cosine_topk(df, q, k=5).collect()]
+        approx = [
+            r.vec_id
+            for r in similarity.cosine_topk_ivf(
+                df, q, k=5, n_centroids=8, n_probe=4
+            ).collect()
+        ]
+        assert approx[0] == 42  # the vector itself is always found
+        # probing half the lists should recover most of the exact top-5
+        assert len(set(exact) & set(approx)) >= 3
+
+    def test_ivf_deterministic(self, spark):
+        rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(50)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = rows[3][1]
+        a = similarity.cosine_topk_ivf(df, q, k=4, n_centroids=4).collect()
+        b = similarity.cosine_topk_ivf(df, q, k=4, n_centroids=4).collect()
+        assert a == b
+
     def test_near_pairs_exact_dup(self, spark):
         rows = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [4.0, -3.0, 2.0, -1.0])]
         df = spark.createDataFrame(rows, ["vec_id", "embedding"])
