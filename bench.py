@@ -59,6 +59,19 @@ def main() -> None:
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 
+    # Load phase (like the reference's BenchBase load into DuckLake,
+    # outside the measured window): ingest the single-file source tables
+    # into the engine's own multi-part layout so scans parallelize.
+    # Disable with SWL_BENCH_MATERIALIZE=0 to run on the raw files.
+    if os.environ.get("SWL_BENCH_MATERIALIZE", "1") != "0":
+        import tempfile
+
+        from swanlake_spark.queries.oracle import mark_registered
+        from swanlake_spark.sources.registry import materialize_warehouse
+
+        materialize_warehouse(spark, SF_DIR, tempfile.mkdtemp(prefix="swl_bench_wh_"))
+        mark_registered(spark, SF_DIR)
+
     # Warmup: registers tables, JITs codegen paths, warms file footers.
     # Each measured run rebuilds the DataFrame (fresh plan, fresh RDD
     # lineage) so Spark cannot silently reuse shuffle outputs from the

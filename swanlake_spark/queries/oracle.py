@@ -75,6 +75,14 @@ def ensure_tables(spark: SparkSession, sf_dir: str) -> None:
         _REGISTERED[key] = path
 
 
+def mark_registered(spark: SparkSession, sf_dir: str) -> None:
+    """Tell ensure_tables the views for ``sf_dir`` are already in place —
+    used after materialize_warehouse re-registers them over its own
+    (multi-part) files so ensure_tables doesn't clobber them with plain
+    single-file views."""
+    _REGISTERED[id(spark)] = os.path.abspath(sf_dir)
+
+
 def _add(name: str, build, oracle: str | None) -> None:
     ORACLE_QUERIES[name] = QuerySpec(name, build, oracle)
 

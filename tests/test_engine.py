@@ -307,3 +307,27 @@ class TestMetrics:
         assert payload["total_queries"] >= 1
         page = engine.metrics.status_html()
         assert "Engine status" in page and "p95" in page
+
+
+class TestMaterializedWarehouse:
+    def test_materialize_splits_and_matches(self, engine, sf_dir):
+        import tempfile
+
+        from swanlake_spark.sources.registry import materialize_warehouse
+
+        spark = engine.spark
+        n_before = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        dest = tempfile.mkdtemp(prefix="swl_mwh_")
+        names = materialize_warehouse(
+            spark, sf_dir, dest, tables=["orders", "nation"], target_split_bytes=8 * 1024
+        )
+        assert set(names) == {"orders", "nation"}
+        # same rows, now scannable in parallel (orders split into >1 file)
+        assert spark.table("orders").count() == n_before
+        import glob
+        import os
+
+        parts = glob.glob(os.path.join(dest, "orders", "part-*"))
+        assert len(parts) > 1
+        # tiny nation stays single-part
+        assert len(glob.glob(os.path.join(dest, "nation", "part-*"))) == 1
