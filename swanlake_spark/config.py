@@ -39,6 +39,11 @@ class EngineConfig:
     # AQE coalesces it back down at runtime, so a cluster-scale default is
     # safe on local[32] too.
     shuffle_partitions: int | None = None  # default: cpus
+    # Static conf, honored only when this Engine builds the session. In
+    # local mode the driver JVM hosts all executor threads; the 1g JVM
+    # default starves broadcast builds and shuffle buffers long before
+    # the machine does (reference analogue: DuckDB uses 80% of RAM).
+    driver_memory: str = "8g"
     broadcast_threshold_bytes: int = 64 * 1024 * 1024
     max_partition_bytes: int = 128 * 1024 * 1024
     warehouse_dir: str | None = None
@@ -65,6 +70,8 @@ class EngineConfig:
             # no native type for; read as long nanoseconds.
             "spark.sql.legacy.parquet.nanosAsLong": "true",
         }
+        if self.driver_memory:
+            confs["spark.driver.memory"] = self.driver_memory
         if self.warehouse_dir:
             confs["spark.sql.warehouse.dir"] = self.warehouse_dir
         return confs

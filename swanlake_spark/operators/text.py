@@ -96,14 +96,17 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w)))) / n_tokens
     )
     length_term = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    score = (
+        0.4 * length_term
+        + 0.3 * alpha_raw
+        + 0.3 * F.least(stop_raw * 4, F.lit(1.0))
+    )
+    # floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): the weighted blend
+    # can land within 1 ulp of a decimal half-boundary, where engines'
+    # round() implementations diverge; floor of identical IEEE doubles
+    # cannot (score >= 0, so this IS half-up).
     return out.withColumn(
-        "quality",
-        F.round(
-            0.4 * length_term
-            + 0.3 * alpha_raw
-            + 0.3 * F.least(stop_raw * 4, F.lit(1.0)),
-            4,
-        ),
+        "quality", F.floor(score * 10000 + 0.5).cast("double") / 10000.0
     )
 
 

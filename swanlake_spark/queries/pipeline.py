@@ -127,9 +127,10 @@ _add(
     SELECT doc_id, n_tokens,
            round(alpha_raw, 4) AS alpha_ratio,
            round(stop_raw, 4) AS stopword_ratio,
-           round(0.4 * least(n_tokens / 64.0, 1.0)
+           floor((0.4 * least(n_tokens / 64.0, 1.0)
                + 0.3 * alpha_raw
-               + 0.3 * least(stop_raw * 4, 1.0), 4) AS quality
+               + 0.3 * least(stop_raw * 4, 1.0)) * 10000 + 0.5) / 10000.0
+             AS quality
     FROM (
       SELECT doc_id,
              CAST(len(t) AS INT) AS n_tokens,
