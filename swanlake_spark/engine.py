@@ -144,6 +144,17 @@ class Engine:
             if kw.startswith("ATTACH") or kw.startswith("DETACH"):
                 self._attach_detach(stmt)
                 continue
+            if kw.startswith("PRAGMA"):
+                last_df = self._pragma(stmt)
+                continue
+            # DESC SELECT ... (DuckDB schema probe, connection.rs:198-227)
+            # → Spark's DESCRIBE QUERY spelling
+            stmt = re.sub(
+                r"^\s*DESC(?:RIBE)?\s+(SELECT|WITH|VALUES)\b",
+                r"DESCRIBE QUERY \1",
+                stmt,
+                flags=re.IGNORECASE,
+            )
             if re.search(r"\binformation_schema\s*\.\s*tables\b", stmt, re.IGNORECASE):
                 stmt = self._rewrite_information_schema(stmt)
             if kw.startswith("TRUNCATE"):
@@ -235,6 +246,55 @@ class Engine:
                 }
             )
         return out
+
+    _PRAGMA_RE = re.compile(
+        r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.`\"]+?)'?\s*\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _pragma(self, stmt: str) -> DataFrame:
+        """DuckDB-style PRAGMA statements, mapped onto Spark catalog
+        metadata — the spellings the reference's own metadata layer uses
+        (``PRAGMA database_list``, metadata.rs:36) plus the common
+        introspection ones a DuckDB user would type."""
+        m = self._PRAGMA_RE.match(stmt)
+        if not m:
+            raise InvalidArgument(f"unsupported PRAGMA syntax: {stmt.strip()!r}")
+        name = m.group(1).lower()
+        arg = (m.group(2) or "").strip('`"')
+        spark = self.spark
+        if name == "database_list":
+            rows = [(i, db, "") for i, db in enumerate(self.list_schemas())]
+            schema = "seq INT, name STRING, file STRING"
+            return spark.createDataFrame(rows, schema)
+        if name == "show_tables":
+            rows = [(t["name"],) for t in self.list_tables()]
+            return spark.createDataFrame(rows, "name STRING")
+        if name == "table_info":
+            if not arg:
+                raise InvalidArgument("PRAGMA table_info requires a table name")
+            pk = [c.lower() for c in (constraints.pk_columns(arg) or [])]
+            rows = [
+                (
+                    i,
+                    f.name,
+                    f.dataType.simpleString().upper(),
+                    not f.nullable,
+                    None,
+                    f.name.lower() in pk,
+                )
+                for i, f in enumerate(spark.table(arg).schema.fields)
+            ]
+            schema = (
+                "cid INT, name STRING, type STRING, notnull BOOLEAN, "
+                "dflt_value STRING, pk BOOLEAN"
+            )
+            return spark.createDataFrame(rows, schema)
+        if name == "version":
+            return spark.createDataFrame(
+                [(f"spark-{spark.version}",)], "library_version STRING"
+            )
+        raise InvalidArgument(f"unsupported PRAGMA: {name}")
 
     _ATTACH_RE = re.compile(
         r"^\s*ATTACH\s+'(?P<target>[^']*)'\s+AS\s+(?P<name>[\w`\"]+)"

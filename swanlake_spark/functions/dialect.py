@@ -39,7 +39,32 @@ _NAME_MAP = {
     "strpos": "instr",
     "str_split": "split_literal_",  # handled specially below
     "string_split": "split_literal_",
+    "array_agg": "collect_list",
+    "lcase": "lower",
+    "ucase": "upper",
+    "random": "rand",
+    "today": "current_date",
+    "epoch": "unix_timestamp",
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+    "list_value": "array",
+    "list_pack": "array",
+    "array_slice": "slice",
+    "list_slice": "slice",
+    "list_element": "element_at",
+    "array_extract": "element_at",
+    "datepart": "date_part",
 }
+
+# Known UNMAPPED divergences (documented, not silently rewritten):
+# - len(x): string length AND list size in DuckDB; arity/type-ambiguous
+#   without analysis — callers use length()/size() explicitly.
+# - log(x): log10 in DuckDB, ln in Spark; log(b, x) agrees. Can't pick
+#   without arity analysis — callers use log10()/ln() explicitly.
+# - string_agg: ordering semantics differ (WITHIN GROUP vs best-effort);
+#   use collect_list + concat_ws (order-explicit) instead.
+# - regexp_replace without 'g': DuckDB replaces the FIRST match, Spark
+#   replaces all; with 'g' both replace all (the flag is stripped below).
 
 _STRFTIME_TOKENS = {
     "%Y": "yyyy",
@@ -137,7 +162,32 @@ def transpile_duckdb(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
-    # 4) list/array 1-based bracket indexing arr[i] is shared; DuckDB's
-    #    len() on lists maps to size() only when applied to an array —
-    #    ambiguous without types, so it is NOT rewritten (documented).
+    # 4) regexp_replace(..., 'g') → drop the flag (Spark is global by
+    #    default; its 4th argument means position, not flags)
+    out = re.sub(
+        r"(\bregexp_replace\s*\([^()]*?)\s*,\s*'g'\s*\)",
+        r"\1)",
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 5) date_diff('unit', a, b) / date_part-style quoted units →
+    #    timestampdiff(UNIT, a, b) (Spark wants a keyword, not a string)
+    out = re.sub(
+        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampdiff({m.group(1).upper()},",
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 6) strptime(s, '%fmt') → to_timestamp(s, 'javafmt')
+    out = re.sub(
+        r"\bstrptime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        lambda m: f"to_timestamp({m.group(1)}, '{strftime_to_date_format(m.group(2))}')",
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 7) list/array 1-based bracket indexing arr[i] is shared; see the
+    #    UNMAPPED note above for len()/log()/string_agg.
     return out

@@ -331,3 +331,69 @@ class TestMaterializedWarehouse:
         assert len(parts) > 1
         # tiny nation stays single-part
         assert len(glob.glob(os.path.join(dest, "nation", "part-*"))) == 1
+
+
+class TestPragmaAndDescribe:
+    """DuckDB-dialect introspection statements (PRAGMA database_list is
+    what the reference's metadata layer itself issues, metadata.rs:36)."""
+
+    def test_pragma_database_list(self, engine):
+        rows = engine.query("PRAGMA database_list").collect()
+        assert "default" in {r.name for r in rows}
+        assert {c for c in rows[0].asDict()} == {"seq", "name", "file"}
+
+    def test_pragma_show_tables(self, engine):
+        t = _mktable(engine)
+        names = {r.name for r in engine.query("PRAGMA show_tables").collect()}
+        assert t in names
+
+    def test_pragma_table_info(self, engine):
+        t = _mkpk(engine, "id INT PRIMARY KEY, name STRING")
+        rows = engine.query(f"PRAGMA table_info('{t}')").collect()
+        info = {r.name: (r.type, r.pk) for r in rows}
+        assert info["id"] == ("INT", True)
+        assert info["name"] == ("STRING", False)
+
+    def test_pragma_unknown_errors(self, engine):
+        with pytest.raises(InvalidArgument, match="unsupported PRAGMA"):
+            engine.query("PRAGMA nonsense_thing")
+
+    def test_desc_select(self, engine):
+        rows = engine.query("DESC SELECT 1 AS a, 'x' AS b").collect()
+        assert [(r.col_name, r.data_type) for r in rows] == [
+            ("a", "int"),
+            ("b", "string"),
+        ]
+
+
+class TestDialectBreadth:
+    def test_new_name_mappings(self, engine):
+        res = engine.query(
+            "SELECT list_value(3,1,2) AS arr, array_slice(list_value(1,2,3,4), 2, 2) AS sl, "
+            "list_element(list_value(7,8,9), 2) AS el, lcase('AbC') AS lo, "
+            "epoch_ms(TIMESTAMP '1970-01-01 00:00:01') AS ms",
+            dialect="duckdb",
+        ).collect()[0]
+        assert res.arr == [3, 1, 2] and res.sl == [2, 3] and res.el == 8
+        assert res.lo == "abc" and res.ms == 1000
+
+    def test_regexp_replace_g_flag(self, engine):
+        r = engine.query(
+            "SELECT regexp_replace('a1b2c3', '[0-9]', '_', 'g') AS s", dialect="duckdb"
+        ).collect()[0]
+        assert r.s == "a_b_c_"
+
+    def test_date_diff_quoted_unit(self, engine):
+        r = engine.query(
+            "SELECT date_diff('day', TIMESTAMP '2024-01-01 00:00:00', "
+            "TIMESTAMP '2024-01-11 00:00:00') AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.d == 10
+
+    def test_strptime(self, engine):
+        r = engine.query(
+            "SELECT strptime('2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S') AS t",
+            dialect="duckdb",
+        ).collect()[0]
+        assert str(r.t).startswith("2024-03-05 07:08:09")
