@@ -212,9 +212,15 @@ class Session:
 
         eng = Engine(spark=self.spark)
         eng.metrics = self.engine.metrics
-        if self.txn_id is not None:
-            return self._transactional_execute(eng, sql)
-        return eng.query(sql)
+        try:
+            if self.txn_id is not None:
+                return self._transactional_execute(eng, sql)
+            return eng.query(sql)
+        finally:
+            # touch on completion too: a query running longer than the
+            # idle timeout must not leave the session looking idle to
+            # the janitor (it was busy, not abandoned)
+            self.touch()
 
     def execute_update(self, sql: str, params: list | None = None) -> int:
         return self.query(sql, params).affected_rows
@@ -466,3 +472,26 @@ class SessionRegistry:
     def __len__(self) -> int:
         with self._lock:
             return len(self._sessions)
+
+    def start_janitor(self, interval_s: float = 300.0) -> None:
+        """Background idle-eviction loop — the reference spawns this at
+        server start with a 300 s cadence
+        (``swanlake-server/src/main.rs:42-52``)."""
+        if getattr(self, "_janitor", None) is not None:
+            return
+        self._janitor_stop = threading.Event()
+
+        def loop() -> None:
+            while not self._janitor_stop.wait(interval_s):
+                self.cleanup_idle_sessions()
+
+        self._janitor = threading.Thread(
+            target=loop, daemon=True, name="session-janitor"
+        )
+        self._janitor.start()
+
+    def stop_janitor(self) -> None:
+        if getattr(self, "_janitor", None) is not None:
+            self._janitor_stop.set()
+            self._janitor.join(timeout=5)
+            self._janitor = None

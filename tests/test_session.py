@@ -154,6 +154,27 @@ class TestPreparedStatements:
             s.get_prepared_statement(st.handle)
 
 
+class TestJanitor:
+    def test_background_eviction(self, engine):
+        reg = SessionRegistry(engine, max_sessions=10, idle_timeout_s=0.2)
+        reg.get_or_create("idle-client")
+        reg.start_janitor(interval_s=0.1)
+        try:
+            deadline = time.time() + 5
+            while len(reg) > 0 and time.time() < deadline:
+                time.sleep(0.1)
+            assert len(reg) == 0  # evicted without a manual cleanup call
+        finally:
+            reg.stop_janitor()
+
+    def test_start_idempotent_and_stop(self, engine):
+        reg = SessionRegistry(engine, max_sessions=10, idle_timeout_s=3600)
+        reg.start_janitor(interval_s=60)
+        reg.start_janitor(interval_s=60)  # no second thread
+        reg.stop_janitor()
+        assert getattr(reg, "_janitor", None) is None
+
+
 class TestParameterSchema:
     """A13 (parameter-column inference, parser.rs:103-133,323-404) and
     A30 (parameter schema inference, prepared.rs:123-242)."""
