@@ -207,7 +207,8 @@ def run_file(engine, path: str, test_dir: str | None = None) -> int:
     for rec in records:
         sql = adapt_sql(rec.sql, test_dir)
         try:
-            res = engine.query(sql)
+            # the corpus is written in the reference's (DuckDB) dialect
+            res = engine.query(sql, dialect="duckdb")
         except EngineError as e:
             if rec.expect_error:
                 continue

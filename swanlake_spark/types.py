@@ -135,6 +135,13 @@ def translate_ddl_types(sql: str) -> str:
         out,
         flags=re.IGNORECASE,
     )
+    # DuckDB array DDL T[] (incl. nested T[][]) → ARRAY<T>
+    while re.search(r"\[\s*\]", out):
+        out = re.sub(
+            r"((?:ARRAY<[^<>]*(?:<[^<>]*>)?[^<>]*>|\w+(?:\(\d+(?:,\s*\d+)?\))?))\s*\[\s*\]",
+            r"ARRAY<\1>",
+            out,
+        )
     # Bare TIMESTAMP means no-timezone in DuckDB (types.rs:55-58).
     out = re.sub(r"\bTIMESTAMP\b(?!_NTZ|\s+WITH)", "TIMESTAMP_NTZ", out, flags=re.IGNORECASE)
     return out
