@@ -189,11 +189,8 @@ class ClientPool:
         self._idle: list[tuple[Client, float]] = []  # (client, idle-since)
         self._total = 0
         for _ in range(self.config.min_idle):  # warmup (pool.rs:23-41)
-            self._idle.append((self._new_client(), time.time()))
-
-    def _new_client(self) -> Client:
-        self._total += 1
-        return Client.connect(self._engine)
+            self._total += 1
+            self._idle.append((Client.connect(self._engine), time.time()))
 
     def _healthy(self, client: Client) -> bool:
         sql = self.config.healthcheck_sql.strip()
@@ -218,6 +215,7 @@ class ClientPool:
 
     def acquire(self) -> PooledClient:
         deadline = time.time() + self.config.acquire_timeout_s
+        create = False
         with self._lock:
             while True:
                 self._evict_expired()
@@ -225,14 +223,27 @@ class ClientPool:
                     client, _ = self._idle.pop()
                     return PooledClient(self, client)
                 if self._total < self.config.max_size:
-                    client = self._new_client()
-                    return PooledClient(self, client)
+                    # reserve the slot, but build the connection OUTSIDE
+                    # the lock — Client.connect runs a healthcheck query
+                    # (~seconds) and must not block releases/acquires
+                    self._total += 1
+                    create = True
+                    break
                 remaining = deadline - time.time()
                 if remaining <= 0 or not self._lock.wait(timeout=remaining):
                     raise EngineError(
                         f"pool acquire timed out after {self.config.acquire_timeout_s}s "
                         f"({self._total} connections in use)"
                     )
+        if create:
+            try:
+                client = Client.connect(self._engine)
+            except Exception:
+                with self._lock:
+                    self._total -= 1
+                    self._lock.notify()
+                raise
+            return PooledClient(self, client)
 
     def _release(self, client: Client, had_error: bool) -> None:
         with self._lock:
