@@ -46,12 +46,21 @@ class QueryResult:
     affected_rows: int = -1
     elapsed_s: float = 0.0
     statements_run: int = 1
+    rows: int | None = None  # filled on collect/to_arrow (connection.rs:305)
+    bytes: int | None = None
 
     def collect(self):
-        return self.df.collect() if self.df is not None else []
+        out = self.df.collect() if self.df is not None else []
+        self.rows = len(out)
+        return out
 
     def to_arrow(self):
-        return self.df.toArrow() if self.df is not None else None
+        if self.df is None:
+            return None
+        tbl = self.df.toArrow()
+        self.rows = tbl.num_rows
+        self.bytes = tbl.nbytes
+        return tbl
 
 
 class Engine:

@@ -397,3 +397,14 @@ class TestDialectBreadth:
             dialect="duckdb",
         ).collect()[0]
         assert str(r.t).startswith("2024-03-05 07:08:09")
+
+
+class TestResultAccounting:
+    def test_rows_and_bytes(self, engine):
+        res = engine.query("SELECT 1 AS a UNION ALL SELECT 2 UNION ALL SELECT 3")
+        assert res.rows is None  # lazy until consumed
+        res.collect()
+        assert res.rows == 3
+        res2 = engine.query("SELECT 'abc' AS s")
+        tbl = res2.to_arrow()
+        assert res2.rows == 1 and res2.bytes == tbl.nbytes > 0
