@@ -156,6 +156,9 @@ class Engine:
             if kw.startswith("PRAGMA"):
                 last_df = self._pragma(stmt)
                 continue
+            if kw.startswith("COPY"):
+                affected = self._copy(stmt)
+                continue
             # DESC SELECT ... (DuckDB schema probe, connection.rs:198-227)
             # → Spark's DESCRIBE QUERY spelling
             stmt = re.sub(
@@ -304,6 +307,80 @@ class Engine:
                 [(f"spark-{spark.version}",)], "library_version STRING"
             )
         raise InvalidArgument(f"unsupported PRAGMA: {name}")
+
+    _COPY_RE = re.compile(
+        r"^\s*COPY\s+(?:\((?P<q>.+)\)|(?P<table>[\w.`\"]+))\s+"
+        r"(?P<dir>TO|FROM)\s+'(?P<path>[^']+)'\s*"
+        r"(?:\(\s*(?P<opts>[^)]*)\)\s*)?;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _copy(self, stmt: str) -> int:
+        """DuckDB-style ``COPY <table|(query)> TO/FROM '<path>'``
+        export/import. Format from the ``(FORMAT x)`` option or the path
+        extension (parquet default). Divergence from DuckDB, documented:
+        TO writes a directory of part-files (the distributed layout), not
+        one file — a 100 TB export cannot be a single file anyway."""
+        m = self._COPY_RE.match(stmt)
+        if not m:
+            raise InvalidArgument(f"unsupported COPY syntax: {stmt.strip()!r}")
+        path = m.group("path")
+        opts = {}
+        for part in (m.group("opts") or "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            bits = part.split(None, 1)
+            opts[bits[0].upper()] = bits[1].strip("'\" ") if len(bits) > 1 else "true"
+        fmt = opts.get("FORMAT", "").lower()
+        if not fmt:
+            ext = path.rsplit(".", 1)[-1].lower()
+            fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
+        header = opts.get("HEADER", "").lower() in ("true", "1", "")\
+            and "HEADER" in opts
+        delim = opts.get("DELIMITER") or opts.get("DELIM")
+
+        if m.group("dir").upper() == "TO":
+            df = (
+                self.spark.sql(m.group("q"))
+                if m.group("q")
+                else self.spark.table(m.group("table").strip('`"'))
+            )
+            writer = df.write.mode("overwrite").format(fmt)
+            if fmt == "csv":
+                writer = writer.option("header", str(header).lower())
+                if delim:
+                    writer = writer.option("sep", delim)
+            writer.save(path)
+            reader = self.spark.read.format(fmt)
+            if fmt == "csv":
+                reader = reader.option("header", str(header).lower())
+            return reader.load(path).count()
+
+        # COPY ... FROM: read, align to the table schema, append
+        table = m.group("table").strip('`"')
+        if m.group("q"):
+            raise InvalidArgument("COPY (query) FROM is not meaningful")
+        reader = self.spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", str(header).lower()).option(
+                "inferSchema", "true"
+            )
+            if delim:
+                reader = reader.option("sep", delim)
+        src = reader.load(path)
+        from swanlake_spark.operators.ingest import align_to_schema
+
+        schema = self.spark.table(table).schema
+        # headerless CSV arrives as _c0.._cN → positional mapping
+        positional = fmt == "csv" and not header
+        aligned = align_to_schema(
+            src, schema, [f.name for f in schema.fields] if positional else None
+        )
+        constraints.check_insert_batch(self.spark, table, aligned)
+        n = aligned.count()
+        aligned.write.insertInto(table)
+        return n
 
     _ATTACH_RE = re.compile(
         r"^\s*ATTACH\s+'(?P<target>[^']*)'\s+AS\s+(?P<name>[\w`\"]+)"

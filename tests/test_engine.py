@@ -408,3 +408,50 @@ class TestResultAccounting:
         res2 = engine.query("SELECT 'abc' AS s")
         tbl = res2.to_arrow()
         assert res2.rows == 1 and res2.bytes == tbl.nbytes > 0
+
+
+class TestCopy:
+    """DuckDB-style COPY TO/FROM export-import surface."""
+
+    def test_copy_table_to_parquet_and_back(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        out = tempfile.mkdtemp() + "/export.parquet"
+        assert engine.execute_update(f"COPY {t} TO '{out}'") == 2
+        t2 = _mktable(engine)
+        assert engine.execute_update(f"COPY {t2} FROM '{out}'") == 2
+        rows = engine.query(f"SELECT id, name, age FROM {t2} ORDER BY id").collect()
+        assert [(r.id, r.name, r.age) for r in rows] == [(1, "a", 10), (2, "b", 20)]
+
+    def test_copy_query_to_csv(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (5, 'x', 50)")
+        out = tempfile.mkdtemp() + "/q.csv"
+        n = engine.execute_update(
+            f"COPY (SELECT id, name FROM {t}) TO '{out}' (FORMAT csv, HEADER)"
+        )
+        assert n == 1
+
+    def test_copy_from_headerless_csv_positional(self, engine):
+        import os
+
+        d = tempfile.mkdtemp()
+        os.makedirs(f"{d}/raw")
+        with open(f"{d}/raw/part.csv", "w") as f:
+            f.write("7,zed,77\n8,yak,88\n")
+        t = _mktable(engine)
+        assert engine.execute_update(f"COPY {t} FROM '{d}/raw' (FORMAT csv)") == 2
+        rows = engine.query(f"SELECT id, name, age FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.name, r.age) for r in rows] == [(7, "zed", 77), (8, "yak", 88)]
+
+    def test_copy_from_respects_pk(self, engine):
+        t = _mkpk(engine, "id INT PRIMARY KEY, v STRING")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a')")
+        out = tempfile.mkdtemp() + "/dup.parquet"
+        engine.execute(f"COPY {t} TO '{out}'")
+        with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+            engine.execute(f"COPY {t} FROM '{out}'")
+
+    def test_copy_bad_syntax(self, engine):
+        with pytest.raises(InvalidArgument, match="unsupported COPY"):
+            engine.execute("COPY TO nowhere")
