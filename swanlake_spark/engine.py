@@ -106,13 +106,22 @@ class Engine:
 
     # -- SQL front door ----------------------------------------------------
 
-    def query(self, sql: str, dialect: str | None = None) -> QueryResult:
+    def query(
+        self,
+        sql: str,
+        dialect: str | None = None,
+        args: list | None = None,
+    ) -> QueryResult:
         """Execute SQL that returns rows. Multi-statement scripts run
         sequentially; the result is the last row-returning statement's
         (reference: ``contains_query`` + ``execute_batch``).
 
         ``dialect="duckdb"`` transpiles DuckDB-only function spellings
-        (the reference's native dialect) to Spark equivalents first."""
+        (the reference's native dialect) to Spark equivalents first.
+        ``args`` binds ``?`` placeholders through Spark's native
+        parameterized SQL (typed, injection-safe); statements the engine
+        routes itself (DML rewrite, COPY, PRAGMA, ...) reject args — the
+        session layer falls back to typed literal rendering there."""
         if dialect == "duckdb":
             from swanlake_spark.functions import transpile_duckdb
 
@@ -120,7 +129,7 @@ class Engine:
         t0 = time.perf_counter()
         with self.metrics.start_query():
             try:
-                res = self._run_script(sql)
+                res = self._run_script(sql, args=args)
             except EngineError as e:
                 self.metrics.record_error(str(e), sql)
                 raise
@@ -140,7 +149,7 @@ class Engine:
         the underlying writer reports them (−1 otherwise)."""
         return self.query(sql).affected_rows
 
-    def _run_script(self, sql: str) -> QueryResult:
+    def _run_script(self, sql: str, args: list | None = None) -> QueryResult:
         stripped = strip_select_locks(sql)
         stmts = split_statements(stripped.sql)
         if not stmts:
@@ -209,7 +218,7 @@ class Engine:
                 )
                 if m:
                     constraints.drop_pk(m.group(1))
-            df = self.spark.sql(stmt)
+            df = self.spark.sql(stmt, args=args) if args else self.spark.sql(stmt)
             if pk_table and pk_cols:
                 constraints.register_pk(pk_table, pk_cols)
             if classify(stmt).is_query:

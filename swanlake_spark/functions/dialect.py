@@ -188,6 +188,19 @@ def transpile_duckdb(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
-    # 7) list/array 1-based bracket indexing arr[i] is shared; see the
+    # 7) integer division: DuckDB `a // b` → Spark `a div b`
+    spans2 = _mask_spans(out)
+    chunks = []
+    i = 0
+    while i < len(out):
+        if out[i : i + 2] == "//" and not _in_span(i, spans2):
+            chunks.append(" div ")
+            i += 2
+        else:
+            chunks.append(out[i])
+            i += 1
+    out = "".join(chunks)
+
+    # 8) list/array 1-based bracket indexing arr[i] is shared; see the
     #    UNMAPPED note above for len()/log()/string_agg.
     return out

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from swanlake_spark.errors import (
+    EngineError,
     FailedPrecondition,
     InvalidArgument,
     ResourceExhausted,
@@ -206,13 +207,23 @@ class Session:
         """Execute through the engine, but against this session's Spark
         fork (temp views, USE state), with transaction staging applied."""
         self.touch()
-        if params:
-            sql = bind_parameters(sql, params)
         from swanlake_spark.engine import Engine
 
         eng = Engine(spark=self.spark)
         eng.metrics = self.engine.metrics
         try:
+            if params and self.txn_id is None:
+                # native parameterized SQL first (typed, injection-safe —
+                # the Spark analogue of the reference's Arrow value
+                # binding); engine-routed statements (COW DML, PK-checked
+                # INSERT, COPY, ...) can't resolve markers and error →
+                # typed literal rendering below covers them.
+                try:
+                    return eng.query(sql, args=list(params))
+                except EngineError:
+                    pass
+            if params:
+                sql = bind_parameters(sql, params)
             if self.txn_id is not None:
                 return self._transactional_execute(eng, sql)
             return eng.query(sql)

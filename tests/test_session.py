@@ -154,6 +154,42 @@ class TestPreparedStatements:
             s.get_prepared_statement(st.handle)
 
 
+class TestNativeBinding:
+    """Spark-native parameterized SQL with literal-rendering fallback."""
+
+    def test_native_query_binding(self, registry):
+        sess = registry.get_or_create(f"nb_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess)
+        sess.query(f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b')")
+        rows = sess.query(f"SELECT val FROM {t} WHERE id = ?", params=[2]).collect()
+        assert [r.val for r in rows] == ["b"]
+
+    def test_injection_string_binds_as_value(self, registry):
+        sess = registry.get_or_create(f"nb_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess)
+        hostile = "x'; DROP TABLE important; --"
+        sess.query(f"INSERT INTO {t} (id, val) VALUES (?, ?)", params=[1, hostile])
+        rows = sess.query(f"SELECT val FROM {t} WHERE val = ?", params=[hostile]).collect()
+        assert [r.val for r in rows] == [hostile]
+
+    def test_fallback_for_cow_update(self, registry):
+        # UPDATE routes through copy-on-write parsing → literal fallback
+        sess = registry.get_or_create(f"nb_{uuid.uuid4().hex[:6]}")
+        t = _mktable(sess)
+        sess.query(f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b')")
+        assert sess.execute_update(f"UPDATE {t} SET val = ? WHERE id = ?", ["Z", 1]) == 1
+        rows = sess.query(f"SELECT val FROM {t} WHERE id = 1").collect()
+        assert rows[0].val == "Z"
+
+    def test_integer_division_dialect(self, registry):
+        sess = registry.get_or_create(f"nb_{uuid.uuid4().hex[:6]}")
+        from swanlake_spark.engine import Engine
+
+        eng = Engine(spark=sess.spark)
+        r = eng.query("SELECT 7 // 2 AS d, '//' AS lit", dialect="duckdb").collect()[0]
+        assert r.d == 3 and r.lit == "//"
+
+
 class TestJanitor:
     def test_background_eviction(self, engine):
         reg = SessionRegistry(engine, max_sessions=10, idle_timeout_s=0.2)
