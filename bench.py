@@ -89,6 +89,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         results[key] = round(best, 4)
 
+    # Write path: the Arrow appender (reference's performance-critical
+    # ingest, connection.rs:163-196) — latency of appending a 10k-row
+    # batch (align + insertInto).
+    import tempfile
+
+    import pyarrow as pa
+
+    from swanlake_spark.operators.ingest import insert_arrow
+
+    loc = tempfile.mkdtemp(prefix="swl_bench_append_")
+    spark.sql(
+        "CREATE TABLE bench_append (id BIGINT, v DOUBLE, s STRING) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    batch = pa.table(
+        {
+            "id": list(range(10_000)),
+            "v": [i * 0.5 for i in range(10_000)],
+            "s": [f"row-{i}" for i in range(10_000)],
+        }
+    )
+    insert_arrow(spark, "bench_append", batch)  # warm
+    best = float("inf")
+    for _ in range(MEASURE_RUNS):
+        t0 = time.perf_counter()
+        insert_arrow(spark, "bench_append", batch)
+        best = min(best, time.perf_counter() - t0)
+    results["appender_insert_10k"] = round(best, 4)
+    spark.sql("DROP TABLE bench_append")
+
     tpch_total = sum(v for k, v in results.items() if k.startswith("q"))
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
