@@ -168,6 +168,9 @@ class Engine:
             if kw.startswith("COPY"):
                 affected = self._copy(stmt)
                 continue
+            if kw.startswith("CHECKPOI"):
+                last_df = self._checkpoint(stmt)
+                continue
             # DESC SELECT ... (DuckDB schema probe, connection.rs:198-227)
             # → Spark's DESCRIBE QUERY spelling
             stmt = re.sub(
@@ -267,6 +270,35 @@ class Engine:
                 }
             )
         return out
+
+    def _checkpoint(self, stmt: str) -> DataFrame:
+        """``CHECKPOINT [db]`` — compact every table in the (current or
+        named) database, the reference's maintenance entry point
+        (``USE db; CHECKPOINT;``, maintenance/mod.rs:192-222). Returns
+        per-table compaction stats as rows."""
+        from swanlake_spark.maintenance import compact_table
+
+        m = re.match(r"^\s*CHECKPOINT\s*([\w`\"]+)?\s*;?\s*$", stmt, re.IGNORECASE)
+        if not m:
+            raise InvalidArgument(f"unsupported CHECKPOINT syntax: {stmt.strip()!r}")
+        db = (m.group(1) or self.spark.catalog.currentDatabase()).strip('`"')
+        stats = []
+        for t in self.spark.catalog.listTables(db):
+            if t.isTemporary or (t.tableType or "").upper() in ("VIEW", "TEMPORARY"):
+                continue
+            name = f"{db}.{t.name}" if db else t.name
+            s = compact_table(
+                self.spark,
+                name,
+                target_file_bytes=self.config.compaction_target_file_bytes,
+            )
+            stats.append(
+                (s["table"], s["files_before"], s["files_after"], s["compacted"])
+            )
+        schema = (
+            "table STRING, files_before INT, files_after INT, compacted BOOLEAN"
+        )
+        return self.spark.createDataFrame(stats, schema)
 
     _PRAGMA_RE = re.compile(
         r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.`\"]+?)'?\s*\))?\s*;?\s*$",

@@ -455,3 +455,27 @@ class TestCopy:
     def test_copy_bad_syntax(self, engine):
         with pytest.raises(InvalidArgument, match="unsupported COPY"):
             engine.execute("COPY TO nowhere")
+
+
+class TestCheckpoint:
+    """CHECKPOINT SQL → compaction (reference maintenance/mod.rs:192-222)."""
+
+    def test_checkpoint_compacts_small_files(self, engine):
+        t = _mktable(engine, "id INT, v STRING")
+        for i in range(8):  # 8 single-row inserts → 8 small part-files
+            engine.execute(f"INSERT INTO {t} VALUES ({i}, 'r{i}')")
+        from swanlake_spark.maintenance import _parquet_parts, table_location
+
+        before = len(_parquet_parts(table_location(engine.spark, t)))
+        assert before >= 8
+        rows = {r.table.split(".")[-1]: r for r in engine.query("CHECKPOINT").collect()}
+        assert rows[t].compacted and rows[t].files_after < before
+        # data intact
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 8
+
+    def test_checkpoint_named_db_and_bad_syntax(self, engine):
+        engine.execute("CREATE DATABASE IF NOT EXISTS ckpt_db")
+        res = engine.query("CHECKPOINT ckpt_db").collect()
+        assert res == []  # empty db: no tables, no error
+        with pytest.raises(InvalidArgument):
+            engine.query("CHECKPOINT a b c")
