@@ -177,6 +177,56 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize for image rows: nearest-neighbor index sampling over the
+    pixel buffer, vectorized in numpy per Arrow batch (``mapInPandas``).
+
+    The pixel buffer is derived from the payload bytes (a real decoder
+    would produce it — codec libs are absent in this container, the
+    documented stub seam); the resampling arithmetic, output schema and
+    batch shape are the real pipeline plumbing. One narrow pass, no
+    shuffle; output rows are fixed-size width×height byte planes.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_px = [], []
+            for rid, payload, meta in zip(pdf["id"], pdf["media"], pdf["meta"]):
+                if payload is None or meta is None:
+                    continue
+                src_w = int(meta["width"] or 1)
+                src_h = int(meta["height"] or 1)
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                # stub decode: tile payload bytes into a src_h×src_w plane
+                plane = np.resize(buf, (src_h, src_w))
+                ys = (np.arange(height) * src_h) // height
+                xs = (np.arange(width) * src_w) // width
+                resized = plane[ys][:, xs]
+                out_ids.append(rid)
+                out_px.append(resized.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": out_ids,
+                    "width": [width] * len(out_ids),
+                    "height": [height] * len(out_ids),
+                    "pixels": out_px,
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
     """Frame sampling for video rows: emits (id, frame_idx) for every
     k-th frame per metadata, the fan-out shape of a real frame extractor

@@ -218,6 +218,25 @@ class TestMultimodal:
         s = sum(feats[0].features)
         assert abs(s - 1.0) < 1e-6  # L1 normalized
 
+    def test_resize_plumbing(self, spark):
+        from swanlake_spark.operators import multimodal
+
+        docs = spark.createDataFrame(
+            [(0, "some image content here"), (3, "another doc"), (1, "audio doc")],
+            ["doc_id", "text"],
+        )
+        media = multimodal.synthesize_media(docs)  # ids 0,3 → image; 1 → audio
+        out = multimodal.resize_images(media, width=8, height=4).collect()
+        assert len(out) >= 1
+        for r in out:
+            assert r.width == 8 and r.height == 4
+            assert len(r.pixels) == 8 * 4  # fixed-size byte plane
+        # deterministic
+        again = multimodal.resize_images(media, width=8, height=4).collect()
+        assert sorted((r.id, r.pixels) for r in out) == sorted(
+            (r.id, r.pixels) for r in again
+        )
+
     def test_frame_sampling(self, spark):
         base = spark.range(0, 30).withColumnRenamed("id", "doc_id")
         media = multimodal.synthesize_media(base)
