@@ -457,6 +457,28 @@ class TestCopy:
             engine.execute("COPY TO nowhere")
 
 
+class TestStatusServer:
+    def test_endpoints(self, engine):
+        import json
+        import urllib.request
+
+        from swanlake_spark.status_server import start_status_server
+
+        engine.query("SELECT 1")
+        server, port = start_status_server(engine.metrics)
+        try:
+            base = f"http://127.0.0.1:{port}"
+            assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+            payload = json.loads(urllib.request.urlopen(f"{base}/status").read())
+            assert payload["total_queries"] >= 1
+            html = urllib.request.urlopen(f"{base}/").read().decode()
+            assert "Engine status" in html
+            with pytest.raises(urllib.error.HTTPError):
+                urllib.request.urlopen(f"{base}/nope")
+        finally:
+            server.shutdown()
+
+
 class TestCheckpoint:
     """CHECKPOINT SQL → compaction (reference maintenance/mod.rs:192-222)."""
 
