@@ -268,3 +268,46 @@ class TestCompaction:
         assert stats["files_after"] < stats["files_before"]
         after = engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c
         assert after == before == 6
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from swanlake_spark.operators.joins import salted_join
+
+        # one hot key (90% of rows) + long tail
+        skewed = spark.createDataFrame(
+            [(1 if i < 900 else i, f"v{i}") for i in range(1000)], ["k", "v"]
+        )
+        dim = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(100)], ["k", "d"]
+        )
+        expected = sorted(
+            (r.k, r.v, r.d) for r in skewed.join(dim, ["k"]).collect()
+        )
+        got = sorted(
+            (r.k, r.v, r.d) for r in salted_join(skewed, dim, ["k"], salts=8).collect()
+        )
+        assert got == expected and len(got) == 900 + len([i for i in range(900, 1000) if i < 100])
+
+    def test_left_join_and_salt_spread(self, spark):
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators.joins import salted_join
+
+        skewed = spark.createDataFrame([(7, i) for i in range(500)], ["k", "i"])
+        dim = spark.createDataFrame([(7, "hot"), (8, "cold")], ["k", "d"])
+        out = salted_join(skewed, dim, ["k"], how="left", salts=8)
+        assert out.count() == 500
+        # the hot key's rows really scatter across salts
+        salt = F.pmod(F.xxhash64("k", "i"), F.lit(8))
+        n_salts = skewed.select(salt.alias("s")).distinct().count()
+        assert n_salts == 8
+
+    def test_unsupported_how(self, spark):
+        import pytest as _pytest
+
+        from swanlake_spark.operators.joins import salted_join
+
+        df = spark.createDataFrame([(1, 2)], ["k", "v"])
+        with _pytest.raises(ValueError):
+            salted_join(df, df, ["k"], how="full")
