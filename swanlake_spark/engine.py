@@ -171,6 +171,38 @@ class Engine:
             if kw.startswith("CHECKPOI"):
                 last_df = self._checkpoint(stmt)
                 continue
+            if kw.startswith("FROM"):
+                # DuckDB's leading-FROM shorthand: `FROM t [...]`
+                stmt = "SELECT * " + stmt
+                kw = "SELECT"
+            if kw.startswith("SUMMARIZ"):
+                # DuckDB SUMMARIZE t → per-column summary statistics
+                m = re.match(
+                    r"^\s*SUMMARIZE\s+([\w.`\"]+)\s*;?\s*$", stmt, re.IGNORECASE
+                )
+                if not m:
+                    raise InvalidArgument(
+                        f"unsupported SUMMARIZE syntax: {stmt.strip()!r}"
+                    )
+                last_df = self.spark.table(m.group(1).strip('`"')).summary()
+                continue
+            crm = re.match(
+                r"^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+([\w.`\"]+)",
+                stmt,
+                re.IGNORECASE,
+            )
+            if crm:
+                # v1 parquet tables don't support OR REPLACE natively →
+                # drop-then-create (managed-table files are removed by
+                # the drop, so the data is replaced, not merged)
+                self.spark.sql(f"DROP TABLE IF EXISTS {crm.group(1)}")
+                constraints.drop_pk(crm.group(1))
+                stmt = re.sub(
+                    r"^(\s*CREATE\s+)OR\s+REPLACE\s+",
+                    r"\1",
+                    stmt,
+                    flags=re.IGNORECASE,
+                )
             # DESC SELECT ... (DuckDB schema probe, connection.rs:198-227)
             # → Spark's DESCRIBE QUERY spelling
             stmt = re.sub(

@@ -188,7 +188,13 @@ def transpile_duckdb(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
-    # 7) integer division: DuckDB `a // b` → Spark `a div b`
+    # 7) star-EXCLUDE → Spark's star-EXCEPT (same semantics)
+    out = re.sub(r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", out, flags=re.IGNORECASE)
+    out = re.sub(
+        r"(\*\s*)EXCLUDE\s+(\w+)", r"\1EXCEPT (\2)", out, flags=re.IGNORECASE
+    )
+
+    # 8) integer division: DuckDB `a // b` → Spark `a div b`
     spans2 = _mask_spans(out)
     chunks = []
     i = 0
@@ -201,6 +207,6 @@ def transpile_duckdb(sql: str) -> str:
             i += 1
     out = "".join(chunks)
 
-    # 8) list/array 1-based bracket indexing arr[i] is shared; see the
+    # 9) list/array 1-based bracket indexing arr[i] is shared; see the
     #    UNMAPPED note above for len()/log()/string_agg.
     return out

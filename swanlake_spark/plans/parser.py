@@ -32,6 +32,8 @@ _QUERY_LEADERS = {
     "DESC",
     "PRAGMA",
     "TABLE",
+    "FROM",  # DuckDB leading-FROM shorthand (engine rewrites to SELECT *)
+    "SUMMARIZE",
 }
 
 

@@ -501,3 +501,53 @@ class TestCheckpoint:
         assert res == []  # empty db: no tables, no error
         with pytest.raises(InvalidArgument):
             engine.query("CHECKPOINT a b c")
+
+
+class TestDuckdbConveniences:
+    """DuckDB interactive-surface conveniences: leading FROM, SUMMARIZE,
+    CREATE OR REPLACE TABLE, star-EXCLUDE."""
+
+    def test_leading_from(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        res = engine.query(f"FROM {t}")
+        assert res.is_query
+        assert res.collect()[0].id == 1
+        # with a WHERE tail
+        assert engine.query(f"FROM {t} WHERE id = 1").collect()[0].name == "a"
+
+    def test_summarize(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 30)")
+        rows = engine.query(f"SUMMARIZE {t}").collect()
+        stats = {r.summary: r for r in rows}
+        assert stats["count"].id == "2"
+        assert stats["max"].age == "30"
+
+    def test_create_or_replace_table(self, engine):
+        name = f"cor_{uuid.uuid4().hex[:8]}"
+        engine.execute(f"CREATE OR REPLACE TABLE {name} AS SELECT 1 AS x")
+        assert engine.query(f"SELECT x FROM {name}").collect()[0].x == 1
+        engine.execute(f"CREATE OR REPLACE TABLE {name} AS SELECT 9 AS y")
+        rows = engine.query(f"SELECT * FROM {name}").collect()
+        assert [r.y for r in rows] == [9]  # replaced, not merged
+        engine.execute(f"DROP TABLE {name}")
+
+    def test_or_replace_clears_pk(self, engine):
+        name = f"corpk_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(
+            f"CREATE TABLE {name} (id INT PRIMARY KEY, v STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        engine.execute(f"CREATE OR REPLACE TABLE {name} AS SELECT 1 AS id")
+        # old PK registration must not survive the replace
+        engine.execute(f"INSERT INTO {name} VALUES (1), (1)")
+        assert engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c == 3
+
+    def test_star_exclude(self, engine):
+        r = engine.query(
+            "SELECT * EXCLUDE (b) FROM (SELECT 1 AS a, 2 AS b, 3 AS c)",
+            dialect="duckdb",
+        )
+        assert [f.name for f in r.schema.fields] == ["a", "c"]
