@@ -18,6 +18,7 @@ defines WHAT to compute (operator inventory in SURVEY.md §2), Spark
 decides HOW.
 """
 
+from swanlake_spark.client import Client, ClientPool, PoolConfig, UpdateResult
 from swanlake_spark.config import EngineConfig
 from swanlake_spark.engine import Engine, QueryResult
 from swanlake_spark.errors import (
@@ -27,6 +28,7 @@ from swanlake_spark.errors import (
     NotFound,
     ResourceExhausted,
 )
+from swanlake_spark.session import Session, SessionRegistry
 
 __version__ = "0.1.0"
 
@@ -34,6 +36,12 @@ __all__ = [
     "Engine",
     "EngineConfig",
     "QueryResult",
+    "Client",
+    "ClientPool",
+    "PoolConfig",
+    "UpdateResult",
+    "Session",
+    "SessionRegistry",
     "EngineError",
     "InvalidArgument",
     "FailedPrecondition",

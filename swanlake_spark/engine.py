@@ -104,6 +104,23 @@ class Engine:
         Spark analogue of ``ATTACH 'ducklake:...'`` + ``USE``."""
         return register_tables(self.spark, sf_dir, tables)
 
+    @property
+    def sessions(self):
+        """The engine's session registry (lazily created with the
+        configured limits — the reference server owns exactly one,
+        main.rs + registry.rs). ``engine.sessions.get_or_create(id)``
+        is the per-client entry point."""
+        if getattr(self, "_sessions", None) is None:
+            from swanlake_spark.session import SessionRegistry
+
+            self._sessions = SessionRegistry(
+                self,
+                max_sessions=self.config.max_sessions,
+                idle_timeout_s=self.config.session_idle_timeout_s,
+            )
+            self._sessions.start_janitor(self.config.session_janitor_interval_s)
+        return self._sessions
+
     # -- SQL front door ----------------------------------------------------
 
     def query(
