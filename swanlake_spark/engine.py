@@ -101,7 +101,13 @@ class Engine:
 
     def attach_warehouse(self, sf_dir: str, tables: list[str] | None = None) -> list[str]:
         """Expose a directory of Parquet tables as queryable names — the
-        Spark analogue of ``ATTACH 'ducklake:...'`` + ``USE``."""
+        Spark analogue of ``ATTACH 'ducklake:...'`` + ``USE``. The
+        attachment is recorded so client sessions (``newSession()`` forks
+        with their own temp-view namespace) re-register it and see the
+        same tables, like sessions sharing one DuckLake catalog."""
+        if not hasattr(self, "_attached_warehouses"):
+            self._attached_warehouses: list[tuple[str, list[str] | None]] = []
+        self._attached_warehouses.append((sf_dir, tables))
         return register_tables(self.spark, sf_dir, tables)
 
     @property

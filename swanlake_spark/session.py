@@ -185,6 +185,13 @@ class Session:
         # views, SQL conf and current database — the Spark analogue of
         # one engine connection per client.
         self.spark: SparkSession = engine.spark.newSession()
+        # warehouse attachments are engine-wide (one shared catalog in
+        # the reference); temp views don't cross newSession forks, so
+        # re-register them in this session's namespace
+        from swanlake_spark.sources import register_tables
+
+        for sf_dir, tables in getattr(engine, "_attached_warehouses", []):
+            register_tables(self.spark, sf_dir, tables)
         self.created_at = time.time()
         self.last_used = time.time()
         self._handles: dict[int, PreparedStatement] = {}
