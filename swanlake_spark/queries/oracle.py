@@ -309,6 +309,25 @@ sql_pair(
     """,
 )
 
+sql_pair(
+    "q22b_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+sql_pair(
+    "q22c_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
 
 def _q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_tables(spark, sf_dir)
