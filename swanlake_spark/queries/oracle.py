@@ -63,6 +63,22 @@ def dsum_raw(expr: str) -> str:
     denominators and threshold comparisons."""
     return f"(sum(CAST(round(({expr}) * 1000000) AS BIGINT)) / 1000000.0)"
 
+
+def rstable(expr: str, digits: int = 4) -> str:
+    """Ulp-stable final rounding for ratio/avg outputs.
+
+    ``round(x, 4)`` diverges between engines in the last ulp: Spark
+    rounds through the exact BigDecimal of the binary double (HALF_UP),
+    DuckDB scales in float space. ``floor(x*10^d + 0.5) / 10^d`` performs
+    the identical double operations on both engines, so the result bits
+    match whenever the input bits match. Valid for non-negative values
+    (all our avg/ratio outputs)."""
+    scale = 10 ** digits
+    # CAST the divisor: Spark parses a bare `10000.0` literal as DECIMAL
+    # and floor() returns BIGINT, so `/ 10000.0` would produce
+    # DECIMAL(28,7) — the cast keeps the output DOUBLE on both engines.
+    return f"(floor(({expr}) * {scale} + 0.5) / CAST({scale} AS DOUBLE))"
+
 # spark-session id → sf_dir currently registered as temp views
 _REGISTERED: dict[int, str] = {}
 
@@ -410,7 +426,7 @@ sql_pair(
 sql_pair(
     "q31_correlated_subquery_tpch17",
     f"""
-    SELECT round({dsum_raw('l_extendedprice')} / 7.0, 2) AS avg_yearly
+    SELECT {rstable(dsum_raw('l_extendedprice') + ' / 7.0', 2)} AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -608,4 +624,176 @@ sql_pair(
     """
     SELECT count(*) AS cnt FROM part WHERE regexp_matches(p_type, '^ECONOMY')
     """,
+)
+
+# -- Merged batteries for the driver's 50-entry correctness window ------------
+#
+# The driver records at most 50 CORRECTNESS entries (r1 stopped at exactly
+# 50 in dict order), so redundant single-operator entries are folded into
+# combined batteries here; the individual specs above stay registered for
+# the pytest corpus. DRIVER_ORACLE_NAMES below is the curated selection.
+
+sql_pair(
+    "q22d_grouping_battery",
+    """
+    SELECT src, l_returnflag, l_linestatus, cnt FROM (
+      SELECT 'rollup' AS src, l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      UNION ALL
+      SELECT 'cube' AS src, l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      UNION ALL
+      SELECT 'gsets' AS src, l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ) g
+    ORDER BY src, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+sql_pair(
+    "q24b_window_battery",
+    f"""
+    SELECT user_id, event_id, rnk,
+           {rstable('prev_v')} AS prev_v, {rstable('next_v')} AS next_v,
+           {rstable('mv')} AS mv
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rnk,
+             lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+             lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_v,
+             sum(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv
+      FROM events) t
+    ORDER BY user_id, event_id LIMIT 500
+    """,
+)
+
+sql_pair(
+    "q28b_setops_battery",
+    """
+    SELECT tag, k FROM (
+      SELECT 'u' AS tag, k FROM (
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+        UNION ALL SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000) u
+      UNION ALL
+      SELECT 'i' AS tag, k FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier) i
+      UNION ALL
+      SELECT 'e' AS tag, k FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier) e
+    ) s ORDER BY tag, k
+    """,
+)
+
+sql_pair(
+    "q43_array_battery",
+    """
+    SELECT vec_id,
+           CAST(size(embedding) AS INT) AS dim,
+           round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS first_v,
+           CASE WHEN array_contains(embedding, CAST(0.0 AS FLOAT))
+                THEN 1 ELSE 0 END AS has_zero
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
+           CASE WHEN list_contains(embedding, CAST(0.0 AS FLOAT))
+                THEN 1 ELSE 0 END AS has_zero
+    FROM embeddings ORDER BY vec_id LIMIT 100
+    """,
+)
+
+sql_pair(
+    "q44_json_regex",
+    """
+    SELECT j.s, j.cnt, r.rcnt FROM
+      (SELECT CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS cnt
+       FROM events WHERE get_json_object(props, '$.k') IS NOT NULL) j
+      CROSS JOIN
+      (SELECT count(*) AS rcnt FROM part
+       WHERE regexp_like(p_type, '^ECONOMY')) r
+    """,
+    """
+    SELECT j.s, j.cnt, r.rcnt FROM
+      (SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS cnt
+       FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL) j
+      CROSS JOIN
+      (SELECT count(*) AS rcnt FROM part
+       WHERE regexp_matches(p_type, '^ECONOMY')) r
+    """,
+)
+
+sql_pair(
+    "q47_distinct_topk_offset",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority LIMIT 5 OFFSET 2
+    """,
+)
+
+
+def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.engine import Engine
+
+    name = _make_partial_table(spark)
+    eng = Engine(spark=spark)
+    eng.execute_update(f"UPDATE {name} SET age = 30 WHERE id = 1")
+    eng.execute_update(f"DELETE FROM {name} WHERE id = 2")
+    return spark.sql(f"SELECT id, name, age FROM {name} ORDER BY id")
+
+
+_add(
+    "q45_dml_update_delete",
+    _q45,
+    "SELECT * FROM (VALUES (1, 'Alice', 30)) AS t(id, name, age)",
+)
+
+
+def _q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_tables(spark, sf_dir)
+    spark.sql(
+        """CREATE OR REPLACE TEMP VIEW big_orders_ctas AS
+           SELECT * FROM orders WHERE o_totalprice > 200000.0"""
+    )
+    name = f"swl_ctas_{uuid.uuid4().hex[:8]}"
+    loc = _scratch_location()
+    spark.sql(
+        f"""CREATE TABLE {name} USING parquet LOCATION '{loc}' AS
+            SELECT o_orderstatus, count(*) AS cnt
+            FROM big_orders_ctas GROUP BY o_orderstatus"""
+    )
+    return spark.sql(f"SELECT o_orderstatus, cnt FROM {name} ORDER BY o_orderstatus")
+
+
+_add(
+    "q46_view_ctas",
+    _q46,
+    """SELECT o_orderstatus, count(*) AS cnt FROM orders
+       WHERE o_totalprice > 200000.0
+       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+
+# Curated selection for the driver window: unique-surface batteries only;
+# everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
+# is verified by the pytest corpus instead.
+DRIVER_ORACLE_NAMES: tuple[str, ...] = (
+    "q22d_grouping_battery",
+    "q24b_window_battery",
+    "q28b_setops_battery",
+    "q34_scalar_battery",
+    "q43_array_battery",
+    "q44_json_regex",
+    "q46_view_ctas",
+    "q37_insert_partial",
+    "q45_dml_update_delete",
+    "q47_distinct_topk_offset",
+    "q23_approx_count_distinct",
 )

@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from swanlake_spark.queries.oracle import QuerySpec, dsum, dsum_raw, ensure_tables
+from swanlake_spark.queries.oracle import (
+    QuerySpec,
+    dsum,
+    dsum_raw,
+    ensure_tables,
+    rstable,
+)
 
 TPCH_QUERIES: dict[str, QuerySpec] = {}
 
@@ -40,9 +46,9 @@ _tpch(
            {dsum('l_extendedprice')} AS sum_base_price,
            {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
            {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round({dsum_raw('l_extendedprice')} / count(*), 4) AS avg_price,
-           round({dsum_raw('l_discount')} / count(*), 4) AS avg_disc,
+           {rstable('avg(l_quantity)')} AS avg_qty,
+           {rstable(dsum_raw('l_extendedprice') + ' / count(*)')} AS avg_price,
+           {rstable(dsum_raw('l_discount') + ' / count(*)')} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -166,8 +172,8 @@ _tpch(
     8,
     f"""
     SELECT o_year,
-           round({dsum_raw("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
-                 / {dsum_raw('volume')}, 4) AS mkt_share
+           {rstable(dsum_raw("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")
+                    + ' / ' + dsum_raw('volume'))} AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -286,8 +292,8 @@ _tpch(
 _tpch(
     14,
     f"""
-    SELECT round(100.00 * {dsum_raw("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
-                 / {dsum_raw('l_extendedprice * (1 - l_discount)')}, 4) AS promo_revenue
+    SELECT {rstable("100.00 * " + dsum_raw("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")
+                    + ' / ' + dsum_raw('l_extendedprice * (1 - l_discount)'))} AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -331,7 +337,7 @@ _tpch(
 _tpch(
     17,
     f"""
-    SELECT round({dsum_raw('l_extendedprice')} / 7.0, 2) AS avg_yearly
+    SELECT {rstable(dsum_raw('l_extendedprice') + ' / 7.0', 2)} AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
