@@ -364,11 +364,19 @@ class Session:
             dele = dml_ops.parse_delete(stmt) if upd is None else None
             if upd is not None:
                 table, sets, where = upd
-                self._stage(table, dml_ops.apply_update(self._table_snapshot(table), sets, where))
+                self._stage(
+                    table,
+                    dml_ops.apply_update(
+                        self._table_snapshot(table), sets, where, alias=table
+                    ),
+                )
                 continue
             if dele is not None:
                 table, where = dele
-                self._stage(table, dml_ops.apply_delete(self._table_snapshot(table), where))
+                self._stage(
+                    table,
+                    dml_ops.apply_delete(self._table_snapshot(table), where, alias=table),
+                )
                 continue
             if self._stage_insert(stmt):
                 continue

@@ -551,3 +551,86 @@ class TestDuckdbConveniences:
             dialect="duckdb",
         )
         assert [f.name for f in r.schema.fields] == ["a", "c"]
+
+
+class TestDMLScannerAndStaging:
+    """Round-2 hardening: scanner-grade DML parsing (subquery predicates,
+    literals containing keywords) and cluster-safe COW staging."""
+
+    def test_delete_with_in_subquery(self, engine):
+        t = _mktable(engine)
+        t2 = _mktable(engine, cols="id INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+        engine.execute(f"INSERT INTO {t2} VALUES (1), (3)")
+        n = engine.execute_update(
+            f"DELETE FROM {t} WHERE id IN (SELECT id FROM {t2})"
+        )
+        assert n == 2
+        rows = engine.query(f"SELECT id FROM {t} ORDER BY id").collect()
+        assert [r.id for r in rows] == [2]
+
+    def test_delete_with_exists_subquery(self, engine):
+        t = _mktable(engine)
+        t2 = _mktable(engine, cols="id INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        engine.execute(f"INSERT INTO {t2} VALUES (2)")
+        n = engine.execute_update(
+            f"DELETE FROM {t} WHERE EXISTS (SELECT 1 FROM {t2} WHERE {t2}.id = {t}.id)"
+        )
+        assert n == 1
+        assert engine.query(f"SELECT id FROM {t}").collect()[0].id == 1
+
+    def test_update_with_subquery_predicate(self, engine):
+        t = _mktable(engine)
+        t2 = _mktable(engine, cols="id INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        engine.execute(f"INSERT INTO {t2} VALUES (1)")
+        n = engine.execute_update(
+            f"UPDATE {t} SET age = 99 WHERE id IN (SELECT id FROM {t2})"
+        )
+        assert n == 1
+        rows = engine.query(f"SELECT id, age FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.age) for r in rows] == [(1, 99), (2, 20)]
+
+    def test_update_keyword_inside_string_literal(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        # 'WHERE' / 'SET' / ',' inside the string literal must not confuse
+        # the parser
+        n = engine.execute_update(
+            f"UPDATE {t} SET name = ' WHERE SET, x ' WHERE id = 1"
+        )
+        assert n == 1
+        assert engine.query(f"SELECT name FROM {t}").collect()[0].name == " WHERE SET, x "
+
+    def test_staging_beside_table_location(self, engine):
+        # COW staging must live on the table's own FileSystem (the only
+        # path executors can reach on a real cluster), not /tmp — but as
+        # a sibling of the table dir, which INSERT OVERWRITE truncates
+        from swanlake_spark.operators import dml
+
+        t = _mktable(engine)
+        loc = dml._table_location(engine.spark, t)
+        assert loc is not None
+        parent = loc.rstrip("/").rsplit("/", 1)[0]
+        staging = dml.staging_dir(engine.spark, t)
+        assert staging.startswith(parent + "/_staging/")
+        assert not staging.startswith(loc.rstrip("/") + "/")
+
+    def test_staging_cleaned_up_after_dml(self, engine):
+        import os
+        from urllib.parse import urlparse
+
+        from swanlake_spark.operators import dml
+
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        engine.execute_update(f"UPDATE {t} SET age = 1 WHERE id = 1")
+        loc = dml._table_location(engine.spark, t)
+        local = urlparse(loc).path or loc
+        parent = local.rstrip("/").rsplit("/", 1)[0]
+        staged = os.path.join(parent, "_staging")
+        assert not os.path.exists(staged) or not os.listdir(staged)
+        # the table itself still reads clean (underscore paths are hidden
+        # from scans anyway)
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 2
