@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "2"))
+SHUFFLE_PARTITIONS = int(os.environ.get("SWL_BENCH_SHUFFLE_PARTITIONS", "8"))
 
 
 def main() -> None:
@@ -38,7 +39,9 @@ def main() -> None:
     # 32-task scheduling overhead per sub-second stage. At cluster scale
     # this knob is deployment-sized (see EngineConfig docs).
     cfg = EngineConfig(
-        app_name="swanlake-spark-bench", cpus=CPUS, shuffle_partitions=8
+        app_name="swanlake-spark-bench",
+        cpus=CPUS,
+        shuffle_partitions=SHUFFLE_PARTITIONS,
     )
     eng = Engine(config=cfg)
     eng.spark.sparkContext.setLogLevel("ERROR")

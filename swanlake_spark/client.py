@@ -169,13 +169,17 @@ class PooledClient:
         self._pool = pool
         self.client = client
         self._had_error = False
+        #: after exit-with-error: did the connection still pass the
+        #: healthcheck? (True → the failure was an execution error, not a
+        #: connection failure)
+        self.connection_ok = True
 
     def __enter__(self) -> Client:
         return self.client
 
     def __exit__(self, exc_type, *exc) -> None:
         self._had_error = exc_type is not None
-        self._pool._release(self.client, self._had_error)
+        self.connection_ok = self._pool._release(self.client, self._had_error)
 
 
 class ClientPool:
@@ -245,32 +249,44 @@ class ClientPool:
                 raise
             return PooledClient(self, client)
 
-    def _release(self, client: Client, had_error: bool) -> None:
+    def _release(self, client: Client, had_error: bool) -> bool:
+        """Return the connection to the pool; returns False if it failed
+        the healthcheck and was dropped (connection-class failure)."""
+        healthy = True
+        if had_error:
+            healthy = self._healthy(client)  # healthcheck outside the lock
         with self._lock:
-            if had_error and not self._healthy(client):
+            if not healthy:
                 self._total -= 1  # drop broken connection (pool.rs:102-113)
             else:
                 self._idle.append((client, time.time()))
             self._lock.notify()
+        return healthy
 
-    # -- pooled conveniences with one retry (pool.rs retry_on_failure) -----
+    # -- pooled conveniences (pool.rs retry_on_failure) --------------------
+    # Retry ONLY on connection-class failures (the connection no longer
+    # answers the healthcheck). An execution error on a healthy
+    # connection is the statement's fault — re-running it could double-
+    # apply a non-idempotent write, so it propagates.
 
     def query(self, sql: str):
+        pooled = self.acquire()
         try:
-            with self.acquire() as c:
+            with pooled as c:
                 return c.query(sql)
         except EngineError:
-            if not self.config.retry_on_failure:
+            if not self.config.retry_on_failure or pooled.connection_ok:
                 raise
             with self.acquire() as c:
                 return c.query(sql)
 
     def update(self, sql: str) -> UpdateResult:
+        pooled = self.acquire()
         try:
-            with self.acquire() as c:
+            with pooled as c:
                 return c.update(sql)
         except EngineError:
-            if not self.config.retry_on_failure:
+            if not self.config.retry_on_failure or pooled.connection_ok:
                 raise
             with self.acquire() as c:
                 return c.update(sql)

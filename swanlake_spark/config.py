@@ -58,6 +58,12 @@ class EngineConfig:
             "spark.sql.shuffle.partitions": str(parts),
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            # parallelismFirst (default true) coalesces only down to
+            # default parallelism (= all cores), so a 2 kB post-filter
+            # dimension stage still schedules `cpus` tasks; false makes
+            # AQE honor advisoryPartitionSizeInBytes and collapse tiny
+            # stages to 1 task — the Spark docs' own recommendation.
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
             "spark.sql.adaptive.skewJoin.enabled": "true",
             "spark.sql.autoBroadcastJoinThreshold": str(self.broadcast_threshold_bytes),
             "spark.sql.files.maxPartitionBytes": str(self.max_partition_bytes),

@@ -215,17 +215,22 @@ class Engine:
                 re.IGNORECASE,
             )
             if crm:
-                # v1 parquet tables don't support OR REPLACE natively →
-                # drop-then-create (managed-table files are removed by
-                # the drop, so the data is replaced, not merged)
-                self.spark.sql(f"DROP TABLE IF EXISTS {crm.group(1)}")
-                constraints.drop_pk(crm.group(1))
-                stmt = re.sub(
+                # v1 parquet tables don't support OR REPLACE natively.
+                plain = re.sub(
                     r"^(\s*CREATE\s+)OR\s+REPLACE\s+",
                     r"\1",
                     stmt,
                     flags=re.IGNORECASE,
                 )
+                target = crm.group(1).strip('`"')
+                if self.spark.catalog.tableExists(target):
+                    # Keep-until-success semantics (DuckDB/the reference
+                    # never destroy the old table before the replacement
+                    # is known good): validate + materialize the new
+                    # contents FIRST, drop only on success.
+                    self._replace_table(plain, target)
+                    continue
+                stmt = plain  # plain CREATE; falls through
             # DESC SELECT ... (DuckDB schema probe, connection.rs:198-227)
             # → Spark's DESCRIBE QUERY spelling
             stmt = re.sub(
@@ -301,6 +306,72 @@ class Engine:
 
     def table_schema(self, name: str) -> T.StructType:
         return self.spark.table(name).schema
+
+    def _replace_table(self, create_stmt: str, table: str) -> None:
+        """CREATE OR REPLACE TABLE over an existing table, with DuckDB's
+        keep-until-success semantics: the old table (files + PK
+        registration) survives any failure in the replacement — including
+        the self-referencing ``CREATE OR REPLACE TABLE t AS SELECT ...
+        FROM t``, whose source is materialized to cluster-visible staging
+        while the old table is still alive."""
+        from swanlake_spark.operators.dml import _rm_path, staging_dir
+        from swanlake_spark.plans.parser import _mask_literals
+
+        stmt, pk_table, pk_cols = constraints.extract_and_strip_pk(create_stmt)
+        # locate a depth-0 `AS <query>` split (CTAS form)
+        masked = _mask_literals(stmt)
+        as_pos = -1
+        depth = 0
+        up = masked.upper()
+        for i, ch in enumerate(masked):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith("AS", i):
+                before_ok = i > 0 and not (masked[i - 1].isalnum() or masked[i - 1] in '_"`')
+                j = i + 2
+                after = up[j:].lstrip()
+                if before_ok and re.match(r"^(SELECT|WITH|VALUES|TABLE|FROM)\b", after):
+                    as_pos = i
+                    break
+        old_loc = None
+        try:
+            rows = self.spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+            for r in rows:
+                if r.col_name.strip() == "Location":
+                    old_loc = r.data_type.strip()
+                    break
+        except Exception:
+            pass
+        if as_pos >= 0:
+            head, query = stmt[:as_pos].rstrip(), stmt[as_pos + 2 :]
+            src = self.spark.sql(query)  # analysis errors surface here
+            staging = staging_dir(self.spark, table)
+            # validate the rebuilt CTAS syntax BEFORE any destructive step
+            self.spark._jsparkSession.sessionState().sqlParser().parsePlan(
+                f"{head} AS SELECT * FROM parquet.`{staging}`"
+            )
+            src.write.parquet(staging)  # materialized while old t alive
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+                constraints.drop_pk(table)
+                if old_loc:
+                    _rm_path(self.spark, old_loc)  # replaced, not merged
+                self.spark.sql(f"{head} AS SELECT * FROM parquet.`{staging}`")
+            finally:
+                _rm_path(self.spark, staging)
+        else:
+            # plain DDL: parse-validate BEFORE dropping so a syntax/type
+            # error can't destroy the old table
+            self.spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            constraints.drop_pk(table)
+            if old_loc:
+                _rm_path(self.spark, old_loc)
+            self.spark.sql(stmt)
+        if pk_table and pk_cols:
+            constraints.register_pk(pk_table, pk_cols)
 
     # -- catalog metadata (A20-A25) ----------------------------------------
 

@@ -49,8 +49,8 @@ _NAME_MAP = {
     "epoch_us": "unix_micros",
     "list_value": "array",
     "list_pack": "array",
-    "array_slice": "slice",
-    "list_slice": "slice",
+    # array_slice/list_slice need an argument transform (inclusive end →
+    # length), handled by _transform_slices below, not a name swap.
     "list_element": "element_at",
     "array_extract": "element_at",
     "datepart": "date_part",
@@ -121,8 +121,60 @@ def strftime_to_date_format(fmt: str) -> str:
     return out
 
 
+_SLICE_CALL = re.compile(r"\b(?:array_slice|list_slice)\s*\(", re.IGNORECASE)
+
+
+def _transform_slices(sql: str) -> str:
+    """DuckDB ``array_slice(x, begin, end)`` (inclusive end, 1-based,
+    negatives count from the back) → Spark ``slice(x, begin, length)``.
+
+    length = end - begin + 1, with a negative ``end`` converted to its
+    positive index via ``size(x)`` when ``begin`` is positive, and
+    clamped to ≥ 0 (DuckDB returns [] for end < begin; Spark errors on
+    negative length). Four-argument (step) form is left untouched."""
+    for _ in range(10):  # re-scan to catch nested calls in rewritten text
+        spans = _mask_spans(sql)
+        edits = []
+        for m in _SLICE_CALL.finditer(sql):
+            if _in_span(m.start(), spans):
+                continue
+            if any(s < m.start() < e for s, e, _ in edits):
+                continue  # nested inside an already-planned edit
+            depth, i, start, args = 1, m.end(), m.end(), []
+            while i < len(sql) and depth:
+                if _in_span(i, spans):
+                    i += 1
+                    continue
+                c = sql[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        args.append(sql[start:i])
+                        break
+                elif c == "," and depth == 1:
+                    args.append(sql[start:i])
+                    start = i + 1
+                i += 1
+            if depth == 0 and len(args) == 3:
+                x, b, e = (a.strip() for a in args)
+                repl = (
+                    f"slice({x}, ({b}), greatest(0, "
+                    f"(CASE WHEN ({e}) < 0 AND ({b}) > 0 "
+                    f"THEN size({x}) + ({e}) + 1 ELSE ({e}) END) - ({b}) + 1))"
+                )
+                edits.append((m.start(), i + 1, repl))
+        if not edits:
+            return sql
+        for s, e, r in reversed(edits):
+            sql = sql[:s] + r + sql[e:]
+    return sql
+
+
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
+    sql = _transform_slices(sql)
     spans = _mask_spans(sql)
 
     # 1) plain name-for-name call-site rewrites

@@ -131,6 +131,14 @@ class ParsedStatement:
     def contains_query(self) -> bool:
         return any(_first_keyword(s) in _QUERY_LEADERS for s in self.statements)
 
+    @property
+    def all_queries(self) -> bool:
+        """True iff every statement is side-effect-free (returns rows) —
+        safe to re-run on a fallback path."""
+        return bool(self.statements) and all(
+            _first_keyword(s) in _QUERY_LEADERS for s in self.statements
+        )
+
 
 def classify(sql: str) -> ParsedStatement:
     return ParsedStatement(statements=split_statements(sql))

@@ -57,9 +57,15 @@ def strip_select_locks(sql: str) -> LockStripResult:
     spans = [(m.start(), m.end()) for m in _LOCK_RE.finditer(masked)]
     if not spans:
         return LockStripResult(sql=sql, stripped=False)
-    out, last = [], 0
+    pieces, last = [], 0
     for s, e in spans:
-        out.append(sql[last:s])
+        pieces.append(sql[last:s])
         last = e
-    out.append(sql[last:])
-    return LockStripResult(sql=re.sub(r"[ \t]+(?=\s)", "", "".join(out)).strip(), stripped=True)
+    pieces.append(sql[last:])
+    # Collapse whitespace only at the splice boundaries — never across the
+    # whole statement, which would mangle whitespace inside string
+    # literals (`SELECT 'a  b' ... FOR UPDATE`).
+    joined = pieces[0]
+    for p in pieces[1:]:
+        joined = joined.rstrip() + " " + p.lstrip()
+    return LockStripResult(sql=joined.strip(), stripped=True)

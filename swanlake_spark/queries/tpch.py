@@ -59,8 +59,32 @@ _tpch(
 
 # Q2 — min-cost supplier (correlated subquery + 5-way join + top-N);
 # ps_supplycost is approximated by l_extendedprice (exact double compare).
+# Spark side decorrelates by hand: the correlated min re-joins the whole
+# lineitem→supplier→nation→region tree a second time (2.3× baseline in
+# BENCH_r01); `min() OVER (PARTITION BY p_partkey)` on the already-joined
+# EUROPE slice computes the same value in one pass — valid because the
+# subquery's domain (all EUROPE lineitems of that part) equals the outer
+# join slice per partkey, and p_size is a part-level constant. The DuckDB
+# oracle keeps the original correlated form as a cross-check.
 _tpch(
     2,
+    """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey
+    FROM (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey,
+             l_extendedprice,
+             min(l_extendedprice) OVER (PARTITION BY p_partkey) AS min_price
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size = 15
+    ) priced
+    WHERE l_extendedprice = min_price
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
     """
     SELECT s_acctbal, s_name, n_name, p_partkey, p_type, s_suppkey
     FROM part
@@ -238,8 +262,31 @@ _tpch(
 
 # Q11 — important stock identification (groupBy + HAVING vs scalar subquery);
 # partsupp value approximated by lineitem extendedprice*quantity.
+# Spark side computes the grouped join ONCE: the HAVING threshold re-ran
+# the identical lineitem⋈supplier⋈nation aggregate (2.5× baseline in
+# BENCH_r01); since the scaled-BIGINT group sums are exact integers, the
+# global total is `sum(graw) OVER ()` on the (small) grouped result — a
+# single-column exchange instead of a second full join. DuckDB oracle
+# keeps the two-scan form as a cross-check.
 _tpch(
     11,
+    f"""
+    SELECT l_partkey, val FROM (
+      SELECT l_partkey, val, graw, sum(graw) OVER () AS total_raw
+      FROM (
+        SELECT l_partkey,
+               {dsum('l_extendedprice * l_quantity')} AS val,
+               sum(CAST(round((l_extendedprice * l_quantity) * 1000000) AS BIGINT)) AS graw
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+      ) g
+    ) w
+    WHERE graw / 1000000.0 > total_raw / 1000000.0 * 0.001
+    ORDER BY val DESC, l_partkey
+    """,
     f"""
     SELECT l_partkey, {dsum('l_extendedprice * l_quantity')} AS val
     FROM lineitem
@@ -318,9 +365,26 @@ _tpch(
     """,
 )
 
-# Q16 — parts/supplier relationship (NOT IN subquery + count distinct)
+# Q16 — parts/supplier relationship (NOT IN subquery + count distinct).
+# Spark side spells the NOT IN as an explicit LEFT ANTI JOIN: Spark's
+# null-aware NOT IN machinery costs ~0.2 s of the 0.6 s runtime at sf0.1
+# (4.1× baseline in BENCH_r01). Equivalent here because both key sides
+# are non-null (s_suppkey is the supplier PK; the explicit
+# `l_suppkey IS NOT NULL` reproduces NOT IN's null-drop on the probe
+# side). DuckDB oracle keeps the NOT IN form as cross-check.
 _tpch(
     16,
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    LEFT ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) bad
+      ON l_suppkey = bad.s_suppkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+      AND l_suppkey IS NOT NULL
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
     """
     SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON p_partkey = l_partkey
@@ -345,10 +409,18 @@ _tpch(
     """,
 )
 
-# Q18 — large volume customer (IN-subquery with HAVING + top-100)
-_Q18_SPARK = """
+# Q18 — large volume customer (IN-subquery with HAVING + top-100).
+# Spark side runs ONE lineitem aggregation on the narrow l_orderkey key
+# (map-side partial agg on a BIGINT), filters > 300 (result is tiny at
+# any scale — qualifying orders), then joins orders+customer onto it —
+# the small side broadcasts, so no second lineitem pass and no wide-key
+# aggregate. Equivalent because o_orderkey is the orders PK and each
+# order joins exactly one customer, so the per-order lineitem sum IS the
+# original HAVING-IN filter. 2.2× baseline in BENCH_r01 as written.
+# DuckDB oracle keeps the IN-subquery form as cross-check.
+_Q18_DUCK = """
     SELECT c_name, c_custkey, o_orderkey,
-           date_format(o_orderdate, 'yyyy-MM-dd') AS odate, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
            round(sum(l_quantity), 2) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -359,8 +431,23 @@ _Q18_SPARK = """
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
 """
-_tpch(18, _Q18_SPARK, _Q18_SPARK.replace("date_format(o_orderdate, 'yyyy-MM-dd')",
-                                         "strftime(o_orderdate, '%Y-%m-%d')"))
+_tpch(
+    18,
+    """
+    SELECT c_name, c_custkey, o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS odate, o_totalprice,
+           round(qty, 2) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    ) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    _Q18_DUCK,
+)
 
 # Q19 — discounted revenue (OR-of-conjunctions join predicate)
 _tpch(

@@ -39,6 +39,7 @@ from swanlake_spark.errors import (
 )
 from swanlake_spark.plans import classify, split_statements, strip_select_locks
 from swanlake_spark.plans.parser import (
+    _scan,
     count_placeholders,
     insert_info,
     parameter_columns,
@@ -148,30 +149,17 @@ def bind_parameters(sql: str, params: list) -> str:
     n = count_placeholders(sql)
     if n != len(params):
         raise InvalidArgument(f"statement has {n} placeholders, got {len(params)} params")
-    out = []
-    it = iter(params)
-    i, ln = 0, len(sql)
-    while i < ln:
-        c = sql[i]
-        if c == "'":
-            j = i + 1
-            while j < ln:
-                if sql[j] == "'" and j + 1 < ln and sql[j + 1] == "'":
-                    j += 2
-                elif sql[j] == "'":
-                    j += 1
-                    break
-                else:
-                    j += 1
-            out.append(sql[i:j])
-            i = j
-            continue
-        if c == "?":
-            out.append(_render_literal(next(it)))
-            i += 1
-            continue
-        out.append(c)
-        i += 1
+    # Drive substitution off the SAME scanner positions count_placeholders
+    # uses (skips comments, double-quoted and backtick identifiers too) —
+    # a '?' inside a comment or quoted identifier must be neither counted
+    # nor substituted.
+    positions = [i for i, c in _scan(sql) if c == "?"]
+    out, last = [], 0
+    for pos, val in zip(positions, params):
+        out.append(sql[last:pos])
+        out.append(_render_literal(val))
+        last = pos + 1
+    out.append(sql[last:])
     return "".join(out)
 
 
@@ -219,12 +207,17 @@ class Session:
         eng = Engine(spark=self.spark)
         eng.metrics = self.engine.metrics
         try:
-            if params and self.txn_id is None:
-                # native parameterized SQL first (typed, injection-safe —
-                # the Spark analogue of the reference's Arrow value
-                # binding); engine-routed statements (COW DML, PK-checked
-                # INSERT, COPY, ...) can't resolve markers and error →
-                # typed literal rendering below covers them.
+            if params and self.txn_id is None and classify(sql).all_queries:
+                # Native parameterized SQL (typed, injection-safe — the
+                # Spark analogue of the reference's Arrow value binding),
+                # but ONLY for pure-query scripts: a script with writes
+                # could have partially applied before an error, and the
+                # literal-binding fallback would re-run it — double-
+                # applying the earlier statements. Queries are side-
+                # effect-free, so falling back after a marker-position
+                # error is safe; write statements go straight to typed
+                # literal rendering (engine-routed statements — COW DML,
+                # PK-checked INSERT, COPY — can't resolve markers anyway).
                 try:
                     return eng.query(sql, args=list(params))
                 except EngineError:

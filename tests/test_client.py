@@ -128,3 +128,27 @@ class TestPool:
         assert pool.query("SELECT 7 AS x").collect()[0].x == 7
         res = pool.update("CREATE OR REPLACE TEMP VIEW pool_v AS SELECT 1 AS x")
         assert isinstance(res, UpdateResult)
+
+
+class TestPoolRetrySemantics:
+    def test_execution_error_not_retried(self, engine):
+        """A statement error on a healthy connection must propagate, not
+        re-run (double-applying non-idempotent writes)."""
+        from swanlake_spark.client import ClientPool, PoolConfig
+        from swanlake_spark.errors import EngineError
+
+        import pytest
+
+        pool = ClientPool(engine, PoolConfig(min_idle=1, max_size=2))
+        calls = []
+        orig_acquire = pool.acquire
+
+        def counting_acquire():
+            calls.append(1)
+            return orig_acquire()
+
+        pool.acquire = counting_acquire
+        with pytest.raises(EngineError):
+            pool.query("SELECT * FROM definitely_missing_table_xyz")
+        # exactly one acquire — no second attempt on a healthy connection
+        assert len(calls) == 1

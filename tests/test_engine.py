@@ -374,8 +374,24 @@ class TestDialectBreadth:
             "epoch_ms(TIMESTAMP '1970-01-01 00:00:01') AS ms",
             dialect="duckdb",
         ).collect()[0]
-        assert res.arr == [3, 1, 2] and res.sl == [2, 3] and res.el == 8
+        # DuckDB array_slice end index is INCLUSIVE: slice(…, 2, 2) = [2]
+        assert res.arr == [3, 1, 2] and res.sl == [2] and res.el == 8
         assert res.lo == "abc" and res.ms == 1000
+
+    def test_array_slice_inclusive_end_semantics(self, engine):
+        # DuckDB: array_slice([1..5], 2, 4) == [2,3,4]; negative end
+        # counts from the back; end < begin → []
+        r = engine.query(
+            "SELECT array_slice(list_value(1,2,3,4,5), 2, 4) AS a,"
+            "       array_slice(list_value(1,2,3,4,5), 2, -1) AS b,"
+            "       array_slice(list_value(1,2,3,4,5), -3, -1) AS c,"
+            "       array_slice(list_value(1,2,3,4,5), 4, 2) AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == [2, 3, 4]
+        assert r.b == [2, 3, 4, 5]
+        assert r.c == [3, 4, 5]
+        assert r.d == []
 
     def test_regexp_replace_g_flag(self, engine):
         r = engine.query(
@@ -634,3 +650,45 @@ class TestDMLScannerAndStaging:
         # the table itself still reads clean (underscore paths are hidden
         # from scans anyway)
         assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 2
+
+
+class TestCreateOrReplaceSafety:
+    """CREATE OR REPLACE TABLE keeps the old table until the replacement
+    succeeds (DuckDB semantics; round-1 dropped first)."""
+
+    def test_invalid_replacement_preserves_old_table(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        with pytest.raises(EngineError):
+            engine.execute(
+                f"CREATE OR REPLACE TABLE {t} (id NOTATYPE_XYZ) USING parquet"
+            )
+        rows = engine.query(f"SELECT id, name FROM {t}").collect()
+        assert [(r.id, r.name) for r in rows] == [(1, "a")]
+
+    def test_invalid_ctas_source_preserves_old_table(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        with pytest.raises(EngineError):
+            engine.execute(
+                f"CREATE OR REPLACE TABLE {t} AS SELECT * FROM no_such_table_abc"
+            )
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 1
+
+    def test_self_referencing_replace(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        engine.execute(
+            f"CREATE OR REPLACE TABLE {t} AS SELECT id, name, age + 1 AS age FROM {t} WHERE id = 1"
+        )
+        rows = engine.query(f"SELECT id, age FROM {t}").collect()
+        assert [(r.id, r.age) for r in rows] == [(1, 11)]
+
+    def test_replace_swaps_contents(self, engine):
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10)")
+        engine.execute(
+            f"CREATE OR REPLACE TABLE {t} AS SELECT 99 AS id, 'z' AS name, 0 AS age"
+        )
+        rows = engine.query(f"SELECT id, name FROM {t}").collect()
+        assert [(r.id, r.name) for r in rows] == [(99, "z")]

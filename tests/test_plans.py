@@ -146,3 +146,38 @@ class TestQuoting:
     def test_qualified(self):
         assert quote_qualified_name("db", "tbl") == "`db`.`tbl`"
         assert quote_qualified_name("db.tbl") == "`db`.`tbl`"
+
+
+class TestLockStripLiteralSafety:
+    def test_literal_whitespace_preserved(self):
+        from swanlake_spark.plans import strip_select_locks
+
+        r = strip_select_locks("SELECT 'a  b' AS s FROM t FOR UPDATE")
+        assert r.stripped
+        assert "'a  b'" in r.sql
+        assert r.sql == "SELECT 'a  b' AS s FROM t"
+
+    def test_multiple_clauses_and_tail(self):
+        from swanlake_spark.plans import strip_select_locks
+
+        r = strip_select_locks("SELECT x,   y FROM t FOR SHARE NOWAIT LIMIT 3")
+        assert r.stripped
+        # interior whitespace untouched; clause spliced with single space
+        assert r.sql == "SELECT x,   y FROM t LIMIT 3"
+
+
+class TestBindParameterScannerAgreement:
+    def test_placeholder_in_comment_not_bound(self):
+        from swanlake_spark.session import bind_parameters
+
+        sql = "SELECT ? AS a -- is this a param? no\n, ? AS b"
+        out = bind_parameters(sql, [1, 2])
+        assert "1 AS a" in out and "2 AS b" in out
+        assert "param? no" in out  # comment text untouched
+
+    def test_placeholder_in_quoted_identifier_not_bound(self):
+        from swanlake_spark.session import bind_parameters
+
+        sql = 'SELECT `what?` , ? AS v FROM t'
+        out = bind_parameters(sql, [7])
+        assert "`what?`" in out and "7 AS v" in out
