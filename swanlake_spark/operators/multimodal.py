@@ -1,15 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The Spark-side architecture is real and tested — schemas, partitioning,
-batch shapes, Pandas-UDF signatures. The actual codec step is stubbed
-(this container has no image/audio libraries): ``decode_media`` uses a
-deterministic fake decoder keyed on a header byte unless a real codec
-callback is supplied; ``NotImplementedError`` marks the seam.
+Round 2: the codec step is REAL for PPM/PGM/BMP/WAV — dependency-free
+numpy codecs (:mod:`swanlake_spark.operators.codecs`) parse genuine
+headers and pixel/sample planes. ``synthesize_media`` emits actual
+encoded PPM/WAV bytes, so ``decode_media`` recovers true dimensions from
+the payload (not the metadata), and ``resize_images`` resamples real
+pixel planes. Formats beyond the built-in set (JPEG/PNG/MP4/...) raise
+``UnsupportedMediaError`` — the seam where PIL/torchaudio/pyav plug in.
 
 Schema convention for a multimodal table:
     id BIGINT, media BINARY, media_type STRING,
     meta STRUCT<width:INT, height:INT, sample_rate:INT, n_frames:INT>
+
+Scale notes: all operators are single-pass ``mapInPandas`` (Arrow batch
+transfer, partition-parallel, no shuffle); blob synthesis/decoding is
+per-row numpy with no driver involvement.
 """
 
 from __future__ import annotations
@@ -20,6 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from swanlake_spark.operators import codecs
+from swanlake_spark.operators.codecs import UnsupportedMediaError
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -40,34 +49,68 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# deterministic synthesis parameters (oracle SQL mirrors these formulas)
+_W_MOD, _W_MIN = 48, 8
+_H_MOD, _H_MIN = 32, 8
+_SR = 16000
+_NSAMP_MOD, _NSAMP_MIN = 1000, 100
+_NFRAMES_MOD = 120
+
+
+def _synth_image(doc_id: int) -> tuple[bytes, int, int]:
+    import numpy as np
+
+    w = int(doc_id % _W_MOD + _W_MIN)
+    h = int(doc_id % _H_MOD + _H_MIN)
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    base = ys * 7 + xs * 3 + doc_id
+    px = np.stack(
+        [(base % 256), ((base * 5 + 17) % 256), ((base * 11 + 29) % 256)], axis=-1
+    ).astype("uint8")
+    return codecs.encode_ppm(px), w, h
+
+
+def _synth_audio(doc_id: int) -> tuple[bytes, int]:
+    import numpy as np
+
+    n = int(doc_id % _NSAMP_MOD + _NSAMP_MIN)
+    t = np.arange(n, dtype=np.int64)
+    samples = ((t * (doc_id % 7 + 1) * 1321) % 65536 - 32768).astype("int16")
+    return codecs.encode_wav(samples, _SR), n
+
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic fake media blobs for plumbing tests: payload bytes
-    derived from the id (sha2 of the id string, repeated), type cycling
-    image/audio/video, plausible metadata."""
-    sid = F.col(id_col).cast("string")
-    payload = F.to_binary(
-        F.concat(F.sha2(sid, 256), F.sha2(F.concat(sid, F.lit("x")), 256)), F.lit("hex")
-    )
-    mtype = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(id_col) % 3 + 1).cast("int"),
-    )
-    meta = F.struct(
-        (F.col(id_col) % 640 + 32).cast("int").alias("width"),
-        (F.col(id_col) % 480 + 32).cast("int").alias("height"),
-        F.when(mtype == "audio", F.lit(16000)).otherwise(F.lit(None)).cast("int").alias("sample_rate"),
-        F.when(mtype == "video", (F.col(id_col) % 120 + 1).cast("int"))
-        .otherwise(F.lit(None))
-        .cast("int")
-        .alias("n_frames"),
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
-        payload.alias("media"),
-        mtype.alias("media_type"),
-        meta.alias("meta"),
-    )
+    """Deterministic REAL media blobs: image rows carry binary PPM (P6),
+    audio rows carry RIFF/WAVE PCM16, video rows carry a PPM poster
+    frame plus ``meta.n_frames``. Types cycle image/audio/video on
+    ``id % 3``; dimensions/sample counts are id-derived formulas the
+    oracle SQL can reproduce."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, mtypes, metas = [], [], [], []
+            for raw_id in pdf[id_col]:
+                doc_id = int(raw_id)
+                kind = ("image", "audio", "video")[doc_id % 3]
+                if kind == "audio":
+                    blob, _n = _synth_audio(doc_id)
+                    meta = {"width": None, "height": None,
+                            "sample_rate": _SR, "n_frames": None}
+                else:
+                    blob, w, h = _synth_image(doc_id)
+                    nf = doc_id % _NFRAMES_MOD + 1 if kind == "video" else None
+                    meta = {"width": w, "height": h,
+                            "sample_rate": None, "n_frames": nf}
+                ids.append(doc_id)
+                blobs.append(blob)
+                mtypes.append(kind)
+                metas.append(meta)
+            yield pd.DataFrame(
+                {"id": ids, "media": blobs, "media_type": mtypes, "meta": metas}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(run, MEDIA_SCHEMA)
 
 
 DECODED_SCHEMA = T.StructType(
@@ -78,51 +121,60 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("checksum", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
     ]
 )
+
+
+def _default_codec(payload: bytes, media_type: str) -> dict:
+    """Built-in numpy codecs with magic-byte sniffing; raises
+    UnsupportedMediaError for formats outside PPM/PGM/BMP/WAV."""
+    return codecs.decode_any(payload)
 
 
 def decode_media(
     df: DataFrame,
     codec: Callable[[bytes, str], dict] | None = None,
-    batch_size_hint: int = 256,
+    strict: bool = False,
 ) -> DataFrame:
     """Decode binary media via Arrow-batched ``mapInPandas``.
 
-    ``codec(payload, media_type) -> {width, height, ...}`` plugs in a
-    real decoder (PIL/libav/...); without one, a deterministic fake
-    decoder (byte checksum + metadata passthrough shape) exercises the
-    identical plumbing. Partition-parallel, Arrow transfer, no row-wise
-    Python overhead beyond the batch loop.
-    """
+    The default codec REALLY parses PPM/PGM/BMP/WAV headers and planes
+    (width/height/sample_rate come from the bytes, not the metadata).
+    ``codec(payload, media_type) -> {width, height, sample_rate, ...}``
+    plugs in an external decoder for other formats. With
+    ``strict=False`` an unrecognized format degrades to a
+    bytes-only record (dims NULL); ``strict=True`` propagates
+    ``UnsupportedMediaError`` — the real-codec seam."""
+    use_codec = codec or _default_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if codec is not None:
-                decoded = [
-                    codec(m, t) for m, t in zip(pdf["media"], pdf["media_type"])
-                ]
-                width = [d.get("width") for d in decoded]
-                height = [d.get("height") for d in decoded]
-            else:
-                # fake decode: real codecs unavailable in this container.
-                # Byte-sum checksum keeps the data-dependency honest.
-                width = pdf["meta"].map(
-                    lambda s: int(s["width"]) if s and s["width"] is not None else None
-                )
-                height = pdf["meta"].map(
-                    lambda s: int(s["height"]) if s and s["height"] is not None else None
-                )
+            ids, mtypes, nbytes, sums, ws, hs, srs = [], [], [], [], [], [], []
+            for rid, blob, mtype in zip(pdf["id"], pdf["media"], pdf["media_type"]):
+                b = bytes(blob) if blob is not None else b""
+                try:
+                    d = use_codec(b, mtype) if b else {}
+                except UnsupportedMediaError:
+                    if strict:
+                        raise
+                    d = {}
+                ids.append(rid)
+                mtypes.append(mtype)
+                nbytes.append(len(b))
+                sums.append(int(sum(b) % (1 << 31)))
+                ws.append(d.get("width"))
+                hs.append(d.get("height"))
+                srs.append(d.get("sample_rate"))
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": pdf["media"].map(lambda b: len(b) if b is not None else 0),
-                    "checksum": pdf["media"].map(
-                        lambda b: int(sum(b) % (1 << 31)) if b is not None else 0
-                    ),
-                    "width": width,
-                    "height": height,
+                    "id": ids,
+                    "media_type": mtypes,
+                    "n_bytes": pd.array(nbytes, dtype="Int32"),
+                    "checksum": sums,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "sample_rate": pd.array(srs, dtype="Int32"),
                 }
             )
 
@@ -130,16 +182,10 @@ def decode_media(
 
 
 def decode_media_strict(df: DataFrame) -> DataFrame:
-    """The real-codec path: raises NotImplementedError at execution time —
-    the documented seam where PIL/torchaudio/pyav plug in."""
-
-    def codec(payload: bytes, media_type: str) -> dict:
-        raise NotImplementedError(
-            "real media decoding requires an image/audio library not present "
-            "in this environment; pass codec= to decode_media instead"
-        )
-
-    return decode_media(df, codec=codec)
+    """Strict decode: any format the built-in numpy codecs can't parse
+    raises ``UnsupportedMediaError`` (a ``NotImplementedError``) at
+    execution — the documented seam where PIL/torchaudio/pyav plug in."""
+    return decode_media(df, strict=True)
 
 
 FEATURE_DIM = 16
@@ -153,11 +199,19 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Byte-histogram feature vector (FEATURE_DIM buckets, L1-normalized)
-    from the binary payload — a deterministic, library-free stand-in for
-    a real embedding model, with the production batch shape (Arrow in,
-    fixed-dim float array out)."""
+    """Feature vector (FEATURE_DIM buckets, L1-normalized) from the
+    DECODED content: pixel-intensity histogram for images (real decoded
+    planes), sample-amplitude histogram for audio, raw-byte histogram
+    for undecodable blobs — deterministic, library-free, with the
+    production batch shape (Arrow in, fixed-dim float array out)."""
     import numpy as np
+
+    def _hist(values: "np.ndarray") -> list[float]:
+        hist = np.bincount(values % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+            np.float64
+        )
+        hist /= max(hist.sum(), 1.0)
+        return [float(x) for x in hist]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -166,12 +220,18 @@ def extract_features(df: DataFrame) -> DataFrame:
                 if blob is None or len(blob) == 0:
                     feats.append([0.0] * FEATURE_DIM)
                     continue
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(
-                    np.float64
-                )
-                hist /= max(hist.sum(), 1.0)
-                feats.append([float(x) for x in hist])
+                b = bytes(blob)
+                try:
+                    d = codecs.decode_any(b)
+                except UnsupportedMediaError:
+                    d = None
+                if d is None:
+                    vals = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                elif "pixels" in d:
+                    vals = d["pixels"].astype(np.int64).ravel()
+                else:
+                    vals = d["samples"].astype(np.int64).ravel() & 0xFF
+                feats.append(_hist(vals))
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
@@ -188,28 +248,29 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize for image rows: nearest-neighbor index sampling over the
-    pixel buffer, vectorized in numpy per Arrow batch (``mapInPandas``).
-
-    The pixel buffer is derived from the payload bytes (a real decoder
-    would produce it — codec libs are absent in this container, the
-    documented stub seam); the resampling arithmetic, output schema and
-    batch shape are the real pipeline plumbing. One narrow pass, no
-    shuffle; output rows are fixed-size width×height byte planes.
-    """
+    """Nearest-neighbor resize over REAL decoded pixel planes (PPM/PGM/
+    BMP), vectorized in numpy per Arrow batch. Color planes are
+    grayscale-reduced (mean over channels) so the output is a fixed-size
+    width×height byte plane; undecodable payloads are skipped. One
+    narrow pass, no shuffle."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_px = [], []
-            for rid, payload, meta in zip(pdf["id"], pdf["media"], pdf["meta"]):
-                if payload is None or meta is None:
+            for rid, payload in zip(pdf["id"], pdf["media"]):
+                if payload is None:
                     continue
-                src_w = int(meta["width"] or 1)
-                src_h = int(meta["height"] or 1)
-                buf = np.frombuffer(payload, dtype=np.uint8)
-                # stub decode: tile payload bytes into a src_h×src_w plane
-                plane = np.resize(buf, (src_h, src_w))
+                try:
+                    d = codecs.decode_any(bytes(payload))
+                except UnsupportedMediaError:
+                    continue
+                if "pixels" not in d:
+                    continue
+                plane = d["pixels"]
+                if plane.ndim == 3:
+                    plane = plane.mean(axis=2)
+                src_h, src_w = plane.shape
                 ys = (np.arange(height) * src_h) // height
                 xs = (np.arange(width) * src_w) // width
                 resized = plane[ys][:, xs]

@@ -329,14 +329,19 @@ _add("pipe_sim_cosine_topk_ivf", _cos_topk_ivf, None)
 
 
 def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized blobs are REAL PPM/WAV bytes; the decoded dims below
+    come from header parsing, so the oracle's id-formula expectations
+    verify the actual codec path end-to-end."""
     media = multimodal.synthesize_media(_docs(spark, sf_dir))
     decoded = multimodal.decode_media(media)
     return (
         decoded.groupBy("media_type")
         .agg(
             F.count("*").alias("cnt"),
-            F.min("n_bytes").alias("min_bytes"),
-            F.max("n_bytes").alias("max_bytes"),
+            F.min("width").alias("min_w"),
+            F.max("width").alias("max_w"),
+            F.min("height").alias("min_h"),
+            F.min("sample_rate").alias("min_sr"),
         )
         .orderBy("media_type")
     )
@@ -349,7 +354,10 @@ _add(
     SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
            count(*) AS cnt,
-           CAST(64 AS INT) AS min_bytes, CAST(64 AS INT) AS max_bytes
+           CAST(min(CASE WHEN doc_id % 3 <> 1 THEN doc_id % 48 + 8 END) AS INT) AS min_w,
+           CAST(max(CASE WHEN doc_id % 3 <> 1 THEN doc_id % 48 + 8 END) AS INT) AS max_w,
+           CAST(min(CASE WHEN doc_id % 3 <> 1 THEN doc_id % 32 + 8 END) AS INT) AS min_h,
+           CAST(min(CASE WHEN doc_id % 3 = 1 THEN 16000 END) AS INT) AS min_sr
     FROM documents
     GROUP BY 1 ORDER BY media_type
     """,

@@ -187,15 +187,22 @@ class TestText:
 
 
 class TestMultimodal:
-    def test_synthesize_and_decode(self, spark):
+    def test_synthesize_and_decode_real_headers(self, spark):
         base = spark.range(0, 30).withColumnRenamed("id", "doc_id")
         media = multimodal.synthesize_media(base)
         decoded = multimodal.decode_media(media)
-        rows = decoded.collect()
+        rows = {r.id: r for r in decoded.collect()}
         assert len(rows) == 30
-        assert all(r.n_bytes == 64 for r in rows)
-        types = {r.media_type for r in rows}
-        assert types == {"image", "audio", "video"}
+        assert {r.media_type for r in rows.values()} == {"image", "audio", "video"}
+        for rid, r in rows.items():
+            if r.media_type == "audio":
+                # dims come from the WAV header, not the metadata
+                assert r.sample_rate == 16000 and r.width is None
+            else:
+                # dims come from the PPM header, not the metadata
+                assert r.width == rid % 48 + 8
+                assert r.height == rid % 32 + 8
+                assert r.sample_rate is None
 
     def test_decode_deterministic(self, spark):
         base = spark.range(0, 10).withColumnRenamed("id", "doc_id")
@@ -205,11 +212,30 @@ class TestMultimodal:
             multimodal.synthesize_media(base)).collect())
         assert a == b
 
-    def test_strict_decoder_raises(self, spark):
-        base = spark.range(0, 3).withColumnRenamed("id", "doc_id")
-        media = multimodal.synthesize_media(base)
-        with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-            multimodal.decode_media_strict(media).collect()
+    def test_strict_decoder_raises_on_unknown_format(self, spark):
+        # PNG magic — outside the built-in numpy codec set
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x89PNG\r\n\x1a\nxxxxxxxx"), "image", None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="Unsupported|unrecognized"):
+            multimodal.decode_media_strict(df).collect()
+        # non-strict: degrades to bytes-only record
+        row = multimodal.decode_media(df).collect()[0]
+        assert row.width is None and row.n_bytes == 16
+
+    def test_decode_bmp_payload(self, spark):
+        import numpy as np
+
+        from swanlake_spark.operators import codecs
+
+        px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+        df = spark.createDataFrame(
+            [(7, bytearray(codecs.encode_bmp(px)), "image", None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        row = multimodal.decode_media(df).collect()[0]
+        assert (row.width, row.height) == (4, 6)
 
     def test_feature_extraction_shape(self, spark):
         base = spark.range(0, 5).withColumnRenamed("id", "doc_id")
@@ -236,6 +262,21 @@ class TestMultimodal:
         assert sorted((r.id, r.pixels) for r in out) == sorted(
             (r.id, r.pixels) for r in again
         )
+
+    def test_resize_real_resampling(self, spark):
+        import numpy as np
+
+        from swanlake_spark.operators import codecs
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        px[2:, :, :] = 200  # bottom half bright
+        df = spark.createDataFrame(
+            [(1, bytearray(codecs.encode_ppm(px)), "image", None)],
+            multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.resize_images(df, width=2, height=2).collect()[0]
+        # nearest-neighbor over the real decoded plane: rows 0,2 × cols 0,2
+        assert list(out.pixels) == [0, 0, 200, 200]
 
     def test_frame_sampling(self, spark):
         base = spark.range(0, 30).withColumnRenamed("id", "doc_id")
