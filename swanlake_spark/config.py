@@ -19,6 +19,55 @@ def _default_cpus() -> int:
 
 
 @dataclass
+class ObjectStoreConfig:
+    """Object-store (S3 / Cloudflare R2 / MinIO) data path via Hadoop's
+    ``s3a://`` connector — the deployment the reference benches with
+    DuckLake-on-S3/R2 (``/root/reference/BENCHMARK.md:43-44``,
+    ``performance.yml:153-183``). Attach a warehouse or point table
+    LOCATIONs at ``s3a://bucket/path`` and every executor streams
+    directly from the store (no driver data path). Requires the
+    ``hadoop-aws`` jars on the cluster classpath (standard on managed
+    Spark; not present in this test sandbox, so this is config surface
+    only — exercised by unit tests, not a live store)."""
+
+    endpoint: str | None = None  # e.g. https://<account>.r2.cloudflarestorage.com
+    region: str | None = None
+    access_key: str | None = None
+    secret_key: str | None = None
+    # R2/MinIO need path-style; AWS S3 works either way
+    path_style_access: bool = True
+    # S3A committer: "magic" commits task output without the
+    # rename-based O(data) commit that object stores can't do atomically
+    committer: str = "magic"
+    connection_maximum: int = 96
+
+    def spark_confs(self) -> dict[str, str]:
+        confs = {
+            "spark.hadoop.fs.s3a.connection.maximum": str(self.connection_maximum),
+            "spark.hadoop.fs.s3a.fast.upload": "true",
+            "spark.hadoop.fs.s3a.path.style.access": (
+                "true" if self.path_style_access else "false"
+            ),
+            "spark.hadoop.fs.s3a.committer.name": self.committer,
+            "spark.sql.sources.commitProtocolClass": (
+                "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+            ),
+            "spark.sql.parquet.output.committer.class": (
+                "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+            ),
+        }
+        if self.endpoint:
+            confs["spark.hadoop.fs.s3a.endpoint"] = self.endpoint
+        if self.region:
+            confs["spark.hadoop.fs.s3a.endpoint.region"] = self.region
+        if self.access_key and self.secret_key:
+            confs["spark.hadoop.fs.s3a.access.key"] = self.access_key
+            confs["spark.hadoop.fs.s3a.secret.key"] = self.secret_key
+        # else: default AWS credential provider chain (env/IAM role)
+        return confs
+
+
+@dataclass
 class EngineConfig:
     app_name: str = "swanlake-spark"
     master: str | None = None  # default: local[cpus]
@@ -47,6 +96,8 @@ class EngineConfig:
     broadcast_threshold_bytes: int = 64 * 1024 * 1024
     max_partition_bytes: int = 128 * 1024 * 1024
     warehouse_dir: str | None = None
+    # Optional s3a object-store data path (see ObjectStoreConfig).
+    object_store: "ObjectStoreConfig | None" = None
     session_timezone: str = "UTC"
     # ANSI mode matches DuckDB's error-on-overflow semantics
     # (SURVEY.md §7.4 risk #3).
@@ -80,4 +131,6 @@ class EngineConfig:
             confs["spark.driver.memory"] = self.driver_memory
         if self.warehouse_dir:
             confs["spark.sql.warehouse.dir"] = self.warehouse_dir
+        if self.object_store:
+            confs.update(self.object_store.spark_confs())
         return confs

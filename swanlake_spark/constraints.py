@@ -141,28 +141,59 @@ def check_insert_sql(spark: SparkSession, insert_sql: str) -> None:
     check_insert_batch(spark, table, src_df, check_existing=not overwrite)
 
 
+def bounded_existing_probe(
+    spark: SparkSession, table: str, keys: list[str], stats
+) -> DataFrame:
+    """Key-column scan of ``table`` restricted to the batch's key range.
+
+    The ``k BETWEEN min AND max`` predicates push into the Parquet scan
+    (row-group/page skipping on column min/max statistics), so at 100 TB
+    an appender batch probes only the row groups its key range can
+    touch instead of scanning the whole table. Falls back to the
+    unbounded scan if a bound is NULL (all-null key batch)."""
+    existing = spark.table(table).select(*keys)
+    cond = None
+    for c in keys:
+        lo, hi = stats[f"_min_{c}"], stats[f"_max_{c}"]
+        if lo is None or hi is None:
+            return existing
+        rng = (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+        cond = rng if cond is None else cond & rng
+    return existing.filter(cond) if cond is not None else existing
+
+
 def check_insert_batch(
     spark: SparkSession, table: str, new_rows: DataFrame, check_existing: bool = True
 ) -> None:
     """Raise InvalidArgument if inserting ``new_rows`` would violate the
     table's primary key (collision with existing rows or duplicates
-    within the batch)."""
+    within the batch).
+
+    One aggregation computes the internal-duplicate check (distinct key
+    count vs row count) AND the per-column key min/max in a single
+    driver action; the existing-table probe is then bounded to the
+    batch's key range (see :func:`bounded_existing_probe`)."""
     cols = pk_columns(table)
     if not cols:
         return
     keys = [c for c in cols]
     batch_keys = new_rows.select(*keys)
-    internal = (
-        batch_keys.groupBy(*keys).agg(F.count("*").alias("n")).filter("n > 1").limit(1).collect()
-    )
-    if internal:
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.struct(*[F.col(c) for c in keys])).alias("_nd"),
+    ]
+    for c in keys:
+        aggs.append(F.min(c).alias(f"_min_{c}"))
+        aggs.append(F.max(c).alias(f"_max_{c}"))
+    stats = batch_keys.agg(*aggs).collect()[0]
+    if stats["_nd"] < stats["_n"]:
         raise InvalidArgument(
             f"duplicate key in INSERT batch violates PRIMARY KEY ({', '.join(cols)}) "
             f"of {table}"
         )
-    if not check_existing:
+    if not check_existing or stats["_n"] == 0:
         return
-    existing = spark.table(table).select(*keys)
+    existing = bounded_existing_probe(spark, table, keys, stats)
     clash = batch_keys.join(existing, keys, "left_semi").limit(1).collect()
     if clash:
         raise InvalidArgument(

@@ -34,6 +34,10 @@ class QuerySpec:
     name: str
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → rows-only check
+    # Sketch queries (approx_count_distinct) have no exact oracle, but
+    # SURVEY §2.5 declares a ±tolerance check vs the exact answer:
+    approx_sql: str | None = None  # exact-answer DuckDB SQL
+    rel_tol: float = 0.0  # allowed relative error vs approx_sql
 
 
 ORACLE_QUERIES: dict[str, QuerySpec] = {}
@@ -352,8 +356,15 @@ def _q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sketches differ across engines → rows-only check (SURVEY §2.5 Q23*).
-_add("q23_approx_count_distinct", _q23, None)
+# Sketches differ across engines → no hash oracle (SURVEY §2.5 Q23*),
+# but the declared ±5% tolerance check runs against the exact count.
+ORACLE_QUERIES["q23_approx_count_distinct"] = QuerySpec(
+    "q23_approx_count_distinct",
+    _q23,
+    None,
+    approx_sql="SELECT count(DISTINCT l_partkey) AS apx FROM lineitem",
+    rel_tol=0.05,
+)
 
 sql_pair(
     "q24_window_rank",

@@ -25,6 +25,19 @@ def test_oracle_query(name, spark, sf_dir):
     spec = SPECS[name]
     sdf = spec.build(spark, sf_dir).toPandas()
     if spec.oracle is None:
+        if getattr(spec, "approx_sql", None):
+            # SURVEY §2.5: sketch answer must land within rel_tol of exact
+            con = duck_connect(sf_dir)
+            try:
+                exact = con.execute(spec.approx_sql).fetchone()[0]
+            finally:
+                con.close()
+            approx = float(sdf.iloc[0, 0])
+            rel = abs(approx - float(exact)) / max(float(exact), 1.0)
+            assert rel <= spec.rel_tol, (
+                f"{name}: approx {approx} vs exact {exact} rel err {rel:.4f}"
+            )
+            return
         # rows-only check (non-SQL-expressible sketches); just verify the
         # query executes and is deterministic across two runs
         again = spec.build(spark, sf_dir).toPandas()

@@ -76,3 +76,46 @@ class TestPlanQuality:
         assert "TakeOrderedAndProject" in plan, (
             "ORDER BY + LIMIT must plan as top-K, not global sort"
         )
+
+
+class TestPKProbePruning:
+    def test_pk_probe_scan_is_key_range_bounded(self, engine):
+        """The PK existence probe must push the batch key range into the
+        parquet scan (row-group pruning) instead of scanning the table."""
+        import tempfile
+        import uuid
+
+        from swanlake_spark import constraints
+
+        t = f"pkp_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_pkp_")
+        engine.execute(
+            f"CREATE TABLE {t} (id INT PRIMARY KEY, v STRING) USING parquet LOCATION '{loc}'"
+        )
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a'), (50, 'b'), (900, 'c')")
+        stats = {"_min_id": 40, "_max_id": 60}
+        probe = constraints.bounded_existing_probe(engine.spark, t, ["id"], stats)
+        plan = _formatted_plan(probe)
+        assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(id,40\)", plan), plan
+        assert re.search(r"LessThanOrEqual\(id,60\)", plan), plan
+
+    def test_pk_checks_still_enforced(self, engine):
+        import tempfile
+        import uuid
+
+        import pytest
+
+        from swanlake_spark.errors import InvalidArgument
+
+        t = f"pkp_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_pkp_")
+        engine.execute(
+            f"CREATE TABLE {t} (id INT PRIMARY KEY, v STRING) USING parquet LOCATION '{loc}'"
+        )
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a'), (2, 'b')")
+        with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+            engine.execute(f"INSERT INTO {t} VALUES (2, 'dup')")
+        with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+            engine.execute(f"INSERT INTO {t} VALUES (7, 'x'), (7, 'y')")
+        engine.execute(f"INSERT INTO {t} VALUES (3, 'c')")
+        assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 3

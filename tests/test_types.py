@@ -71,3 +71,30 @@ def test_ddl_translation():
     assert "TIMESTAMP_NTZ" in out
     assert "UUID" not in out
     assert "JSON" not in out
+
+
+class TestObjectStoreConfig:
+    def test_s3a_confs_generated(self):
+        from swanlake_spark.config import EngineConfig, ObjectStoreConfig
+
+        cfg = EngineConfig(
+            object_store=ObjectStoreConfig(
+                endpoint="https://acc.r2.cloudflarestorage.com",
+                region="auto",
+                access_key="AK",
+                secret_key="SK",
+            )
+        )
+        confs = cfg.spark_confs()
+        assert confs["spark.hadoop.fs.s3a.endpoint"] == "https://acc.r2.cloudflarestorage.com"
+        assert confs["spark.hadoop.fs.s3a.access.key"] == "AK"
+        assert confs["spark.hadoop.fs.s3a.path.style.access"] == "true"
+        assert confs["spark.hadoop.fs.s3a.committer.name"] == "magic"
+
+    def test_credential_chain_default(self):
+        from swanlake_spark.config import EngineConfig, ObjectStoreConfig
+
+        confs = EngineConfig(object_store=ObjectStoreConfig()).spark_confs()
+        # no static keys → default provider chain (env vars / IAM role)
+        assert "spark.hadoop.fs.s3a.access.key" not in confs
+        assert confs["spark.hadoop.fs.s3a.fast.upload"] == "true"

@@ -105,6 +105,24 @@ def main() -> int:
             print(f"FAIL {name}: spark error {str(e)[:200]}")
             continue
         if spec.oracle is None:
+            if getattr(spec, "approx_sql", None):
+                # tolerance gate: sketch answer within rel_tol of exact
+                con = duck_connect(sf_dir)
+                exact = con.execute(spec.approx_sql).fetchone()[0]
+                con.close()
+                approx = sdf.iloc[0, 0]
+                rel = abs(float(approx) - float(exact)) / max(float(exact), 1.0)
+                if rel <= spec.rel_tol:
+                    passed.append(name)
+                    print(
+                        f"PASS {name} (approx {approx} vs exact {exact}, "
+                        f"rel err {rel:.4f} <= {spec.rel_tol})"
+                    )
+                else:
+                    failed.append((name, f"rel err {rel:.4f} > {spec.rel_tol} "
+                                         f"(approx {approx}, exact {exact})"))
+                    print(f"FAIL {name}: rel err {rel:.4f} > {spec.rel_tol}")
+                continue
             skipped.append(name)
             print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
             continue
