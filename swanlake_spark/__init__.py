@@ -19,7 +19,7 @@ decides HOW.
 """
 
 from swanlake_spark.client import Client, ClientPool, PoolConfig, UpdateResult
-from swanlake_spark.config import EngineConfig
+from swanlake_spark.config import EngineConfig, ObjectStoreConfig
 from swanlake_spark.engine import Engine, QueryResult
 from swanlake_spark.errors import (
     EngineError,
@@ -29,12 +29,14 @@ from swanlake_spark.errors import (
     ResourceExhausted,
 )
 from swanlake_spark.session import Session, SessionRegistry
+from swanlake_spark.wire import WireClient, start_wire_server
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Engine",
     "EngineConfig",
+    "ObjectStoreConfig",
     "QueryResult",
     "Client",
     "ClientPool",
@@ -42,6 +44,8 @@ __all__ = [
     "UpdateResult",
     "Session",
     "SessionRegistry",
+    "WireClient",
+    "start_wire_server",
     "EngineError",
     "InvalidArgument",
     "FailedPrecondition",
