@@ -336,3 +336,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") > threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal, keep-lowest-id
+    representative: a row is dropped iff some lower-id row's embedding
+    has cosine ≥ threshold with it.
+
+    Scale path (default): LSH-bucketed candidate pairs via
+    ``similarity.cosine_near_pairs`` — hyperplane-sign bucket equi-join,
+    exact cosine verify, no cross product; at 100 TB the only shuffle is
+    on the bucket key. ``exact=True`` computes all pairs (bounded inputs
+    only — the oracle-verification path)."""
+    from swanlake_spark.operators import similarity
+
+    if exact:
+        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        pairs = (
+            a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .withColumn(
+                "sim", F.round(similarity.cosine(F.col("va"), F.col("vb")), 4)
+            )
+            .filter(F.col("sim") >= threshold)
+            .select("b")
+        )
+    else:
+        pairs = similarity.cosine_near_pairs(
+            df, threshold, id_col, vec_col, planes, dim
+        ).select("b")
+    dups = pairs.distinct()
+    return df.join(dups, df[id_col] == dups["b"], "left_anti")

@@ -306,6 +306,34 @@ _add(
 )
 
 
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup keep-set on the bounded slice (exact
+    pair generation so the DuckDB oracle can reproduce it; the unbounded
+    scale path is dedup.embedding_dedup's LSH candidate join)."""
+    df = _embs(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    kept = dedup.embedding_dedup(df, threshold=0.45, exact=True)
+    return df.agg(F.count("*").alias("n_total")).crossJoin(
+        kept.agg(F.count("*").alias("n_kept"))
+    )
+
+
+_add(
+    "pipe_dedup_embedding",
+    _dedup_embedding,
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < 1000),
+    dups AS (SELECT DISTINCT y.vec_id AS b
+             FROM e x JOIN e y ON x.vec_id < y.vec_id
+             WHERE round(list_dot_product(x.v, y.v)
+                         / (sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.45)
+    SELECT (SELECT count(*) FROM e) AS n_total,
+           (SELECT count(*) FROM e) - (SELECT count(*) FROM dups) AS n_kept
+    """,
+)
+
+
 def _cos_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _embs(spark, sf_dir)
     qrow = df.filter(F.col("vec_id") == 0).select("embedding").collect()

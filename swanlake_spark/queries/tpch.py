@@ -372,6 +372,12 @@ _tpch(
 # are non-null (s_suppkey is the supplier PK; the explicit
 # `l_suppkey IS NOT NULL` reproduces NOT IN's null-drop on the probe
 # side). DuckDB oracle keeps the NOT IN form as cross-check.
+# Deliberately NOT rewritten as size(collect_set(...)): that shaves
+# another ~0.13 s at sf0.1 but materializes per-group supplier sets in
+# executor memory — a scale hazard at 100 TB that count(DISTINCT)'s
+# expand-based two-phase aggregation avoids. The residual ~2-3× on this
+# sub-second query is Spark's multi-stage floor, which amortizes at
+# scale.
 _tpch(
     16,
     """
