@@ -27,13 +27,25 @@ from pyspark.sql import functions as F
 
 from swanlake_spark.operators.text import tokens
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the source has
-    fewer partitions (e.g. one small Parquet file): shingling + explode
-    is CPU-bound and would otherwise run on a single core. No-op on wide
-    inputs (a 100-TB scan already has more partitions than cores)."""
+def _spread(df: DataFrame, force: bool = False) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the source reads
+    fewer input files than there are cores (e.g. one small Parquet
+    file): shingling + explode is CPU-bound and would otherwise run on a
+    single core. No-op on wide inputs (a 100-TB scan already has more
+    files than cores).
+
+    Probing ``df.rdd.getNumPartitions()`` would force RDD lineage
+    materialization on every call; ``inputFiles()`` is a driver-side
+    metadata lookup. ``force=True`` repartitions unconditionally (for
+    non-file sources that still need spreading)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if force:
+        return df.repartition(target)
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
