@@ -57,8 +57,24 @@ def main() -> None:
         ("dedup_minhash_lsh", "pipe_dedup_minhash_lsh"),
         ("text_quality", "pipe_text_quality"),
         ("sim_cosine_topk", "pipe_sim_cosine_topk"),
+        ("multimodal_decode", "pipe_multimodal_decode"),
     ]:
         suite[key] = PIPELINE_QUERIES[pname]
+
+    # Embedding near-dup: bench the LSH-bucketed SCALE path over the full
+    # embeddings table (the oracle entry pipe_dedup_embedding is the
+    # bounded exact-all-pairs correctness demo — quadratic by design).
+    class _EmbDedupLsh:
+        @staticmethod
+        def build(spark, sf_dir):
+            from swanlake_spark.operators import dedup
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            kept = dedup.embedding_dedup(spark.table("embeddings"), threshold=0.45)
+            return kept.groupBy().count()
+
+    suite["dedup_embedding_lsh"] = _EmbDedupLsh
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 

@@ -121,21 +121,14 @@ def strftime_to_date_format(fmt: str) -> str:
     return out
 
 
-_SLICE_CALL = re.compile(r"\b(?:array_slice|list_slice)\s*\(", re.IGNORECASE)
-
-
-def _transform_slices(sql: str) -> str:
-    """DuckDB ``array_slice(x, begin, end)`` (inclusive end, 1-based,
-    negatives count from the back) → Spark ``slice(x, begin, length)``.
-
-    length = end - begin + 1, with a negative ``end`` converted to its
-    positive index via ``size(x)`` when ``begin`` is positive, and
-    clamped to ≥ 0 (DuckDB returns [] for end < begin; Spark errors on
-    negative length). Four-argument (step) form is left untouched."""
+def _transform_calls(sql: str, pattern: re.Pattern, n_args: int, build) -> str:
+    """Rewrite ``name(a1, ..., aN)`` call sites (paren-balanced argument
+    split, literal-aware) via ``build(args) -> replacement``; calls with
+    a different arity are left untouched."""
     for _ in range(10):  # re-scan to catch nested calls in rewritten text
         spans = _mask_spans(sql)
         edits = []
-        for m in _SLICE_CALL.finditer(sql):
+        for m in pattern.finditer(sql):
             if _in_span(m.start(), spans):
                 continue
             if any(s < m.start() < e for s, e, _ in edits):
@@ -157,14 +150,10 @@ def _transform_slices(sql: str) -> str:
                     args.append(sql[start:i])
                     start = i + 1
                 i += 1
-            if depth == 0 and len(args) == 3:
-                x, b, e = (a.strip() for a in args)
-                repl = (
-                    f"slice({x}, ({b}), greatest(0, "
-                    f"(CASE WHEN ({e}) < 0 AND ({b}) > 0 "
-                    f"THEN size({x}) + ({e}) + 1 ELSE ({e}) END) - ({b}) + 1))"
-                )
-                edits.append((m.start(), i + 1, repl))
+            if depth == 0 and len(args) == n_args:
+                repl = build([a.strip() for a in args])
+                if repl != sql[m.start() : i + 1]:
+                    edits.append((m.start(), i + 1, repl))
         if not edits:
             return sql
         for s, e, r in reversed(edits):
@@ -172,9 +161,49 @@ def _transform_slices(sql: str) -> str:
     return sql
 
 
+_SLICE_CALL = re.compile(r"\b(?:array_slice|list_slice)\s*\(", re.IGNORECASE)
+_STRING_AGG_CALL = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+
+
+def _transform_slices(sql: str) -> str:
+    """DuckDB ``array_slice(x, begin, end)`` (inclusive end, 1-based,
+    negatives count from the back) → Spark ``slice(x, begin, length)``.
+
+    length = end - begin + 1, with a negative ``end`` converted to its
+    positive index via ``size(x)`` when ``begin`` is positive, and
+    clamped to ≥ 0 (DuckDB returns [] for end < begin; Spark errors on
+    negative length). Four-argument (step) form is left untouched."""
+
+    def build(args):
+        x, b, e = args
+        return (
+            f"slice({x}, ({b}), greatest(0, "
+            f"(CASE WHEN ({e}) < 0 AND ({b}) > 0 "
+            f"THEN size({x}) + ({e}) + 1 ELSE ({e}) END) - ({b}) + 1))"
+        )
+
+    return _transform_calls(sql, _SLICE_CALL, 3, build)
+
+
+def _transform_string_agg(sql: str) -> str:
+    """DuckDB ``string_agg(x, sep)`` → ``array_join(collect_list(x),
+    sep)``. Both sides are non-deterministic in element order without an
+    ORDER BY, so the rewrite preserves the (absence of an) ordering
+    contract; ``string_agg(x ORDER BY ...)`` forms are left untouched."""
+
+    def build(args):
+        x, sep = args
+        if re.search(r"\bORDER\s+BY\b", x, re.IGNORECASE):
+            return f"string_agg({x}, {sep})"  # leave as-is (unsupported)
+        return f"array_join(collect_list({x}), {sep})"
+
+    return _transform_calls(sql, _STRING_AGG_CALL, 2, build)
+
+
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
     sql = _transform_slices(sql)
+    sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)
 
     # 1) plain name-for-name call-site rewrites

@@ -53,10 +53,18 @@ def cosine_topk(
     (sim DESC, id). Catalyst executes this as a single scan +
     TakeOrderedAndProject — no shuffle of the full table, only the
     per-partition top-k rows move."""
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # The query norm is a constant: computing it driver-side (same
+    # left-to-right double summation as the JVM aggregate → identical
+    # bits) saves one interpreted higher-order aggregate per ROW.
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 4).alias("sim"),
+        F.round(
+            dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn)), 4
+        ).alias("sim"),
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
 
@@ -215,25 +223,34 @@ def cosine_near_pairs(
     verified exactly. Equi-join on the bucket key → shuffle-hash join,
     no cross product."""
     hp = _hyperplanes(dim, planes)
+    # Norm precomputed once per vector (before the bucket join) rather
+    # than re-derived per candidate pair — 1 interpreted aggregate per
+    # pair instead of 3, identical bits (sqrt∘dot computed once).
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
+        norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), hp).alias("_bucket"),
     )
     a = bucketed.select(
         F.col("_bucket"),
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
     )
     b = bucketed.select(
         F.col("_bucket"),
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
     )
     return (
         a.join(b, "_bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
         .distinct()

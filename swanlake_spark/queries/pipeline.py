@@ -309,11 +309,45 @@ _add(
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup keep-set on the bounded slice (exact
     pair generation so the DuckDB oracle can reproduce it; the unbounded
-    scale path is dedup.embedding_dedup's LSH candidate join)."""
+    scale path is dedup.embedding_dedup's LSH candidate join).
+
+    Computed as n_total - count(distinct dup-ids) so the all-pairs
+    cosine (interpreted higher-order functions — the expensive part) is
+    evaluated exactly once per action instead of re-derived through an
+    anti join."""
     df = _embs(spark, sf_dir).filter(F.col("vec_id") < 1000)
-    kept = dedup.embedding_dedup(df, threshold=0.45, exact=True)
-    return df.agg(F.count("*").alias("n_total")).crossJoin(
-        kept.agg(F.count("*").alias("n_kept"))
+    total = df.count()  # bounded slice; trivial scan
+    # Norms are precomputed per vector BEFORE the crossJoin: cosine()
+    # inline would re-derive both norms per PAIR — 3 interpreted
+    # higher-order aggregates instead of 1. Same bits (sqrt∘dot is
+    # computed identically, just once), ~3× less work.
+    a = df.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        similarity.norm(F.col("embedding")).alias("na"),
+    )
+    b = df.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        similarity.norm(F.col("embedding")).alias("nb"),
+    )
+    dups = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "sim",
+            F.round(
+                similarity.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("sim") >= 0.45)
+        .agg(F.count_distinct("b").alias("nd"))
+    )
+    return dups.select(
+        F.lit(total).cast("long").alias("n_total"),
+        (F.lit(total) - F.col("nd")).cast("long").alias("n_kept"),
     )
 
 

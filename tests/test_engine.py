@@ -692,3 +692,18 @@ class TestCreateOrReplaceSafety:
         )
         rows = engine.query(f"SELECT id, name FROM {t}").collect()
         assert [(r.id, r.name) for r in rows] == [(99, "z")]
+
+
+class TestDialectStringAgg:
+    def test_string_agg_two_arg(self, engine):
+        r = engine.query(
+            "SELECT string_agg(x, ',') AS s FROM (SELECT 'a' AS x UNION ALL SELECT 'b') t",
+            dialect="duckdb",
+        ).collect()[0]
+        assert sorted(r.s.split(",")) == ["a", "b"]
+
+    def test_string_agg_inside_literal_untouched(self, engine):
+        r = engine.query(
+            "SELECT 'string_agg(a, b)' AS s", dialect="duckdb"
+        ).collect()[0]
+        assert r.s == "string_agg(a, b)"
