@@ -152,3 +152,36 @@ class TestPoolRetrySemantics:
             pool.query("SELECT * FROM definitely_missing_table_xyz")
         # exactly one acquire — no second attempt on a healthy connection
         assert len(calls) == 1
+
+
+class TestConcurrentSessions:
+    """Reference scenario concurrent_sessions.rs:9-30 — parallel
+    connection creation + queries must not race in the registry/pool."""
+
+    def test_parallel_session_creation_and_query(self, engine):
+        import concurrent.futures
+
+        from swanlake_spark.client import Client
+
+        def worker(i):
+            c = Client.connect(engine)
+            assert c.query("SELECT 1 AS x").collect()[0].x == 1
+            c.close()
+            return i
+
+        with concurrent.futures.ThreadPoolExecutor(10) as ex:
+            assert sorted(ex.map(worker, range(10))) == list(range(10))
+
+    def test_pool_under_contention(self, engine):
+        import concurrent.futures
+
+        from swanlake_spark.client import ClientPool, PoolConfig
+
+        pool = ClientPool(engine, PoolConfig(min_idle=1, max_size=4))
+
+        def worker(i):
+            return pool.query(f"SELECT {i} AS x").collect()[0].x
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            assert sorted(ex.map(worker, range(16))) == list(range(16))
+        assert pool.stats["total"] <= 4

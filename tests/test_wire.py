@@ -63,3 +63,15 @@ class TestWire:
         c = WireClient(wire)
         c.query("SELECT 1 AS x")
         c.close()  # no error; registry entry dropped
+
+
+class TestWireConcurrency:
+    def test_parallel_wire_clients(self, wire):
+        import concurrent.futures
+
+        def worker(i):
+            tbl = WireClient(wire).query(f"SELECT {i} AS x")
+            return tbl.column("x")[0].as_py()
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            assert sorted(ex.map(worker, range(12))) == list(range(12))
