@@ -73,6 +73,66 @@ def align_to_schema(
     return df.select(*out)
 
 
+def normalize_arrow_for_spark(
+    tbl: pa.Table, target: T.StructType | None = None
+) -> pa.Table:
+    """Convert Arrow column types Spark's Arrow conversion rejects into
+    supported equivalents, so the appender accepts the full parameter
+    surface the reference's does (``scenarios/parameter_types.rs`` —
+    date32/date64, all four time units, intervals, all four timestamp
+    units):
+
+    - date64 → date32
+    - time32[s/ms] / time64[ns] → time64[us]; → int64 micros-since-
+      midnight when the target table column is BIGINT (the engine's TIME
+      mapping, SURVEY §1.2)
+    - month-day-nano interval → duration[us] (month component must be 0:
+      Spark's day-time interval has no month field)
+    - duration[s/ms/ns] → duration[us]
+    """
+    by_lower = (
+        {f.name.lower(): f for f in target.fields} if target is not None else {}
+    )
+    out_cols, changed = [], False
+    for i, field in enumerate(tbl.schema):
+        col = tbl.column(i)
+        t = field.type
+        tf = by_lower.get(field.name.lower())
+        want_long = tf is not None and isinstance(tf.dataType, T.LongType)
+        if pa.types.is_date64(t):
+            col, changed = col.cast(pa.date32()), True
+        elif pa.types.is_time32(t) or pa.types.is_time64(t):
+            if not (pa.types.is_time64(t) and t.unit == "us"):
+                col = col.cast(pa.time64("us"))
+                changed = True
+            if want_long:
+                col = col.cast(pa.int64())
+                changed = True
+        elif pa.types.is_interval(t):
+            vals = []
+            for v in col.to_pylist():
+                if v is None:
+                    vals.append(None)
+                    continue
+                if getattr(v, "months", 0):
+                    raise InvalidArgument(
+                        "month-day-nano interval with a month component "
+                        "cannot map to Spark's day-time interval; bind an "
+                        "INTERVAL YEAR TO MONTH column instead"
+                    )
+                vals.append(
+                    v.days * 86_400_000_000 + v.nanoseconds // 1_000
+                )
+            col = pa.chunked_array([pa.array(vals, pa.duration("us"))])
+            changed = True
+        elif pa.types.is_duration(t) and t.unit != "us":
+            col, changed = col.cast(pa.duration("us")), True
+        out_cols.append(col)
+    if not changed:
+        return tbl
+    return pa.table(dict(zip(tbl.column_names, out_cols)))
+
+
 def reshape_positional_batch(table: pa.Table, columns_per_row: int) -> pa.Table:
     """Detect the Go-ADBC positional layout — field names ``"1","2",...``,
     a single row per batch, N = rows×cols values spread across N columns
@@ -116,6 +176,7 @@ def insert_arrow(
     else:
         tbl = batches
     target = spark.table(table).schema
+    tbl = normalize_arrow_for_spark(tbl, target)
     df = spark.createDataFrame(tbl)
     aligned = align_to_schema(df, target, insert_columns)
     # PK enforcement applies on every write path in the reference (DuckDB
