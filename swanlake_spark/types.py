@@ -7,7 +7,9 @@ SURVEY.md §1.2. Notable deliberate divergences (documented there):
 
 - UBIGINT → Decimal(20,0)  (no unsigned 64-bit in Spark; max value
   18446744073709551615 overflows LongType)
-- TIME → LongType micros-since-midnight (Spark has no TIME type)
+- TIME → LongType micros-since-midnight (Spark 4.1's TimeType exists
+  but parquet storage rejects it — UNSUPPORTED_TIME_TYPE — so a typed
+  TIME column can't back a warehouse table)
 - UUID → StringType (canonical text form)
 - DECIMAL(p>38) → rejected (Spark max precision 38; reference allows 76)
 - MAP/STRUCT → supported here even though the reference rejects them
@@ -44,7 +46,8 @@ _reg("BOOLEAN|BOOL|LOGICAL", T.BooleanType())
 _reg("DOUBLE|FLOAT8", T.DoubleType())
 _reg("FLOAT|FLOAT4|REAL", T.FloatType())
 _reg("DATE", T.DateType())
-_reg("TIME", T.LongType())  # micros since midnight (SURVEY §1.2)
+_reg("TIME", T.LongType())  # micros since midnight (SURVEY §1.2; Spark
+# 4.1 TimeType can't be stored in parquet — see module docstring)
 _reg("TIMESTAMP|DATETIME", T.TimestampNTZType())
 _reg("TIMESTAMPTZ|TIMESTAMP WITH TIME ZONE", T.TimestampType())
 _reg("BLOB|BYTEA|BINARY|VARBINARY", T.BinaryType())

@@ -119,3 +119,58 @@ class TestPKProbePruning:
             engine.execute(f"INSERT INTO {t} VALUES (7, 'x'), (7, 'y')")
         engine.execute(f"INSERT INTO {t} VALUES (3, 'c')")
         assert engine.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 3
+
+
+class TestPartitionPruning:
+    def test_partition_filter_prunes_scan(self, engine):
+        """Hive-style partitioned table + partition-key filter must show
+        PartitionFilters in the scan and read only matching partitions —
+        the mechanism that turns a 100 TB table into a one-day scan."""
+        import tempfile
+        import uuid
+
+        t = f"part_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_part_")
+        engine.execute(
+            f"CREATE TABLE {t} (v DOUBLE, day STRING) USING parquet "
+            f"PARTITIONED BY (day) LOCATION '{loc}'"
+        )
+        engine.execute(
+            f"INSERT INTO {t} VALUES (1.0, '2026-01-01'), (2.0, '2026-01-02'), "
+            f"(3.0, '2026-01-03')"
+        )
+        df = engine.query(f"SELECT v FROM {t} WHERE day = '2026-01-02'").df
+        plan = _formatted_plan(df)
+        assert re.search(r"PartitionFilters: \[[^\]]*day", plan), plan
+        # only the matching partition's file is read
+        assert len(df.inputFiles()) == 1, df.inputFiles()
+        assert [r.v for r in df.collect()] == [2.0]
+
+    def test_dynamic_partition_overwrite_dml(self, engine):
+        """UPDATE restricted to a partition-key predicate rewrites only
+        that partition (operators/dml.py dynamic overwrite path)."""
+        import os
+        import tempfile
+        import uuid
+        from urllib.parse import urlparse
+
+        t = f"part_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_part_")
+        engine.execute(
+            f"CREATE TABLE {t} (v DOUBLE, day STRING) USING parquet "
+            f"PARTITIONED BY (day) LOCATION '{loc}'"
+        )
+        engine.execute(
+            f"INSERT INTO {t} VALUES (1.0, '2026-01-01'), (2.0, '2026-01-02')"
+        )
+        from swanlake_spark.operators import dml
+
+        table_loc = urlparse(dml._table_location(engine.spark, t)).path or loc
+        other = os.path.join(table_loc, "day=2026-01-01")
+        before = sorted(os.listdir(other))
+        n = engine.execute_update(f"UPDATE {t} SET v = 9.0 WHERE day = '2026-01-02'")
+        assert n == 1
+        # untouched partition's files unchanged
+        assert sorted(os.listdir(other)) == before
+        rows = {r.day: r.v for r in engine.query(f"SELECT v, day FROM {t}").collect()}
+        assert rows == {"2026-01-01": 1.0, "2026-01-02": 9.0}
