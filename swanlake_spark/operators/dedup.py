@@ -117,6 +117,67 @@ def minhash_signature(
     )
 
 
+def minhash_signature_rowlocal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(id, sig) computed ROW-LOCALLY — ``sig[s] = array_min(transform(
+    shingles, g → xxhash64(g, s)))`` — no explode, no groupBy, no
+    shuffle. Identical values to :func:`minhash_signature`; this form has
+    no aggregation state, so it is usable inside Structured Streaming
+    (per-row narrow transform) and anywhere a shuffle-free signature is
+    worth the interpreted higher-order-function cost."""
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
+    )
+
+    # NB: a two-parameter lambda would be treated by F.transform as
+    # (element, index) — the seed must be captured in a closure, not a
+    # default argument.
+    def _hash_with(seed: int):
+        return lambda g: F.xxhash64(g, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sh"), _hash_with(seed)))
+            for seed in range(num_hashes)
+        ]
+    )
+    return sh.select(F.col(id_col), sig.alias("sig"))
+
+
+def band_hashes(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, bh): one LSH band hash per row per band — the
+    row-local banding step shared by the batch candidate join and the
+    streaming near-dup filter."""
+    rows = F.size(F.col("sig")) / bands
+    return sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                (b * rows + 1).cast("int"),
+                                rows.cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    ),
+                    b,
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+
+
 def _bucket_pairs(
     banded: DataFrame, payload: list[str], max_bucket: int
 ) -> DataFrame:
@@ -165,33 +226,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(a, b) candidate pairs whose signatures collide in ≥1 LSH band.
 
-    Banding is row-local (posexplode of per-band hashes); pair
-    generation is the skew-safe bucket plan in :func:`_bucket_pairs` —
-    no O(n²) cross product, no unbounded bucket state.
+    Banding is row-local (:func:`band_hashes`); pair generation is the
+    skew-safe bucket plan in :func:`_bucket_pairs` — no O(n²) cross
+    product, no unbounded bucket state.
     """
-    rows = F.size(F.col("sig")) / bands
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                (b * rows + 1).cast("int"),
-                                rows.cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
-                    ),
-                    b,
-                ),
-            )
-        ).alias("band", "bh"),
-    )
+    banded = band_hashes(sig_df, id_col, bands)
     pairs = _bucket_pairs(banded, [id_col], max_bucket)
     return (
         pairs.select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))

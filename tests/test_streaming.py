@@ -166,3 +166,69 @@ def test_sessionize_stateful(spark):
     assert s2.n_events == 1 and s2.sum_value == 5.0
     # user 3's session is still open (watermark never passed its gap)
     assert 3 not in rows
+
+
+class TestStreamingNearDup:
+    """Stream-static LSH near-dup: incoming docs checked against a
+    historical band index (streaming/dedup.py)."""
+
+    def _docs_dir(self, tmp_path, docs):
+        import json
+        import os
+
+        d = tmp_path / "docs_in"
+        os.makedirs(d, exist_ok=True)
+        with open(d / "batch0.json", "w") as f:
+            for doc_id, text in docs:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        return str(d)
+
+    def test_incoming_near_dup_flagged(self, spark, tmp_path):
+        from swanlake_spark.streaming import dedup as sdedup
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter"
+        )
+        hist = spark.createDataFrame(
+            [(1, base), (2, "completely different text about spark engines "
+                            "processing massive distributed datasets with "
+                            "columnar formats and vectorized execution")],
+            ["doc_id", "text"],
+        )
+        index = sdedup.historical_band_index(hist)
+        # doc 100 = near-copy of hist 1 (one word changed); doc 101 = novel
+        incoming = [
+            (100, base.replace("green", "blue")),
+            (101, "entirely novel content with no overlap whatsoever in any "
+                  "shingle of length five across the whole document text here "
+                  "nothing matches anything stored before"),
+        ]
+        src = self._docs_dir(tmp_path, incoming)
+        stream = sdedup.stream_docs_from_directory(spark, src)
+        matches = sdedup.streaming_near_dup_matches(stream, index)
+        q = (
+            matches.writeStream.format("memory")
+            .queryName("near_dup_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT DISTINCT doc_id, hist_id FROM near_dup_out"
+        ).collect()
+        got = {(r.doc_id, r.hist_id) for r in rows}
+        assert (100, 1) in got, got
+        assert all(d != 101 for d, _ in got), got
+
+    def test_rowlocal_signature_matches_batch_signature(self, spark):
+        from swanlake_spark.operators import dedup
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (2, "one two three four five six seven eight nine ten eleven")],
+            ["doc_id", "text"],
+        )
+        a = {r.doc_id: r.sig for r in dedup.minhash_signature(df).collect()}
+        b = {r.doc_id: r.sig for r in dedup.minhash_signature_rowlocal(df).collect()}
+        assert a == b
