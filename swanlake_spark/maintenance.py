@@ -64,14 +64,29 @@ def table_location(spark: SparkSession, table: str) -> str | None:
     return None
 
 
-def _parquet_parts(location: str) -> list[str]:
-    if not location or not os.path.isdir(location):
+def _parquet_parts(spark: SparkSession, location: str) -> list[tuple[str, int]]:
+    """(path, size) of the table's data files, listed via the table's
+    own Hadoop FileSystem so any scheme (local/HDFS/s3a) works — not a
+    driver-local os.listdir. Non-recursive: a partitioned table's
+    per-partition files live in subdirectories, which this (flat-table)
+    compactor deliberately leaves alone."""
+    if not location:
         return []
-    return [
-        os.path.join(location, f)
-        for f in os.listdir(location)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    ]
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if (
+            st.isFile()
+            and name.endswith(".parquet")
+            and not name.startswith(("_", "."))
+        ):
+            out.append((st.getPath().toString(), int(st.getLen())))
+    return out
 
 
 def compact_table(
@@ -82,10 +97,14 @@ def compact_table(
 ) -> dict:
     """Rewrite a table's data files into ~target-sized files if it has
     accumulated more than ``min_files`` small parts. Returns a stats
-    dict (files before/after, bytes)."""
+    dict (files before/after, bytes). Staging lives beside the table on
+    its own FileSystem (cluster-safe, same discipline as the COW DML
+    path — a driver-local temp dir would be invisible to executors)."""
+    from swanlake_spark.operators.dml import _rm_path, staging_dir
+
     loc = table_location(spark, table)
-    parts = _parquet_parts(loc) if loc else []
-    total_bytes = sum(os.path.getsize(p) for p in parts)
+    parts = _parquet_parts(spark, loc) if loc else []
+    total_bytes = sum(size for _, size in parts)
     stats = {
         "table": table,
         "files_before": len(parts),
@@ -98,14 +117,15 @@ def compact_table(
     n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
     if n_files >= len(parts):
         return stats
-    import tempfile
-
-    staging = tempfile.mkdtemp(prefix="swl_compact_")
-    df = spark.table(table)
-    df.repartition(int(n_files)).write.parquet(staging, mode="overwrite")
-    spark.read.parquet(staging).write.insertInto(table, overwrite=True)
+    staging = staging_dir(spark, table)
+    try:
+        df = spark.table(table)
+        df.repartition(int(n_files)).write.parquet(staging, mode="overwrite")
+        spark.read.parquet(staging).write.insertInto(table, overwrite=True)
+    finally:
+        _rm_path(spark, staging)
     stats["compacted"] = True
-    stats["files_after"] = len(_parquet_parts(loc))
+    stats["files_after"] = len(_parquet_parts(spark, loc))
     return stats
 
 

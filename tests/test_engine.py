@@ -504,7 +504,7 @@ class TestCheckpoint:
             engine.execute(f"INSERT INTO {t} VALUES ({i}, 'r{i}')")
         from swanlake_spark.maintenance import _parquet_parts, table_location
 
-        before = len(_parquet_parts(table_location(engine.spark, t)))
+        before = len(_parquet_parts(engine.spark, table_location(engine.spark, t)))
         assert before >= 8
         rows = {r.table.split(".")[-1]: r for r in engine.query("CHECKPOINT").collect()}
         assert rows[t].compacted and rows[t].files_after < before
