@@ -271,14 +271,20 @@ def apply_update(
     (used directly for transaction staging).
 
     Simple predicates stay on the ``F.expr`` fast path (no shuffle);
-    subquery predicates (``WHERE k IN (SELECT ...)``) are rewritten as
-    ``(updated rows WHERE pred) UNION ALL (t EXCEPT ALL t WHERE pred)``
-    — EXCEPT ALL preserves duplicate-row multiplicity and treats NULL
-    keys as equal, matching DELETE/UPDATE row-selection semantics."""
-    if where_has_subquery(where):
+    subqueries — in the WHERE predicate (``WHERE k IN (SELECT ...)``) or
+    in a SET value (``SET col = (SELECT max(...) ...)``) — take the SQL
+    path: ``(updated rows WHERE pred) UNION ALL (t EXCEPT ALL t WHERE
+    pred)`` — EXCEPT ALL preserves duplicate-row multiplicity and treats
+    NULL keys as equal, matching DELETE/UPDATE row-selection
+    semantics."""
+    if where_has_subquery(where) or any(
+        where_has_subquery(v) for v in assignments.values()
+    ):
         spark, view = _as_view(df)
         ref = _view_ref(view, alias)
         sel = _update_select_list(df, assignments)
+        if where is None:
+            return spark.sql(f"SELECT {sel} FROM {ref}")
         updated = spark.sql(f"SELECT {sel} FROM {ref} WHERE {where}")
         kept = spark.sql(
             f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"

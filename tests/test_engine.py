@@ -707,3 +707,27 @@ class TestDialectStringAgg:
             "SELECT 'string_agg(a, b)' AS s", dialect="duckdb"
         ).collect()[0]
         assert r.s == "string_agg(a, b)"
+
+
+class TestUpdateSubquerySetValue:
+    def test_set_value_scalar_subquery(self, engine):
+        t = _mktable(engine)
+        t2 = _mktable(engine, cols="id INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        engine.execute(f"INSERT INTO {t2} VALUES (7), (9)")
+        n = engine.execute_update(
+            f"UPDATE {t} SET age = (SELECT max(id) FROM {t2}) WHERE id = 1"
+        )
+        assert n == 1
+        rows = engine.query(f"SELECT id, age FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.age) for r in rows] == [(1, 9), (2, 20)]
+
+    def test_set_value_subquery_no_where(self, engine):
+        t = _mktable(engine)
+        t2 = _mktable(engine, cols="id INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        engine.execute(f"INSERT INTO {t2} VALUES (5)")
+        n = engine.execute_update(f"UPDATE {t} SET age = (SELECT min(id) FROM {t2})")
+        assert n == 2
+        rows = engine.query(f"SELECT age FROM {t} ORDER BY id").collect()
+        assert [r.age for r in rows] == [5, 5]
