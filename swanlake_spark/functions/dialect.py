@@ -288,6 +288,10 @@ def transpile_duckdb(sql: str) -> str:
             i += 1
     out = "".join(chunks)
 
-    # 9) list/array 1-based bracket indexing arr[i] is shared; see the
-    #    UNMAPPED note above for len()/log()/string_agg.
+    # 9) UNMAPPED divergence: bracket indexing `arr[i]` is 1-based in
+    #    DuckDB but 0-based in Spark SQL — a textual rewrite can't
+    #    distinguish array subscripts from map lookups, so it is left
+    #    untouched; use list_element()/array_extract() (mapped to the
+    #    1-based element_at) for portable indexing. See also the
+    #    len()/log() notes above.
     return out
