@@ -742,6 +742,20 @@ sql_pair(
     """,
 )
 
+# Recursive CTE — supported by both Spark 4.1 and DuckDB with identical
+# syntax (iterative query surface; pytest-corpus entry).
+sql_pair(
+    "q48_recursive_cte",
+    """
+    WITH RECURSIVE r(n) AS (
+      SELECT 1 UNION ALL SELECT n + 1 FROM r WHERE n < 25
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS s, count(*) AS cnt,
+           CAST(max(n) AS INT) AS mx
+    FROM r
+    """,
+)
+
 sql_pair(
     "q47_distinct_topk_offset",
     """
