@@ -89,6 +89,59 @@ def _parquet_parts(spark: SparkSession, location: str) -> list[tuple[str, int]]:
     return out
 
 
+def _partition_leaf_dirs(spark: SparkSession, location: str) -> list[str]:
+    """Hive-layout leaf partition directories (k=v path segments) under
+    a table location, via the table's FileSystem."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(location)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    leaves, stack = [], [root]
+    while stack:
+        d = stack.pop()
+        subdirs = []
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name and not name.startswith(("_", ".")):
+                subdirs.append(st.getPath())
+        if subdirs:
+            stack.extend(subdirs)
+        elif "=" in d.getName():
+            leaves.append(d.toString())
+    return leaves
+
+
+def _partition_predicate(location: str, leaf: str):
+    """(human-readable predicate string, Column) for a leaf partition
+    dir like .../day=2026-01-01/hour=3."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    # Take the trailing k=v segments (the leaf's path may carry a
+    # file:/hdfs: scheme the DESCRIBE location string doesn't, so a
+    # prefix-length strip is unreliable).
+    segs: list[str] = []
+    for seg in reversed(leaf.rstrip("/").split("/")):
+        if "=" not in seg:
+            break
+        segs.append(seg)
+    segs.reverse()
+    cond, texts = None, []
+    for seg in segs:
+        k, _, v = seg.partition("=")
+        v = unquote(v)
+        if v == "__HIVE_DEFAULT_PARTITION__":
+            c = F.col(k).isNull()
+            texts.append(f"{k} IS NULL")
+        else:
+            c = F.col(k).cast("string") == F.lit(v)
+            texts.append(f"{k} = '{v}'")
+        cond = c if cond is None else (cond & c)
+    return " AND ".join(texts), cond
+
+
 def compact_table(
     spark: SparkSession,
     table: str,
@@ -99,10 +152,19 @@ def compact_table(
     accumulated more than ``min_files`` small parts. Returns a stats
     dict (files before/after, bytes). Staging lives beside the table on
     its own FileSystem (cluster-safe, same discipline as the COW DML
-    path — a driver-local temp dir would be invisible to executors)."""
-    from swanlake_spark.operators.dml import _rm_path, staging_dir
+    path — a driver-local temp dir would be invisible to executors).
+
+    Partitioned tables are compacted PARTITION-GRANULAR: only leaf
+    partitions whose file count exceeds the threshold are rewritten
+    (dynamic partition overwrite), so at 100 TB a hot day's small files
+    compact without touching the other partitions."""
+    from swanlake_spark.operators.dml import _partition_columns, _rm_path, staging_dir
 
     loc = table_location(spark, table)
+    if loc and _partition_columns(spark, table):
+        return _compact_partitioned(
+            spark, table, loc, target_file_bytes, min_files
+        )
     parts = _parquet_parts(spark, loc) if loc else []
     total_bytes = sum(size for _, size in parts)
     stats = {
@@ -127,6 +189,45 @@ def compact_table(
     stats["compacted"] = True
     stats["files_after"] = len(_parquet_parts(spark, loc))
     return stats
+
+
+def _compact_partitioned(
+    spark: SparkSession,
+    table: str,
+    loc: str,
+    target_file_bytes: int,
+    min_files: int,
+) -> dict:
+    """Per-partition compaction: rewrite only leaf partitions with more
+    than ``min_files`` parquet files, via the COW dynamic-partition
+    overwrite path (cluster-safe staging)."""
+    from swanlake_spark.operators.dml import _overwrite
+
+    leaves = _partition_leaf_dirs(spark, loc)
+    files_before = files_after = 0
+    total_bytes = 0
+    compacted_any = False
+    for leaf in leaves:
+        parts = _parquet_parts(spark, leaf)
+        nbytes = sum(size for _, size in parts)
+        files_before += len(parts)
+        total_bytes += nbytes
+        n_files = max(1, -(-nbytes // target_file_bytes))  # ceil
+        if len(parts) <= min_files or nbytes == 0 or n_files >= len(parts):
+            files_after += len(parts)
+            continue
+        where_text, cond = _partition_predicate(loc, leaf)
+        pdf = spark.table(table).filter(cond).repartition(int(n_files))
+        _overwrite(spark, table, pdf, where_text)
+        compacted_any = True
+        files_after += len(_parquet_parts(spark, leaf))
+    return {
+        "table": table,
+        "files_before": files_before,
+        "bytes": total_bytes,
+        "compacted": compacted_any,
+        "files_after": files_after,
+    }
 
 
 class CheckpointService:

@@ -731,3 +731,39 @@ class TestUpdateSubquerySetValue:
         assert n == 2
         rows = engine.query(f"SELECT age FROM {t} ORDER BY id").collect()
         assert [r.age for r in rows] == [5, 5]
+
+
+class TestPartitionedCompaction:
+    def test_compacts_only_hot_partition(self, engine):
+        from swanlake_spark.maintenance import (
+            _parquet_parts,
+            compact_table,
+            table_location,
+        )
+
+        t = f"pc_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_pc_")
+        engine.execute(
+            f"CREATE TABLE {t} (v DOUBLE, day STRING) USING parquet "
+            f"PARTITIONED BY (day) LOCATION '{loc}'"
+        )
+        for i in range(6):  # six small files in the hot partition
+            engine.execute(f"INSERT INTO {t} VALUES ({float(i)}, '2026-01-01')")
+        engine.execute(f"INSERT INTO {t} VALUES (9.0, '2026-01-02')")
+        base = table_location(engine.spark, t)
+        cold_before = _parquet_parts(engine.spark, f"{base}/day=2026-01-02")
+        stats = compact_table(engine.spark, t, min_files=2)
+        assert stats["compacted"] is True
+        hot_after = _parquet_parts(engine.spark, f"{base}/day=2026-01-01")
+        cold_after = _parquet_parts(engine.spark, f"{base}/day=2026-01-02")
+        assert len(hot_after) < 6
+        # cold partition untouched (same files, same sizes)
+        assert sorted(cold_before) == sorted(cold_after)
+        # data intact
+        rows = engine.query(
+            f"SELECT day, count(*) AS c, round(sum(v), 2) AS s FROM {t} GROUP BY day ORDER BY day"
+        ).collect()
+        assert [(r.day, r.c, r.s) for r in rows] == [
+            ("2026-01-01", 6, 15.0),
+            ("2026-01-02", 1, 9.0),
+        ]
