@@ -72,13 +72,17 @@ def start_wire_server(engine, host: str = "127.0.0.1", port: int = 0):
                 self.send_error(404)
 
         def do_POST(self):  # noqa: N802 (stdlib API)
+            n = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n)
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
-            except (ValueError, json.JSONDecodeError):
-                self._reply_json(400, {"error": "invalid JSON body"})
-                return
-            try:
+                if self.path.startswith("/v1/ingest"):
+                    self._ingest(body)
+                    return
+                try:
+                    req = json.loads(body or b"{}")
+                except (ValueError, json.JSONDecodeError):
+                    self._reply_json(400, {"error": "invalid JSON body"})
+                    return
                 if self.path == "/v1/sql":
                     self._sql(req)
                 elif self.path == "/v1/session/close":
@@ -92,6 +96,29 @@ def start_wire_server(engine, host: str = "127.0.0.1", port: int = 0):
                 self._reply_json(400, {"error": str(e), "kind": "engine_error"})
             except Exception as e:  # don't kill the connection thread
                 self._reply_json(500, {"error": str(e), "kind": "internal"})
+
+        def _ingest(self, body: bytes) -> None:
+            """Bulk Arrow ingest over the wire — the appender path
+            (reference: update_with_record_batch → appender).
+            ``POST /v1/ingest?table=<name>`` with an Arrow IPC stream
+            body appends through the engine's alignment + PK checks."""
+            from urllib.parse import parse_qs, urlparse
+
+            import pyarrow as pa
+
+            from swanlake_spark.operators.ingest import insert_arrow
+
+            q = parse_qs(urlparse(self.path).query)
+            table = (q.get("table") or [None])[0]
+            if not table:
+                raise InvalidArgument("ingest requires ?table=<name>")
+            columns = None
+            if q.get("columns"):
+                columns = [c for c in q["columns"][0].split(",") if c]
+            with pa.ipc.open_stream(body) as reader:
+                tbl = reader.read_all()
+            n = insert_arrow(engine.spark, table, tbl, columns)
+            self._reply_json(200, {"rows_appended": n, "table": table})
 
         def _sql(self, req) -> None:
             sql = req.get("sql")
@@ -193,6 +220,37 @@ class WireClient:
         if isinstance(out, dict):
             return out.get("affected_rows", -1)
         raise InvalidArgument("update() used with a row-returning statement")
+
+    def ingest(self, table: str, data, columns: list[str] | None = None) -> int:
+        """Bulk-append an Arrow Table/RecordBatch over the wire (the
+        remote appender — reference client's update_with_record_batch).
+        Returns the appended row count."""
+        import urllib.request
+
+        import pyarrow as pa
+
+        if isinstance(data, pa.RecordBatch):
+            data = pa.Table.from_batches([data])
+        body = _arrow_bytes(data)
+        qs = f"?table={table}"
+        if columns:
+            qs += "&columns=" + ",".join(columns)
+        req = urllib.request.Request(
+            self.base_url + "/v1/ingest" + qs,
+            data=body,
+            headers={"Content-Type": "application/vnd.apache.arrow.stream"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())["rows_appended"]
+        except urllib.error.HTTPError as e:
+            detail = e.read()
+            try:
+                msg = json.loads(detail).get("error", detail.decode())
+            except (ValueError, json.JSONDecodeError):
+                msg = detail.decode(errors="replace")
+            raise EngineError(msg) from None
 
     def healthcheck(self) -> bool:
         import urllib.request

@@ -75,3 +75,61 @@ class TestWireConcurrency:
 
         with concurrent.futures.ThreadPoolExecutor(8) as ex:
             assert sorted(ex.map(worker, range(12))) == list(range(12))
+
+
+class TestWireIngest:
+    def test_bulk_arrow_ingest(self, wire, engine):
+        import tempfile
+        import uuid
+
+        import pyarrow as pa
+
+        t = f"wi_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_wi_")
+        engine.execute(f"CREATE TABLE {t} (id BIGINT, v DOUBLE) USING parquet LOCATION '{loc}'")
+        c = WireClient(wire)
+        n = c.ingest(t, pa.table({"id": [1, 2, 3], "v": [0.5, 1.5, 2.5]}))
+        assert n == 3
+        tbl = c.query(f"SELECT id, v FROM {t} ORDER BY id")
+        assert tbl.column("id").to_pylist() == [1, 2, 3]
+
+    def test_ingest_partial_columns(self, wire, engine):
+        import tempfile
+        import uuid
+
+        import pyarrow as pa
+
+        t = f"wi_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_wi_")
+        engine.execute(f"CREATE TABLE {t} (id BIGINT, name STRING, age INT) USING parquet LOCATION '{loc}'")
+        c = WireClient(wire)
+        n = c.ingest(t, pa.table({"id": [7], "name": ["x"]}), columns=["id", "name"])
+        assert n == 1
+        row = c.query(f"SELECT id, name, age FROM {t}").to_pylist()[0]
+        assert row == {"id": 7, "name": "x", "age": None}
+
+    def test_ingest_pk_violation_rejected(self, wire, engine):
+        import tempfile
+        import uuid
+
+        import pyarrow as pa
+        import pytest
+
+        from swanlake_spark.errors import EngineError
+
+        t = f"wi_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_wi_")
+        engine.execute(f"CREATE TABLE {t} (id BIGINT PRIMARY KEY, v DOUBLE) USING parquet LOCATION '{loc}'")
+        c = WireClient(wire)
+        assert c.ingest(t, pa.table({"id": [1], "v": [0.1]})) == 1
+        with pytest.raises(EngineError, match="PRIMARY KEY"):
+            c.ingest(t, pa.table({"id": [1], "v": [0.2]}))
+
+    def test_ingest_missing_table_param(self, wire):
+        import pyarrow as pa
+        import pytest
+
+        from swanlake_spark.errors import EngineError
+
+        with pytest.raises(EngineError, match="table"):
+            WireClient(wire).ingest("", pa.table({"id": [1]}))
