@@ -83,6 +83,43 @@ def register_tables(
     return registered
 
 
+def bucket_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_spec: dict[str, tuple[str, int]],
+    suffix: str = "_bkt",
+) -> list[str]:
+    """Co-located join layout: write selected warehouse tables as
+    BUCKETED catalog tables (``bucketBy`` + ``sortBy`` on the join key).
+
+    Two tables bucketed on their join keys with the same bucket count
+    join with NO exchange — Catalyst reads matching buckets pairwise
+    (sorted buckets also skip the sort). This is the 100 TB answer to
+    repeated fact⋈fact joins (lineitem⋈orders on orderkey): pay one
+    bucketed write at load time, then every subsequent join on that key
+    is shuffle-free, where repartition() pays the shuffle per query.
+
+    ``bucket_spec`` maps table name → (bucket column, bucket count);
+    tables are registered as ``<name><suffix>`` catalog tables. Bucket
+    count is a layout constant — choose it for the TARGET scale
+    (buckets ≈ data size / desired file size) since co-location
+    requires equal counts on both sides."""
+    created = []
+    for name, (key, n) in bucket_spec.items():
+        tbl = f"{name}{suffix}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            read_table(spark, sf_dir, name)
+            .repartition(n, key)
+            .write.mode("overwrite")
+            .bucketBy(n, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+        created.append(tbl)
+    return created
+
+
 def materialize_warehouse(
     spark: SparkSession,
     sf_dir: str,

@@ -174,3 +174,40 @@ class TestPartitionPruning:
         assert sorted(os.listdir(other)) == before
         rows = {r.day: r.v for r in engine.query(f"SELECT v, day FROM {t}").collect()}
         assert rows == {"2026-01-01": 1.0, "2026-01-02": 9.0}
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, engine, sf_dir):
+        """Tables bucketed on their join keys with equal bucket counts
+        must join without a shuffle (co-located bucket join) — the
+        load-time layout that amortizes fact-fact joins at 100 TB."""
+        from swanlake_spark.sources.registry import bucket_warehouse
+
+        spark = engine.spark
+        engine.attach_warehouse(sf_dir)
+        bucket_warehouse(
+            spark, sf_dir,
+            {"lineitem": ("l_orderkey", 4), "orders": ("o_orderkey", 4)},
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = spark.sql(
+                "SELECT count(*) AS c FROM lineitem_bkt l "
+                "JOIN orders_bkt o ON l.l_orderkey = o.o_orderkey"
+            )
+            plan = _formatted_plan(df)
+            join_section = plan.split("HashAggregate")[0]
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            # no shuffle feeding the join: bucketed scans align 1:1
+            assert "Exchange hashpartitioning" not in join_section, plan
+            # correctness: same count as the unbucketed join
+            expected = spark.sql(
+                "SELECT count(*) AS c FROM lineitem l "
+                "JOIN orders o ON l.l_orderkey = o.o_orderkey"
+            ).collect()[0].c
+            assert df.collect()[0].c == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+            spark.sql("DROP TABLE IF EXISTS orders_bkt")
