@@ -45,3 +45,65 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return left.join(right, on + ["_salt"], how).drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward AS-OF join: each left row gains the right row with the
+    greatest ``right_time <= left_time`` for the same key (the
+    time-series "latest value as of" join — DuckDB spells it
+    ``ASOF LEFT JOIN``; Spark has no native operator).
+
+    Spark-first plan: tag + union + window carry-forward.
+
+    - both sides project to a common shape with a ``_side`` tag
+      (0 = right, 1 = left) and the right payload (NULL on left rows);
+    - ONE shuffle partitions by the key and sorts by
+      (time, _side) — a right row at the same timestamp as a left row
+      sorts first, so ``<=`` matches it;
+    - ``last(payload IGNORE NULLS)`` over rows UNBOUNDED PRECEDING..
+      CURRENT carries the latest right payload forward;
+    - keep the left rows.
+
+    No range cross-product, no per-key iteration: cost is a single
+    sort-shuffle of |left| + |right| rows, the same shape as a regular
+    sort-merge join — at 100 TB that is the floor for any as-of
+    algorithm without a pre-sorted layout. Right payload columns are
+    suffixed to avoid collisions.
+    """
+    rc = right_cols or [
+        c for c in right.columns if c not in on and c != right_time
+    ]
+    payload = [f"{c}{suffix}" for c in rc]
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(p) for c, p in zip(rc, payload)],
+        F.col(left_time).alias("_t"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in left.columns],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(p) for c, p in zip(rc, payload)],
+        F.col(right_time).alias("_t"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        *[c for c in left.columns],
+        F.col("_side"),
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -387,6 +387,51 @@ def _cos_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("pipe_sim_cosine_topk_ivf", _cos_topk_ivf, None)
 
+# -- as-of join (time-series "latest value as of") ---------------------------
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click event, the user's latest purchase at-or-before the
+    click. Spark side is the tag+union+window carry-forward operator
+    (operators/joins.asof_join — one sort-shuffle, no range product);
+    the DuckDB oracle uses its native ASOF LEFT JOIN. Deterministic:
+    (user_id, ts) is unique in the synthetic events."""
+    from swanlake_spark.operators.joins import asof_join
+
+    ensure_tables(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.col("value").alias("purchase_value"),
+        "ts",
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts",
+        right_cols=["purchase_event", "purchase_value"], suffix="",
+    )
+    return out.select(
+        "user_id", "event_id", "purchase_event", "purchase_value"
+    ).orderBy("event_id")
+
+
+_add(
+    "pipe_asof_join",
+    _asof,
+    """
+    SELECT c.user_id, c.event_id,
+           p.event_id AS purchase_event, p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 

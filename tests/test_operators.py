@@ -352,3 +352,30 @@ class TestSaltedJoin:
         df = spark.createDataFrame([(1, 2)], ["k", "v"])
         with _pytest.raises(ValueError):
             salted_join(df, df, ["k"], how="full")
+
+
+class TestAsofJoin:
+    def test_backward_asof_semantics(self, spark):
+        from swanlake_spark.operators.joins import asof_join
+
+        l = spark.createDataFrame(
+            [(1, 10, 100), (1, 20, 200), (2, 5, 500), (1, 8, 300)], ["k", "t", "v"]
+        )
+        r = spark.createDataFrame([(1, 8, 1), (1, 15, 2), (2, 9, 3)], ["k", "t", "p"])
+        out = {(row.k, row.t): row.p_asof
+               for row in asof_join(l, r, ["k"], "t", "t").collect()}
+        # equal timestamps match (<=); no earlier right row -> NULL
+        assert out == {(1, 8): 1, (1, 10): 1, (1, 20): 2, (2, 5): None}
+
+    def test_asof_single_shuffle_plan(self, spark):
+        import re
+
+        from swanlake_spark.operators.joins import asof_join
+
+        l = spark.createDataFrame([(1, 10, 100)], ["k", "t", "v"])
+        r = spark.createDataFrame([(1, 8, 1)], ["k", "t", "p"])
+        df = asof_join(l, r, ["k"], "t", "t")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # one window over the union — no join node, no range product
+        assert "Join" not in plan, plan
+        assert len(re.findall(r"Window", plan)) == 1, plan
