@@ -107,3 +107,41 @@ def asof_join(
         *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
     )
     return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Interval join: rows where ``left.left_val BETWEEN right.right_lo
+    AND right.right_hi`` (optionally also matching key columns ``on``).
+
+    Spark's planner turns a bare BETWEEN join into a nested-loop /
+    cartesian — O(|L|·|R|). This operator bins the value axis instead:
+    each right interval explodes into the fixed-width bins it covers,
+    each left row maps to exactly one bin, and the join is a plain
+    equi-join on (key, bin) followed by the exact BETWEEN verify. Cost
+    O(|R| · avg_span/bin_width + |L|) rows through one hash shuffle —
+    ``bin_width`` trades right-side replication against candidate
+    pruning (pick ≈ the median interval span).
+    """
+    lo_bin = F.floor(F.col(right_lo) / F.lit(bin_width)).cast("long")
+    hi_bin = F.floor(F.col(right_hi) / F.lit(bin_width)).cast("long")
+    r = right.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    l = left.withColumn(
+        "_bin", F.floor(F.col(left_val) / F.lit(bin_width)).cast("long")
+    )
+    keys = (list(on) if on else []) + ["_bin"]
+    return (
+        l.join(r, keys)
+        .filter(
+            (F.col(left_val) >= F.col(right_lo))
+            & (F.col(left_val) <= F.col(right_hi))
+        )
+        .drop("_bin")
+    )

@@ -742,6 +742,50 @@ sql_pair(
     """,
 )
 
+def _q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the binned range_join operator (no nested
+    loop); DuckDB oracle uses its native IEJoin BETWEEN plan.
+    Overlapping bands on purpose — a row can land in several."""
+    from pyspark.sql import functions as F
+
+    from swanlake_spark.operators.joins import range_join
+
+    ensure_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 50_000.0),
+            ("mid", 40_000.0, 150_000.0),
+            ("high", 120_000.0, 10_000_000.0),
+        ],
+        ["band", "lo", "hi"],
+    )
+    j = range_join(
+        spark.table("orders").select("o_orderkey", "o_totalprice"),
+        bands, "o_totalprice", "lo", "hi", bin_width=50_000.0,
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr(dsum("o_totalprice")).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+_add(
+    "q49_range_join",
+    _q49_range_join,
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 50000.0), ('mid', 40000.0, 150000.0),
+      ('high', 120000.0, 10000000.0))
+    SELECT band, count(*) AS cnt, {dsum('o_totalprice')} AS total
+    FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+    GROUP BY band ORDER BY band
+    """,
+)
+
 # Recursive CTE — supported by both Spark 4.1 and DuckDB with identical
 # syntax (iterative query surface; pytest-corpus entry).
 sql_pair(

@@ -379,3 +379,50 @@ class TestAsofJoin:
         # one window over the union — no join node, no range product
         assert "Join" not in plan, plan
         assert len(re.findall(r"Window", plan)) == 1, plan
+
+
+class TestRangeJoin:
+    def test_interval_membership(self, spark):
+        from swanlake_spark.operators.joins import range_join
+
+        points = spark.createDataFrame(
+            [(1, 5.0), (2, 45.0), (3, 125.0), (4, 999.0)], ["pid", "v"]
+        )
+        bands = spark.createDataFrame(
+            [("low", 0.0, 50.0), ("mid", 40.0, 150.0), ("neg", -10.0, -1.0)],
+            ["band", "lo", "hi"],
+        )
+        out = range_join(points, bands, "v", "lo", "hi", bin_width=25.0)
+        got = {(r.pid, r.band) for r in out.collect()}
+        # overlapping bands both match 45.0; 999 matches nothing
+        assert got == {(1, "low"), (2, "low"), (2, "mid"), (3, "mid")}
+
+    def test_no_cartesian_in_plan(self, spark):
+        from swanlake_spark.operators.joins import range_join
+
+        points = spark.createDataFrame([(1, 5.0)], ["pid", "v"])
+        bands = spark.createDataFrame([("low", 0.0, 50.0)], ["band", "lo", "hi"])
+        df = range_join(points, bands, "v", "lo", "hi", bin_width=10.0)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+    def test_matches_plain_between_join(self, spark):
+        import random
+
+        from swanlake_spark.operators.joins import range_join
+
+        rnd = random.Random(5)
+        points = spark.createDataFrame(
+            [(i, rnd.uniform(0, 1000)) for i in range(200)], ["pid", "v"]
+        )
+        bands = spark.createDataFrame(
+            [(b, lo := rnd.uniform(0, 900), lo + rnd.uniform(10, 200))
+             for b in range(20)],
+            ["band", "lo", "hi"],
+        )
+        fast = {(r.pid, r.band) for r in
+                range_join(points, bands, "v", "lo", "hi", bin_width=50.0).collect()}
+        slow = {(r.pid, r.band) for r in
+                points.crossJoin(bands)
+                .filter("v >= lo AND v <= hi").collect()}
+        assert fast == slow
