@@ -31,19 +31,30 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_specs():
     """The driver's correctness window records at most 50 entries (r1's
     CORRECTNESS stopped at exactly 50 in dict order), so this returns a
-    curated 50-entry dict: every TPC-H and pipeline query, the YCSB reads,
-    and unique-surface oracle batteries (redundant single-operator entries
-    — q01≡tpch_q1, q13≡tpch_q13, q31≡tpch_q17, ... — are folded into the
-    batteries; the full corpus stays pytest-verified in
-    tests/test_oracle_corpus.py)."""
+    curated 50-entry dict: every TPC-H query, the oracle-backed pipeline
+    operators, the YCSB reads, and unique-surface oracle batteries
+    (redundant single-operator entries — q01≡tpch_q1, q13≡tpch_q13,
+    q31≡tpch_q17, ... — fold into the batteries; rows-only sketch
+    entries listed in DRIVER_PIPELINE_EXCLUDE yield their slots to
+    hash-matchable queries. Everything, included or not, stays
+    pytest-verified in tests/test_oracle_corpus.py)."""
     from swanlake_spark.queries.oracle import DRIVER_ORACLE_NAMES, ORACLE_QUERIES
-    from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
+    from swanlake_spark.queries.pipeline import (
+        DRIVER_PIPELINE_EXCLUDE,
+        PIPELINE_QUERIES,
+    )
     from swanlake_spark.queries.tpch import TPCH_QUERIES
     from swanlake_spark.queries.ycsb import YCSB_QUERIES
 
     specs = {}
     specs.update(TPCH_QUERIES)
-    specs.update(PIPELINE_QUERIES)
+    specs.update(
+        {
+            k: v
+            for k, v in PIPELINE_QUERIES.items()
+            if k not in DRIVER_PIPELINE_EXCLUDE
+        }
+    )
     specs.update(YCSB_QUERIES)
     for name in DRIVER_ORACLE_NAMES:
         specs[name] = ORACLE_QUERIES[name]

@@ -389,6 +389,110 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list: (node, comp)
+    where ``comp`` is the minimum node id reachable from ``node``.
+
+    This is the missing last step of every near-dup pipeline: pair
+    operators (`minhash_dedup_pairs`, `ngram_jaccard_pairs`,
+    `simhash_near_pairs`, `cosine_near_pairs`) emit *edges*; choosing
+    one canonical document per duplicate *cluster* needs the transitive
+    closure, not the pairs (A~B, B~C must collapse A,B,C together even
+    when A~C was never emitted).
+
+    Algorithm: iterated min-label propagation —
+    ``comp(n) ← min(comp(n), min over neighbors m of comp(m))`` until a
+    fixpoint. Each round is one equi-join (edges ⋈ labels on the
+    neighbor key) plus one groupBy(node) min — both shuffles on the
+    node id, no cross products, label state is exactly one row per
+    node. Rounds needed = graph diameter; near-dup clusters are
+    near-cliques (diameter ≤ ~3), so this converges in 2–4 rounds
+    where the O(log n) large-star/small-star variant would pay more
+    per round for a worst-case bound dedup graphs never hit.
+    ``localCheckpoint`` truncates the per-round lineage so the plan
+    doesn't grow exponentially (on a cluster, set a checkpoint dir and
+    use reliable checkpoints if executor loss must be survivable).
+
+    ``nodes`` (optional single-column DataFrame) adds isolated nodes —
+    rows that appear in no edge come back as their own singleton
+    component.
+    """
+    e = edges.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every round: cut re-derivation
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        prop = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(prop, labels["node"] == prop["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("_changed")).limit(1).count()
+        labels = stepped.drop("_changed")
+        if changed == 0:
+            break
+    if nodes is not None:
+        n_col = nodes.columns[0]
+        universe = nodes.select(F.col(n_col).cast("long").alias("node")).distinct()
+        singles = universe.join(labels, "node", "left_anti").select(
+            "node", F.col("node").alias("comp")
+        )
+        labels = labels.union(singles)
+    return labels
+
+
+def dedup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Annotate every row with its duplicate-cluster id and canonical
+    flag: ``comp`` = min id in the row's near-dup connected component
+    (itself when the row has no duplicates), ``is_canonical`` = this row
+    is the cluster representative. ``df.filter("is_canonical")`` is the
+    cluster-level dedup keep-set."""
+    cc = connected_components(pairs, nodes=df.select(id_col), a_col=a_col, b_col=b_col)
+    cc = cc.select(F.col("node").alias(id_col), "comp")
+    return (
+        df.join(cc, id_col, "left")
+        .withColumn("comp", F.coalesce("comp", F.col(id_col).cast("long")))
+        .withColumn("is_canonical", F.col("comp") == F.col(id_col))
+    )
+
+
 def embedding_dedup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from swanlake_spark.operators import dedup, multimodal, similarity, text
+from swanlake_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    text,
+)
 from swanlake_spark.queries.oracle import QuerySpec, ensure_tables
 
 PIPELINE_QUERIES: dict[str, QuerySpec] = {}
@@ -496,3 +503,177 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _add("pipe_multimodal_features", _mm_features, None)
+
+
+# -- duplicate clusters (connected components + canonical pick) --------------
+
+
+def _dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: near-dup pairs (exact n-gram Jaccard, so the
+    oracle can re-derive them) → connected components (iterated min-label
+    propagation, operators/dedup.connected_components) → per-doc cluster
+    id + canonical flag. The DuckDB oracle computes the same transitive
+    closure with a recursive CTE."""
+    df = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.5).select("a", "b")
+    return (
+        dedup.dedup_groups(df, pairs)
+        .select("doc_id", "comp", "is_canonical")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "pipe_dedup_groups",
+    _dedup_groups,
+    """
+    WITH RECURSIVE
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    dtoks AS (SELECT doc_id, list_distinct(t) AS t FROM toks),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' ')))) AS g
+      FROM toks),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT a, b
+      FROM cand
+      JOIN dtoks ta ON ta.doc_id = cand.a
+      JOIN dtoks tb ON tb.doc_id = cand.b
+      WHERE CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+            / len(list_distinct(ta.t || tb.t)) > 0.5),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+    cc(node, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.node = e.src)
+    SELECT node AS doc_id, min(comp) AS comp,
+           (min(comp) = node) AS is_canonical
+    FROM cc GROUP BY node ORDER BY doc_id
+    """,
+)
+
+
+# -- deterministic sampling ---------------------------------------------------
+
+
+def _sampling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sample + train/test split, summarized as (mode, n,
+    id_sum) rows — membership is md5-hash-range based, so DuckDB
+    reproduces the exact same sample row-for-row."""
+    df = _docs(spark, sf_dir)
+    bern = sampling.bernoulli_sample(df, 0.2)
+    split = sampling.train_test_split(df, 0.1)
+    one = bern.groupBy(F.lit("bernoulli_0.2").alias("mode")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    two = split.groupBy(F.col("split").alias("mode")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    return one.union(two).orderBy("mode")
+
+
+_add(
+    "pipe_sample_battery",
+    _sampling_battery,
+    """
+    WITH b AS (SELECT doc_id FROM documents
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'),
+    s AS (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           < '1999999a'
+                      THEN 'test' ELSE 'train' END AS mode
+          FROM documents)
+    SELECT 'bernoulli_0.2' AS mode, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM b
+    UNION ALL
+    SELECT mode, CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+    FROM s GROUP BY mode
+    ORDER BY mode
+    """,
+)
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return (
+        sampling.stratified_sample(df, ["lang"], k=5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_add(
+    "pipe_sample_stratified",
+    _sample_stratified,
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rk
+      FROM documents) t
+    WHERE rk <= 5 ORDER BY lang, doc_id
+    """,
+)
+
+
+# -- sequence packing ---------------------------------------------------------
+
+
+def _pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing offsets for every document. Spark runs
+    the two-phase distributed prefix sum (operators/packing); the oracle
+    is the equivalent single-partition SQL window — identical integer
+    results."""
+    df = _docs(spark, sf_dir)
+    sized = df.select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return packing.pack_sequences(sized, ctx_len=2048).orderBy("doc_id")
+
+
+_add(
+    "pipe_pack_sequences",
+    _pack,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_off
+      FROM t)
+    SELECT doc_id, n_tokens, start_off,
+           CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id,
+           start_off % 2048 AS pack_off
+    FROM c ORDER BY doc_id
+    """,
+)
+
+
+# Rows-only sketch entries verified by the pytest corpus but kept out of
+# the driver's 50-entry correctness window so every windowed slot carries
+# a full DuckDB hash-match (a rows-only row is a strictly weaker signal;
+# the sketches' determinism + recall checks live in tests/).
+DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
+    "pipe_dedup_simhash",
+    "pipe_sim_cosine_topk_lsh",
+    "pipe_sim_cosine_topk_ivf",
+    "pipe_multimodal_features",
+)

@@ -426,3 +426,117 @@ class TestRangeJoin:
                 points.crossJoin(bands)
                 .filter("v >= lo AND v <= hi").collect()}
         assert fast == slow
+
+
+class TestConnectedComponents:
+    def test_chain_and_clique_and_singleton(self, spark):
+        # chain 1-2-3 (1~3 never emitted), clique 10-11-12, isolated 99
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12)], ["a", "b"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], ["id"])
+        got = {
+            (r.node, r.comp)
+            for r in dedup.connected_components(edges, nodes=nodes).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1),
+            (10, 10), (11, 10), (12, 10),
+            (99, 99),
+        }
+
+    def test_long_chain_converges(self, spark):
+        # diameter 12 — requires multiple propagation rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], ["a", "b"]
+        )
+        got = dedup.connected_components(edges).collect()
+        assert all(r.comp == 0 for r in got) and len(got) == 13
+
+    def test_dedup_groups_canonical(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+        out = {r.doc_id: (r.comp, r.is_canonical)
+               for r in dedup.dedup_groups(docs, pairs).collect()}
+        # docs 1,2,4 are near-dups → one cluster with canonical 1
+        assert out[1] == (1, True)
+        assert out[2] == (1, False)
+        assert out[4] == (1, False)
+        assert out[3] == (3, True) and out[5] == (5, True)
+
+
+class TestSampling:
+    def test_bernoulli_deterministic_and_sized(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s1 = {r.doc_id for r in sampling.bernoulli_sample(df, 0.25).collect()}
+        s2 = {r.doc_id for r in
+              sampling.bernoulli_sample(df.repartition(7), 0.25).collect()}
+        assert s1 == s2  # layout-independent membership
+        assert 0.18 < len(s1) / 2000 < 0.32
+        # different salt → a different (decorrelated) sample
+        s3 = {r.doc_id for r in
+              sampling.bernoulli_sample(df, 0.25, salt="v2").collect()}
+        assert s3 != s1
+
+    def test_stratified_exact_k(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 3 else "fr") for i in range(90)],
+            ["doc_id", "lang"],
+        )
+        out = sampling.stratified_sample(df, ["lang"], k=7).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, set()).add(r.doc_id)
+        assert len(by_lang["en"]) == 7 and len(by_lang["fr"]) == 7
+        # small stratum: returns the whole stratum, not an error
+        tiny = spark.createDataFrame([(1, "zh"), (2, "zh")], ["doc_id", "lang"])
+        assert len(sampling.stratified_sample(tiny, ["lang"], k=7).collect()) == 2
+
+    def test_split_disjoint_exhaustive(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        out = sampling.train_test_split(df, 0.1).collect()
+        assert len(out) == 1000
+        n_test = sum(1 for r in out if r.split == "test")
+        assert 50 < n_test < 160
+        assert all(r.split in ("train", "test") for r in out)
+
+
+class TestPacking:
+    def test_offsets_match_serial_scan(self, spark):
+        from swanlake_spark.operators import packing
+
+        rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+        got = {r.doc_id: (r.start_off, r.pack_id, r.pack_off)
+               for r in packing.pack_sequences(df, ctx_len=512, buckets=8).collect()}
+        off = 0
+        for i, n in rows:
+            assert got[i] == (off, off // 512, off % 512), (i, got[i], off)
+            off += n
+
+    def test_bucket_count_invariance(self, spark):
+        from swanlake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, i % 50 + 1) for i in range(300)], ["doc_id", "n_tokens"]
+        )
+        a = sorted(map(tuple, packing.pack_sequences(df, 256, buckets=4).collect()))
+        b = sorted(map(tuple, packing.pack_sequences(df, 256, buckets=64).collect()))
+        assert a == b
+
+    def test_pack_summary_covers_all_tokens(self, spark):
+        from swanlake_spark.operators import packing
+
+        df = spark.createDataFrame(
+            [(i, 100) for i in range(50)], ["doc_id", "n_tokens"]
+        )
+        packed = packing.pack_sequences(df, ctx_len=512)
+        summ = packing.pack_summary(packed, ctx_len=512).collect()
+        # every pack a doc starts in appears; token counts clamp at pack end
+        assert sum(r.n_docs for r in summ) == 50
+        assert all(r.tokens_here <= 512 for r in summ)
