@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "2"))
+MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "3"))
 SHUFFLE_PARTITIONS = int(os.environ.get("SWL_BENCH_SHUFFLE_PARTITIONS", "8"))
 
 

@@ -267,6 +267,19 @@ class Engine:
                     table, where = dele
                     affected = dml.delete_from(self.spark, table, where)
                     continue
+            if kw.startswith("MERGE"):
+                # MERGE INTO rides the same copy-on-write path (DuckDB
+                # ≥ 1.4 — the reference's embedded engine — executes it
+                # natively; Spark parquet v1 tables have no MERGE).
+                from swanlake_spark.operators import dml
+
+                mg = dml.parse_merge(stmt)
+                if mg is not None:
+                    table, t_alias, source_text, cond, cls = mg
+                    affected = dml.merge_table(
+                        self.spark, table, t_alias, source_text, cond, cls
+                    )
+                    continue
             pk_table: str | None = None
             pk_cols: list[str] = []
             if kw.startswith("CREATE"):

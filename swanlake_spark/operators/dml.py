@@ -319,6 +319,341 @@ def apply_delete(
     return df.filter(~cond)
 
 
+# -- MERGE INTO ---------------------------------------------------------------
+
+_MERGE_HEAD = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<table>{_TABLE_RE})"
+    rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+",
+    re.IGNORECASE,
+)
+
+
+class MergeClause:
+    """One WHEN arm of a MERGE statement."""
+
+    def __init__(self, matched: bool, condition: str | None, action: str):
+        self.matched = matched        # WHEN MATCHED vs WHEN NOT MATCHED
+        self.condition = condition    # optional AND <cond>
+        self.action = action          # raw text after THEN
+
+    def kind(self) -> str:
+        a = self.action.lstrip().upper()
+        if a.startswith("UPDATE"):
+            return "update"
+        if a.startswith("DELETE"):
+            return "delete"
+        if a.startswith("INSERT"):
+            return "insert"
+        raise InvalidArgument(f"unsupported MERGE action: {self.action.strip()!r}")
+
+
+def parse_merge(stmt: str):
+    """``MERGE INTO t [AS ta] USING s [AS sa] ON cond WHEN ... THEN ...``
+    → (table, t_alias, source_text, cond, clauses) or None.
+
+    Scanner-based like parse_update/parse_delete: USING/ON/WHEN/THEN are
+    located at paren-depth 0 in the literal-masked text, so a source
+    subquery ``USING (SELECT ...) AS s`` or conditions containing the
+    keywords inside strings parse correctly. The reference reaches MERGE
+    through DuckDB's verbatim-SQL execution path
+    (``swanlake-core/src/engine/connection.rs:109-133``; DuckDB ≥ 1.4
+    ships MERGE INTO)."""
+    stmt = _strip_stmt(stmt)
+    m = _MERGE_HEAD.match(stmt)
+    if not m:
+        return None
+    masked = _mask_literals(stmt)
+    using_pos = _keyword_at_depth0(masked, "USING", m.end("table"))
+    if using_pos < 0:
+        raise InvalidArgument("MERGE requires USING")
+    on_pos = _keyword_at_depth0(masked, "ON", using_pos + 5)
+    if on_pos < 0:
+        raise InvalidArgument("MERGE requires ON")
+    first_when = _keyword_at_depth0(masked, "WHEN", on_pos + 2)
+    if first_when < 0:
+        raise InvalidArgument("MERGE requires at least one WHEN clause")
+
+    # Target alias: the head regex may have eaten USING as the alias when
+    # none was given (USING follows directly). Guard against that.
+    t_alias = m.group("alias")
+    if t_alias and t_alias.upper() == "USING":
+        t_alias = None
+    source_text = stmt[using_pos + 5 : on_pos].strip()
+    cond = stmt[on_pos + 2 : first_when].strip()
+
+    # Split the WHEN arms at depth-0 WHEN keywords.
+    starts = []
+    pos = first_when
+    while pos >= 0:
+        starts.append(pos)
+        pos = _keyword_at_depth0(masked, "WHEN", pos + 4)
+    clauses: list[MergeClause] = []
+    for i, s in enumerate(starts):
+        end = starts[i + 1] if i + 1 < len(starts) else len(stmt)
+        raw = stmt[s + 4 : end]       # same offsets in raw and masked
+        mraw = masked[s + 4 : end]
+        mm = re.match(r"\s*(NOT\s+)?MATCHED\b", mraw, re.IGNORECASE)
+        if not mm:
+            raise InvalidArgument(f"bad MERGE clause: WHEN {raw.strip()[:40]}...")
+        matched = mm.group(1) is None
+        then_pos = _keyword_at_depth0(mraw, "THEN", mm.end())
+        if then_pos < 0:
+            raise InvalidArgument("MERGE WHEN clause missing THEN")
+        between = raw[mm.end() : then_pos].strip()
+        condition = None
+        if between:
+            if not re.match(r"AND\b", between, re.IGNORECASE):
+                raise InvalidArgument(
+                    f"bad MERGE clause qualifier: {between[:40]!r}"
+                )
+            condition = between[3:].strip()
+        action = raw[then_pos + 4 :].strip()
+        clauses.append(MergeClause(matched, condition, action))
+    for c in clauses:
+        c.kind()  # validate action verbs early
+        if c.matched and c.kind() == "insert":
+            raise InvalidArgument("WHEN MATCHED cannot INSERT")
+        if not c.matched and c.kind() != "insert":
+            raise InvalidArgument("WHEN NOT MATCHED supports INSERT only")
+    return _unquote(m.group("table")), t_alias, source_text, cond, clauses
+
+
+_UPDATE_SET_RE = re.compile(r"^\s*UPDATE\s+SET\s+", re.IGNORECASE)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s*(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?:VALUES\s*\((?P<vals>.*)\)|(?P<star>\*))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_update_action(action: str) -> dict[str, str]:
+    m = _UPDATE_SET_RE.match(action)
+    if not m:
+        raise InvalidArgument(f"bad MERGE UPDATE action: {action[:60]!r}")
+    sets: dict[str, str] = {}
+    for part in _split_depth0_commas(action[m.end():]):
+        eq = next((i for i, c in _scan(part) if c == "="), -1)
+        if eq < 0:
+            raise InvalidArgument(f"bad SET clause: {part.strip()!r}")
+        sets[_unquote(part[:eq].strip())] = part[eq + 1 :].strip()
+    return sets
+
+
+def _parse_insert_action(action: str, target_cols: list[str], source_cols: list[str]):
+    """→ list of (target_col, value_expr); INSERT * maps source columns
+    by name."""
+    m = _INSERT_RE.match(action)
+    if not m:
+        raise InvalidArgument(f"bad MERGE INSERT action: {action[:60]!r}")
+    if m.group("star"):
+        pairs = [(c, c) for c in source_cols if c in set(target_cols)]
+        if not pairs:
+            raise InvalidArgument("MERGE INSERT *: no source column matches target")
+        return pairs
+    vals = _split_depth0_commas(m.group("vals"))
+    if m.group("cols"):
+        cols = [_unquote(c.strip()) for c in m.group("cols").split(",")]
+    else:
+        cols = list(target_cols)
+    if len(cols) != len(vals):
+        raise InvalidArgument(
+            f"MERGE INSERT: {len(cols)} columns but {len(vals)} values"
+        )
+    return list(zip(cols, [v.strip() for v in vals]))
+
+
+def apply_merge(
+    spark: SparkSession,
+    target_df: DataFrame,
+    table: str,
+    t_alias: str | None,
+    source_text: str,
+    cond: str,
+    clauses: list[MergeClause],
+) -> tuple[DataFrame, int]:
+    """Pure MERGE transform → (new target contents, affected count).
+    One join pass routes every target row through its first matching
+    WHEN MATCHED arm (update / delete / keep); source rows with no
+    target match route through the first WHEN NOT MATCHED arm.
+
+    Scale shape: the single equi-or-theta join on the ON condition is
+    the only wide operation (Catalyst picks broadcast vs sort-merge);
+    clause routing is per-row CASE expressions, and the ambiguity check
+    (a target row matched by >1 source rows → error, per the SQL
+    standard) rides the same join as a windowed count — no second pass.
+    """
+    tcols = target_df.columns
+    ta = (t_alias or table.split(".")[-1]).strip('`"')
+    token = uuid.uuid4().hex[:8]
+    tview, sview = f"_swl_mrg_t_{token}", f"_swl_mrg_s_{token}"
+    target_df.createOrReplaceTempView(tview)
+
+    src = source_text.strip()
+    msrc = _mask_literals(src)
+    sa = None
+    # trailing [AS] alias on the source (table name or parenthesized
+    # subquery); detect via the masked text so aliases inside strings
+    # don't confuse it.
+    alias_m = re.search(
+        rf"(?:\s+AS)?\s+({_IDENT})\s*$", msrc, re.IGNORECASE
+    )
+    if alias_m and (src[: alias_m.start()].strip().endswith(")")
+                    or " " not in src[: alias_m.start()].strip()
+                    or alias_m.group(0).upper().lstrip().startswith("AS")):
+        head = src[: alias_m.start()].strip()
+        if head and head.upper() not in ("", "AS"):
+            sa = _unquote(alias_m.group(1))
+            src = head
+    if src.startswith("("):
+        source_df = spark.sql(src[1:-1] if src.endswith(")") else src)
+    else:
+        source_df = spark.table(src)
+    if sa is None:
+        sa = src.split(".")[-1].strip('`"') if not src.startswith("(") else "src"
+    source_df.createOrReplaceTempView(sview)
+    scols = source_df.columns
+
+    tref = f"{tview} AS `{ta}`"
+    sref = f"{sview} AS `{sa}`"
+    q = lambda c: f"`{ta}`.`{c}`"
+
+    matched_clauses = [c for c in clauses if c.matched]
+    notmatched_clauses = [c for c in clauses if not c.matched]
+
+    # --- matched target rows: CASE-route through the WHEN MATCHED arms.
+    sets_per_clause = [
+        _parse_update_action(c.action) if c.kind() == "update" else {}
+        for c in matched_clauses
+    ]
+    types = {f.name: f.dataType.simpleString() for f in target_df.schema.fields}
+    for sets in sets_per_clause:
+        for colname in sets:
+            if colname not in types:
+                raise InvalidArgument(f"unknown column in MERGE SET: {colname}")
+    if matched_clauses:
+        sel_items = []
+        for c in tcols:
+            branches = []
+            for cl, sets in zip(matched_clauses, sets_per_clause):
+                cnd = cl.condition or "TRUE"
+                if cl.kind() == "update" and c in sets:
+                    branches.append(
+                        f"WHEN ({cnd}) THEN CAST(({sets[c]}) AS {types[c]})"
+                    )
+                else:
+                    branches.append(f"WHEN ({cnd}) THEN {q(c)}")
+            sel_items.append(
+                "CASE " + " ".join(branches) + f" ELSE {q(c)} END AS `{c}`"
+            )
+        del_branches = " ".join(
+            f"WHEN ({cl.condition or 'TRUE'}) THEN {str(cl.kind() == 'delete').lower()}"
+            for cl in matched_clauses
+        )
+        sel_items.append(f"CASE {del_branches} ELSE false END AS `_swl_del`")
+        act_branches = " ".join(
+            f"WHEN ({cl.condition or 'TRUE'}) THEN true" for cl in matched_clauses
+        )
+        sel_items.append(f"CASE {act_branches} ELSE false END AS `_swl_actioned`")
+        sel_items.append(
+            f"count(*) OVER (PARTITION BY `{ta}`.`_swl_rid`) AS `_swl_nmatch`"
+        )
+        with_id = target_df.withColumn(
+            "_swl_rid", F.monotonically_increasing_id()
+        )
+        with_id.createOrReplaceTempView(tview)
+        matched_sql = (
+            f"SELECT `{ta}`.`_swl_rid` AS `_swl_rid`, "
+            + ", ".join(sel_items)
+            + f" FROM {tref} JOIN {sref} ON {cond}"
+        )
+        matched = spark.sql(matched_sql)
+        # SQL-standard ambiguity check, evaluated on the same join output.
+        n_dup = matched.filter(F.col("_swl_nmatch") > F.lit(1)).limit(1).count()
+        if n_dup:
+            raise InvalidArgument(
+                "MERGE: a target row matched multiple source rows"
+            )
+        surviving_matched = matched.filter(~F.col("_swl_del")).select(*tcols)
+        # unmatched target rows: untouched.
+        unmatched_target = (
+            spark.sql(
+                f"SELECT `{ta}`.* FROM {tref} LEFT ANTI JOIN {sref} ON {cond}"
+            )
+            .drop("_swl_rid")
+            .select(*tcols)
+        )
+        target_part = surviving_matched.unionAll(unmatched_target)
+        n_matched_actioned = matched.filter("_swl_actioned").count()
+    else:
+        # No WHEN MATCHED arms: every target row is kept verbatim, and
+        # duplicate source matches are harmless (insert-only merge).
+        target_part = target_df
+        n_matched_actioned = 0
+
+    # --- WHEN NOT MATCHED inserts: first-arm routing via prior-cond guards.
+    inserts = None
+    unmatched_src = spark.sql(
+        f"SELECT `{sa}`.* FROM {sref} LEFT ANTI JOIN {tview} AS `{ta}` ON {cond}"
+    )
+    uview = f"_swl_mrg_u_{token}"
+    unmatched_src.createOrReplaceTempView(uview)
+    prior: list[str] = []
+    for cl in notmatched_clauses:
+        pairs = _parse_insert_action(cl.action, tcols, scols)
+        assigned = dict(pairs)
+        for colname in assigned:
+            if colname not in types:
+                raise InvalidArgument(f"unknown column in MERGE INSERT: {colname}")
+        items = [
+            (
+                f"CAST(({assigned[c]}) AS {types[c]}) AS `{c}`"
+                if c in assigned
+                else f"CAST(NULL AS {types[c]}) AS `{c}`"
+            )
+            for c in tcols
+        ]
+        guards = [f"({cl.condition})"] if cl.condition else []
+        guards += [f"NOT coalesce(({p}), false)" for p in prior]
+        where_sql = f" WHERE {' AND '.join(guards)}" if guards else ""
+        piece = spark.sql(
+            f"SELECT {', '.join(items)} FROM {uview} AS `{sa}`{where_sql}"
+        )
+        inserts = piece if inserts is None else inserts.unionAll(piece)
+        if cl.condition:
+            prior.append(cl.condition)
+        else:
+            break  # unconditional arm absorbs the rest
+    n_inserted = inserts.count() if inserts is not None else 0
+    new_df = target_part
+    if inserts is not None:
+        new_df = new_df.unionAll(inserts)
+    # The temp views back the (lazy) new_df plan; localCheckpoint pins
+    # the content so they can be dropped and the caller can write or
+    # stage the result at leisure.
+    new_df = new_df.localCheckpoint(eager=True)
+    for v in (tview, sview, uview):
+        spark.catalog.dropTempView(v)
+    return new_df, n_matched_actioned + n_inserted
+
+
+def merge_table(
+    spark: SparkSession,
+    table: str,
+    t_alias: str | None,
+    source_text: str,
+    cond: str,
+    clauses: list[MergeClause],
+) -> int:
+    """Copy-on-write MERGE INTO: plan via :func:`apply_merge`, then
+    stage-and-publish like UPDATE/DELETE."""
+    new_df, affected = apply_merge(
+        spark, spark.table(table), table, t_alias, source_text, cond, clauses
+    )
+    if affected:
+        _overwrite(spark, table, new_df, None)
+    return affected
+
+
 def _count_matching(spark: SparkSession, table: str, where: str) -> int:
     if where_has_subquery(where):
         return spark.sql(f"SELECT count(*) FROM {table} WHERE {where}").collect()[0][0]

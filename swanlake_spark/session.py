@@ -371,6 +371,20 @@ class Session:
                     dml_ops.apply_delete(self._table_snapshot(table), where, alias=table),
                 )
                 continue
+            mg = dml_ops.parse_merge(stmt)
+            if mg is not None:
+                table, t_alias, source_text, cond, cls = mg
+                new_df, _ = dml_ops.apply_merge(
+                    self.spark,
+                    self._table_snapshot(table),
+                    table,
+                    t_alias,
+                    source_text,
+                    cond,
+                    cls,
+                )
+                self._stage(table, new_df)
+                continue
             if self._stage_insert(stmt):
                 continue
             last = eng.query(stmt)

@@ -767,3 +767,66 @@ class TestPartitionedCompaction:
             ("2026-01-01", 6, 15.0),
             ("2026-01-02", 1, 9.0),
         ]
+
+
+class TestMerge:
+    def _two_tables(self, engine):
+        t = _mktable(engine, "id INT, v INT")
+        s = _mktable(engine, "id INT, v INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 10), (2, 20), (3, 30)")
+        engine.execute(f"INSERT INTO {s} VALUES (2, 99), (3, 33), (4, 40)")
+        return t, s
+
+    def test_merge_update_and_insert(self, engine):
+        t, s = self._two_tables(engine)
+        affected = engine.execute_update(
+            f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
+            f"WHEN MATCHED THEN UPDATE SET v = {s}.v "
+            f"WHEN NOT MATCHED THEN INSERT (id, v) VALUES ({s}.id, {s}.v)"
+        )
+        assert affected == 3  # 2 updates + 1 insert
+        rows = engine.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 99), (3, 33), (4, 40)]
+
+    def test_merge_delete_arm_and_condition(self, engine):
+        t, s = self._two_tables(engine)
+        affected = engine.execute_update(
+            f"MERGE INTO {t} AS tgt USING {s} AS src ON tgt.id = src.id "
+            f"WHEN MATCHED AND src.v > 50 THEN DELETE "
+            f"WHEN MATCHED THEN UPDATE SET v = tgt.v + src.v"
+        )
+        assert affected == 2  # id=2 deleted (99>50), id=3 updated
+        rows = engine.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (3, 63)]
+
+    def test_merge_insert_star_and_subquery_source(self, engine):
+        t, s = self._two_tables(engine)
+        affected = engine.execute_update(
+            f"MERGE INTO {t} USING (SELECT id, v FROM {s} WHERE id >= 4) AS nw "
+            f"ON {t}.id = nw.id "
+            f"WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert affected == 1
+        rows = engine.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+    def test_merge_unmatched_rows_kept_verbatim(self, engine):
+        t, s = self._two_tables(engine)
+        engine.execute_update(
+            f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
+            f"WHEN MATCHED AND {s}.v < 0 THEN DELETE"
+        )
+        # no arm fired: table unchanged
+        rows = engine.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 20), (3, 30)]
+
+    def test_merge_duplicate_source_match_errors(self, engine):
+        t = _mktable(engine, "id INT, v INT")
+        s = _mktable(engine, "id INT, v INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 10)")
+        engine.execute(f"INSERT INTO {s} VALUES (1, 5), (1, 6)")
+        with pytest.raises(InvalidArgument):
+            engine.execute_update(
+                f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
+                f"WHEN MATCHED THEN UPDATE SET v = {s}.v"
+            )

@@ -317,6 +317,24 @@ class TestTransactions:
         s.rollback_transaction()
         assert s.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 1
 
+    def test_merge_staged_and_rolled_back(self, registry):
+        s = registry.get_or_create("tx-merge")
+        t = _mktable(s, cols="id INT, v INT")
+        src = _mktable(s, cols="id INT, v INT")
+        s.query(f"INSERT INTO {t} VALUES (1, 10), (2, 20)")
+        s.query(f"INSERT INTO {src} VALUES (2, 99), (3, 30)")
+        s.begin_transaction()
+        s.query(
+            f"MERGE INTO {t} USING {src} ON {t}.id = {src}.id "
+            f"WHEN MATCHED THEN UPDATE SET v = {src}.v "
+            f"WHEN NOT MATCHED THEN INSERT (id, v) VALUES ({src}.id, {src}.v)"
+        )
+        rows = s.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 99), (3, 30)]
+        s.rollback_transaction()
+        rows = s.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 20)]
+
     def test_double_begin_fails(self, registry):
         s = registry.get_or_create("tx-3")
         s.begin_transaction()
