@@ -169,18 +169,21 @@ def _transform_slices(sql: str) -> str:
     """DuckDB ``array_slice(x, begin, end)`` (inclusive end, 1-based,
     negatives count from the back) → Spark ``slice(x, begin, length)``.
 
-    length = end - begin + 1, with a negative ``end`` converted to its
-    positive index via ``size(x)`` when ``begin`` is positive, and
-    clamped to ≥ 0 (DuckDB returns [] for end < begin; Spark errors on
-    negative length). Four-argument (step) form is left untouched."""
+    Both bounds are normalized to positive 1-based indexes
+    (``size(x) + i + 1`` when negative — sign-independent, so the mixed
+    case ``array_slice(x, -3, 4)`` is correct too), the start is clamped
+    to ≥ 1 (DuckDB clamps under-runs to the front), and the length to
+    ≥ 0 (DuckDB returns [] for end < begin; Spark errors on negative
+    length). Four-argument (step) form is left untouched."""
 
     def build(args):
         x, b, e = args
-        return (
-            f"slice({x}, ({b}), greatest(0, "
-            f"(CASE WHEN ({e}) < 0 AND ({b}) > 0 "
-            f"THEN size({x}) + ({e}) + 1 ELSE ({e}) END) - ({b}) + 1))"
+        nb = (
+            f"greatest(1, CASE WHEN ({b}) < 0 "
+            f"THEN size({x}) + ({b}) + 1 ELSE ({b}) END)"
         )
+        ne = f"(CASE WHEN ({e}) < 0 THEN size({x}) + ({e}) + 1 ELSE ({e}) END)"
+        return f"slice({x}, {nb}, greatest(0, {ne} - {nb} + 1))"
 
     return _transform_calls(sql, _SLICE_CALL, 3, build)
 

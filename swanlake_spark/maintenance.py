@@ -137,7 +137,10 @@ def _partition_predicate(location: str, leaf: str):
             texts.append(f"{k} IS NULL")
         else:
             c = F.col(k).cast("string") == F.lit(v)
-            texts.append(f"{k} = '{v}'")
+            # SQL-escape the value: a partition value containing a quote
+            # (name=O'Brien) must not break — or inject into — the
+            # predicate text handed to F.expr.
+            texts.append(f"{k} = '{v.replace(chr(39), chr(39) * 2)}'")
         cond = c if cond is None else (cond & c)
     return " AND ".join(texts), cond
 

@@ -281,15 +281,23 @@ def apply_update(
         where_has_subquery(v) for v in assignments.values()
     ):
         spark, view = _as_view(df)
-        ref = _view_ref(view, alias)
-        sel = _update_select_list(df, assignments)
-        if where is None:
-            return spark.sql(f"SELECT {sel} FROM {ref}")
-        updated = spark.sql(f"SELECT {sel} FROM {ref} WHERE {where}")
-        kept = spark.sql(
-            f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"
-        )
-        return updated.unionAll(kept)
+        try:
+            ref = _view_ref(view, alias)
+            sel = _update_select_list(df, assignments)
+            if where is None:
+                return spark.sql(f"SELECT {sel} FROM {ref}").localCheckpoint(
+                    eager=True
+                )
+            updated = spark.sql(f"SELECT {sel} FROM {ref} WHERE {where}")
+            kept = spark.sql(
+                f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"
+            )
+            # Pin the result so the uniquely-named temp view can be
+            # dropped immediately instead of leaking one catalog entry
+            # per subquery-DML statement.
+            return updated.unionAll(kept).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(view)
     types = dict(df.dtypes)
     cond = F.expr(where).eqNullSafe(F.lit(True)) if where else F.lit(True)
     out = df
@@ -311,10 +319,13 @@ def apply_delete(
         return df.limit(0)
     if where_has_subquery(where):
         spark, view = _as_view(df)
-        ref = _view_ref(view, alias)
-        return spark.sql(
-            f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"
-        )
+        try:
+            ref = _view_ref(view, alias)
+            return spark.sql(
+                f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"
+            ).localCheckpoint(eager=True)
+        finally:
+            spark.catalog.dropTempView(view)
     cond = F.expr(where).eqNullSafe(F.lit(True))
     return df.filter(~cond)
 
@@ -326,6 +337,45 @@ _MERGE_HEAD = re.compile(
     rf"(?:\s+(?:AS\s+)?(?P<alias>{_IDENT}))?\s+",
     re.IGNORECASE,
 )
+
+
+def _merge_keyword_pos(masked: str, word: str, start: int = 0) -> int:
+    """Like :func:`_keyword_at_depth0` but also CASE-aware: WHEN/THEN
+    that belong to a ``CASE ... END`` expression (at any paren depth) are
+    skipped, so MERGE arms containing unparenthesized CASE expressions —
+    in an action's SET value, an arm's AND condition, or the ON
+    condition — parse correctly."""
+    up = masked.upper()
+    depth = 0
+    case_depth = 0
+
+    def word_at(i: int, w: str) -> bool:
+        if not up.startswith(w, i):
+            return False
+        before_ok = i == 0 or not (masked[i - 1].isalnum() or masked[i - 1] in '_"`')
+        j = i + len(w)
+        after_ok = j >= len(masked) or not (masked[j].isalnum() or masked[j] in '_"`')
+        return before_ok and after_ok
+
+    i = 0
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif word_at(i, "CASE"):
+            case_depth += 1
+            i += 4
+            continue
+        elif case_depth > 0 and word_at(i, "END"):
+            case_depth -= 1
+            i += 3
+            continue
+        elif depth == 0 and case_depth == 0 and i >= start and word_at(i, word):
+            return i
+        i += 1
+    return -1
 
 
 class MergeClause:
@@ -369,7 +419,7 @@ def parse_merge(stmt: str):
     on_pos = _keyword_at_depth0(masked, "ON", using_pos + 5)
     if on_pos < 0:
         raise InvalidArgument("MERGE requires ON")
-    first_when = _keyword_at_depth0(masked, "WHEN", on_pos + 2)
+    first_when = _merge_keyword_pos(masked, "WHEN", on_pos + 2)
     if first_when < 0:
         raise InvalidArgument("MERGE requires at least one WHEN clause")
 
@@ -386,7 +436,7 @@ def parse_merge(stmt: str):
     pos = first_when
     while pos >= 0:
         starts.append(pos)
-        pos = _keyword_at_depth0(masked, "WHEN", pos + 4)
+        pos = _merge_keyword_pos(masked, "WHEN", pos + 4)
     clauses: list[MergeClause] = []
     for i, s in enumerate(starts):
         end = starts[i + 1] if i + 1 < len(starts) else len(stmt)
@@ -396,7 +446,7 @@ def parse_merge(stmt: str):
         if not mm:
             raise InvalidArgument(f"bad MERGE clause: WHEN {raw.strip()[:40]}...")
         matched = mm.group(1) is None
-        then_pos = _keyword_at_depth0(mraw, "THEN", mm.end())
+        then_pos = _merge_keyword_pos(mraw, "THEN", mm.end())
         if then_pos < 0:
             raise InvalidArgument("MERGE WHEN clause missing THEN")
         between = raw[mm.end() : then_pos].strip()
@@ -486,8 +536,33 @@ def apply_merge(
     ta = (t_alias or table.split(".")[-1]).strip('`"')
     token = uuid.uuid4().hex[:8]
     tview, sview = f"_swl_mrg_t_{token}", f"_swl_mrg_s_{token}"
+    uview = f"_swl_mrg_u_{token}"
     target_df.createOrReplaceTempView(tview)
+    try:
+        return _apply_merge_body(
+            spark, target_df, t_alias, source_text, cond, clauses,
+            tcols, ta, tview, sview, uview,
+        )
+    finally:
+        # Error paths (ambiguity, unknown SET column, bad action syntax)
+        # must not leak the scratch views into the session catalog.
+        for v in (tview, sview, uview):
+            spark.catalog.dropTempView(v)
 
+
+def _apply_merge_body(
+    spark: SparkSession,
+    target_df: DataFrame,
+    t_alias: str | None,
+    source_text: str,
+    cond: str,
+    clauses: list[MergeClause],
+    tcols: list,
+    ta: str,
+    tview: str,
+    sview: str,
+    uview: str,
+) -> tuple[DataFrame, int]:
     src = source_text.strip()
     msrc = _mask_literals(src)
     sa = None
@@ -566,7 +641,10 @@ def apply_merge(
             + ", ".join(sel_items)
             + f" FROM {tref} JOIN {sref} ON {cond}"
         )
-        matched = spark.sql(matched_sql)
+        # Pin the join output once: the ambiguity check, the actioned
+        # count, and the final contents all read `matched` — without
+        # this, each action re-executes the full target⋈source join.
+        matched = spark.sql(matched_sql).localCheckpoint(eager=True)
         # SQL-standard ambiguity check, evaluated on the same join output.
         n_dup = matched.filter(F.col("_swl_nmatch") > F.lit(1)).limit(1).count()
         if n_dup:
@@ -595,7 +673,6 @@ def apply_merge(
     unmatched_src = spark.sql(
         f"SELECT `{sa}`.* FROM {sref} LEFT ANTI JOIN {tview} AS `{ta}` ON {cond}"
     )
-    uview = f"_swl_mrg_u_{token}"
     unmatched_src.createOrReplaceTempView(uview)
     prior: list[str] = []
     for cl in notmatched_clauses:
@@ -631,8 +708,6 @@ def apply_merge(
     # the content so they can be dropped and the caller can write or
     # stage the result at leisure.
     new_df = new_df.localCheckpoint(eager=True)
-    for v in (tview, sview, uview):
-        spark.catalog.dropTempView(v)
     return new_df, n_matched_actioned + n_inserted
 
 
@@ -671,7 +746,15 @@ def update_table(
     affected = _count_matching(spark, table, where) if where else df.count()
     if affected == 0:
         return 0
-    _overwrite(spark, table, apply_update(df, assignments, where, alias=table), where)
+    # An UPDATE that reassigns a partition column moves rows BETWEEN
+    # partitions: the dynamic-overwrite path selects staged rows by their
+    # NEW partition values but rewrites the OLD matching partitions, so a
+    # moved row would vanish. Full rewrite (where=None) is the safe path.
+    part_cols = set(_partition_columns(spark, table))
+    overwrite_where = None if part_cols & set(assignments) else where
+    _overwrite(
+        spark, table, apply_update(df, assignments, where, alias=table), overwrite_where
+    )
     return affected
 
 

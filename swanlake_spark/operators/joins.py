@@ -78,20 +78,28 @@ def asof_join(
     algorithm without a pre-sorted layout. Right payload columns are
     suffixed to avoid collisions.
     """
+    from pyspark.sql import types as T
+
     rc = right_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
     payload = [f"{c}{suffix}" for c in rc]
+    # The whole right payload travels as ONE struct: the struct is
+    # non-null exactly on right rows, so ``last(IGNORE NULLS)`` skips the
+    # left-side placeholders but never skips a genuine NULL *field* — the
+    # matched right row is carried atomically, not torn per-column from
+    # different right rows.
+    rp_type = T.StructType([right.schema[c] for c in rc]).simpleString()
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(p) for c, p in zip(rc, payload)],
+        F.lit(None).cast(rp_type).alias("_rp"),
         F.col(left_time).alias("_t"),
     )
     rhs = right.select(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in left.columns],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(p) for c, p in zip(rc, payload)],
+        F.struct(*[F.col(c) for c in rc]).alias("_rp"),
         F.col(right_time).alias("_t"),
     )
     from pyspark.sql.window import Window
@@ -104,9 +112,13 @@ def asof_join(
     carried = lhs.unionByName(rhs).select(
         *[c for c in left.columns],
         F.col("_side"),
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("_rp", ignorenulls=True).over(w).alias("_rp"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    out = carried.filter(F.col("_side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_rp.{c}").alias(p) for c, p in zip(rc, payload)],
+    )
+    return out
 
 
 def range_join(

@@ -57,6 +57,10 @@ def bernoulli_sample(
     """Deterministic ~fraction sample: keep iff md5-prefix(id) <
     threshold. Expected size = fraction·n with binomial concentration;
     membership of a given id never changes across runs or layouts."""
+    if fraction >= 1.0:
+        # 'ffffffff' keys would fail a strict-< threshold comparison;
+        # a full sample must really mean every row.
+        return df
     return df.filter(sample_key(id_col, salt) < F.lit(_threshold_hex(fraction)))
 
 
@@ -90,6 +94,8 @@ def train_test_split(
     """Adds ``split`` ∈ {'train','test'}: hash-range assignment, so the
     partition is disjoint+exhaustive and any future re-run (or a
     different engine) reproduces it row-for-row."""
+    if test_fraction >= 1.0:
+        return df.withColumn(split_col, F.lit("test"))
     return df.withColumn(
         split_col,
         F.when(

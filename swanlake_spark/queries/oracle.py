@@ -808,6 +808,46 @@ sql_pair(
     """,
 )
 
+# Exact interpolated quantiles: Spark `percentile` and DuckDB
+# `quantile_cont` both compute lower + (upper-lower)·frac over the
+# sorted group — hash-matchable, unlike the approx_percentile sketches.
+sql_pair(
+    "q50_quantile_battery",
+    f"""
+    SELECT l_returnflag,
+           {rstable('percentile(l_quantity, 0.5)')} AS median_qty,
+           {rstable('percentile(l_extendedprice, 0.25)')} AS p25_price,
+           {rstable('percentile(l_extendedprice, 0.95)')} AS p95_price,
+           {rstable('min(l_extendedprice)')} AS min_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    f"""
+    SELECT l_returnflag,
+           {rstable('quantile_cont(l_quantity, 0.5)')} AS median_qty,
+           {rstable('quantile_cont(l_extendedprice, 0.25)')} AS p25_price,
+           {rstable('quantile_cont(l_extendedprice, 0.95)')} AS p95_price,
+           {rstable('min(l_extendedprice)')} AS min_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+
+# Extended ranking-window surface (ntile / percent_rank / cume_dist /
+# dense_rank) with a named WINDOW clause — identical spelling in both
+# engines.
+sql_pair(
+    "q51_window_extended",
+    f"""
+    SELECT user_id, event_id,
+           ntile(4) OVER w AS nt,
+           {rstable('percent_rank() OVER w')} AS pr,
+           {rstable('cume_dist() OVER w')} AS cd,
+           dense_rank() OVER w AS dr
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id LIMIT 500
+    """,
+)
+
 
 def _q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swanlake_spark.engine import Engine

@@ -393,6 +393,18 @@ class TestDialectBreadth:
         assert r.c == [3, 4, 5]
         assert r.d == []
 
+    def test_array_slice_mixed_sign_bounds(self, engine):
+        # negative begin with positive end (and begin clamped to front)
+        r = engine.query(
+            "SELECT array_slice(list_value(1,2,3,4,5), -3, 4) AS a,"
+            "       array_slice(list_value(1,2,3,4,5), -10, 2) AS b,"
+            "       array_slice(list_value(1,2,3,4,5), -2, -4) AS c",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == [3, 4]
+        assert r.b == [1, 2]
+        assert r.c == []
+
     def test_regexp_replace_g_flag(self, engine):
         r = engine.query(
             "SELECT regexp_replace('a1b2c3', '[0-9]', '_', 'g') AS s", dialect="duckdb"
@@ -830,3 +842,79 @@ class TestMerge:
                 f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
                 f"WHEN MATCHED THEN UPDATE SET v = {s}.v"
             )
+
+
+class TestReviewRegressions:
+    """Round-2 code-review findings, pinned."""
+
+    def test_merge_with_case_expression_in_action(self, engine):
+        t = _mktable(engine, "id INT, v INT")
+        s = _mktable(engine, "id INT, v INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 10), (2, 20)")
+        engine.execute(f"INSERT INTO {s} VALUES (1, -5), (2, 7), (3, 1)")
+        affected = engine.execute_update(
+            f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
+            f"WHEN MATCHED THEN UPDATE SET v = CASE WHEN {s}.v > 0 THEN {s}.v ELSE 0 END "
+            f"WHEN NOT MATCHED THEN INSERT (id, v) VALUES "
+            f"({s}.id, CASE WHEN {s}.v > 0 THEN 100 ELSE -100 END)"
+        )
+        assert affected == 3
+        rows = engine.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 0), (2, 7), (3, 100)]
+
+    def test_update_moving_row_across_partitions(self, engine):
+        import tempfile
+
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(
+            f"CREATE TABLE {name} (id INT, cat STRING) USING parquet "
+            f"PARTITIONED BY (cat) LOCATION '{loc}'"
+        )
+        engine.execute(
+            f"INSERT INTO {name} VALUES (1, 'a'), (2, 'a'), (3, 'b')"
+        )
+        affected = engine.execute_update(
+            f"UPDATE {name} SET cat = 'b' WHERE cat = 'a' AND id = 1"
+        )
+        assert affected == 1
+        rows = engine.query(f"SELECT id, cat FROM {name} ORDER BY id").collect()
+        # the moved row must land in partition b, not vanish
+        assert [(r.id, r.cat) for r in rows] == [(1, "b"), (2, "a"), (3, "b")]
+
+    def test_asof_join_carries_null_payload_field_atomically(self, spark):
+        from swanlake_spark.operators.joins import asof_join
+
+        right = spark.createDataFrame(
+            [("k", 1, 1, 7), ("k", 2, 2, None)],
+            ["key", "ts", "a", "b"],
+        )
+        left = spark.createDataFrame([("k", 3)], ["key", "ts"])
+        out = asof_join(left, right, ["key"], "ts", "ts",
+                        right_cols=["a", "b"], suffix="").collect()
+        # ASOF match is the ts=2 row as a UNIT: a=2, b=NULL — b must not
+        # be torn from the older ts=1 row
+        assert [(r.a, r.b) for r in out] == [(2, None)]
+
+    def test_bernoulli_full_fraction_keeps_every_row(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        assert sampling.bernoulli_sample(df, 1.0).count() == 500
+        out = sampling.train_test_split(df, 1.0).collect()
+        assert all(r.split == "test" for r in out)
+
+    def test_subquery_dml_drops_scratch_views(self, engine):
+        t = _mktable(engine, "id INT, v INT")
+        s = _mktable(engine, "id INT, v INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 10), (2, 20)")
+        engine.execute(f"INSERT INTO {s} VALUES (1, 0)")
+        engine.execute_update(
+            f"DELETE FROM {t} WHERE id IN (SELECT id FROM {s})"
+        )
+        leaked = [
+            v.name
+            for v in engine.spark.catalog.listTables()
+            if v.name.startswith("_swl_dml_") or v.name.startswith("_swl_mrg_")
+        ]
+        assert leaked == []

@@ -335,6 +335,23 @@ class TestTransactions:
         rows = s.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
         assert [(r.id, r.v) for r in rows] == [(1, 10), (2, 20)]
 
+    def test_txn_subquery_sees_prior_staged_write(self, registry):
+        # A subquery predicate inside a transaction must read the
+        # transaction's own staged state (the shadow temp view), not the
+        # committed table image.
+        s = registry.get_or_create("tx-subq")
+        t = _mktable(s, cols="id INT, v INT")
+        s.query(f"INSERT INTO {t} VALUES (1, 1), (2, 2)")
+        s.begin_transaction()
+        s.query(f"UPDATE {t} SET v = 100 WHERE id = 1")
+        # subquery over t: max(v) must see the staged 100
+        s.query(f"UPDATE {t} SET v = (SELECT max(v) FROM {t}) WHERE id = 2")
+        rows = s.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 100), (2, 100)]
+        s.commit_transaction()
+        rows = s.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 100), (2, 100)]
+
     def test_double_begin_fails(self, registry):
         s = registry.get_or_create("tx-3")
         s.begin_transaction()
