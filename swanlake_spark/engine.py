@@ -78,6 +78,13 @@ class Engine:
         if warehouse and not self.config.warehouse_dir:
             self.config.warehouse_dir = warehouse
         self.spark = spark or self._build_spark(self.config)
+        # UDF closures (multimodal codecs, stateful sessionizers) are
+        # unpickled by module reference on Python workers; ship the
+        # package zip so they import cleanly on any cluster, not just
+        # when the worker's cwd happens to be the repo checkout.
+        from swanlake_spark.pyship import ship_package
+
+        ship_package(self.spark)
         self.metrics = Metrics()
         # runtime confs (safe to apply on an externally provided session)
         for k, v in self.config.spark_confs().items():

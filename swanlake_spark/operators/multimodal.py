@@ -29,6 +29,7 @@ from pyspark.sql import types as T
 
 from swanlake_spark.operators import codecs
 from swanlake_spark.operators.codecs import UnsupportedMediaError
+from swanlake_spark.pyship import ship_package
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -110,6 +111,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"id": ids, "media": blobs, "media_type": mtypes, "meta": metas}
             )
 
+    ship_package(df.sparkSession)
     return df.select(F.col(id_col)).mapInPandas(run, MEDIA_SCHEMA)
 
 
@@ -178,6 +180,7 @@ def decode_media(
                 }
             )
 
+    ship_package(df.sparkSession)
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
@@ -234,6 +237,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 feats.append(_hist(vals))
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
+    ship_package(df.sparkSession)
     return df.mapInPandas(run, FEATURES_SCHEMA)
 
 
@@ -285,6 +289,7 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
                 }
             )
 
+    ship_package(df.sparkSession)
     return df.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
 
 

@@ -91,6 +91,12 @@ def ensure_tables(spark: SparkSession, sf_dir: str) -> None:
     key = id(spark)
     path = os.path.abspath(sf_dir)
     if _REGISTERED.get(key) != path:
+        # Bare-session entry (driver contract, bench): ship the package
+        # zip so UDF closures resolve on Python workers regardless of
+        # the driver's cwd — see swanlake_spark.pyship.
+        from swanlake_spark.pyship import ship_package
+
+        ship_package(spark)
         register_tables(spark, sf_dir)
         _REGISTERED[key] = path
 

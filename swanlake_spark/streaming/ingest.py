@@ -110,6 +110,10 @@ def sessionize(
     import pandas as pd  # noqa: F401 (applyInPandasWithState ships pandas)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    from swanlake_spark.pyship import ship_package
+
+    ship_package(events.sparkSession)
+
     gap_ms = _duration_ms(gap)
     out_schema = (
         "user_id long, session_start timestamp, session_end timestamp, "
