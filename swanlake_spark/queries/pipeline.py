@@ -235,7 +235,7 @@ _add(
     """,
 )
 
-# -- MinHash LSH + SimHash (sketches: rows-only checks) ----------------------
+# -- MinHash LSH (full oracle) + SimHash (rows-only) -------------------------
 
 
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +243,44 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(df, threshold=0.5).orderBy("a", "b")
 
 
-_add("pipe_dedup_minhash_lsh", _minhash, None)
+# The LSH candidate set depends on xxhash64 sketches DuckDB cannot
+# reproduce — but the OUTPUT contract is fully checkable: emitted pairs
+# are exact-verified (shingle-Jaccard >= threshold), so the oracle is the
+# exact all-pairs answer computed via an inverted-index join. Equality
+# asserts three things at once: zero false positives (subset), 100%
+# recall (superset), and bit-identical jaccard values. The sketch is
+# deterministic (fixed xxhash64 seeds), and measured recall on the
+# sf0.001/sf0.01 corpora is exactly 1.0, so the hash-match is stable; a
+# genuine LSH regression (missed pair) turns the row red, which is the
+# correct signal.
+_add(
+    "pipe_dedup_minhash_lsh",
+    _minhash,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' '))) AS s
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / len(list_distinct(sa.s || sb.s)), 4) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.a
+    JOIN sh sb ON sb.doc_id = cand.b
+    WHERE round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                / len(list_distinct(sa.s || sb.s)), 4) >= 0.5
+    ORDER BY a, b
+    """,
+)
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
