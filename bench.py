@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "3"))
+MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "5"))
+WARMUP_RUNS = int(os.environ.get("SWL_BENCH_WARMUPS", "2"))
 SHUFFLE_PARTITIONS = int(os.environ.get("SWL_BENCH_SHUFFLE_PARTITIONS", "8"))
 
 
@@ -91,21 +92,49 @@ def main() -> None:
         materialize_warehouse(spark, SF_DIR, tempfile.mkdtemp(prefix="swl_bench_wh_"))
         mark_registered(spark, SF_DIR)
 
+    # Per-query execution profile (QuerySpec.exec_conf): applied around
+    # warmup+measurement and restored after, so e.g. the interactive
+    # (static-plan) profile on sub-second queries never leaks into the
+    # adaptive-by-default rest of the suite.
+    from contextlib import contextmanager
+
+    @contextmanager
+    def exec_profile(spec):
+        conf = getattr(spec, "exec_conf", None) or {}
+        saved = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
     # Warmup: registers tables, JITs codegen paths, warms file footers.
+    # Two passes — the reference's numbers are steady-state BenchBase
+    # latencies after thousands of executions; JVM tiered compilation
+    # needs several executions of each codegen path before C2 kicks in,
+    # and one pass leaves sub-second queries measurably cold.
     # Each measured run rebuilds the DataFrame (fresh plan, fresh RDD
     # lineage) so Spark cannot silently reuse shuffle outputs from the
     # previous run — every run pays scan + shuffle + agg like the
     # reference engine does. Plan/optimize time is therefore included.
-    for spec in suite.values():
-        spec.build(spark, SF_DIR).collect()
+    for _ in range(WARMUP_RUNS):
+        for spec in suite.values():
+            with exec_profile(spec):
+                spec.build(spark, SF_DIR).collect()
 
     results: dict[str, float] = {}
     for key, spec in suite.items():
         best = float("inf")
-        for _ in range(MEASURE_RUNS):
-            t0 = time.perf_counter()
-            spec.build(spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
+        with exec_profile(spec):
+            for _ in range(MEASURE_RUNS):
+                t0 = time.perf_counter()
+                spec.build(spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
         results[key] = round(best, 4)
 
     # Write path: the Arrow appender (reference's performance-critical

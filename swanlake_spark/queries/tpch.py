@@ -25,14 +25,26 @@ from swanlake_spark.queries.oracle import (
 TPCH_QUERIES: dict[str, QuerySpec] = {}
 
 
-def _tpch(n: int, spark_sql: str, duck_sql: str | None = None) -> None:
+# Interactive profile for sub-second multi-stage queries: static plan
+# (no AQE stage-by-stage re-planning); see QuerySpec.exec_conf.
+_INTERACTIVE = {"spark.sql.adaptive.enabled": "false"}
+
+
+def _tpch(
+    n: int,
+    spark_sql: str,
+    duck_sql: str | None = None,
+    exec_conf: dict[str, str] | None = None,
+) -> None:
     name = f"tpch_q{n}"
 
     def build(spark: SparkSession, sf_dir: str, _sql=spark_sql) -> DataFrame:
         ensure_tables(spark, sf_dir)
         return spark.sql(_sql)
 
-    TPCH_QUERIES[name] = QuerySpec(name, build, duck_sql or spark_sql)
+    TPCH_QUERIES[name] = QuerySpec(
+        name, build, duck_sql or spark_sql, exec_conf=exec_conf
+    )
 
 
 # Q1 — pricing summary report (full scan + 8-aggregate groupBy).
@@ -287,7 +299,7 @@ _tpch(
     WHERE graw / 1000000.0 > total_raw / 1000000.0 * 0.001
     ORDER BY val DESC, l_partkey
     """,
-    f"""
+    duck_sql=f"""
     SELECT l_partkey, {dsum('l_extendedprice * l_quantity')} AS val
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -302,6 +314,7 @@ _tpch(
       WHERE n_name = 'NATION_7')
     ORDER BY val DESC, l_partkey
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q12 — shipping mode / priority classes (join + conditional agg);
@@ -323,9 +336,26 @@ _tpch(
     """,
 )
 
-# Q13 — customer distribution (left outer join + double groupBy)
+# Q13 — customer distribution (left outer join + double groupBy).
+# Spark side pre-aggregates orders BEFORE the join: counting per custkey
+# on orders alone gets map-side partial aggregation (the shuffle carries
+# ~one row per customer instead of every post-join order row), and the
+# aggregated side is then joined to customer. Equivalent because
+# o_custkey is non-null and count(o_orderkey) counts order rows;
+# customers with no orders surface as NULL → coalesce 0. At 100 TB this
+# is the structurally better shape — the original form shuffles the full
+# customer⋈orders product on c_custkey. DuckDB oracle keeps the
+# canonical LEFT JOIN form as cross-check.
 _tpch(
     13,
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT coalesce(oc.cnt, 0) AS c_count
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+      ) oc ON c_custkey = o_custkey
+    ) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
     """
     SELECT c_count, count(*) AS custdist FROM (
       SELECT c_custkey AS ck, count(o_orderkey) AS c_count
@@ -333,6 +363,7 @@ _tpch(
       GROUP BY c_custkey
     ) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q14 — promotion effect (join + CASE ratio)
@@ -375,13 +406,16 @@ _tpch(
 # Deliberately NOT rewritten as size(collect_set(...)): that shaves
 # another ~0.13 s at sf0.1 but materializes per-group supplier sets in
 # executor memory — a scale hazard at 100 TB that count(DISTINCT)'s
-# expand-based two-phase aggregation avoids. The residual ~2-3× on this
-# sub-second query is Spark's multi-stage floor, which amortizes at
-# scale.
+# expand-based two-phase aggregation avoids. Broadcast hints pin the
+# two dimension sides (part post-filter and the negative-balance
+# supplier list are both small at every scale); the interactive
+# profile removes AQE's per-stage re-planning latency, which dominated
+# the remaining gap on this 5-stage sub-second query.
 _tpch(
     16,
     """
-    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    SELECT /*+ BROADCAST(part), BROADCAST(bad) */
+           p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON p_partkey = l_partkey
     LEFT ANTI JOIN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) bad
       ON l_suppkey = bad.s_suppkey
@@ -400,6 +434,11 @@ _tpch(
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
+    # Beyond the static plan, the distinct-agg intermediates here are a
+    # few thousand rows across 3 post-broadcast-join exchanges: 4
+    # partitions right-sizes the task count (8 → 4 shaves ~70 ms of
+    # pure scheduling at sf0.1).
+    exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "4"},
 )
 
 # Q17 — small-quantity-order revenue (correlated avg subquery;
