@@ -187,14 +187,63 @@ def _rm_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
-def _overwrite(spark: SparkSession, table: str, new_df: DataFrame, where: str | None) -> None:
+class StagingPin:
+    """Durable materialization of DML intermediates.
+
+    ``localCheckpoint(eager=True)`` pins a full copy of the computed
+    table contents on non-replicated executor-local storage: correct on
+    a healthy cluster, but at 100 TB an executor loss mid-publish kills
+    the MERGE/UPDATE job and the copy doubles executor disk pressure.
+    The table's ``_staging`` sibling dir already exists for exactly this
+    — same I/O volume, but durable on the table's own FileSystem and
+    readable back as a plain parquet scan. Table-level DML
+    (:func:`update_table` / :func:`delete_from` / :func:`merge_table`)
+    pins through here; transaction staging (no publish until COMMIT,
+    bounded OLTP-sized statements) keeps the localCheckpoint default.
+
+    The caller owns :meth:`cleanup` — after the publish completes, not
+    before (the published INSERT reads the staged files)."""
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table
+        self.paths: list[str] = []
+        self.last: DataFrame | None = None
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        path = staging_dir(self.spark, self.table)
+        df.write.parquet(path, mode="overwrite")
+        self.paths.append(path)
+        self.last = self.spark.read.parquet(path)
+        return self.last
+
+    def pinned(self, df: DataFrame) -> bool:
+        """True if ``df`` is the read-back of this pin's latest write —
+        i.e. already durably staged, safe to publish without re-staging."""
+        return self.last is not None and df is self.last
+
+    def cleanup(self) -> None:
+        for p in self.paths:
+            _rm_path(self.spark, p)
+        self.paths = []
+
+
+def _overwrite(
+    spark: SparkSession,
+    table: str,
+    new_df: DataFrame,
+    where: str | None,
+    staged: bool = False,
+) -> None:
     """Stage-and-overwrite. Spark refuses INSERT OVERWRITE from a
     self-referencing plan, so materialize to a staging dir under the
-    table location first. For partitioned tables with a predicate
-    restricted to partition columns, only matching partitions are
-    rewritten (dynamic overwrite)."""
+    table location first (skipped when ``staged`` says ``new_df`` is
+    already a scan of durably staged files). For partitioned tables
+    with a predicate restricted to partition columns, only matching
+    partitions are rewritten (dynamic overwrite)."""
     part_cols = _partition_columns(spark, table)
     staging = staging_dir(spark, table)
+    wrote_staging = False
     try:
         if part_cols and where and not where_has_subquery(where):
             # Dynamic partition overwrite path: rewrite only partitions
@@ -202,30 +251,50 @@ def _overwrite(spark: SparkSession, table: str, new_df: DataFrame, where: str | 
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
-                affected = (
+                # Affected-key selection is a broadcast semi-join on the
+                # distinct partition keys, not a collected OR-chain: an
+                # UPDATE touching 10⁵ partitions must not build a
+                # 10⁵-term boolean expression on the driver. The key set
+                # is staged to parquet (tiny — one row per affected
+                # partition) so the publish never scans the target table
+                # it is overwriting.
+                aff_path = staging_dir(spark, table)
+                (
                     spark.table(table)
                     .filter(F.expr(where))
                     .select(*part_cols)
                     .distinct()
+                    .write.parquet(aff_path, mode="overwrite")
                 )
-                cond = None
-                keys = [tuple(r) for r in affected.collect()]
-                if not keys:
-                    return
-                for key in keys:
-                    row_cond = F.lit(True)
-                    for c, v in zip(part_cols, key):
-                        row_cond = row_cond & (F.col(c).eqNullSafe(F.lit(v)))
-                    cond = row_cond if cond is None else (cond | row_cond)
-                new_df.filter(cond).write.parquet(staging, mode="overwrite")
-                spark.read.parquet(staging).write.insertInto(table, overwrite=True)
+                affected = spark.read.parquet(aff_path)
+                try:
+                    if affected.limit(1).count() == 0:
+                        return
+                    cond = None
+                    for c in part_cols:
+                        eq = new_df[c].eqNullSafe(affected[c])
+                        cond = eq if cond is None else (cond & eq)
+                    filtered = new_df.join(
+                        F.broadcast(affected), cond, "left_semi"
+                    )
+                    if not staged:
+                        filtered.write.parquet(staging, mode="overwrite")
+                        wrote_staging = True
+                        filtered = spark.read.parquet(staging)
+                    filtered.write.insertInto(table, overwrite=True)
+                finally:
+                    _rm_path(spark, aff_path)
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        elif staged:
+            new_df.write.insertInto(table, overwrite=True)
         else:
             new_df.write.parquet(staging, mode="overwrite")
+            wrote_staging = True
             spark.read.parquet(staging).write.insertInto(table, overwrite=True)
     finally:
-        _rm_path(spark, staging)
+        if wrote_staging or not staged:
+            _rm_path(spark, staging)
 
 
 def _as_view(df: DataFrame) -> tuple:
@@ -261,11 +330,19 @@ def _view_ref(view: str, alias: str | None) -> str:
     return f"{view} AS `{bare}`"
 
 
+def _default_pin(df: DataFrame) -> DataFrame:
+    """Executor-local pin for table-less contexts (transaction staging):
+    content must outlive the scratch temp views backing the plan, and no
+    durable staging dir exists until a COMMIT names a target table."""
+    return df.localCheckpoint(eager=True)
+
+
 def apply_update(
     df: DataFrame,
     assignments: dict[str, str],
     where: str | None,
     alias: str | None = None,
+    pin=None,
 ) -> DataFrame:
     """Pure transform implementing UPDATE semantics on a DataFrame
     (used directly for transaction staging).
@@ -276,7 +353,10 @@ def apply_update(
     path: ``(updated rows WHERE pred) UNION ALL (t EXCEPT ALL t WHERE
     pred)`` — EXCEPT ALL preserves duplicate-row multiplicity and treats
     NULL keys as equal, matching DELETE/UPDATE row-selection
-    semantics."""
+    semantics. ``pin`` materializes that path's result so the scratch
+    view can be dropped (table-level DML passes a durable
+    :class:`StagingPin`; default is executor-local)."""
+    pin = pin or _default_pin
     if where_has_subquery(where) or any(
         where_has_subquery(v) for v in assignments.values()
     ):
@@ -285,9 +365,7 @@ def apply_update(
             ref = _view_ref(view, alias)
             sel = _update_select_list(df, assignments)
             if where is None:
-                return spark.sql(f"SELECT {sel} FROM {ref}").localCheckpoint(
-                    eager=True
-                )
+                return pin(spark.sql(f"SELECT {sel} FROM {ref}"))
             updated = spark.sql(f"SELECT {sel} FROM {ref} WHERE {where}")
             kept = spark.sql(
                 f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"
@@ -295,7 +373,7 @@ def apply_update(
             # Pin the result so the uniquely-named temp view can be
             # dropped immediately instead of leaking one catalog entry
             # per subquery-DML statement.
-            return updated.unionAll(kept).localCheckpoint(eager=True)
+            return pin(updated.unionAll(kept))
         finally:
             spark.catalog.dropTempView(view)
     types = dict(df.dtypes)
@@ -312,18 +390,19 @@ def apply_update(
 
 
 def apply_delete(
-    df: DataFrame, where: str | None, alias: str | None = None
+    df: DataFrame, where: str | None, alias: str | None = None, pin=None
 ) -> DataFrame:
     """Pure transform implementing DELETE semantics on a DataFrame."""
+    pin = pin or _default_pin
     if where is None:
         return df.limit(0)
     if where_has_subquery(where):
         spark, view = _as_view(df)
         try:
             ref = _view_ref(view, alias)
-            return spark.sql(
+            return pin(spark.sql(
                 f"SELECT * FROM {ref} EXCEPT ALL SELECT * FROM {ref} WHERE {where}"
-            ).localCheckpoint(eager=True)
+            ))
         finally:
             spark.catalog.dropTempView(view)
     cond = F.expr(where).eqNullSafe(F.lit(True))
@@ -520,6 +599,7 @@ def apply_merge(
     source_text: str,
     cond: str,
     clauses: list[MergeClause],
+    pin=None,
 ) -> tuple[DataFrame, int]:
     """Pure MERGE transform → (new target contents, affected count).
     One join pass routes every target row through its first matching
@@ -541,7 +621,7 @@ def apply_merge(
     try:
         return _apply_merge_body(
             spark, target_df, t_alias, source_text, cond, clauses,
-            tcols, ta, tview, sview, uview,
+            tcols, ta, tview, sview, uview, pin or _default_pin,
         )
     finally:
         # Error paths (ambiguity, unknown SET column, bad action syntax)
@@ -562,6 +642,7 @@ def _apply_merge_body(
     tview: str,
     sview: str,
     uview: str,
+    pin,
 ) -> tuple[DataFrame, int]:
     src = source_text.strip()
     msrc = _mask_literals(src)
@@ -644,7 +725,7 @@ def _apply_merge_body(
         # Pin the join output once: the ambiguity check, the actioned
         # count, and the final contents all read `matched` — without
         # this, each action re-executes the full target⋈source join.
-        matched = spark.sql(matched_sql).localCheckpoint(eager=True)
+        matched = pin(spark.sql(matched_sql))
         # SQL-standard ambiguity check, evaluated on the same join output.
         n_dup = matched.filter(F.col("_swl_nmatch") > F.lit(1)).limit(1).count()
         if n_dup:
@@ -704,10 +785,10 @@ def _apply_merge_body(
     new_df = target_part
     if inserts is not None:
         new_df = new_df.unionAll(inserts)
-    # The temp views back the (lazy) new_df plan; localCheckpoint pins
+    # The temp views back the (lazy) new_df plan; pinning materializes
     # the content so they can be dropped and the caller can write or
     # stage the result at leisure.
-    new_df = new_df.localCheckpoint(eager=True)
+    new_df = pin(new_df)
     return new_df, n_matched_actioned + n_inserted
 
 
@@ -720,12 +801,21 @@ def merge_table(
     clauses: list[MergeClause],
 ) -> int:
     """Copy-on-write MERGE INTO: plan via :func:`apply_merge`, then
-    stage-and-publish like UPDATE/DELETE."""
-    new_df, affected = apply_merge(
-        spark, spark.table(table), table, t_alias, source_text, cond, clauses
-    )
-    if affected:
-        _overwrite(spark, table, new_df, None)
+    publish. Intermediates (the matched-join output and the new table
+    contents) are pinned durably in the ``_staging`` sibling dir — never
+    on executor-local storage — so the publish survives executor loss
+    and the final INSERT reads staged parquet directly (no second full
+    materialization)."""
+    stage = StagingPin(spark, table)
+    try:
+        new_df, affected = apply_merge(
+            spark, spark.table(table), table, t_alias, source_text, cond,
+            clauses, pin=stage,
+        )
+        if affected:
+            _overwrite(spark, table, new_df, None, staged=stage.pinned(new_df))
+    finally:
+        stage.cleanup()
     return affected
 
 
@@ -752,9 +842,14 @@ def update_table(
     # moved row would vanish. Full rewrite (where=None) is the safe path.
     part_cols = set(_partition_columns(spark, table))
     overwrite_where = None if part_cols & set(assignments) else where
-    _overwrite(
-        spark, table, apply_update(df, assignments, where, alias=table), overwrite_where
-    )
+    stage = StagingPin(spark, table)
+    try:
+        new_df = apply_update(df, assignments, where, alias=table, pin=stage)
+        _overwrite(
+            spark, table, new_df, overwrite_where, staged=stage.pinned(new_df)
+        )
+    finally:
+        stage.cleanup()
     return affected
 
 
@@ -768,5 +863,10 @@ def delete_from(spark: SparkSession, table: str, where: str | None = None) -> in
     affected = _count_matching(spark, table, where)
     if affected == 0:
         return 0
-    _overwrite(spark, table, apply_delete(df, where, alias=table), where)
+    stage = StagingPin(spark, table)
+    try:
+        new_df = apply_delete(df, where, alias=table, pin=stage)
+        _overwrite(spark, table, new_df, where, staged=stage.pinned(new_df))
+    finally:
+        stage.cleanup()
     return affected

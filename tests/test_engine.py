@@ -904,6 +904,87 @@ class TestReviewRegressions:
         out = sampling.train_test_split(df, 1.0).collect()
         assert all(r.split == "test" for r in out)
 
+    def test_table_dml_publish_never_localcheckpoints(self, engine, monkeypatch):
+        """Table-level MERGE / subquery-UPDATE / subquery-DELETE pin
+        their intermediates in the durable _staging sibling dir, never
+        on executor-local storage: at 100 TB a localCheckpoint'd copy of
+        the table dies with any executor mid-publish. (Transaction
+        staging, which has no target dir until COMMIT, still uses the
+        executor-local default — not exercised here.)"""
+        from pyspark.sql import DataFrame
+
+        t = _mktable(engine, "id INT, v INT")
+        s = _mktable(engine, "id INT, v INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 10), (2, 20), (3, 30)")
+        engine.execute(f"INSERT INTO {s} VALUES (2, 99), (4, 40)")
+
+        def _boom(self, eager=True):
+            raise AssertionError(
+                "localCheckpoint reached from a table-level DML publish"
+            )
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", _boom)
+        affected = engine.execute_update(
+            f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
+            f"WHEN MATCHED THEN UPDATE SET v = {s}.v "
+            f"WHEN NOT MATCHED THEN INSERT (id, v) VALUES ({s}.id, {s}.v)"
+        )
+        assert affected == 2
+        assert engine.execute_update(
+            f"UPDATE {t} SET v = v + 1 WHERE id IN (SELECT id FROM {s})"
+        ) == 2
+        assert engine.execute_update(
+            f"DELETE FROM {t} WHERE id IN (SELECT id FROM {s} WHERE v > 50)"
+        ) == 1
+        rows = engine.query(f"SELECT id, v FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.v) for r in rows] == [(1, 10), (3, 30), (4, 41)]
+
+    def test_dml_publish_cleans_staging(self, engine):
+        """No _staging droppings survive a MERGE or subquery UPDATE."""
+        import os
+
+        from swanlake_spark.operators.dml import _table_location
+
+        t = _mktable(engine, "id INT, v INT")
+        s = _mktable(engine, "id INT, v INT")
+        engine.execute(f"INSERT INTO {t} VALUES (1, 1), (2, 2)")
+        engine.execute(f"INSERT INTO {s} VALUES (2, 22)")
+        engine.execute_update(
+            f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id "
+            f"WHEN MATCHED THEN UPDATE SET v = {s}.v"
+        )
+        engine.execute_update(
+            f"UPDATE {t} SET v = 0 WHERE id IN (SELECT id FROM {s})"
+        )
+        base = _table_location(engine.spark, t).replace("file:", "")
+        staging = os.path.join(os.path.dirname(base.rstrip("/")), "_staging")
+        leftovers = os.listdir(staging) if os.path.isdir(staging) else []
+        assert leftovers == []
+
+    def test_partitioned_update_null_partition_key(self, engine):
+        """Dynamic-partition selection is a null-safe broadcast
+        semi-join on the affected-keys frame (not a collected OR-chain);
+        a NULL partition key must still select its partition."""
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(
+            f"CREATE TABLE {name} (id INT, cat STRING) USING parquet "
+            f"PARTITIONED BY (cat) LOCATION '{loc}'"
+        )
+        engine.execute(
+            f"INSERT INTO {name} VALUES (1, 'a'), (2, NULL), (3, 'b'), (4, NULL)"
+        )
+        affected = engine.execute_update(
+            f"UPDATE {name} SET id = id + 10 WHERE cat IS NULL"
+        )
+        assert affected == 2
+        rows = engine.query(
+            f"SELECT id, cat FROM {name} ORDER BY id"
+        ).collect()
+        assert [(r.id, r.cat) for r in rows] == [
+            (1, "a"), (3, "b"), (12, None), (14, None),
+        ]
+
     def test_subquery_dml_drops_scratch_views(self, engine):
         t = _mktable(engine, "id INT, v INT")
         s = _mktable(engine, "id INT, v INT")
