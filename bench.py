@@ -167,6 +167,74 @@ def main() -> None:
     results["appender_insert_10k"] = round(best, 4)
     spark.sql("DROP TABLE bench_append")
 
+    # YCSB write mix: the reference's second benchmark is a
+    # 50/5/15/10/10/10 read/insert/scan/update/delete/RMW mix on an
+    # 11-column usertable (ycsb-flight-sql.xml:24, ycsb-ddl-ducklake.sql)
+    # — point read and scan are timed above as oracle entries; these put
+    # the copy-on-write write path (UPDATE / DELETE / read-modify-write
+    # through the DML layer) on the perf record. Each run targets a
+    # fresh key so the affected-row short-circuit never turns the op
+    # into a no-op.
+    ycsb_loc = tempfile.mkdtemp(prefix="swl_bench_ycsb_")
+    fields = ", ".join(f"field{i} STRING" for i in range(10))
+    spark.sql(
+        f"CREATE TABLE ycsb_usertable (ycsb_key STRING, {fields}) "
+        f"USING parquet LOCATION '{ycsb_loc}'"
+    )
+    from pyspark.sql import functions as F
+
+    n_rows = 100_000
+    load = spark.range(n_rows).select(
+        F.concat(F.lit("user"), F.col("id")).alias("ycsb_key"),
+        *[
+            F.md5(F.concat(F.lit(str(i)), F.col("id").cast("string"))).alias(
+                f"field{i}"
+            )
+            for i in range(10)
+        ],
+    )
+    load.repartition(CPUS).write.insertInto("ycsb_usertable")
+
+    from swanlake_spark.operators.dml import delete_from, update_table
+
+    key_seq = iter(range(n_rows))
+
+    def ycsb_update():
+        k = next(key_seq)
+        return update_table(
+            spark, "ycsb_usertable", {"field1": "'updated'"},
+            f"ycsb_key = 'user{k}'",
+        )
+
+    def ycsb_delete():
+        k = next(key_seq)
+        return delete_from(spark, "ycsb_usertable", f"ycsb_key = 'user{k}'")
+
+    def ycsb_rmw():
+        k = next(key_seq)
+        row = spark.sql(
+            f"SELECT field2 FROM ycsb_usertable WHERE ycsb_key = 'user{k}'"
+        ).collect()
+        new_val = row[0][0][:8] + "-rmw"
+        return update_table(
+            spark, "ycsb_usertable", {"field2": f"'{new_val}'"},
+            f"ycsb_key = 'user{k}'",
+        )
+
+    for name, op in [
+        ("ycsb_update", ycsb_update),
+        ("ycsb_delete", ycsb_delete),
+        ("ycsb_rmw", ycsb_rmw),
+    ]:
+        op()  # warm
+        best = float("inf")
+        for _ in range(MEASURE_RUNS):
+            t0 = time.perf_counter()
+            assert op() == 1
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 4)
+    spark.sql("DROP TABLE ycsb_usertable")
+
     tpch_total = sum(v for k, v in results.items() if k.startswith("q"))
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

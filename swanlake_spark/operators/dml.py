@@ -187,6 +187,41 @@ def _rm_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
+def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
+    """Publish staged parquet into an unpartitioned table by file move.
+
+    ``insertInto(overwrite=True)`` from the staging scan decodes and
+    re-encodes every row — a second full write of the table. The staged
+    files ARE the new table contents (same schema, written by this very
+    statement), so the lakehouse-style publish is a metadata swap:
+    delete current data files, rename staged files in, refresh. Same
+    non-atomicity window as INSERT OVERWRITE's truncate-then-write (the
+    reference's DuckLake gets atomicity from its catalog pointer swap;
+    Spark's file catalog has no such pointer), at half the I/O.
+    Returns False (caller falls back to insertInto) when the table
+    location can't be resolved or a rename fails midway is impossible
+    to pre-check — renames within one FileSystem don't copy."""
+    loc = _table_location(spark, table)
+    if loc is None:
+        return False
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = dst.getFileSystem(conf)
+    src = jvm.org.apache.hadoop.fs.Path(src_dir)
+    if not fs.exists(src):
+        return False
+    for st in fs.listStatus(dst):
+        fs.delete(st.getPath(), True)
+    for st in fs.listStatus(src):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS and friends
+        fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name))
+    spark.catalog.refreshTable(table)
+    return True
+
+
 class StagingPin:
     """Durable materialization of DML intermediates.
 
@@ -234,13 +269,17 @@ def _overwrite(
     new_df: DataFrame,
     where: str | None,
     staged: bool = False,
+    staged_path: str | None = None,
 ) -> None:
     """Stage-and-overwrite. Spark refuses INSERT OVERWRITE from a
     self-referencing plan, so materialize to a staging dir under the
     table location first (skipped when ``staged`` says ``new_df`` is
-    already a scan of durably staged files). For partitioned tables
-    with a predicate restricted to partition columns, only matching
-    partitions are rewritten (dynamic overwrite)."""
+    already a scan of durably staged files at ``staged_path``). For
+    partitioned tables with a predicate restricted to partition
+    columns, only matching partitions are rewritten (dynamic
+    overwrite); unpartitioned full rewrites publish the staged files by
+    rename (:func:`_publish_by_move`) instead of re-encoding them
+    through a second INSERT."""
     part_cols = _partition_columns(spark, table)
     staging = staging_dir(spark, table)
     wrote_staging = False
@@ -287,11 +326,15 @@ def _overwrite(
             finally:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         elif staged:
-            new_df.write.insertInto(table, overwrite=True)
+            if part_cols or staged_path is None or not _publish_by_move(
+                spark, table, staged_path
+            ):
+                new_df.write.insertInto(table, overwrite=True)
         else:
             new_df.write.parquet(staging, mode="overwrite")
             wrote_staging = True
-            spark.read.parquet(staging).write.insertInto(table, overwrite=True)
+            if part_cols or not _publish_by_move(spark, table, staging):
+                spark.read.parquet(staging).write.insertInto(table, overwrite=True)
     finally:
         if wrote_staging or not staged:
             _rm_path(spark, staging)
@@ -813,7 +856,11 @@ def merge_table(
             clauses, pin=stage,
         )
         if affected:
-            _overwrite(spark, table, new_df, None, staged=stage.pinned(new_df))
+            _overwrite(
+                spark, table, new_df, None,
+                staged=stage.pinned(new_df),
+                staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
+            )
     finally:
         stage.cleanup()
     return affected
@@ -846,7 +893,9 @@ def update_table(
     try:
         new_df = apply_update(df, assignments, where, alias=table, pin=stage)
         _overwrite(
-            spark, table, new_df, overwrite_where, staged=stage.pinned(new_df)
+            spark, table, new_df, overwrite_where,
+            staged=stage.pinned(new_df),
+            staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
         )
     finally:
         stage.cleanup()
@@ -866,7 +915,11 @@ def delete_from(spark: SparkSession, table: str, where: str | None = None) -> in
     stage = StagingPin(spark, table)
     try:
         new_df = apply_delete(df, where, alias=table, pin=stage)
-        _overwrite(spark, table, new_df, where, staged=stage.pinned(new_df))
+        _overwrite(
+            spark, table, new_df, where,
+            staged=stage.pinned(new_df),
+            staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
+        )
     finally:
         stage.cleanup()
     return affected
