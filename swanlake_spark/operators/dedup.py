@@ -406,18 +406,21 @@ def connected_components(
     closure, not the pairs (A~B, B~C must collapse A,B,C together even
     when A~C was never emitted).
 
-    Algorithm: iterated min-label propagation —
-    ``comp(n) ← min(comp(n), min over neighbors m of comp(m))`` until a
-    fixpoint. Each round is one equi-join (edges ⋈ labels on the
-    neighbor key) plus one groupBy(node) min — both shuffles on the
-    node id, no cross products, label state is exactly one row per
-    node. Rounds needed = graph diameter; near-dup clusters are
-    near-cliques (diameter ≤ ~3), so this converges in 2–4 rounds
-    where the O(log n) large-star/small-star variant would pay more
-    per round for a worst-case bound dedup graphs never hit.
-    ``localCheckpoint`` truncates the per-round lineage so the plan
-    doesn't grow exponentially (on a cluster, set a checkpoint dir and
-    use reliable checkpoints if executor loss must be survivable).
+    Algorithm: iterated min-label propagation with pointer jumping.
+    Each round does (1) a hop — ``comp(n) ← min(comp(n), min over
+    neighbors m of comp(m))`` — one equi-join (edges ⋈ labels on the
+    neighbor key) plus one groupBy(node) min, and (2) a jump —
+    ``comp(n) ← min(comp(n), comp(comp(n)))`` — one self-equi-join on
+    the label table. All shuffles are on node ids, no cross products,
+    label state is exactly one row per node. The hop alone needs
+    diameter rounds (a 100-node chain would blow the iteration cap);
+    the jump compresses label paths geometrically, giving
+    O(log diameter) convergence — 2–3 rounds on near-clique dedup
+    graphs (where the jump is nearly free) and ~8 rounds on a
+    100-chain. ``localCheckpoint`` truncates the per-round lineage so
+    the plan doesn't grow exponentially (on a cluster, set a
+    checkpoint dir and use reliable checkpoints if executor loss must
+    be survivable).
 
     ``nodes`` (optional single-column DataFrame) adds isolated nodes —
     rows that appear in no edge come back as their own singleton
@@ -445,16 +448,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
+        hopped = labels.join(prop, labels["node"] == prop["src"], "left").select(
+            "node",
+            F.col("comp").alias("_prev"),
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # Pointer jump: adopt the label OF the current label. comp
+        # values are node ids of this component, so the left join always
+        # finds the parent row; labels only ever decrease.
+        parent = hopped.select(
+            F.col("node").alias("_pn"), F.col("comp").alias("_pc")
+        )
         stepped = (
-            labels.join(prop, labels["node"] == prop["src"], "left")
+            hopped.join(parent, hopped["comp"] == parent["_pn"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("comp"), F.coalesce("ncomp", F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce("ncomp", F.col("comp")) < F.col("comp")).alias(
-                    "_changed"
+                F.least(F.col("comp"), F.coalesce("_pc", F.col("comp"))).alias(
+                    "comp"
                 ),
+                "_prev",
+            )
+            .select(
+                "node",
+                "comp",
+                (F.col("comp") < F.col("_prev")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )

@@ -453,6 +453,44 @@ class TestConnectedComponents:
         got = dedup.connected_components(edges).collect()
         assert all(r.comp == 0 for r in got) and len(got) == 13
 
+    def test_hundred_node_chain_within_iteration_cap(self, spark):
+        """Diameter-99 chain: pure one-hop min-propagation would need 99
+        rounds and silently blow max_iterations=30; the pointer-jumping
+        step compresses label paths geometrically, so the default cap
+        must suffice with a wide margin (~8 rounds). Run with the cap
+        tightened to 15 to prove convergence, not just the default."""
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], ["a", "b"]
+        )
+        got = dedup.connected_components(edges, max_iterations=15).collect()
+        assert len(got) == 100
+        assert all(r.comp == 0 for r in got)
+
+    def test_iteration_cap_binds(self, spark):
+        """max_iterations is a hard stop: with the cap far below what a
+        100-chain needs, the far end of the chain must NOT have reached
+        the global min yet (the early-exit can't have fired)."""
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], ["a", "b"]
+        )
+        got = {
+            r.node: r.comp
+            for r in dedup.connected_components(edges, max_iterations=2).collect()
+        }
+        assert got[99] != 0  # not converged under the cap
+        # labels only ever decrease and never leave the component
+        assert all(0 <= c <= n for n, c in got.items())
+
+    def test_two_chains_stay_separate(self, spark):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)]
+            + [(i, i + 1) for i in range(100, 130)],
+            ["a", "b"],
+        )
+        got = {r.node: r.comp for r in dedup.connected_components(edges).collect()}
+        assert all(got[n] == 0 for n in range(31))
+        assert all(got[n] == 100 for n in range(100, 131))
+
     def test_dedup_groups_canonical(self, docs):
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
         out = {r.doc_id: (r.comp, r.is_canonical)
