@@ -107,6 +107,107 @@ def test_stream_append_to_table(spark, engine, event_dir):
     assert engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c == 101
 
 
+def _write_events(d, fname, ids):
+    rows = []
+    for i in ids:
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2025-01-01T00:{i % 60:02d}:{i % 10 + 1:02d}.000Z",
+                "user_id": i % 5,
+                "event_type": ["click", "view"][i % 2],
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+    with open(os.path.join(d, fname), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_windowed_append_hash_matches_batch_oracle(spark, engine):
+    """End-to-end evidence-class parity for the streaming path: stream →
+    watermarked windowed agg → foreachBatch into a warehouse table, then
+    the final table must hash-match (same compare gate as the DuckDB
+    oracle corpus) a batch computation over the same fixture files. The
+    only streaming-specific semantic is the final watermark cutoff —
+    append mode withholds windows the watermark hasn't closed — which
+    the batch oracle reproduces exactly as window_end <= max(ts) - wm."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from swanlake_spark.streaming.ingest import EVENT_SCHEMA
+    from swanlake_spark.testing import compare_frames
+
+    d = tempfile.mkdtemp(prefix="swl_stream_e2e_")
+    _write_events(d, "b1.json", range(0, 30))    # minutes 00-29
+    _write_events(d, "b2.json", range(30, 60))   # minutes 30-59 (no late data)
+
+    name = f"agg_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="swl_test_")
+    engine.execute(
+        f"CREATE TABLE {name} (window_start TIMESTAMP, window_end TIMESTAMP, "
+        f"event_type STRING, cnt BIGINT, sum_value DOUBLE) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    events = stream_events_from_directory(spark, d, max_files_per_trigger=1)
+    agg = windowed_event_counts(events, "1 minute", watermark="2 minutes")
+    q = streaming_append_to_table(agg, name, tempfile.mkdtemp(prefix="swl_ckpt_"))
+    q.awaitTermination(180)
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(d)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(minutes=2)
+    expected = (
+        batch.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .filter(F.col("window_end") <= F.lit(cutoff))
+    )
+    got = spark.table(name).toPandas()
+    want = expected.toPandas()
+    assert len(got) > 0
+    issues = compare_frames(got, want)
+    assert not issues, issues
+
+
+def test_stream_dedup_append_hash_matches_batch_oracle(spark, engine):
+    """Streaming dedup → foreachBatch table sink must equal batch
+    dropDuplicates over the same fixtures, value-for-value."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from swanlake_spark.streaming.ingest import EVENT_SCHEMA
+    from swanlake_spark.testing import compare_frames
+
+    d = tempfile.mkdtemp(prefix="swl_stream_dd_")
+    _write_events(d, "b1.json", list(range(0, 40)) + [0, 7])   # dups of 0, 7
+    _write_events(d, "b2.json", list(range(40, 60)) + [41])    # dup of 41
+
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="swl_test_")
+    engine.execute(
+        f"CREATE TABLE {name} (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        f"event_type STRING, value DOUBLE, props STRING) "
+        f"USING parquet LOCATION '{loc}'"
+    )
+    events = stream_events_from_directory(spark, d, max_files_per_trigger=1)
+    deduped = streaming_dedup(events, keys=["event_id"], watermark="10 minutes")
+    q = streaming_append_to_table(deduped, name, tempfile.mkdtemp(prefix="swl_ckpt_"))
+    q.awaitTermination(180)
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(d).dropDuplicates(["event_id"])
+    issues = compare_frames(spark.table(name).toPandas(), batch.toPandas())
+    assert not issues, issues
+    assert spark.table(name).count() == 60
+
+
 def test_sessionize_stateful(spark):
     """Custom stateful operator (applyInPandasWithState): sessions close
     when the watermark passes last_event + gap. Two files → two
