@@ -221,7 +221,16 @@ def main() -> None:
             f"ycsb_key = 'user{k}'",
         )
 
+    ins_seq = iter(range(n_rows, 10 * n_rows))
+
+    def ycsb_insert():
+        k = next(ins_seq)
+        vals = ", ".join(f"'f{i}-{k}'" for i in range(10))
+        spark.sql(f"INSERT INTO ycsb_usertable VALUES ('user{k}', {vals})")
+        return 1
+
     for name, op in [
+        ("ycsb_insert", ycsb_insert),
         ("ycsb_update", ycsb_update),
         ("ycsb_delete", ycsb_delete),
         ("ycsb_rmw", ycsb_rmw),
