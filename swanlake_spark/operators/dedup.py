@@ -448,12 +448,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        hopped = labels.join(prop, labels["node"] == prop["src"], "left").select(
-            "node",
-            F.col("comp").alias("_prev"),
-            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
-                "comp"
-            ),
+        hopped = (
+            labels.join(prop, labels["node"] == prop["src"], "left")
+            .select(
+                "node",
+                F.col("comp").alias("_prev"),
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            # Pinned: the jump join reads hopped on BOTH sides; without
+            # this the edges-join + groupBy-min hop would execute twice
+            # per round.
+            .localCheckpoint(eager=True)
         )
         # Pointer jump: adopt the label OF the current label. comp
         # values are node ids of this component, so the left join always

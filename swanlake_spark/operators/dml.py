@@ -217,7 +217,15 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
         name = st.getPath().getName()
         if name.startswith("_") or name.startswith("."):
             continue  # _SUCCESS and friends
-        fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name))
+        # FileSystem.rename signals failure by RETURN VALUE, not by
+        # raising — and at this point the old table files are gone, so a
+        # silently skipped file would be permanent data loss. Fail loud;
+        # the staged files still exist for manual recovery.
+        if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)):
+            raise IOError(
+                f"publish rename failed for {st.getPath()} -> {dst}; "
+                f"staged data retained at {src_dir}"
+            )
     spark.catalog.refreshTable(table)
     return True
 
@@ -258,9 +266,63 @@ class StagingPin:
         return self.last is not None and df is self.last
 
     def cleanup(self) -> None:
+        """Remove the staged dirs. Call on SUCCESSFUL publish only — a
+        failed publish may have half-moved the table's files, and the
+        staged copy is then the only complete one; leaked ``_staging``
+        dirs are invisible to scans and reclaimable by maintenance."""
         for p in self.paths:
             _rm_path(self.spark, p)
         self.paths = []
+
+
+def _emptied_keys(
+    affected: DataFrame, filtered: DataFrame, part_cols: list[str]
+) -> list[tuple]:
+    """Affected partition keys with NO surviving rows in the new
+    contents (null-safe anti join). Driver-materialized because each
+    emptied partition needs one DDL statement anyway; the list is
+    bounded by the number of partitions the statement fully empties."""
+    kept = filtered.select(*part_cols).distinct()
+    cond = None
+    for c in part_cols:
+        eq = affected[c].eqNullSafe(kept[c])
+        cond = eq if cond is None else (cond & eq)
+    return [tuple(r) for r in affected.join(kept, cond, "left_anti").collect()]
+
+
+def _partition_spec(part_cols: list[str], key: tuple) -> str:
+    parts = []
+    for c, v in zip(part_cols, key):
+        if v is None:
+            parts.append(f"`{c}` = null")
+        else:
+            parts.append(f"`{c}` = '" + str(v).replace("'", "''") + "'")
+    return ", ".join(parts)
+
+
+def _drop_partitions(
+    spark: SparkSession, table: str, part_cols: list[str], keys: list[tuple]
+) -> None:
+    """Drop partitions emptied by a DELETE: remove the catalog entry and
+    the partition directory (external tables keep files on DROP
+    PARTITION alone, which a later INSERT into the same key would
+    resurrect)."""
+    for key in keys:
+        spec = _partition_spec(part_cols, key)
+        loc = None
+        try:
+            for r in spark.sql(
+                f"DESCRIBE FORMATTED {table} PARTITION ({spec})"
+            ).collect():
+                if r.col_name.strip() == "Location":
+                    loc = r.data_type.strip()
+                    break
+        except Exception:
+            loc = None
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec})")
+        if loc:
+            _rm_path(spark, loc)
+    spark.catalog.refreshTable(table)
 
 
 def _overwrite(
@@ -320,7 +382,16 @@ def _overwrite(
                         filtered.write.parquet(staging, mode="overwrite")
                         wrote_staging = True
                         filtered = spark.read.parquet(staging)
-                    filtered.write.insertInto(table, overwrite=True)
+                    # Dynamic overwrite only touches partitions PRESENT
+                    # in the inserted data — a DELETE that empties a
+                    # partition contributes no rows for it, so the old
+                    # files would silently survive. Drop those
+                    # partitions explicitly (catalog + files).
+                    emptied = _emptied_keys(affected, filtered, part_cols)
+                    if emptied:
+                        _drop_partitions(spark, table, part_cols, emptied)
+                    if not emptied or filtered.limit(1).count() > 0:
+                        filtered.write.insertInto(table, overwrite=True)
                 finally:
                     _rm_path(spark, aff_path)
             finally:
@@ -855,14 +926,19 @@ def merge_table(
             spark, spark.table(table), table, t_alias, source_text, cond,
             clauses, pin=stage,
         )
+    except BaseException:
+        stage.cleanup()  # planning failed; nothing published — tidy up
+        raise
+    try:
         if affected:
             _overwrite(
                 spark, table, new_df, None,
                 staged=stage.pinned(new_df),
                 staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
             )
-    finally:
-        stage.cleanup()
+    except BaseException:
+        raise  # publish failed: retain staged data (StagingPin.cleanup docs)
+    stage.cleanup()
     return affected
 
 
@@ -892,13 +968,18 @@ def update_table(
     stage = StagingPin(spark, table)
     try:
         new_df = apply_update(df, assignments, where, alias=table, pin=stage)
+    except BaseException:
+        stage.cleanup()  # planning failed; nothing published — tidy up
+        raise
+    try:
         _overwrite(
             spark, table, new_df, overwrite_where,
             staged=stage.pinned(new_df),
             staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
         )
-    finally:
-        stage.cleanup()
+    except BaseException:
+        raise  # publish failed: retain staged data (StagingPin.cleanup docs)
+    stage.cleanup()
     return affected
 
 
@@ -915,11 +996,16 @@ def delete_from(spark: SparkSession, table: str, where: str | None = None) -> in
     stage = StagingPin(spark, table)
     try:
         new_df = apply_delete(df, where, alias=table, pin=stage)
+    except BaseException:
+        stage.cleanup()  # planning failed; nothing published — tidy up
+        raise
+    try:
         _overwrite(
             spark, table, new_df, where,
             staged=stage.pinned(new_df),
             staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
         )
-    finally:
-        stage.cleanup()
+    except BaseException:
+        raise  # publish failed: retain staged data (StagingPin.cleanup docs)
+    stage.cleanup()
     return affected

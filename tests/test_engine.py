@@ -985,6 +985,47 @@ class TestReviewRegressions:
             (1, "a"), (3, "b"), (12, None), (14, None),
         ]
 
+    def test_delete_emptying_partition_removes_rows(self, engine):
+        """Dynamic partition overwrite only touches partitions present
+        in the inserted data — a DELETE that empties a partition must
+        drop it explicitly or the old files silently survive."""
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(
+            f"CREATE TABLE {name} (id INT, cat STRING) USING parquet "
+            f"PARTITIONED BY (cat) LOCATION '{loc}'"
+        )
+        engine.execute(
+            f"INSERT INTO {name} VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')"
+        )
+        # empties partition a entirely; b untouched
+        assert engine.execute_update(f"DELETE FROM {name} WHERE cat = 'a'") == 2
+        rows = engine.query(f"SELECT id, cat FROM {name} ORDER BY id").collect()
+        assert [(r.id, r.cat) for r in rows] == [(3, "b"), (4, "c")]
+        # a mixed DELETE: empties c, thins b's sibling rows? (b keeps id=3)
+        engine.execute(f"INSERT INTO {name} VALUES (5, 'b')")
+        assert engine.execute_update(
+            f"DELETE FROM {name} WHERE id IN (4, 5) AND cat IN ('b', 'c')"
+        ) == 2
+        rows = engine.query(f"SELECT id, cat FROM {name} ORDER BY id").collect()
+        assert [(r.id, r.cat) for r in rows] == [(3, "b")]
+
+    def test_delete_emptying_null_partition(self, engine):
+        name = f"t_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_test_")
+        engine.execute(
+            f"CREATE TABLE {name} (id INT, cat STRING) USING parquet "
+            f"PARTITIONED BY (cat) LOCATION '{loc}'"
+        )
+        engine.execute(f"INSERT INTO {name} VALUES (1, 'a'), (2, NULL)")
+        assert engine.execute_update(f"DELETE FROM {name} WHERE cat IS NULL") == 1
+        rows = engine.query(f"SELECT id, cat FROM {name} ORDER BY id").collect()
+        assert [(r.id, r.cat) for r in rows] == [(1, "a")]
+        # re-inserting into the dropped key must not resurrect old rows
+        engine.execute(f"INSERT INTO {name} VALUES (9, NULL)")
+        rows = engine.query(f"SELECT id, cat FROM {name} ORDER BY id").collect()
+        assert [(r.id, r.cat) for r in rows] == [(1, "a"), (9, None)]
+
     def test_subquery_dml_drops_scratch_views(self, engine):
         t = _mktable(engine, "id INT, v INT")
         s = _mktable(engine, "id INT, v INT")
