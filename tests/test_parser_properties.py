@@ -1,0 +1,199 @@
+"""Property-based tests (hypothesis) for the DML/MERGE statement
+scanners. The scanners' whole job is to find keywords at paren-depth 0
+OUTSIDE string/identifier literals — adversarial literals containing
+keywords, quotes, commas, and parens are exactly the inputs a
+property-based generator covers better than example tests.
+
+Pure string-level properties — no SparkSession needed, so this module
+runs in milliseconds and shakes thousands of statements.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from swanlake_spark.operators.dml import (
+    _split_depth0_commas,
+    parse_delete,
+    parse_merge,
+    parse_update,
+)
+from swanlake_spark.plans.parser import _mask_literals, _scan
+
+# -- building blocks ----------------------------------------------------------
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True).filter(
+    # bare identifiers must not collide with the keywords the scanners
+    # look for (a column literally named WHERE needs quoting — as in SQL)
+    lambda s: s.upper()
+    not in {
+        "WHERE", "SET", "VALUES", "USING", "ON", "WHEN", "THEN", "MATCHED",
+        "NOT", "AND", "UPDATE", "DELETE", "INSERT", "MERGE", "INTO", "FROM",
+        "CASE", "END", "AS", "SELECT", "EXISTS", "IN", "IS", "NULL",
+    }
+)
+
+# string literals may contain ANYTHING once quotes are doubled —
+# including keywords, parens, and commas
+_str_literal = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+
+_number = st.integers(-10**6, 10**6).map(str)
+
+# simple scalar expression: literal, number, column, or a parenthesized
+# two-term combination of those
+_atom = st.one_of(_str_literal, _number, _ident)
+_expr = st.one_of(
+    _atom,
+    st.tuples(_atom, _atom).map(lambda t: f"({t[0]} + {t[1]})"),
+    st.tuples(_atom, _atom).map(lambda t: f"coalesce({t[0]}, {t[1]})"),
+)
+
+
+# -- _mask_literals invariants ------------------------------------------------
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_mask_preserves_length_and_structure(text):
+    masked = _mask_literals(text)
+    assert len(masked) == len(text)
+    # every kept position holds the original character
+    kept = {i for i, _ in _scan(text)}
+    for i, ch in enumerate(masked):
+        if i in kept:
+            assert ch == text[i]
+        else:
+            assert ch == " "
+
+
+@given(st.lists(_str_literal, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_mask_blanks_every_literal(literals):
+    stmt = "SELECT " + ", ".join(literals)
+    masked = _mask_literals(stmt)
+    # no quote contents survive: after masking, the only non-space chars
+    # are the SELECT head, commas, and the quote marks themselves
+    body = masked[len("SELECT "):]
+    assert set(body) <= set(" ,'")
+
+
+# -- depth-0 comma splitting --------------------------------------------------
+
+
+@given(st.lists(_expr, min_size=1, max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_split_depth0_commas_roundtrip(parts):
+    joined = ",".join(parts)
+    got = _split_depth0_commas(joined)
+    assert [p.strip() for p in got] == [p.strip() for p in parts]
+
+
+# -- UPDATE / DELETE scanners -------------------------------------------------
+
+
+@given(
+    table=_ident,
+    cols=st.lists(_ident, min_size=1, max_size=4, unique=True),
+    vals=st.lists(_expr, min_size=4, max_size=4),
+    where=st.one_of(st.none(), _expr),
+)
+@settings(max_examples=300, deadline=None)
+def test_parse_update_roundtrip(table, cols, vals, where):
+    sets_sql = ", ".join(f"{c} = {v}" for c, v in zip(cols, vals))
+    stmt = f"UPDATE {table} SET {sets_sql}"
+    if where is not None:
+        stmt += f" WHERE {where} = 1"
+    parsed = parse_update(stmt)
+    assert parsed is not None
+    ptable, psets, pwhere = parsed
+    assert ptable == table
+    assert psets == {c: v for c, v in zip(cols, vals)}
+    if where is None:
+        assert pwhere is None
+    else:
+        assert pwhere == f"{where} = 1"
+
+
+@given(table=_ident, where=st.one_of(st.none(), _expr))
+@settings(max_examples=200, deadline=None)
+def test_parse_delete_roundtrip(table, where):
+    stmt = f"DELETE FROM {table}"
+    if where is not None:
+        stmt += f" WHERE {where} = 1"
+    parsed = parse_delete(stmt)
+    assert parsed is not None
+    ptable, pwhere = parsed
+    assert ptable == table
+    assert pwhere == (None if where is None else f"{where} = 1")
+
+
+@given(payload=_str_literal)
+@settings(max_examples=200, deadline=None)
+def test_update_keywords_inside_literals_ignored(payload):
+    """A SET value that is a string literal containing ' WHERE ', ' SET ',
+    commas, or parens must not derail the scanner."""
+    poisoned = "'" + (" WHERE x SET y, (z " + payload[1:-1]).replace(
+        "'", "''"
+    ) + "'"
+    stmt = f"UPDATE t SET a = {poisoned}, b = 2 WHERE c = {poisoned}"
+    parsed = parse_update(stmt)
+    assert parsed is not None
+    table, sets, where = parsed
+    assert table == "t"
+    assert sets == {"a": poisoned, "b": "2"}
+    assert where == f"c = {poisoned}"
+
+
+# -- MERGE scanner ------------------------------------------------------------
+
+
+@given(
+    t=_ident,
+    s=_ident,
+    setval=_expr,
+    cond=st.one_of(st.none(), _expr),
+    insval=_expr,
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_merge_roundtrip(t, s, setval, cond, insval):
+    arms = ""
+    if cond is not None:
+        arms += f" WHEN MATCHED AND {cond} = 1 THEN DELETE"
+    arms += f" WHEN MATCHED THEN UPDATE SET v = {setval}"
+    arms += f" WHEN NOT MATCHED THEN INSERT (id, v) VALUES ({s}.id, {insval})"
+    stmt = f"MERGE INTO {t} USING {s} ON {t}.id = {s}.id{arms}"
+    parsed = parse_merge(stmt)
+    assert parsed is not None
+    table, t_alias, source_text, on_cond, clauses = parsed
+    assert table == t
+    assert source_text == s
+    assert on_cond == f"{t}.id = {s}.id"
+    kinds = [c.kind() for c in clauses]
+    if cond is not None:
+        assert kinds == ["delete", "update", "insert"]
+        assert clauses[0].condition == f"{cond} = 1"
+    else:
+        assert kinds == ["update", "insert"]
+
+
+@given(payload=_str_literal)
+@settings(max_examples=150, deadline=None)
+def test_merge_keywords_inside_literals_ignored(payload):
+    poisoned = "'" + (
+        " WHEN MATCHED THEN USING ON " + payload[1:-1]
+    ).replace("'", "''") + "'"
+    stmt = (
+        f"MERGE INTO t USING s ON t.id = s.id "
+        f"WHEN MATCHED THEN UPDATE SET v = {poisoned} "
+        f"WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, {poisoned})"
+    )
+    parsed = parse_merge(stmt)
+    assert parsed is not None
+    _, _, source_text, _, clauses = parsed
+    assert source_text == "s"
+    assert len(clauses) == 2
+    assert clauses[0].kind() == "update"
+    assert clauses[1].kind() == "insert"
