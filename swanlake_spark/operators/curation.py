@@ -1,0 +1,217 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+PII redaction, repetition scoring, benchmark decontamination, domain
+mixing, deterministic global shuffle.
+
+Everything here is built-in-function DataFrame work (JVM-side,
+whole-stage codegen; zero Python UDFs) and every operator is
+deterministic across runs, engines, and partition layouts, so each one
+carries a DuckDB hash-match oracle:
+
+- ``pii_redact``: sequential ``regexp_replace`` over a fixed pattern
+  order, plus per-category match counts. Narrow projection — no
+  shuffle; scales as a pure scan.
+- ``repetition_scores``: Gopher-style repetition signals (distinct
+  n-gram ratios, top-token fraction) from higher-order array functions.
+  Per-row cost is O(tokens · distinct tokens); no shuffle.
+- ``decontaminate``: flags corpus documents sharing any token n-gram
+  with a benchmark set — the standard pretraining decontamination step.
+  Benchmark n-grams are broadcast (benchmarks are MBs, corpora are TBs),
+  so the corpus side is scan → explode → broadcast-join → one groupBy
+  on doc id.
+- ``domain_mix``: per-domain deterministic downsampling rates (domain
+  reweighting for training mixtures), built on the same md5 hash-range
+  membership as ``sampling`` — reproducible on any engine or layout.
+- ``deterministic_shuffle``: a stable global permutation of the corpus
+  (training-order shuffle) as a two-phase distributed rank — bucketed
+  ``row_number`` plus broadcast bucket offsets — never a
+  single-partition global window.
+
+Reference scope note: the reference engine (swanlake-core) has no
+curation surface; these extend the pipeline layer the same way
+dedup/similarity do (SURVEY.md §7.2 step 10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from swanlake_spark.operators.sampling import _threshold_hex, sample_key
+from swanlake_spark.operators.text import tokens
+
+# PII patterns, applied (and counted) in this order. Common Java-regex /
+# RE2 subset only — no lookarounds, no backreferences — so Spark and
+# DuckDB match identically. Counts are per-pattern over the ORIGINAL
+# text (categories are written to be disjoint; sequential counting over
+# intermediate rewrites would make the oracle SQL quadratic).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CC>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholders and count matches per
+    category. Adds ``text_redacted`` and one ``n_<category>`` column per
+    pattern. Pure narrow projection — the 100 TB cost is the scan."""
+    c = F.col(text_col)
+    out = df
+    red = c
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("int"),
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("text_redacted", red)
+
+
+def _grams(t: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings (same shape as the dedup
+    shingles — ``array_to_string(t[i:i+n], ' ')`` on the DuckDB side)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+    )
+
+
+def _round4(x: Column) -> Column:
+    # floor(x*1e4 + 0.5) instead of round(x, 4): token-count ratios are
+    # small rationals that can land within 1 ulp of a decimal half
+    # boundary, where engines' round() modes diverge; floor of identical
+    # IEEE doubles cannot (all inputs >= 0, so this IS half-up).
+    return F.floor(x * 10000 + 0.5).cast("double") / 10000.0
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``uniq_1gram_ratio`` / ``uniq_2gram_ratio`` / ``uniq_3gram_ratio``:
+      distinct/total n-gram ratios (1.0 = no repetition; duplicated
+      n-grams pull it down),
+    - ``top_token_frac``: fraction of tokens taken by the single most
+      frequent token (boilerplate/spam detector).
+
+    All higher-order array expressions over the token list — per-row,
+    no shuffle, codegen'd."""
+    t = tokens(text_col)
+    uniq = lambda g: _round4(F.size(F.array_distinct(g)) / F.size(g))  # noqa: E731
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    )
+    return (
+        df.withColumn("uniq_1gram_ratio", uniq(t))
+        .withColumn("uniq_2gram_ratio", uniq(_grams(t, 2)))
+        .withColumn("uniq_3gram_ratio", uniq(_grams(t, 3)))
+        .withColumn("top_token_frac", _round4(top / F.size(t)))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing at least
+    one token ``n``-gram with any benchmark document (the standard
+    n-gram-collision test-set-leakage check for pretraining corpora).
+
+    Returns one row per contaminated corpus document:
+    ``(id_col, n_hits, n_bench_docs)`` — distinct colliding n-grams and
+    distinct benchmark documents hit.
+
+    Scale shape: the benchmark's distinct n-grams are broadcast (bench
+    sets are MB-scale against TB corpora), so the corpus side is a
+    single narrow explode + broadcast hash join + one groupBy on the
+    document id. No shuffle touches the full corpus text."""
+    c_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_grams(tokens(text_col), n))).alias("_g"),
+    )
+    b_grams = benchmark.select(
+        F.col(id_col).alias("_bench_id"),
+        F.explode(F.array_distinct(_grams(tokens(text_col), n))).alias("_g"),
+    ).distinct()
+    return (
+        c_grams.join(F.broadcast(b_grams), "_g")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("_g").cast("long").alias("n_hits"),
+            F.countDistinct("_bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Domain reweighting: keep each row with its domain's sampling rate
+    (a deterministic per-domain Bernoulli — the downsampling half of a
+    training-mixture recipe; upweighting is repetition at the loader).
+    Membership is the md5 hash-range rule from ``sampling``, so the kept
+    set is identical on every run, engine, and layout. Narrow filter —
+    no shuffle."""
+    thr = F.lit(_threshold_hex(default_weight))
+    for dom, w in sorted(weights.items()):
+        thr = F.when(F.col(domain_col) == dom, F.lit(_threshold_hex(w))).otherwise(
+            thr
+        )
+    full = F.lit(_threshold_hex(1.0))
+    return df.filter(
+        (thr >= full) | (sample_key(id_col, salt) < thr)
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    buckets: int = 256,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Stable global training-order shuffle: every row gets its position
+    in the permutation ordered by ``md5(seed || id)`` (id tiebreak).
+    Re-runs, engines, and partition layouts all produce the identical
+    permutation — the property pretraining dataloaders need for resume
+    and ablation reproducibility.
+
+    Never a single-partition global window: rank = two-phase distributed
+    prefix sum (the ``packing`` scheme) — bucket on the key's top byte
+    (uniform by construction, md5) through a MONOTONE range map, so all
+    of bucket b sorts before all of bucket b+1; per-bucket
+    ``row_number`` in parallel, plus broadcast exclusive-cumsum bucket
+    offsets over ``buckets`` rows."""
+    buckets = min(max(buckets, 1), 256)  # one byte of key granularity
+    keyed = df.withColumn("_sk", sample_key(id_col, seed)).withColumn(
+        "_bkt",
+        F.floor(
+            F.conv(F.substring("_sk", 1, 2), 16, 10).cast("long") * buckets / 256
+        ).cast("long"),
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_sk", id_col)
+    ranked = keyed.withColumn("_rk", F.row_number().over(w_in))
+
+    totals = keyed.groupBy("_bkt").agg(F.count("*").alias("_tot"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_bkt", "_base")
+
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .withColumn(pos_col, (F.col("_base") + F.col("_rk") - 1).cast("long"))
+        .drop("_sk", "_bkt", "_rk", "_base")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from swanlake_spark.operators import (
+    curation,
     dedup,
     multimodal,
     packing,
@@ -704,13 +705,226 @@ _add(
 )
 
 
-# Rows-only sketch entries verified by the pytest corpus but kept out of
-# the driver's 50-entry correctness window so every windowed slot carries
-# a full DuckDB hash-match (a rows-only row is a strictly weaker signal;
-# the sketches' determinism + recall checks live in tests/).
+# -- corpus curation: PII, repetition, decontamination, mixing, shuffle ------
+
+
+def _pii_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic synthetic PII appended (the corpus
+    itself is PII-free synthetic text): an email + IP + phone for every
+    doc, an SSN for every 3rd, a card number for every 5th — built with
+    the identical concat expression the oracle uses."""
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    i = F.col("doc_id")
+    s = lambda x: x.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" user"), s(i), F.lit("@example.com ip 10.0."),
+        s(i % 256), F.lit("."), s(i % 100),
+        F.when(i % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" call 555-867-"), F.lpad(s(i % 10000), 4, "0"),
+    )
+    return df.select("doc_id", aug.alias("text"))
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red = curation.pii_redact(_pii_aug(spark, sf_dir))
+    return red.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in curation.PII_PATTERNS],
+        F.md5(F.col("text_redacted")).alias("red_fp"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    """Build the DuckDB mirror from PII_PATTERNS so the Spark operator
+    and the oracle can never drift on the regexes themselves."""
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in curation.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in curation.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 100 AS VARCHAR)
+                  || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' card 4111 1111 1111 1111' ELSE '' END
+                  || ' call 555-867-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS red_fp
+    FROM aug ORDER BY doc_id
+    """
+
+
+_add("pipe_pii_redact", _pii_redact, _pii_oracle())
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return curation.repetition_scores(df).select(
+        "doc_id",
+        "uniq_1gram_ratio",
+        "uniq_2gram_ratio",
+        "uniq_3gram_ratio",
+        "top_token_frac",
+    ).orderBy("doc_id")
+
+
+def _rep_gram_sql(n: int) -> str:
+    """DuckDB n-grams matching curation._grams (one clamped short gram
+    when the document has fewer than n tokens)."""
+    return (
+        f"list_transform(range(1, greatest(len(t) - {n}, 0) + 2), "
+        f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+    )
+
+
+def _rep_uniq_sql(g: str) -> str:
+    return (
+        f"floor(CAST(len(list_distinct({g})) AS DOUBLE) / len({g})"
+        " * 10000 + 0.5) / 10000.0"
+    )
+
+
+_add(
+    "pipe_repetition",
+    _repetition,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           {_rep_uniq_sql("t")} AS uniq_1gram_ratio,
+           {_rep_uniq_sql(_rep_gram_sql(2))} AS uniq_2gram_ratio,
+           {_rep_uniq_sql(_rep_gram_sql(3))} AS uniq_3gram_ratio,
+           floor(CAST(list_max(list_transform(list_distinct(t),
+                   w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+                 / len(t) * 10000 + 0.5) / 10000.0 AS top_token_frac
+    FROM toks ORDER BY doc_id
+    """,
+)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark set = every 7th document; the collision test flags the
+    rest of the corpus on shared 6-gram evidence."""
+    df = _docs(spark, sf_dir)
+    bench = df.filter(F.col("doc_id") % 7 == 0)
+    corpus = df.filter(F.col("doc_id") % 7 != 0)
+    return curation.decontaminate(corpus, bench, n=6).orderBy("doc_id")
+
+
+_add(
+    "pipe_decontaminate",
+    _decontaminate,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 6, 0) + 2),
+               i -> array_to_string(t[i:i+5], ' ')))) AS g
+      FROM toks),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM g
+              WHERE doc_id % 7 = 0),
+    corp AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0)
+    SELECT corp.doc_id,
+           CAST(count(DISTINCT corp.g) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
+    FROM corp JOIN bench USING (g)
+    GROUP BY corp.doc_id ORDER BY doc_id
+    """,
+)
+
+
+def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: downsample src0 to 50%, src1 to
+    25%, drop src2, keep everything else — summarized per domain."""
+    df = _docs(spark, sf_dir)
+    mixed = curation.domain_mix(df, {"src0": 0.5, "src1": 0.25, "src2": 0.0})
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_add(
+    "pipe_domain_mix",
+    _domain_mix,
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    WHERE CASE source
+            WHEN 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '80000000'
+            WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '40000000'
+            WHEN 'src2' THEN FALSE
+            ELSE TRUE END
+    GROUP BY source ORDER BY source
+    """,
+)
+
+
+def _shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global training-order permutation; Spark runs the two-phase
+    bucketed rank, the oracle the equivalent single-window SQL."""
+    df = _docs(spark, sf_dir)
+    return (
+        curation.deterministic_shuffle(df, seed="shuffle", buckets=64)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    )
+
+
+_add(
+    "pipe_shuffle",
+    _shuffle,
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY substr(md5('shuffle' || CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) - 1 AS BIGINT) AS shuffle_pos
+    FROM documents ORDER BY doc_id
+    """,
+)
+
+
+# Entries verified by the pytest corpus but kept out of the driver's
+# 50-entry correctness window: the rows-only sketch variants (a rows-only
+# row is a strictly weaker signal; their determinism + recall checks live
+# in tests/) and — purely for window budget — the curation entries, whose
+# full DuckDB hash-match runs in tests/test_oracle_corpus.py instead
+# (the window stops recording at 50 entries, and every current slot
+# already carries a hash-match).
 DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_dedup_simhash",
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",
     "pipe_multimodal_features",
+    "pipe_pii_redact",
+    "pipe_repetition",
+    "pipe_decontaminate",
+    "pipe_domain_mix",
+    "pipe_shuffle",
 )

@@ -578,3 +578,100 @@ class TestPacking:
         # every pack a doc starts in appears; token counts clamp at pack end
         assert sum(r.n_docs for r in summ) == 50
         assert all(r.tokens_here <= 512 for r in summ)
+
+
+class TestCuration:
+    def test_pii_redact_counts_and_text(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob@example.com twice: alice.w+x@sub.org rest"),
+                (2, "ssn 123-45-6789 ip 10.0.0.1 card 4111 1111 1111 1111"),
+                (3, "call 555-867-5309 or 555.867.5309"),
+                (4, "no pii here at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in curation.pii_redact(df).collect()}
+        assert out[1].n_email == 2
+        assert "<EMAIL>" in out[1].text_redacted
+        assert "@" not in out[1].text_redacted
+        assert (out[2].n_ssn, out[2].n_ipv4, out[2].n_card) == (1, 1, 1)
+        assert out[2].text_redacted == "ssn <SSN> ip <IP> card <CC>"
+        assert out[3].n_phone == 2
+        assert out[3].text_redacted == "call <PHONE> or <PHONE>"
+        assert out[4].text_redacted == "no pii here at all"
+        assert sum([out[4].n_email, out[4].n_ssn, out[4].n_ipv4,
+                    out[4].n_card, out[4].n_phone]) == 0
+
+    def test_repetition_flags_spam(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(1, "buy now buy now buy now buy now"),
+             (2, "eight completely distinct words appear exactly once here")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in curation.repetition_scores(df).collect()}
+        assert out[1].uniq_1gram_ratio == 0.25  # 2 distinct / 8
+        assert out[1].uniq_2gram_ratio < 0.3    # "buy now"/"now buy" repeat
+        assert out[1].top_token_frac == 0.5
+        assert out[2].uniq_1gram_ratio == 1.0
+        assert out[2].uniq_2gram_ratio == 1.0
+        assert out[2].top_token_frac == 0.125
+
+    def test_decontaminate_flags_overlap_only(self, spark):
+        from swanlake_spark.operators import curation
+
+        bench = spark.createDataFrame(
+            [(100, "the secret benchmark answer is forty two exactly")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains the benchmark 6-gram "secret benchmark answer is forty two"
+                (1, "we know the secret benchmark answer is forty two exactly ok"),
+                (2, "totally unrelated corpus document with original content words"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = curation.decontaminate(corpus, bench, n=6).collect()
+        assert [r.doc_id for r in out] == [1]
+        assert out[0].n_hits >= 1 and out[0].n_bench_docs == 1
+
+    def test_domain_mix_rates_and_determinism(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(i, f"src{i % 3}") for i in range(3000)], ["doc_id", "source"]
+        )
+        kept = curation.domain_mix(df, {"src0": 0.5, "src1": 0.0})
+        by = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+        assert "src1" not in by                 # rate 0 → dropped entirely
+        assert by["src2"] == 1000               # default rate 1.0 → all kept
+        assert 380 < by["src0"] < 620           # ~50% of 1000
+        # layout-independent membership
+        a = {r.doc_id for r in kept.collect()}
+        b = {r.doc_id for r in
+             curation.domain_mix(df.repartition(13),
+                                 {"src0": 0.5, "src1": 0.0}).collect()}
+        assert a == b
+
+    def test_shuffle_is_stable_permutation(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.range(0, 1500).withColumnRenamed("id", "doc_id")
+        out = curation.deterministic_shuffle(df, buckets=32).collect()
+        pos = sorted(r.shuffle_pos for r in out)
+        assert pos == list(range(1500))  # exact permutation, no gaps/dups
+        m1 = {r.doc_id: r.shuffle_pos for r in out}
+        # invariant under partition layout AND bucket count
+        m2 = {r.doc_id: r.shuffle_pos for r in
+              curation.deterministic_shuffle(df.repartition(11),
+                                             buckets=256).collect()}
+        assert m1 == m2
+        # a different seed produces a genuinely different permutation
+        m3 = {r.doc_id: r.shuffle_pos for r in
+              curation.deterministic_shuffle(df, seed="epoch2").collect()}
+        assert m3 != m1
