@@ -77,6 +77,39 @@ def main() -> None:
             return kept.groupBy().count()
 
     suite["dedup_embedding_lsh"] = _EmbDedupLsh
+
+    # Curation ops over the FULL documents table (the oracle entries are
+    # bounded correctness demos; these are the scale-path timings).
+    class _Decontaminate:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import curation
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            docs = spark.table("documents")
+            bench_docs = docs.filter(F.col("doc_id") % 7 == 0)
+            corpus = docs.filter(F.col("doc_id") % 7 != 0)
+            return curation.decontaminate(corpus, bench_docs, n=6).groupBy().count()
+
+    class _Shuffle:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import curation
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            sh = curation.deterministic_shuffle(spark.table("documents"))
+            return sh.agg(
+                F.max("shuffle_pos").alias("mx"), F.count("*").alias("n")
+            )
+
+    suite["curation_decontaminate"] = _Decontaminate
+    suite["curation_shuffle"] = _Shuffle
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 

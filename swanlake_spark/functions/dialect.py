@@ -203,8 +203,106 @@ def _transform_string_agg(sql: str) -> str:
     return _transform_calls(sql, _STRING_AGG_CALL, 2, build)
 
 
+def _depth0_keyword(sql: str, word: str, start: int = 0) -> int:
+    """Position of the first paren-depth-0, non-literal occurrence of the
+    keyword ``word`` at/after ``start``; -1 if absent."""
+    spans = _mask_spans(sql)
+    depth = 0
+    pat = re.compile(rf"\b{word}\b", re.IGNORECASE)
+    i = start
+    while i < len(sql):
+        if _in_span(i, spans):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """DuckDB ``QUALIFY <pred>`` → a Spark-legal nested filter:
+
+    ``SELECT <sel> FROM ... QUALIFY <pred> [tail]`` becomes
+    ``SELECT * EXCEPT (_swl_qualify) FROM (SELECT <sel>, (<pred>) AS
+    _swl_qualify FROM ...) _swl_q WHERE _swl_qualify [tail]``.
+
+    The predicate joins the inner select list, where Spark evaluates
+    window functions and (via lateral column aliases, Spark 3.4+)
+    references to earlier select-list aliases; ORDER BY / LIMIT and any
+    following set-op arm stay on the outer query, preserving DuckDB's
+    left-arm QUALIFY binding. Subqueries are handled by recursing into
+    every parenthesized section. Known limit: SELECT DISTINCT + QUALIFY
+    (the helper column would join the distinct key) is left untouched."""
+    # recurse into paren groups first (subqueries, CTE bodies)
+    spans = _mask_spans(sql)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "(" and not _in_span(i, spans):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if _in_span(j, spans):
+                    j += 1
+                    continue
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = sql[i + 1 : j - 1]
+            out.append("(" + _rewrite_qualify(inner) + ")")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    sql = "".join(out)
+
+    q = _depth0_keyword(sql, "QUALIFY")
+    if q < 0:
+        return sql
+    # the query arm owning this QUALIFY: last depth-0 SELECT before it
+    sel = -1
+    pos = _depth0_keyword(sql, "SELECT")
+    while 0 <= pos < q:
+        sel = pos
+        pos = _depth0_keyword(sql, "SELECT", pos + 6)
+    frm = _depth0_keyword(sql, "FROM", sel if sel >= 0 else 0)
+    if sel < 0 or not (sel < frm < q):
+        return sql  # FROM-first or DISTINCT-less shapes we don't rewrite
+    if re.match(r"\s*DISTINCT\b", sql[sel + 6 :], re.IGNORECASE):
+        return sql
+    # predicate ends at the next depth-0 outer-query clause / set-op
+    end = len(sql)
+    for kw in ("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"):
+        k = _depth0_keyword(sql, kw, q + 7)
+        if k >= 0:
+            end = min(end, k)
+    pred = sql[q + 7 : end].strip()
+    tail = sql[end:]
+    inner = (
+        sql[sel:frm].rstrip()
+        + f", ({pred}) AS _swl_qualify "
+        + sql[frm:q].strip()
+    )
+    return (
+        sql[:sel]
+        + "SELECT * EXCEPT (_swl_qualify) FROM ("
+        + inner
+        + ") _swl_q WHERE _swl_qualify "
+        + tail
+    )
+
+
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
+    sql = _rewrite_qualify(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)

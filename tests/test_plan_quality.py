@@ -211,3 +211,45 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
             spark.sql("DROP TABLE IF EXISTS orders_bkt")
+
+
+class TestCurationPlans:
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        """The benchmark side must broadcast: a shuffle join here would
+        repartition the exploded corpus n-grams — the TB side."""
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(i, "some words repeated across documents here now") for i in range(100)],
+            ["doc_id", "text"],
+        )
+        out = curation.decontaminate(
+            docs.filter(F.col("doc_id") % 7 != 0),
+            docs.filter(F.col("doc_id") % 7 == 0),
+            n=4,
+        )
+        plan = _formatted_plan(out)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, (
+            "benchmark join must not shuffle the corpus side"
+        )
+
+    def test_shuffle_has_no_global_window(self, spark):
+        """deterministic_shuffle must rank inside hash buckets — a
+        single-partition global window (`Window [... ORDER BY ...]` with
+        no partition spec ranking the full input) is the 100 TB
+        anti-pattern. The only unpartitioned window allowed is the one
+        over the ~bucket-count totals rows."""
+        from swanlake_spark.operators import curation
+
+        df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        out = curation.deterministic_shuffle(df, buckets=64)
+        plan = _formatted_plan(out)
+        # row_number over the full input must be partitioned by bucket
+        assert re.search(r"row_number\(\).*partitionBy", plan.replace("\n", " ")) or (
+            "_bkt" in plan
+        ), plan
+        # and the bucket offsets join back must be broadcast
+        assert "BroadcastHashJoin" in plan, plan
