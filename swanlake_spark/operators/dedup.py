@@ -154,22 +154,19 @@ def band_hashes(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
     row-local banding step shared by the batch candidate join and the
     streaming near-dup filter."""
     rows = F.size(F.col("sig")) / bands
+    # xxhash64 hashes the array slice directly (Spark hashes complex
+    # types natively) — equal slices hash equal, which is all banding
+    # needs; no per-element string rendering.
     return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                (b * rows + 1).cast("int"),
-                                rows.cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
+                    F.slice(
+                        F.col("sig"),
+                        (b * rows + 1).cast("int"),
+                        rows.cast("int"),
                     ),
                     b,
                 ),
@@ -179,7 +176,10 @@ def band_hashes(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
 
 
 def _bucket_pairs(
-    banded: DataFrame, payload: list[str], max_bucket: int
+    banded: DataFrame,
+    payload: list[str],
+    max_bucket: int,
+    keys: tuple[str, ...] = ("band", "bh"),
 ) -> DataFrame:
     """All unordered pairs within each (band, bh) bucket, skew-safe.
 
@@ -198,7 +198,6 @@ def _bucket_pairs(
     key) would pressure one executor; callers with such data should
     pre-salt the band hash.
     """
-    keys = ["band", "bh"]
     member = F.struct(*[F.col(c) for c in payload])
     buckets = (
         banded.groupBy(*keys)
@@ -250,14 +249,41 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with exact-verified shingle
     Jaccard ≥ threshold, discovered via MinHash LSH. Deterministic:
-    xxhash64 seeds are fixed."""
+    xxhash64 seeds are fixed.
+
+    Plan shape: signatures use the explode+groupBy form
+    (:func:`minhash_signature` — codegen'd xxhash64 + partial-agg min;
+    the row-local variant pays ``num_hashes`` interpreted passes over
+    every shingle array and measures several times slower), and
+    verification computes the corpus shingle sets ONCE — candidate
+    pairs explode into two (a, b, doc) legs, one broadcast join
+    attaches each leg's shingles, and a groupBy(a, b) reassembles the
+    pair. The naive two-join verify scans and re-shingles the corpus
+    twice; this shape shingles it once, and the only extra shuffle
+    moves two shingle arrays per CANDIDATE (LSH output, tiny), not per
+    document."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     cand = lsh_candidate_pairs(sig, id_col, bands)
     sh = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
+    legs = cand.select(
+        "a",
+        "b",
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("_d"),
+    )
+    per_pair = (
+        sh.join(F.broadcast(legs), legs["_d"] == sh[id_col])
+        .groupBy("a", "b")
+        .agg(
+            F.first(F.when(F.col("_d") == F.col("a"), F.col("sh")), True).alias(
+                "sha"
+            ),
+            F.first(F.when(F.col("_d") == F.col("b"), F.col("sh")), True).alias(
+                "shb"
+            ),
+        )
+    )
     verified = (
-        cand.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sha"), "a")
-        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "shb"), "b")
-        .withColumn(
+        per_pair.withColumn(
             "jaccard",
             F.round(
                 F.size(F.array_intersect("sha", "shb"))

@@ -222,36 +222,36 @@ def cosine_near_pairs(
     equi-join (high-cosine pairs collide with high probability) and
     verified exactly. Equi-join on the bucket key → shuffle-hash join,
     no cross product."""
+    from swanlake_spark.operators.dedup import _bucket_pairs, _spread
+
     hp = _hyperplanes(dim, planes)
-    # Norm precomputed once per vector (before the bucket join) rather
+    # Norm precomputed once per vector (before pair generation) rather
     # than re-derived per candidate pair — 1 interpreted aggregate per
     # pair instead of 3, identical bits (sqrt∘dot computed once).
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
+    bucketed = _spread(df).select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
         lsh_bucket(F.col(vec_col), hp).alias("_bucket"),
     )
-    a = bucketed.select(
-        F.col("_bucket"),
-        F.col(id_col).alias("a"),
-        F.col(vec_col).alias("va"),
-        F.col("_n").alias("na"),
-    )
-    b = bucketed.select(
-        F.col("_bucket"),
-        F.col(id_col).alias("b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_n").alias("nb"),
+    # Single-scan pair generation (the skew-safe minhash bucket plan):
+    # one groupBy(bucket) collects members, pairs explode row-locally.
+    # The former self-join on the bucket key scanned the input twice and
+    # computed norms + plane signs twice per vector.
+    pairs = _bucket_pairs(
+        bucketed, ["_vid", "_v", "_n"], max_bucket=4096, keys=("_bucket",)
     )
     return (
-        a.join(b, "_bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "sim",
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        pairs.select(
+            F.col("x._vid").alias("a"),
+            F.col("y._vid").alias("b"),
+            F.round(
+                dot(F.col("x._v"), F.col("y._v"))
+                / (F.col("x._n") * F.col("y._n")),
+                4,
+            ).alias("sim"),
         )
+        .filter(F.col("a") < F.col("b"))
         .filter(F.col("sim") >= threshold)
-        .select("a", "b", "sim")
         .distinct()
     )
