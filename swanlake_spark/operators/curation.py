@@ -131,20 +131,40 @@ def decontaminate(
     Scale shape: the benchmark's distinct n-grams are broadcast (bench
     sets are MB-scale against TB corpora), so the corpus side is a
     single narrow explode + broadcast hash join + one groupBy on the
-    document id. No shuffle touches the full corpus text."""
-    c_grams = corpus.select(
+    document id. No shuffle touches the full corpus text. The join and
+    the hit counts run on xxhash64 of the gram, not the gram string —
+    the broadcast table carries 8 bytes per gram instead of the n-token
+    text, and the probe compares longs (a 64-bit collision would need
+    ~10⁹ distinct grams per bench doc to matter). Narrow single-file
+    inputs are spread across cores before the CPU-bound explode
+    (``_spread``), a no-op on wide scans."""
+    from swanlake_spark.operators.dedup import _spread
+
+    c_grams = _spread(corpus).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_grams(tokens(text_col), n))).alias("_g"),
+        F.explode(
+            F.array_distinct(
+                F.transform(_grams(tokens(text_col), n), lambda g: F.xxhash64(g))
+            )
+        ).alias("_gh"),
     )
-    b_grams = benchmark.select(
-        F.col(id_col).alias("_bench_id"),
-        F.explode(F.array_distinct(_grams(tokens(text_col), n))).alias("_g"),
-    ).distinct()
+    b_grams = (
+        _spread(benchmark)
+        .select(
+            F.col(id_col).alias("_bench_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(_grams(tokens(text_col), n), lambda g: F.xxhash64(g))
+                )
+            ).alias("_gh"),
+        )
+        .distinct()
+    )
     return (
-        c_grams.join(F.broadcast(b_grams), "_g")
+        c_grams.join(F.broadcast(b_grams), "_gh")
         .groupBy(id_col)
         .agg(
-            F.countDistinct("_g").cast("long").alias("n_hits"),
+            F.countDistinct("_gh").cast("long").alias("n_hits"),
             F.countDistinct("_bench_id").cast("long").alias("n_bench_docs"),
         )
     )
@@ -214,4 +234,128 @@ def deterministic_shuffle(
         ranked.join(F.broadcast(offsets), "_bkt")
         .withColumn(pos_col, (F.col("_base") + F.col("_rk") - 1).cast("long"))
         .drop("_sk", "_bkt", "_rk", "_base")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4-style global step): a
+    non-blank line survives only in the document where it first occurs
+    (lowest ``(doc_id, line_no)``); every later occurrence corpus-wide
+    is dropped. Blank lines are structural, not content, and pass
+    through untouched. Documents keep their surviving lines in original
+    order; documents whose every non-blank line was claimed elsewhere
+    drop out.
+
+    Returns ``(id_col, text, n_kept, n_dropped)`` with ``text``
+    rebuilt from the kept lines.
+
+    Scale shape: explode lines → groupBy(xxhash64(line)) with a
+    partial-aggregable ``min(struct(doc, line_no))`` winner → hash join
+    occurrences back to winners → groupBy(doc) reassembly. Three
+    shuffles, all map-side combinable; a boilerplate line shared by
+    millions of documents is one group whose min collapses map-side,
+    and the join back fans each occurrence to exactly one winner row —
+    no pair explosion anywhere.
+    """
+    from swanlake_spark.operators.dedup import _spread
+
+    lines = _spread(df).select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    )
+    content = lines.filter(F.trim("_line") != "").withColumn(
+        "_h", F.xxhash64("_line")
+    )
+    winners = content.groupBy("_h").agg(
+        F.min(F.struct("_d", "_ln")).alias("_w")
+    )
+    kept_content = (
+        content.join(winners, "_h")
+        .withColumn("_keep", (F.col("_w._d") == F.col("_d")) & (F.col("_w._ln") == F.col("_ln")))
+        .select("_d", "_ln", "_line", "_keep")
+    )
+    blank = lines.filter(F.trim("_line") == "").withColumn("_keep", F.lit(True))
+    marked = kept_content.unionByName(blank.select("_d", "_ln", "_line", "_keep"))
+    per_doc = marked.groupBy("_d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct("_ln", "_line"))
+                    )
+                ),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.when(F.col("_keep") & (F.trim("_line") != ""), 1)).alias(
+            "_nk"
+        ),
+        F.count(F.when(~F.col("_keep"), 1)).alias("_nd"),
+    )
+    return (
+        per_doc.filter(F.col("_nk") > 0)
+        .select(
+            F.col("_d").alias(id_col),
+            "text",
+            F.col("_nk").cast("long").alias("n_kept"),
+            F.col("_nd").cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    windows of ``chunk_tokens`` tokens advancing by
+    ``chunk_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens) — the standard pre-tokenization step for long-document
+    training and retrieval indexing.
+
+    Returns one row per chunk: ``(id_col, chunk_id, chunk_text,
+    n_tokens)``. A document shorter than one window yields exactly one
+    chunk. Pure row-local explode — the 100 TB cost is the scan plus
+    the output multiplier; no shuffle.
+    """
+    from swanlake_spark.errors import InvalidArgument
+    from swanlake_spark.operators.dedup import _spread
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise InvalidArgument(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    t = tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(
+                F.slice(t, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(t, i * stride + 1, chunk_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+    return _spread(df).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "_c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
     )

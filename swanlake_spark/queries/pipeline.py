@@ -910,6 +910,74 @@ _add(
 )
 
 
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: a non-blank line survives only
+    at its first occurrence (lowest doc, lowest line number)."""
+    df = _docs(spark, sf_dir)
+    return curation.line_dedup(df).orderBy("doc_id")
+
+
+_add(
+    "pipe_line_dedup",
+    _line_dedup,
+    """
+    WITH l AS (
+      SELECT doc_id, generate_subscripts(ls, 1) AS ln, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM documents)),
+    nb AS (
+      SELECT *, row_number() OVER (PARTITION BY line
+                                   ORDER BY doc_id, ln) AS rn
+      FROM l WHERE trim(line) <> ''),
+    keep AS (
+      SELECT doc_id, ln, line, rn = 1 AS k FROM nb
+      UNION ALL
+      SELECT doc_id, ln, line, TRUE FROM l WHERE trim(line) = '')
+    SELECT doc_id,
+           string_agg(CASE WHEN k THEN line END, chr(10) ORDER BY ln)
+             AS text,
+           CAST(count(CASE WHEN k AND trim(line) <> '' THEN 1 END)
+                AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN NOT k THEN 1 END) AS BIGINT) AS n_dropped
+    FROM keep GROUP BY doc_id HAVING n_kept > 0 ORDER BY doc_id
+    """,
+)
+
+
+def _chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 48-token windows advancing by 40 (8
+    tokens of overlap)."""
+    df = _docs(spark, sf_dir)
+    return curation.chunk_documents(df, chunk_tokens=48, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_add(
+    "pipe_chunk_documents",
+    _chunk,
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    n AS (
+      SELECT doc_id, t,
+             greatest(CAST(ceil((len(t) - 8) / 40.0) AS BIGINT), 1) AS nc
+      FROM toks),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, nc), i -> {
+               cid: i,
+               ct: array_to_string(t[(i*40+1):(i*40+48)], ' '),
+               nt: len(t[(i*40+1):(i*40+48)])})) AS u
+      FROM n)
+    SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+           u.ct AS chunk_text, CAST(u.nt AS BIGINT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+
+
 # Entries verified by the pytest corpus but kept out of the driver's
 # 50-entry correctness window: the rows-only sketch variants (a rows-only
 # row is a strictly weaker signal; their determinism + recall checks live
@@ -927,4 +995,6 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_decontaminate",
     "pipe_domain_mix",
     "pipe_shuffle",
+    "pipe_line_dedup",
+    "pipe_chunk_documents",
 )

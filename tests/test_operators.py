@@ -675,3 +675,75 @@ class TestCuration:
         m3 = {r.doc_id: r.shuffle_pos for r in
               curation.deterministic_shuffle(df, seed="epoch2").collect()}
         assert m3 != m1
+
+
+class TestLineDedupAndChunking:
+    def test_line_dedup_first_occurrence_wins(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha\nshared line\nbeta"),
+                (2, "shared line\ngamma"),
+                (3, "shared line"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in curation.line_dedup(df).collect()}
+        assert out[1].text == "alpha\nshared line\nbeta"
+        assert (out[1].n_kept, out[1].n_dropped) == (3, 0)
+        assert out[2].text == "gamma"
+        assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+        # every non-blank line claimed elsewhere -> document drops out
+        assert 3 not in out
+
+    def test_line_dedup_blank_lines_pass_through(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "c\n\nd")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in curation.line_dedup(df).collect()}
+        assert out[1].text == "a\n\nb"
+        assert out[2].text == "c\n\nd"
+
+    def test_line_dedup_intra_document_repeats_collapse(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame([(1, "x\ny\nx")], ["doc_id", "text"])
+        out = curation.line_dedup(df).collect()[0]
+        assert out.text == "x\ny"
+        assert (out.n_kept, out.n_dropped) == (2, 1)
+
+    def test_chunk_documents_windows_and_overlap(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6"), (2, "short text")],
+            ["doc_id", "text"],
+        )
+        rows = (
+            curation.chunk_documents(df, chunk_tokens=4, overlap=2)
+            .orderBy("doc_id", "chunk_id")
+            .collect()
+        )
+        d1 = [r for r in rows if r.doc_id == 1]
+        assert [r.chunk_text for r in d1] == [
+            "t0 t1 t2 t3",
+            "t2 t3 t4 t5",
+            "t4 t5 t6",
+        ]
+        assert [r.n_tokens for r in d1] == [4, 4, 3]
+        # consecutive chunks share exactly `overlap` tokens
+        assert d1[0].chunk_text.split()[-2:] == d1[1].chunk_text.split()[:2]
+        d2 = [r for r in rows if r.doc_id == 2]
+        assert len(d2) == 1 and d2[0].chunk_text == "short text"
+
+    def test_chunk_documents_rejects_bad_overlap(self, spark):
+        from swanlake_spark.errors import InvalidArgument
+        from swanlake_spark.operators import curation
+
+        df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+        with pytest.raises(InvalidArgument):
+            curation.chunk_documents(df, chunk_tokens=4, overlap=4)
