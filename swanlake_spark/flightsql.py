@@ -302,8 +302,21 @@ class FlightSqlServer(fl.FlightServerBase):
 
     @staticmethod
     def _error(exc: Exception):
+        """Map the engine exception taxonomy onto Flight/gRPC statuses,
+        the reference's status_from_error (service/mod.rs:84-121):
+        invalid_argument / failed_precondition / resource_exhausted /
+        not_found keep their codes; everything else is internal."""
         if isinstance(exc, (fl.FlightError,)):
             return exc
+        from swanlake_spark import errors as E
+
+        if isinstance(exc, E.ResourceExhausted):
+            # closest status pyarrow can raise client-side
+            return fl.FlightUnavailableError(f"{exc.code}: {exc}")
+        if isinstance(exc, E.EngineError) and exc.code != "internal":
+            # pyarrow exposes no invalid_argument/failed_precondition
+            # exception classes; carry the taxonomy code in-message
+            return fl.FlightServerError(f"{exc.code}: {exc}")
         return fl.FlightServerError(str(exc))
 
     def _flight_info(self, descriptor, schema, ticket_bytes) -> fl.FlightInfo:
