@@ -108,8 +108,65 @@ def main() -> None:
                 F.max("shuffle_pos").alias("mx"), F.count("*").alias("n")
             )
 
+    class _LineDedup:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import curation
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            out = curation.line_dedup(spark.table("documents"))
+            return out.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_dropped").alias("dropped"),
+            )
+
+    class _Chunk:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import curation
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            ch = curation.chunk_documents(
+                spark.table("documents"), chunk_tokens=128, overlap=16
+            )
+            return ch.agg(
+                F.count("*").alias("chunks"),
+                F.sum("n_tokens").alias("tokens"),
+            )
+
+    class _PqSearch:
+        """ADC search over PQ-compressed codes (codebooks trained once
+        outside the measured window, like an index build)."""
+
+        _books = None
+        _query = None
+
+        @classmethod
+        def build(cls, spark, sf_dir):
+            from swanlake_spark.operators import similarity
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            emb = spark.table("embeddings")
+            if cls._books is None:
+                cls._books = similarity.pq_codebooks(emb, m=8, k=16, dim=64)
+                cls._query = [
+                    float(x) for x in emb.orderBy("vec_id").first().embedding
+                ]
+            coded = similarity.pq_encode(emb, cls._books)
+            return similarity.pq_topk(coded, cls._query, cls._books, k=10)
+
     suite["curation_decontaminate"] = _Decontaminate
     suite["curation_shuffle"] = _Shuffle
+    suite["curation_line_dedup"] = _LineDedup
+    suite["curation_chunk"] = _Chunk
+    suite["sim_pq_adc_topk"] = _PqSearch
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 

@@ -255,3 +255,168 @@ def cosine_near_pairs(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+# -- product quantization (compressed ANN) -----------------------------------
+
+
+def _subvectors(vec_col, m: int, sub_dim: int) -> Column:
+    """array<array<double>> of the m contiguous subvectors."""
+    v = _as_double(vec_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(v, s * sub_dim + 1, sub_dim),
+    )
+
+
+def _l2sq(a, b) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    refine_iters: int = 1,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``m`` subspaces of
+    ``dim/m`` dims, ``k`` centroids each. Seeded from the ``k``
+    lowest-id vectors' subvectors (the IVF convention — reproducible on
+    any engine/layout), then ``refine_iters`` distributed Lloyd steps:
+    one narrow assignment pass + one groupBy(sub, code, pos) avg whose
+    shuffle is O(rows × dim) scalars with full map-side combine; only
+    m × k × sub_dim aggregates return to the driver.
+
+    Returns ``codebooks[sub][code] -> centroid`` (python lists — ships
+    as plan literals like the IVF codebook)."""
+    if dim % m:
+        from swanlake_spark.errors import InvalidArgument
+
+        raise InvalidArgument(f"dim ({dim}) must be divisible by m ({m})")
+    sub_dim = dim // m
+    seed_rows = (
+        df.select(id_col, _as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [list(r.v[s * sub_dim : (s + 1) * sub_dim]) for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(refine_iters):
+        coded = pq_encode(df, books, id_col=id_col, vec_col=vec_col)
+        subs = _subvectors(vec_col, m, sub_dim)
+        means = (
+            coded.select(
+                F.posexplode(
+                    F.zip_with(
+                        subs,
+                        F.col("pq_code"),
+                        lambda sv, c: F.struct(
+                            c.alias("code"), sv.alias("sv")
+                        ),
+                    )
+                ).alias("sub", "z")
+            )
+            .select("sub", "z.code", F.posexplode("z.sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        agg: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            agg.setdefault((r.sub, r.code), {})[r.pos] = r.mean
+        for s in range(m):
+            for c in range(k):
+                got = agg.get((s, c))
+                if got:
+                    books[s][c] = [got[p] for p in sorted(got)]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``pq_code`` — array<int> of length m, each element the
+    nearest (L2) centroid index in that subspace. Codebooks ship as one
+    plan literal; encoding is a narrow per-row pass, no shuffle. The
+    code is the compressed representation (m small ints per vector —
+    64 floats → 8 bytes at the defaults)."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    books = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in cent])
+                    for cent in codebooks[s]
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    subs = _subvectors(vec_col, m, sub_dim)
+    code = F.zip_with(
+        subs,
+        books,
+        lambda sv, book: (
+            F.array_position(
+                F.transform(book, lambda cent: _l2sq(sv, cent)),
+                F.array_min(F.transform(book, lambda cent: _l2sq(sv, cent))),
+            )
+            - 1
+        ).cast("int"),
+    )
+    return df.withColumn("pq_code", code)
+
+
+def pq_topk(
+    df_coded: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate L2 top-k by asymmetric distance (ADC): the
+    query-to-centroid distance table (m × k floats) is computed
+    driver-side and ships as a plan literal; each row's score is m
+    table lookups summed — no vector math touches the compressed rows.
+    Scan + TakeOrderedAndProject; at 100 TB the scanned bytes are the
+    codes (m ints/row), not the embeddings."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    dtable = [
+        [
+            float(((q[s * sub_dim : (s + 1) * sub_dim] - np.asarray(c)) ** 2).sum())
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    dlit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in dtable]
+    )
+    score = F.aggregate(
+        F.zip_with(
+            dlit,
+            F.col("pq_code"),
+            lambda row, c: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df_coded.select(F.col(id_col), F.round(score, 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k)
+    )

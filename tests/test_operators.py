@@ -747,3 +747,72 @@ class TestLineDedupAndChunking:
         df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
         with pytest.raises(InvalidArgument):
             curation.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_codebooks_shape_and_determinism(self, emb):
+        from swanlake_spark.operators import similarity
+
+        b1 = similarity.pq_codebooks(emb, m=8, k=4, dim=64)
+        b2 = similarity.pq_codebooks(emb, m=8, k=4, dim=64)
+        assert len(b1) == 8 and all(len(s) == 4 for s in b1)
+        assert all(len(c) == 8 for s in b1 for c in s)  # 64/8 dims
+        assert b1 == b2
+
+    def test_encode_is_narrow_and_bounded(self, spark, emb):
+        from swanlake_spark.operators import similarity
+
+        books = similarity.pq_codebooks(emb, m=8, k=4, dim=64)
+        coded = similarity.pq_encode(emb, books)
+        rows = coded.select("pq_code").limit(20).collect()
+        assert all(len(r.pq_code) == 8 for r in rows)
+        assert all(0 <= c < 4 for r in rows for c in r.pq_code)
+        # narrow: no exchange in the encode plan
+        plan = coded._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_adc_recall_vs_exact(self, emb):
+        from swanlake_spark.operators import similarity
+
+        qrow = emb.orderBy("vec_id").first()
+        q = [float(x) for x in qrow.embedding]
+        books = similarity.pq_codebooks(emb, m=8, k=16, dim=64)
+        coded = similarity.pq_encode(emb, books)
+        approx = {
+            r.vec_id
+            for r in similarity.pq_topk(coded, q, books, k=10).collect()
+        }
+        # exact L2 top-10 (ADC approximates L2 distance)
+        from pyspark.sql import functions as F
+
+        qlit = F.array(*[F.lit(x) for x in q])
+        d = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qlit,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        exact = {
+            r.vec_id
+            for r in emb.select("vec_id", d.alias("d"))
+            .orderBy(F.col("d").asc(), F.col("vec_id"))
+            .limit(10)
+            .collect()
+        }
+        recall = len(approx & exact) / 10
+        assert qrow.vec_id in approx  # the query itself must be found
+        assert recall >= 0.3, f"ADC recall {recall} too low"
+
+    def test_dim_not_divisible_rejected(self, emb):
+        from swanlake_spark.errors import InvalidArgument
+        from swanlake_spark.operators import similarity
+
+        with pytest.raises(InvalidArgument):
+            similarity.pq_codebooks(emb, m=7, k=4, dim=64)

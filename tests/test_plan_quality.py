@@ -253,3 +253,48 @@ class TestCurationPlans:
         ), plan
         # and the bucket offsets join back must be broadcast
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestLineDedupChunkPlans:
+    def test_line_dedup_no_cartesian_no_global_window(self, spark):
+        """Winner selection must be an aggregation + equi-join, never a
+        cross product or a global-ordered window over all lines."""
+        from swanlake_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(i, f"line a{i % 5}\nline b{i % 7}\nshared") for i in range(50)],
+            ["doc_id", "text"],
+        )
+        plan = _formatted_plan(curation.line_dedup(docs))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_chunk_documents_is_narrow(self, spark):
+        """Chunking is a pure row-local explode — any exchange in the
+        plan (beyond an input spread of a narrow source) means a shuffle
+        crept into the per-row path."""
+        from swanlake_spark.operators import curation
+
+        docs = spark.createDataFrame(
+            [(i, "tok " * 100) for i in range(50)], ["doc_id", "text"]
+        ).repartition(8)  # wide enough that _spread no-ops
+        plan = _formatted_plan(
+            curation.chunk_documents(docs, chunk_tokens=16, overlap=4)
+        )
+        assert "Generate" in plan, plan  # the posexplode
+        # exactly the one user-requested repartition, nothing added
+        assert plan.count("(2) Exchange") == 1 and "(3) Exchange" not in plan, (
+            plan
+        )
+
+    def test_minhash_verify_broadcasts_candidate_legs(self, spark):
+        """The exact-verify join must broadcast the candidate legs — a
+        shuffle join would repartition the corpus shingle sets."""
+        from swanlake_spark.operators import dedup
+
+        docs = spark.createDataFrame(
+            [(i, ("w%d " % (i % 9)) * 30) for i in range(60)],
+            ["doc_id", "text"],
+        )
+        plan = _formatted_plan(dedup.minhash_dedup_pairs(docs, threshold=0.5))
+        assert "BroadcastHashJoin" in plan, plan
