@@ -411,6 +411,96 @@ def _overwrite(
             _rm_path(spark, staging)
 
 
+# -- file-granular copy-on-write ---------------------------------------------
+
+# Driver-side cap on the matched-file list; a predicate touching more
+# files than this falls back to the full-table rewrite (at that point
+# the rewrite is most of the table anyway).
+_FILE_COW_MAX_FILES = 10_000
+
+
+def _matched_files(
+    spark: SparkSession, table: str, where: str
+) -> tuple[list[str] | None, int]:
+    """``(files, affected)``: the data files containing at least one row
+    matching ``where`` — the DuckLake/Iceberg copy-on-write granularity
+    — and the matching row count, from ONE scan (a
+    groupBy(input_file_name) count; per-file partial counts combine
+    map-side). ``files`` is None when the file-granular path doesn't
+    apply: unresolvable location, a single file (file rewrite == table
+    rewrite), every file matched, or more matches than the driver-side
+    cap — ``affected`` is still valid in every case."""
+    df = spark.table(table)
+    rows = (
+        df.filter(F.expr(where).eqNullSafe(F.lit(True)))
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    affected = sum(r["count"] for r in rows)
+    if affected == 0 or _table_location(spark, table) is None:
+        return None, affected
+    try:
+        total = len(df.inputFiles())
+    except Exception:
+        return None, affected
+    files = [r.f for r in rows]
+    if total <= 1 or len(files) > _FILE_COW_MAX_FILES or len(files) >= total:
+        return None, affected
+    return files, affected
+
+
+def _publish_file_swap(
+    spark: SparkSession, table: str, staged_dir: str, old_files: list[str]
+) -> None:
+    """Swap rewritten files into the table: delete the matched originals,
+    rename the staged replacements in, refresh. Same delete-then-move
+    ordering (and the same documented non-atomicity window) as
+    :func:`_publish_by_move`; unmatched files are never touched, so the
+    I/O is proportional to the matched files, not the table."""
+    loc = _table_location(spark, table)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = dst.getFileSystem(conf)
+    for f in old_files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    src = jvm.org.apache.hadoop.fs.Path(staged_dir)
+    for st in fs.listStatus(src):
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)):
+            raise IOError(
+                f"file-swap rename failed for {st.getPath()} -> {dst}; "
+                f"staged data retained at {staged_dir}"
+            )
+    spark.catalog.refreshTable(table)
+
+
+def _file_granular_cow(
+    spark: SparkSession, table: str, where: str, transform, files: list[str]
+) -> bool:
+    """Copy-on-write at FILE granularity (the reference's DuckLake model:
+    rewrite only the data files containing matched rows,
+    ``maintenance/README.md``'s compaction unit). Applies to
+    unpartitioned tables with subquery-free predicates; ``transform``
+    maps the matched files' DataFrame to its rewritten contents. Returns
+    True when published; False → caller runs the full-table path. At
+    100 TB this turns a point UPDATE from a table rewrite into a
+    one-file rewrite."""
+    sub = spark.read.parquet(*files)
+    new_sub = transform(sub)
+    staged = staging_dir(spark, table)
+    new_sub.write.parquet(staged, mode="overwrite")
+    try:
+        _publish_file_swap(spark, table, staged, files)
+    except BaseException:
+        raise  # staged data retained for recovery (see _publish_file_swap)
+    _rm_path(spark, staged)
+    return True
+
+
 def _as_view(df: DataFrame) -> tuple:
     spark = df.sparkSession
     view = f"_swl_dml_{uuid.uuid4().hex[:8]}"
@@ -956,14 +1046,33 @@ def update_table(
 ) -> int:
     """SQL UPDATE semantics; returns affected row count."""
     df = spark.table(table)
-    affected = _count_matching(spark, table, where) if where else df.count()
-    if affected == 0:
-        return 0
     # An UPDATE that reassigns a partition column moves rows BETWEEN
     # partitions: the dynamic-overwrite path selects staged rows by their
     # NEW partition values but rewrites the OLD matching partitions, so a
     # moved row would vanish. Full rewrite (where=None) is the safe path.
     part_cols = set(_partition_columns(spark, table))
+    file_cow_ok = (
+        where
+        and not part_cols
+        and not where_has_subquery(where)
+        and not any(where_has_subquery(v) for v in assignments.values())
+    )
+    if file_cow_ok:
+        files, affected = _matched_files(spark, table, where)
+        if affected == 0:
+            return 0
+        if files is not None and _file_granular_cow(
+            spark,
+            table,
+            where,
+            lambda sub: apply_update(sub, assignments, where, alias=table),
+            files,
+        ):
+            return affected
+    else:
+        affected = _count_matching(spark, table, where) if where else df.count()
+        if affected == 0:
+            return 0
     overwrite_where = None if part_cols & set(assignments) else where
     stage = StagingPin(spark, table)
     try:
@@ -990,9 +1099,25 @@ def delete_from(spark: SparkSession, table: str, where: str | None = None) -> in
         affected = df.count()
         _overwrite(spark, table, df.limit(0), None)
         return affected
-    affected = _count_matching(spark, table, where)
-    if affected == 0:
-        return 0
+    file_cow_ok = not _partition_columns(
+        spark, table
+    ) and not where_has_subquery(where)
+    if file_cow_ok:
+        files, affected = _matched_files(spark, table, where)
+        if affected == 0:
+            return 0
+        if files is not None and _file_granular_cow(
+            spark,
+            table,
+            where,
+            lambda sub: apply_delete(sub, where, alias=table),
+            files,
+        ):
+            return affected
+    else:
+        affected = _count_matching(spark, table, where)
+        if affected == 0:
+            return 0
     stage = StagingPin(spark, table)
     try:
         new_df = apply_delete(df, where, alias=table, pin=stage)

@@ -1040,3 +1040,60 @@ class TestReviewRegressions:
             if v.name.startswith("_swl_dml_") or v.name.startswith("_swl_mrg_")
         ]
         assert leaked == []
+
+
+class TestFileGranularCow:
+    """Point UPDATE/DELETE on a multi-file unpartitioned table must
+    rewrite only the files containing matched rows (the DuckLake
+    copy-on-write granularity), leaving every other data file
+    untouched on disk."""
+
+    @pytest.fixture()
+    def multi_file_table(self, engine):
+        import tempfile
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        t = f"fcow_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_fcow_t_")
+        engine.execute(
+            f"CREATE TABLE {t} (id BIGINT, v STRING) USING parquet "
+            f"LOCATION '{loc}'"
+        )
+        (
+            engine.spark.range(1000)
+            .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("v"))
+            .repartition(8)
+            .write.insertInto(t)
+        )
+        return t
+
+    def test_update_touches_only_matched_files(self, engine, multi_file_table):
+        t = multi_file_table
+        before = set(engine.spark.table(t).inputFiles())
+        assert len(before) == 8
+        assert engine.execute_update(f"UPDATE {t} SET v = 'x' WHERE id = 7") == 1
+        after = set(engine.spark.table(t).inputFiles())
+        assert len(after) == 8
+        # exactly one file replaced, seven untouched
+        assert len(before & after) == 7
+        assert engine.query(
+            f"SELECT v FROM {t} WHERE id = 7"
+        ).collect()[0][0] == "x"
+        assert engine.query(f"SELECT count(*) c FROM {t}").collect()[0][0] == 1000
+
+    def test_delete_touches_only_matched_files(self, engine, multi_file_table):
+        t = multi_file_table
+        before = set(engine.spark.table(t).inputFiles())
+        assert engine.execute_update(f"DELETE FROM {t} WHERE id IN (3, 4)") > 0
+        after = set(engine.spark.table(t).inputFiles())
+        assert len(before & after) >= len(before) - 2
+        assert engine.query(f"SELECT count(*) c FROM {t}").collect()[0][0] == 998
+
+    def test_wide_update_falls_back_to_full_rewrite(self, engine, multi_file_table):
+        t = multi_file_table
+        assert engine.execute_update(f"UPDATE {t} SET v = 'y' WHERE id >= 0") == 1000
+        assert engine.query(
+            f"SELECT count(DISTINCT v) c FROM {t}"
+        ).collect()[0][0] == 1
