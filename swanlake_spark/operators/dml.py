@@ -834,26 +834,14 @@ def apply_merge(
             spark.catalog.dropTempView(v)
 
 
-def _apply_merge_body(
-    spark: SparkSession,
-    target_df: DataFrame,
-    t_alias: str | None,
-    source_text: str,
-    cond: str,
-    clauses: list[MergeClause],
-    tcols: list,
-    ta: str,
-    tview: str,
-    sview: str,
-    uview: str,
-    pin,
-) -> tuple[DataFrame, int]:
+def _parse_merge_source(spark: SparkSession, source_text: str):
+    """Resolve the USING clause to ``(source_df, source_alias)``.
+    Accepts a table name or a parenthesized subquery, with an optional
+    trailing ``[AS] alias`` detected on literal-masked text so aliases
+    inside strings don't confuse it."""
     src = source_text.strip()
     msrc = _mask_literals(src)
     sa = None
-    # trailing [AS] alias on the source (table name or parenthesized
-    # subquery); detect via the masked text so aliases inside strings
-    # don't confuse it.
     alias_m = re.search(
         rf"(?:\s+AS)?\s+({_IDENT})\s*$", msrc, re.IGNORECASE
     )
@@ -870,6 +858,24 @@ def _apply_merge_body(
         source_df = spark.table(src)
     if sa is None:
         sa = src.split(".")[-1].strip('`"') if not src.startswith("(") else "src"
+    return source_df, sa
+
+
+def _apply_merge_body(
+    spark: SparkSession,
+    target_df: DataFrame,
+    t_alias: str | None,
+    source_text: str,
+    cond: str,
+    clauses: list[MergeClause],
+    tcols: list,
+    ta: str,
+    tview: str,
+    sview: str,
+    uview: str,
+    pin,
+) -> tuple[DataFrame, int]:
+    source_df, sa = _parse_merge_source(spark, source_text)
     source_df.createOrReplaceTempView(sview)
     scols = source_df.columns
 
@@ -1009,7 +1015,40 @@ def merge_table(
     contents) are pinned durably in the ``_staging`` sibling dir — never
     on executor-local storage — so the publish survives executor loss
     and the final INSERT reads staged parquet directly (no second full
-    materialization)."""
+    materialization).
+
+    File-granular path (unpartitioned targets): only the data files
+    containing matched target rows are rewritten. This is sound because
+    the matched files contain *every* matched target row by definition —
+    so the WHEN MATCHED routing sees the same rows, the ambiguity check
+    sees the same join, and a source row anti-joined against the
+    matched-file subset is unmatched iff it is unmatched against the
+    whole target. Inserts land in the swapped-in files. Targets whose
+    match set spans every file (the bulk-upsert shape) fall back to the
+    full rewrite."""
+    if not _partition_columns(spark, table):
+        files = _merge_matched_files(spark, table, t_alias, source_text, cond)
+        if files is not None:
+            sub = spark.read.parquet(*files)
+            stage = StagingPin(spark, table)
+            try:
+                new_df, affected = apply_merge(
+                    spark, sub, table, t_alias, source_text, cond,
+                    clauses, pin=stage,
+                )
+            except BaseException:
+                stage.cleanup()
+                raise
+            if affected:
+                if stage.pinned(new_df):
+                    staged_path = stage.paths[-1]
+                else:
+                    staged_path = staging_dir(spark, table)
+                    new_df.write.parquet(staged_path, mode="overwrite")
+                    stage.paths.append(staged_path)
+                _publish_file_swap(spark, table, staged_path, files)
+            stage.cleanup()
+            return affected
     stage = StagingPin(spark, table)
     try:
         new_df, affected = apply_merge(
@@ -1030,6 +1069,55 @@ def merge_table(
         raise  # publish failed: retain staged data (StagingPin.cleanup docs)
     stage.cleanup()
     return affected
+
+
+def _merge_matched_files(
+    spark: SparkSession,
+    table: str,
+    t_alias: str | None,
+    source_text: str,
+    cond: str,
+) -> list[str] | None:
+    """Data files containing target rows matched by the MERGE ON
+    condition (one semi-join probe), or None when the file-granular
+    path doesn't apply — same eligibility rules as
+    :func:`_matched_files`. An insert-only merge (no matched rows)
+    also returns None: there is nothing to rewrite file-by-file, and
+    the probe result would swap in the inserts while deleting nothing,
+    which the full path handles as a plain append-shaped rewrite."""
+    if _table_location(spark, table) is None:
+        return None
+    tdf = spark.table(table)
+    try:
+        total = len(tdf.inputFiles())
+    except Exception:
+        return None
+    if total <= 1:
+        return None
+    ta = (t_alias or table.split(".")[-1]).strip('`"')
+    token = uuid.uuid4().hex[:8]
+    tview, sview = f"_swl_mfp_t_{token}", f"_swl_mfp_s_{token}"
+    try:
+        source_df, sa = _parse_merge_source(spark, source_text)
+    except Exception:
+        return None
+    tdf.withColumn("_swl_file", F.input_file_name()).createOrReplaceTempView(
+        tview
+    )
+    source_df.createOrReplaceTempView(sview)
+    try:
+        rows = spark.sql(
+            f"SELECT DISTINCT `{ta}`.`_swl_file` AS f "
+            f"FROM {tview} AS `{ta}` LEFT SEMI JOIN {sview} AS `{sa}` "
+            f"ON {cond} LIMIT {_FILE_COW_MAX_FILES + 1}"
+        ).collect()
+    finally:
+        spark.catalog.dropTempView(tview)
+        spark.catalog.dropTempView(sview)
+    files = [r.f for r in rows]
+    if not files or len(files) > _FILE_COW_MAX_FILES or len(files) >= total:
+        return None
+    return files
 
 
 def _count_matching(spark: SparkSession, table: str, where: str) -> int:

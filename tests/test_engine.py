@@ -1097,3 +1097,25 @@ class TestFileGranularCow:
         assert engine.query(
             f"SELECT count(DISTINCT v) c FROM {t}"
         ).collect()[0][0] == 1
+
+    def test_merge_touches_only_matched_files(self, engine, multi_file_table):
+        t = multi_file_table
+        before = set(engine.spark.table(t).inputFiles())
+        engine.execute(
+            "CREATE OR REPLACE TEMP VIEW _fcow_src AS "
+            "SELECT explode(array(5, 2000)) AS id, 'merged' AS v"
+        )
+        affected = engine.execute_update(
+            f"MERGE INTO {t} t USING _fcow_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert affected == 2
+        after = set(engine.spark.table(t).inputFiles())
+        # one matched file rewritten (+ insert files added); 7 untouched
+        assert len(before & after) == 7
+        rows = engine.query(
+            f"SELECT v FROM {t} WHERE id IN (5, 2000) ORDER BY id"
+        ).collect()
+        assert [r.v for r in rows] == ["merged", "merged"]
+        assert engine.query(f"SELECT count(*) c FROM {t}").collect()[0][0] == 1001
