@@ -201,6 +201,9 @@ class Engine:
             if kw.startswith("CHECKPOI"):
                 last_df = self._checkpoint(stmt)
                 continue
+            if kw.startswith("OPTIMIZE"):
+                last_df = self._optimize(stmt)
+                continue
             if kw.startswith("FROM"):
                 # DuckDB's leading-FROM shorthand: `FROM t [...]`
                 stmt = "SELECT * " + stmt
@@ -445,6 +448,56 @@ class Engine:
             "table STRING, files_before INT, files_after INT, compacted BOOLEAN"
         )
         return self.spark.createDataFrame(stats, schema)
+
+    def _optimize(self, stmt: str) -> DataFrame:
+        """``OPTIMIZE t [ZORDER BY (a, b, ...)]`` — the lakehouse
+        maintenance spelling: plain OPTIMIZE compacts the table's small
+        files; ZORDER BY rewrites it clustered on the interleaved-bit
+        key so file/row-group stats prune on every listed column
+        (:func:`maintenance.cluster_table`). Returns the stats row."""
+        from swanlake_spark.maintenance import cluster_table, compact_table
+
+        m = re.match(
+            r"^\s*OPTIMIZE\s+([\w.`\"]+)\s*"
+            r"(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise InvalidArgument(f"unsupported OPTIMIZE syntax: {stmt.strip()!r}")
+        table = m.group(1).strip('`"')
+        if m.group(2):
+            cols = [c.strip().strip('`"') for c in m.group(2).split(",")]
+            s = cluster_table(
+                self.spark,
+                table,
+                cols,
+                target_file_bytes=self.config.compaction_target_file_bytes,
+            )
+            rows = [
+                (
+                    s["table"],
+                    ",".join(s["clustered_by"]),
+                    s["files_before"],
+                    s.get("files_after", s["files_before"]),
+                    s["clustered"],
+                )
+            ]
+            schema = (
+                "table STRING, zorder_by STRING, files_before INT, "
+                "files_after INT, clustered BOOLEAN"
+            )
+            return self.spark.createDataFrame(rows, schema)
+        s = compact_table(
+            self.spark,
+            table,
+            target_file_bytes=self.config.compaction_target_file_bytes,
+        )
+        rows = [(s["table"], s["files_before"], s["files_after"], s["compacted"])]
+        schema = (
+            "table STRING, files_before INT, files_after INT, compacted BOOLEAN"
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     _PRAGMA_RE = re.compile(
         r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'?([\w.`\"]+?)'?\s*\))?\s*;?\s*$",

@@ -291,3 +291,132 @@ class CheckpointService:
 
     def stop(self) -> None:
         self._stop.set()
+
+
+def _zorder_key(df, columns: list[str], bits: int = 12):
+    """Z-order (Morton) key over ``columns``: each column is linearly
+    normalized to a ``bits``-bit integer using its table-wide min/max
+    (one aggregation, collected driver-side — 2×|columns| scalars),
+    then the bits are interleaved. Numeric/date/timestamp columns keep
+    value locality; string columns rank by their first 8 bytes
+    (big-endian), which preserves lexicographic locality.
+
+    Returns ``(key_column, minmax_stats)``."""
+    from pyspark.sql import functions as F
+
+    def orderable(c):
+        col = F.col(c)
+        dt = dict(df.dtypes)[c]
+        if dt in ("string",):
+            # big-endian first-8-bytes as an unsigned-ish rank; NULL → 0
+            h = F.coalesce(
+                F.conv(F.substring(F.hex(F.encode(col, "UTF-8")), 1, 15), 16, 10)
+                .cast("long"),
+                F.lit(0),
+            )
+            return h
+        if dt.startswith("date"):
+            return F.coalesce(F.datediff(col, F.lit("1970-01-01")), F.lit(0)).cast(
+                "long"
+            )
+        if dt.startswith("timestamp"):
+            return F.coalesce(F.unix_timestamp(col), F.lit(0)).cast("long")
+        return F.coalesce(col.cast("double"), F.lit(0.0))
+
+    aggs = []
+    for c in columns:
+        o = orderable(c)
+        aggs += [F.min(o).alias(f"mn_{c}"), F.max(o).alias(f"mx_{c}")]
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    scaled = []
+    top = (1 << bits) - 1
+    for c in columns:
+        mn, mx = float(row[f"mn_{c}"] or 0), float(row[f"mx_{c}"] or 0)
+        span = (mx - mn) or 1.0
+        o = orderable(c).cast("double")
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0), ((o - F.lit(mn)) / F.lit(span) * top).cast("long")
+                ),
+            )
+        )
+    z = F.lit(0).cast("long")
+    n = len(columns)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z, row
+
+
+def cluster_table(
+    spark: SparkSession,
+    table: str,
+    columns: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bits: int = 12,
+) -> dict:
+    """Rewrite an unpartitioned table Z-ORDERED by ``columns`` (the
+    Delta/Iceberg OPTIMIZE ZORDER maintenance step): rows are range-
+    partitioned and sorted by the interleaved-bit key, so parquet
+    row-group and file min/max stats become selective on EVERY
+    clustered column at once — filters on any of them prune files and
+    row groups instead of scanning the table. The multi-dimensional
+    complement to partition pruning: partition on the coarse key (date),
+    Z-order within by the point-lookup keys.
+
+    Shuffle shape: one range repartition on the key (sampled bounds) +
+    per-file local sort; no driver-side data. Returns stats including
+    per-file range-overlap before/after so the clustering effect is
+    measurable."""
+    from pyspark.sql import functions as F
+
+    from swanlake_spark.errors import InvalidArgument
+    from swanlake_spark.operators.dml import (
+        _partition_columns,
+        _publish_by_move,
+        _rm_path,
+        staging_dir,
+    )
+
+    if _partition_columns(spark, table):
+        raise InvalidArgument(
+            "cluster_table targets unpartitioned tables; Z-order within "
+            "partitions by clustering before the partitioned write"
+        )
+    loc = table_location(spark, table)
+    if loc is None:
+        raise InvalidArgument(f"no resolvable location for table {table}")
+    parts = _parquet_parts(spark, loc)
+    total_bytes = sum(size for _, size in parts)
+    stats = {
+        "table": table,
+        "clustered_by": list(columns),
+        "files_before": len(parts),
+        "bytes": total_bytes,
+        "clustered": False,
+    }
+    if total_bytes == 0:
+        return stats
+    df = spark.table(table)
+    z, _minmax = _zorder_key(df, columns, bits)
+    n_files = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    staging = staging_dir(spark, table)
+    try:
+        out = (
+            df.withColumn("_swl_z", z)
+            .repartitionByRange(int(n_files), F.col("_swl_z"))
+            .sortWithinPartitions("_swl_z")
+            .drop("_swl_z")
+        )
+        out.write.parquet(staging, mode="overwrite")
+        if not _publish_by_move(spark, table, staging):
+            spark.read.parquet(staging).write.insertInto(table, overwrite=True)
+    finally:
+        _rm_path(spark, staging)
+    stats["clustered"] = True
+    stats["files_after"] = len(_parquet_parts(spark, table_location(spark, table)))
+    return stats

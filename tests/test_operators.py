@@ -816,3 +816,119 @@ class TestProductQuantization:
 
         with pytest.raises(InvalidArgument):
             similarity.pq_codebooks(emb, m=7, k=4, dim=64)
+
+
+class TestZorderClustering:
+    def _file_ranges(self, spark, table, col):
+        """Per-file (min, max) of `col` from the parquet footers."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in spark.table(table).inputFiles():
+            md = pq.ParquetFile(f.replace("file:", "")).metadata
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            if mn is not None:
+                out.append((mn, mx))
+        return out
+
+    def test_cluster_tightens_file_ranges_on_both_columns(self, engine, spark):
+        import tempfile
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.maintenance import cluster_table
+
+        name = f"z_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_zord_")
+        engine.execute(
+            f"CREATE TABLE {name} (a BIGINT, b BIGINT, v STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        n = 40_000
+        # rows arrive in an order uncorrelated with both keys
+        (
+            spark.range(n)
+            .select(
+                ((F.col("id") * 7919) % n).alias("a"),
+                ((F.col("id") * 104729) % n).alias("b"),
+                F.md5(F.col("id").cast("string")).alias("v"),
+            )
+            .repartition(8)
+            .write.insertInto(name)
+        )
+
+        def overlap_fraction(col):
+            ranges = self._file_ranges(spark, name, col)
+            width = sum(mx - mn for mn, mx in ranges)
+            return width / ((n - 1) * len(ranges))
+
+        before_a, before_b = overlap_fraction("a"), overlap_fraction("b")
+        stats = cluster_table(
+            spark, name, ["a", "b"], target_file_bytes=64 * 1024
+        )
+        assert stats["clustered"]
+        after_a, after_b = overlap_fraction("a"), overlap_fraction("b")
+        # random layout: every file spans ~the full domain (~1.0).
+        # Z-order: each file covers a fraction of BOTH dimensions.
+        assert before_a > 0.9 and before_b > 0.9
+        # ~32 files -> 5 z-prefix bits -> each file spans ~1/8 of one
+        # dimension and ~1/4 of the other (plus boundary straddle)
+        assert after_a < 0.55 and after_b < 0.55, (after_a, after_b)
+        assert after_a + after_b < 0.75 * (before_a + before_b)
+        # contents unchanged
+        total = engine.query(f"SELECT count(*) c, sum(a) sa FROM {name}").collect()[0]
+        assert (total.c, total.sa) == (n, n * (n - 1) // 2)
+
+    def test_cluster_rejects_partitioned_table(self, engine, spark):
+        import tempfile
+        import uuid
+
+        from swanlake_spark.errors import InvalidArgument
+        from swanlake_spark.maintenance import cluster_table
+
+        name = f"zp_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_zordp_")
+        engine.execute(
+            f"CREATE TABLE {name} (id INT, p INT) USING parquet "
+            f"PARTITIONED BY (p) LOCATION '{loc}'"
+        )
+        with pytest.raises(InvalidArgument):
+            cluster_table(spark, name, ["id"])
+
+    def test_optimize_sql_statement(self, engine, spark):
+        import tempfile
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        name = f"zs_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_zsql_")
+        engine.execute(
+            f"CREATE TABLE {name} (a BIGINT, b BIGINT) USING parquet "
+            f"LOCATION '{loc}'"
+        )
+        (
+            spark.range(5000)
+            .select(
+                ((F.col("id") * 7919) % 5000).alias("a"),
+                ((F.col("id") * 104729) % 5000).alias("b"),
+            )
+            .repartition(6)
+            .write.insertInto(name)
+        )
+        row = engine.query(
+            f"OPTIMIZE {name} ZORDER BY (a, b)"
+        ).collect()[0]
+        assert row.clustered and row.zorder_by == "a,b"
+        assert engine.query(f"SELECT count(*) c FROM {name}").collect()[0][0] == 5000
+        # plain OPTIMIZE = compaction spelling
+        row = engine.query(f"OPTIMIZE {name}").collect()[0]
+        assert row.table.endswith(name)
