@@ -201,13 +201,37 @@ def cosine_topk_ivf(
         for c in cents
     ]
     probe = sorted(range(len(cents)), key=lambda i: -sims[i])[:n_probe]
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    # A pre-assigned (indexed) input skips re-assignment — and when it
+    # is an ivf_write_index layout, the _cid filter is a PARTITION
+    # filter: the probe physically reads n_probe/n_centroids of the
+    # files (plan-asserted in tests).
+    assigned = df if "_cid" in df.columns else ivf_assign(df, cents, id_col, vec_col)
     cand = assigned.filter(F.col("_cid").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("sim")
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index layout: the assigned table written
+    PARTITIONED BY the centroid id, so every probe's ``_cid`` filter is
+    partition pruning — a top-k against the index reads
+    n_probe/n_centroids of the files, never the full embedding corpus.
+    Returns the codebook to pass back into :func:`cosine_topk_ivf`
+    (the index and its codebook travel together)."""
+    cents = centroids or ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    assigned.write.partitionBy("_cid").mode("overwrite").parquet(path)
+    return cents
 
 
 def cosine_near_pairs(

@@ -298,3 +298,28 @@ class TestLineDedupChunkPlans:
         )
         plan = _formatted_plan(dedup.minhash_dedup_pairs(docs, threshold=0.5))
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestIvfIndexPruning:
+    def test_probe_reads_only_probed_partitions(self, spark, sf_dir):
+        """A top-k against an ivf_write_index layout must turn the _cid
+        filter into PARTITION pruning — the scan's PartitionFilters
+        carry _cid and only the probed partitions' files are read."""
+        import tempfile
+
+        from swanlake_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        path = tempfile.mkdtemp(prefix="swl_ivfidx_")
+        cents = similarity.ivf_write_index(emb, path, n_centroids=8)
+        indexed = spark.read.parquet(path)
+        top = similarity.cosine_topk_ivf(
+            indexed, q, k=5, n_centroids=8, n_probe=2, centroids=cents
+        )
+        plan = _formatted_plan(top)
+        assert "PartitionFilters" in plan and "_cid" in plan.split(
+            "PartitionFilters", 1
+        )[1].split("\n")[0], plan
+        rows = top.collect()
+        assert rows and rows[0].vec_id == 0  # the query vector itself

@@ -333,3 +333,61 @@ class TestStreamingNearDup:
         a = {r.doc_id: r.sig for r in dedup.minhash_signature(df).collect()}
         b = {r.doc_id: r.sig for r in dedup.minhash_signature_rowlocal(df).collect()}
         assert a == b
+
+
+def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
+    """The narrow curation operators (chunking, quality signals) apply
+    unchanged to a readStream source — evidence that the per-row corpus
+    pipeline runs as-is in Structured Streaming. The streamed result
+    must equal the batch result on the same files."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from swanlake_spark.operators import curation
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    with open(src / "docs.jsonl", "w") as f:
+        for i in range(40):
+            f.write(
+                _json.dumps(
+                    {"doc_id": i, "text": ("tok%d " % (i % 7)) * (20 + i % 13)}
+                )
+                + "\n"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def pipeline(df):
+        return curation.chunk_documents(df, chunk_tokens=16, overlap=4)
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out_dir = tmp_path / "chunks_out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        pipeline(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = (
+        spark.read.parquet(str(out_dir))
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    batch = (
+        pipeline(spark.read.schema(schema).json(str(src)))
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    assert streamed == batch
+    assert len(batch) > 40  # long docs chunked into multiple rows
