@@ -18,8 +18,10 @@ returns them in ``x-swanlake-affected-rows``).
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -409,6 +411,81 @@ def _overwrite(
     finally:
         if wrote_staging or not staged:
             _rm_path(spark, staging)
+
+
+# -- per-table write serialization -------------------------------------------
+
+
+@contextmanager
+def table_write_lock(spark: SparkSession, table: str, timeout_s: float = 120.0):
+    """Serialize COW publishes per table: every UPDATE/DELETE/MERGE
+    publish runs under an O_EXCL lock file beside the table's
+    ``_staging`` dir, so two writers can't interleave their
+    delete-then-rename windows (the race DuckLake resolves through its
+    catalog commit). Blocks up to ``timeout_s`` then raises
+    FailedPrecondition — the reference's transaction-conflict status
+    class. File-scheme locations only; on object stores (no atomic
+    create-exclusive) the lock is skipped and concurrent writers need
+    an external coordinator, as documented in SCALE.md."""
+    import time as _time
+
+    from swanlake_spark.errors import FailedPrecondition
+
+    base = _table_location(spark, table)
+    path = None
+    if base:
+        scheme_less = base.split("://")[-1] if "://" in base else base
+        if base.startswith(("file:", "/")) or "://" not in base:
+            root = (
+                scheme_less.rstrip("/").rsplit("/", 1)[0]
+                if "/" in scheme_less.rstrip("/")
+                else scheme_less
+            )
+            bare = table.split(".")[-1].strip('`"')
+            os.makedirs(f"{root}/_staging", exist_ok=True)
+            path = f"{root}/_staging/{bare}.writelock"
+    if path is None:
+        yield
+        return
+    lock = _WriteLock(path)
+    deadline = _time.time() + timeout_s
+    while not lock.try_acquire():
+        if _time.time() > deadline:
+            raise FailedPrecondition(
+                f"timed out waiting for the write lock on {table} "
+                f"({path}); another writer is publishing"
+            )
+        _time.sleep(0.02)
+    try:
+        yield
+    finally:
+        lock.release()
+
+
+class _WriteLock:
+    """O_EXCL lock file (same mechanism as maintenance.CompactionLock,
+    blocking-acquire wrapper above)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._fd: int | None = None
+
+    def try_acquire(self) -> bool:
+        try:
+            self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(self._fd, str(os.getpid()).encode())
+            return True
+        except FileExistsError:
+            return False
+
+    def release(self) -> None:
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+            try:
+                os.unlink(self.path)
+            except FileNotFoundError:
+                pass
 
 
 # -- file-granular copy-on-write ---------------------------------------------
@@ -1026,6 +1103,20 @@ def merge_table(
     whole target. Inserts land in the swapped-in files. Targets whose
     match set spans every file (the bulk-upsert shape) fall back to the
     full rewrite."""
+    with table_write_lock(spark, table):
+        return _merge_table_locked(
+            spark, table, t_alias, source_text, cond, clauses
+        )
+
+
+def _merge_table_locked(
+    spark: SparkSession,
+    table: str,
+    t_alias: str | None,
+    source_text: str,
+    cond: str,
+    clauses: list[MergeClause],
+) -> int:
     if not _partition_columns(spark, table):
         files = _merge_matched_files(spark, table, t_alias, source_text, cond)
         if files is not None:
@@ -1132,7 +1223,20 @@ def update_table(
     assignments: dict[str, str],
     where: str | None = None,
 ) -> int:
-    """SQL UPDATE semantics; returns affected row count."""
+    """SQL UPDATE semantics; returns affected row count. The whole
+    statement (match probe through publish) runs under the per-table
+    write lock, so concurrent writers serialize instead of interleaving
+    probe/publish windows (lost updates, double file swaps)."""
+    with table_write_lock(spark, table):
+        return _update_table_locked(spark, table, assignments, where)
+
+
+def _update_table_locked(
+    spark: SparkSession,
+    table: str,
+    assignments: dict[str, str],
+    where: str | None = None,
+) -> int:
     df = spark.table(table)
     # An UPDATE that reassigns a partition column moves rows BETWEEN
     # partitions: the dynamic-overwrite path selects staged rows by their
@@ -1181,7 +1285,15 @@ def update_table(
 
 
 def delete_from(spark: SparkSession, table: str, where: str | None = None) -> int:
-    """SQL DELETE semantics; returns affected row count."""
+    """SQL DELETE semantics; returns affected row count (serialized per
+    table, see :func:`update_table`)."""
+    with table_write_lock(spark, table):
+        return _delete_from_locked(spark, table, where)
+
+
+def _delete_from_locked(
+    spark: SparkSession, table: str, where: str | None = None
+) -> int:
     df = spark.table(table)
     if where is None:
         affected = df.count()

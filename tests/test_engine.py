@@ -1119,3 +1119,37 @@ class TestFileGranularCow:
         ).collect()
         assert [r.v for r in rows] == ["merged", "merged"]
         assert engine.query(f"SELECT count(*) c FROM {t}").collect()[0][0] == 1001
+
+    def test_concurrent_point_updates_serialize(self, engine, multi_file_table):
+        """Two writers updating different rows of the same table
+        concurrently: the per-table write lock serializes their
+        probe+publish windows, so both updates land and no rows are
+        lost or duplicated."""
+        import threading
+
+        t = multi_file_table
+        errors = []
+
+        def worker(lo, hi, val):
+            try:
+                for k in range(lo, hi):
+                    engine.execute_update(
+                        f"UPDATE {t} SET v = '{val}' WHERE id = {k}"
+                    )
+            except Exception as e:  # surfaced below
+                errors.append(e)
+
+        a = threading.Thread(target=worker, args=(0, 6, "wa"))
+        b = threading.Thread(target=worker, args=(500, 506, "wb"))
+        a.start(); b.start(); a.join(); b.join()
+        assert not errors, errors
+        assert engine.query(f"SELECT count(*) c FROM {t}").collect()[0][0] == 1000
+        got = {
+            r.id: r.v
+            for r in engine.query(
+                f"SELECT id, v FROM {t} WHERE id < 6 OR "
+                f"(id >= 500 AND id < 506)"
+            ).collect()
+        }
+        assert all(got[k] == "wa" for k in range(6))
+        assert all(got[k] == "wb" for k in range(500, 506))
