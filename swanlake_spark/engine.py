@@ -204,6 +204,9 @@ class Engine:
             if kw.startswith("OPTIMIZE"):
                 last_df = self._optimize(stmt)
                 continue
+            if kw.startswith("VACUUM"):
+                last_df = self._vacuum(stmt)
+                continue
             if kw.startswith("FROM"):
                 # DuckDB's leading-FROM shorthand: `FROM t [...]`
                 stmt = "SELECT * " + stmt
@@ -448,6 +451,48 @@ class Engine:
             "table STRING, files_before INT, files_after INT, compacted BOOLEAN"
         )
         return self.spark.createDataFrame(stats, schema)
+
+    def _vacuum(self, stmt: str) -> DataFrame:
+        """``VACUUM [t] [RETAIN n SECONDS]`` — reclaim orphaned COW
+        staging dirs and stale write locks for one table or every table
+        in the current database (:func:`maintenance.vacuum_table`)."""
+        from swanlake_spark.maintenance import vacuum_table
+
+        m = re.match(
+            r"^\s*VACUUM\s*([\w.`\"]+)?"
+            r"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+SECONDS)?\s*;?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise InvalidArgument(f"unsupported VACUUM syntax: {stmt.strip()!r}")
+        min_age = float(m.group(2)) if m.group(2) else 3600.0
+        if m.group(1):
+            tables = [m.group(1).strip('`"')]
+        else:
+            db = self.spark.catalog.currentDatabase()
+            tables = [
+                t.name
+                for t in self.spark.catalog.listTables(db)
+                if not t.isTemporary
+                and (t.tableType or "").upper() not in ("VIEW", "TEMPORARY")
+            ]
+        rows = []
+        for t in tables:
+            s = vacuum_table(self.spark, t, min_age_s=min_age)
+            rows.append(
+                (
+                    s["table"],
+                    s["staging_dirs_removed"],
+                    s["locks_removed"],
+                    s["bytes"],
+                )
+            )
+        schema = (
+            "table STRING, staging_dirs_removed INT, locks_removed INT, "
+            "bytes BIGINT"
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     def _optimize(self, stmt: str) -> DataFrame:
         """``OPTIMIZE t [ZORDER BY (a, b, ...)]`` — the lakehouse

@@ -420,3 +420,55 @@ def cluster_table(
     stats["clustered"] = True
     stats["files_after"] = len(_parquet_parts(spark, table_location(spark, table)))
     return stats
+
+
+def vacuum_table(
+    spark: SparkSession,
+    table: str,
+    min_age_s: float = 3600.0,
+) -> dict:
+    """Reclaim the table's orphaned staging state: `_staging/<uuid>`
+    dirs and stale `.writelock` files older than ``min_age_s``.
+
+    Staged dirs normally delete themselves after a successful publish;
+    they survive a crashed writer (deliberately — a failed publish's
+    staged copy may be the only complete one, see StagingPin.cleanup)
+    and must eventually be reclaimed. The age guard keeps in-flight
+    publishes safe: nothing younger than ``min_age_s`` is touched.
+    Returns ``{table, staging_dirs_removed, locks_removed, bytes}``."""
+    import time as _time
+
+    from swanlake_spark.operators.dml import _table_location
+
+    loc = _table_location(spark, table)
+    stats = {
+        "table": table,
+        "staging_dirs_removed": 0,
+        "locks_removed": 0,
+        "bytes": 0,
+    }
+    if loc is None:
+        return stats
+    base = loc.rstrip("/").rsplit("/", 1)[0] if "/" in loc.rstrip("/") else loc
+    staging_root = base.rstrip("/") + "/_staging"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(staging_root)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return stats
+    now_ms = _time.time() * 1000.0
+    for st in fs.listStatus(root):
+        age_ms = now_ms - st.getModificationTime()
+        if age_ms < min_age_s * 1000.0:
+            continue
+        name = st.getPath().getName()
+        if st.isDirectory():
+            size = fs.getContentSummary(st.getPath()).getLength()
+            fs.delete(st.getPath(), True)
+            stats["staging_dirs_removed"] += 1
+            stats["bytes"] += int(size)
+        elif name.endswith(".writelock"):
+            fs.delete(st.getPath(), False)
+            stats["locks_removed"] += 1
+    return stats

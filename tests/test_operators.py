@@ -932,3 +932,51 @@ class TestZorderClustering:
         # plain OPTIMIZE = compaction spelling
         row = engine.query(f"OPTIMIZE {name}").collect()[0]
         assert row.table.endswith(name)
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_aged_staging(self, engine, spark):
+        import os
+        import tempfile
+        import uuid
+
+        name = f"vac_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_vac_") + "/tbl"
+        engine.execute(
+            f"CREATE TABLE {name} (id INT) USING parquet LOCATION '{loc}'"
+        )
+        engine.execute(f"INSERT INTO {name} VALUES (1), (2)")
+        # simulate a crashed writer: an orphaned staged dir + stale lock
+        root = os.path.dirname(loc) + "/_staging"
+        os.makedirs(f"{root}/deadbeef", exist_ok=True)
+        with open(f"{root}/deadbeef/part-0.parquet", "wb") as f:
+            f.write(b"x" * 128)
+        with open(f"{root}/{name}.writelock", "w") as f:
+            f.write("999999")
+        old = 10**9  # set mtimes far in the past
+        os.utime(f"{root}/deadbeef", (old, old))
+        os.utime(f"{root}/{name}.writelock", (old, old))
+
+        row = engine.query(f"VACUUM {name} RETAIN 60 SECONDS").collect()[0]
+        assert row.staging_dirs_removed == 1
+        assert row.locks_removed == 1
+        assert row.bytes >= 128
+        assert not os.path.exists(f"{root}/deadbeef")
+        # table contents untouched
+        assert engine.query(f"SELECT count(*) c FROM {name}").collect()[0][0] == 2
+
+    def test_vacuum_age_guard_protects_fresh_staging(self, engine, spark):
+        import os
+        import tempfile
+        import uuid
+
+        name = f"vac_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_vac_") + "/tbl"
+        engine.execute(
+            f"CREATE TABLE {name} (id INT) USING parquet LOCATION '{loc}'"
+        )
+        root = os.path.dirname(loc) + "/_staging"
+        os.makedirs(f"{root}/inflight", exist_ok=True)
+        row = engine.query(f"VACUUM {name}").collect()[0]
+        assert row.staging_dirs_removed == 0
+        assert os.path.exists(f"{root}/inflight")
