@@ -921,6 +921,10 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     "q46_view_ctas",
     "q37_insert_partial",
     "q45_dml_update_delete",
+    # Exact interpolated quantiles (percentile/quantile_cont): promoted
+    # into the window r3 — the slot freed by folding pipeline singles
+    # into their batteries (pipeline.py) lands here.
+    "q50_quantile_battery",
     # q47_distinct_topk_offset and q23_approx_count_distinct stay
     # pytest-only: their slots go to pipe_dedup_embedding and
     # pipe_asof_join (oracle-green pipeline operators beat a rows-only
