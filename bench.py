@@ -165,7 +165,28 @@ def main() -> None:
     suite["curation_decontaminate"] = _Decontaminate
     suite["curation_shuffle"] = _Shuffle
     suite["curation_line_dedup"] = _LineDedup
+    class _Validate:
+        """Expectation battery over the FULL orders table: all row-local
+        + unique rules in one agg pass, one broadcast anti-join FK."""
+
+        @staticmethod
+        def build(spark, sf_dir):
+            from swanlake_spark.operators import validate as V
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            return V.validate(spark.table("orders"), [
+                V.rules.not_null("o_orderkey"),
+                V.rules.unique("o_orderkey"),
+                V.rules.in_range("o_totalprice", lo=0.0, hi=600000.0),
+                V.rules.in_set("o_orderstatus", "O", "F", "P"),
+                V.rules.ref_integrity(
+                    "o_custkey", spark.table("customer"), "c_custkey"
+                ),
+            ])
+
     suite["curation_chunk"] = _Chunk
+    suite["validate_expectations"] = _Validate
     suite["sim_pq_adc_topk"] = _PqSearch
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]

@@ -1,0 +1,180 @@
+"""Declarative data-quality validation: expectations compiled into ONE
+aggregate pass over the table.
+
+A 100 TB ingest step needs schema/content gates (not-null keys, id
+uniqueness, value ranges, enum membership, referential integrity) the
+same way the reference's PK check gates its appender inserts
+(``/root/reference/swanlake-core/src/engine/connection.rs`` rejects
+duplicate-key batches; ``tests/sql/error_status.test:11-13``). This
+module generalizes that gate to arbitrary rules while keeping the scale
+discipline:
+
+- Every row-local rule (not_null / in_range / matches / in_set /
+  expression) folds into a SINGLE ``df.agg`` — one scan total, however
+  many rules, all JVM-side ``sum(when(...))`` columns.
+- ``unique`` rides the same pass via ``count(*) - count_distinct(...)``
+  (exact, map-side-combinable).
+- ``ref_integrity`` is the only rule class that needs a second input;
+  it runs one LEFT ANTI join per FK rule with the dimension side
+  broadcast when it fits (the normal fact→dim shape).
+- ``quarantine`` splits rows by the same predicates in one projection
+  pass: good rows unchanged, bad rows tagged with the array of failed
+  rule names — no per-rule scans, no shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Rule", "rules", "validate", "quarantine"]
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One expectation. ``kind`` picks the compilation strategy; only
+    ``ref_integrity`` costs more than a column in the shared agg."""
+
+    name: str
+    kind: str  # not_null | unique | in_range | matches | in_set | expr | ref_integrity
+    column: str | None = None
+    expr: str | None = None  # boolean SQL expression for kind="expr"
+    lo: object = None
+    hi: object = None
+    values: tuple = ()
+    ref: DataFrame | None = field(default=None, compare=False)
+    ref_column: str | None = None
+
+    def predicate(self) -> Column | None:
+        """Row-level pass/fail predicate (NULL-safe: a NULL input fails
+        not_null but passes value rules, matching SQL CHECK semantics).
+        None for set-level rules (unique)."""
+        c = F.col(self.column) if self.column else None
+        if self.kind == "not_null":
+            return c.isNotNull()
+        if self.kind == "in_range":
+            ok = F.lit(True)
+            if self.lo is not None:
+                ok = ok & (c >= F.lit(self.lo))
+            if self.hi is not None:
+                ok = ok & (c <= F.lit(self.hi))
+            return c.isNull() | ok
+        if self.kind == "matches":
+            return c.isNull() | c.rlike(self.expr)
+        if self.kind == "in_set":
+            return c.isNull() | c.isin(list(self.values))
+        if self.kind == "expr":
+            # strict: a NULL verdict is a violation (fail-on-unknown —
+            # the safe default for a data gate; SQL CHECK would pass it)
+            return F.coalesce(F.expr(self.expr), F.lit(False))
+        return None  # unique / ref_integrity are not row-local
+
+
+class rules:
+    """Constructors, so pipelines read declaratively:
+    ``validate(df, [rules.not_null("id"), rules.unique("id"), ...])``"""
+
+    @staticmethod
+    def not_null(column: str) -> Rule:
+        return Rule(f"not_null_{column}", "not_null", column=column)
+
+    @staticmethod
+    def unique(column: str) -> Rule:
+        return Rule(f"unique_{column}", "unique", column=column)
+
+    @staticmethod
+    def in_range(column: str, lo=None, hi=None) -> Rule:
+        return Rule(f"range_{column}", "in_range", column=column, lo=lo, hi=hi)
+
+    @staticmethod
+    def matches(column: str, pattern: str) -> Rule:
+        return Rule(f"matches_{column}", "matches", column=column, expr=pattern)
+
+    @staticmethod
+    def in_set(column: str, *values) -> Rule:
+        return Rule(f"in_set_{column}", "in_set", column=column,
+                    values=tuple(values))
+
+    @staticmethod
+    def expression(name: str, boolean_sql: str) -> Rule:
+        return Rule(name, "expr", expr=boolean_sql)
+
+    @staticmethod
+    def ref_integrity(column: str, ref: DataFrame, ref_column: str) -> Rule:
+        return Rule(f"fk_{column}", "ref_integrity", column=column,
+                    ref=ref, ref_column=ref_column)
+
+
+def validate(df: DataFrame, rule_list: list[Rule]) -> DataFrame:
+    """Run every expectation; return one row per rule:
+    ``(rule STRING, violations BIGINT, checked BIGINT, passed BOOLEAN)``.
+
+    Cost model: one full scan for ALL row-local + unique rules (a single
+    agg with N sum(when) columns + count_distincts), plus one broadcast
+    anti-join per ref_integrity rule. Nothing materializes on the
+    driver beyond the one summary row per rule."""
+    spark = df.sparkSession
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    agg_rules: list[Rule] = []
+    fk_rules: list[Rule] = []
+    for r in rule_list:
+        if r.kind == "ref_integrity":
+            fk_rules.append(r)
+            continue
+        agg_rules.append(r)
+        if r.kind == "unique":
+            aggs.append(
+                (F.count(r.column) - F.count_distinct(F.col(r.column)))
+                .cast("long").alias(f"_v_{len(agg_rules) - 1}")
+            )
+        else:
+            pred = r.predicate()
+            aggs.append(
+                F.sum(F.when(~pred, 1).otherwise(0))
+                .cast("long").alias(f"_v_{len(agg_rules) - 1}")
+            )
+    out_rows = []
+    if agg_rules:
+        row = df.agg(*aggs).collect()[0]  # one summary row — not data
+        n = row["_n"]
+        for i, r in enumerate(agg_rules):
+            v = row[f"_v_{i}"] or 0
+            out_rows.append((r.name, int(v), int(n)))
+    for r in fk_rules:
+        dim = r.ref.select(F.col(r.ref_column).alias(r.column)).distinct()
+        orphans = (
+            df.filter(F.col(r.column).isNotNull())
+            .join(F.broadcast(dim), on=r.column, how="left_anti")
+            .count()
+        )
+        checked = df.filter(F.col(r.column).isNotNull()).count()
+        out_rows.append((r.name, int(orphans), int(checked)))
+    res = spark.createDataFrame(
+        out_rows, schema="rule string, violations long, checked long"
+    )
+    return res.withColumn("passed", F.col("violations") == 0).orderBy("rule")
+
+
+def quarantine(
+    df: DataFrame, rule_list: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows by the row-local rules in one projection pass:
+    returns ``(good, bad)`` where ``bad`` carries ``_violations`` — the
+    sorted array of failed rule names. Set-level rules (unique,
+    ref_integrity) are summary gates, not row predicates; use
+    ``validate`` for those."""
+    row_rules = [r for r in rule_list if r.predicate() is not None]
+    fails = F.array_sort(
+        F.filter(
+            F.array(*[
+                F.when(~r.predicate(), F.lit(r.name)) for r in row_rules
+            ]),
+            lambda x: x.isNotNull(),
+        )
+    )
+    tagged = df.withColumn("_violations", fails)
+    good = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    bad = tagged.filter(F.size("_violations") > 0)
+    return good, bad

@@ -978,6 +978,83 @@ _add(
 )
 
 
+# -- data-quality validation --------------------------------------------------
+
+
+def _validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation battery over orders (one agg pass + one broadcast
+    anti-join for the FK rule), summarized per rule."""
+    from swanlake_spark.operators import validate as V
+
+    ensure_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    return V.validate(orders, [
+        V.rules.not_null("o_orderkey"),
+        V.rules.unique("o_orderkey"),
+        V.rules.in_range("o_totalprice", lo=0.0, hi=600000.0),
+        V.rules.in_set("o_orderstatus", "O", "F", "P"),
+        V.rules.matches("o_orderpriority", "^[1-5]-"),
+        V.rules.expression(
+            "order_in_epoch", "o_orderdate >= DATE'1992-01-01'"
+        ),
+        V.rules.ref_integrity("o_custkey", customer, "c_custkey"),
+    ])
+
+
+_add(
+    "pipe_validate",
+    _validate,
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM orders
+           WHERE o_custkey IS NOT NULL)
+    SELECT rule, violations, checked, violations = 0 AS passed FROM (
+      SELECT 'not_null_o_orderkey' AS rule,
+             CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+               AS violations, n.n AS checked
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'unique_o_orderkey',
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+             n.n
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'range_o_totalprice',
+             CAST(count(CASE WHEN o_totalprice IS NOT NULL
+                              AND NOT (o_totalprice >= 0.0
+                                       AND o_totalprice <= 600000.0)
+                        THEN 1 END) AS BIGINT), n.n
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'in_set_o_orderstatus',
+             CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 END) AS BIGINT), n.n
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'matches_o_orderpriority',
+             CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                        THEN 1 END) AS BIGINT), n.n
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'order_in_epoch',
+             CAST(count(CASE WHEN NOT coalesce(
+                        o_orderdate >= DATE '1992-01-01', FALSE)
+                        THEN 1 END) AS BIGINT), n.n
+      FROM orders, n GROUP BY n.n
+      UNION ALL
+      SELECT 'fk_o_custkey',
+             CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END) AS BIGINT),
+             nn.nn
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey, nn
+      WHERE o_custkey IS NOT NULL GROUP BY nn.nn
+    ) v ORDER BY rule
+    """,
+)
+
+
 # -- merged batteries for the driver's 50-entry correctness window -----------
 #
 # The driver records at most 50 CORRECTNESS entries, so single-operator
@@ -987,10 +1064,6 @@ _add(
 # single can never drift). The singles stay registered for the pytest
 # corpus; the freed slots let every curation operator carry a driver
 # hash-match instead of a pytest-only one.
-
-
-def _null(t: str):
-    return F.lit(None).cast(t)
 
 
 def _text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1168,6 +1241,8 @@ _add("pipe_sample_mix_battery", _sample_mix_battery,
 # hash-match coverage rides along inside the battery; the standalone
 # spec stays for tests/test_oracle_corpus.py and direct use).
 DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
+    # corpus-verified, outside the full 50-slot window
+    "pipe_validate",
     # rows-only sketch variants
     "pipe_dedup_simhash",
     "pipe_sim_cosine_topk_lsh",

@@ -980,3 +980,78 @@ class TestVacuum:
         row = engine.query(f"VACUUM {name}").collect()[0]
         assert row.staging_dirs_removed == 0
         assert os.path.exists(f"{root}/inflight")
+
+
+class TestValidation:
+    """operators/validate: expectations in one agg pass + quarantine
+    split (generalizes the reference's PK ingest gate,
+    error_status.test:11-13)."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a@x.com", 10.0, "ok"),
+                (2, None, 500.0, "ok"),
+                (3, "bad-email", -4.0, "bad"),
+                (3, "c@x.com", 20.0, "weird"),
+                (None, "d@x.com", 30.0, "ok"),
+            ],
+            "id int, email string, amount double, status string",
+        )
+
+    def test_validate_single_pass_rules(self, spark):
+        from swanlake_spark.operators import validate as V
+
+        res = V.validate(self._df(spark), [
+            V.rules.not_null("id"),
+            V.rules.unique("id"),
+            V.rules.in_range("amount", lo=0.0),
+            V.rules.matches("email", "^[^@]+@[^@]+$"),
+            V.rules.in_set("status", "ok", "bad"),
+        ]).collect()
+        got = {r.rule: (r.violations, r.checked, r.passed) for r in res}
+        assert got["not_null_id"] == (1, 5, False)
+        assert got["unique_id"] == (1, 5, False)  # id=3 twice
+        assert got["range_amount"] == (1, 5, False)  # -4.0
+        assert got["matches_email"] == (1, 5, False)  # bad-email; NULL passes
+        assert got["in_set_status"] == (1, 5, False)  # weird
+
+    def test_ref_integrity_broadcast_anti_join(self, spark):
+        from swanlake_spark.operators import validate as V
+
+        dim = spark.createDataFrame([(1,), (2,)], "k int")
+        res = V.validate(self._df(spark), [
+            V.rules.ref_integrity("id", dim, "k"),
+        ]).collect()
+        # ids present: 1,2,3,3 (NULL skipped) -> orphans: the two 3s
+        assert res[0].violations == 2 and res[0].checked == 4
+
+    def test_quarantine_tags_failed_rules(self, spark):
+        from swanlake_spark.operators import validate as V
+
+        good, bad = V.quarantine(self._df(spark), [
+            V.rules.not_null("id"),
+            V.rules.in_range("amount", lo=0.0),
+            V.rules.in_set("status", "ok", "bad"),
+        ])
+        assert good.count() == 2  # rows (1, 'ok') and (2, 'ok')
+        tags = {
+            (r.id, tuple(r._violations)) for r in bad.collect()
+        }
+        assert tags == {
+            (3, ("range_amount",)),     # -4.0
+            (3, ("in_set_status",)),    # 'weird'
+            (None, ("not_null_id",)),
+        }
+
+    def test_validate_plan_is_single_aggregate(self, spark):
+        """All row-local rules must compile into ONE scan: the agg plan
+        contains exactly one FileScan/LocalTableScan leg."""
+        from pyspark.sql import functions as F
+
+        df = self._df(spark)
+        plan = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0)).alias("v0"),
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan") <= 2  # single source, no re-scans
