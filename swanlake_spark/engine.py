@@ -254,6 +254,8 @@ class Engine:
             )
             if re.search(r"\binformation_schema\s*\.\s*tables\b", stmt, re.IGNORECASE):
                 stmt = self._rewrite_information_schema(stmt)
+            if re.search(r"\bAT\s*\(|\bsnapshots\s*\(", stmt, re.IGNORECASE):
+                stmt = self._rewrite_time_travel(stmt)
             if kw.startswith("TRUNCATE"):
                 # Spark refuses TRUNCATE on external tables; DELETE-all
                 # through the copy-on-write layer has identical semantics.
@@ -310,6 +312,24 @@ class Engine:
             df = self.spark.sql(stmt, args=args) if args else self.spark.sql(stmt)
             if pk_table and pk_cols:
                 constraints.register_pk(pk_table, pk_cols)
+            if kw.startswith("INSERT"):
+                m = re.match(
+                    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                    r"([\w.`\"]+)",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if m:
+                    self._record_table_version(m.group(1).strip('`"'), "insert")
+            elif kw.startswith("CREATE"):
+                cm = re.match(
+                    r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if cm:
+                    self._record_table_version(cm.group(1).strip('`"'), "create")
             if classify(stmt).is_query:
                 last_df = df
         return QueryResult(
@@ -690,6 +710,87 @@ class Engine:
             # the database (and its files) remain; only the handle is dropped
             return
         raise InvalidArgument(f"unsupported ATTACH/DETACH syntax: {stmt.strip()!r}")
+
+    def _record_table_version(self, table: str, op: str) -> None:
+        """Append a snapshot manifest after a write (versions.py).
+        Best-effort bookkeeping: a manifest failure must never fail the
+        write that already succeeded."""
+        try:
+            from swanlake_spark import versions
+
+            versions.record_version(self.spark, table, op)
+        except Exception:
+            pass
+
+    _AT_RE = re.compile(
+        r"([\w.`\"]+)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>([^)]*)\)",
+        re.IGNORECASE,
+    )
+    _SNAPSHOTS_RE = re.compile(
+        r"\b(?:ducklake_)?snapshots\s*\(([^)]*)\)", re.IGNORECASE
+    )
+
+    def _rewrite_time_travel(self, stmt: str) -> str:
+        """DuckLake's time-travel surface on COW tables:
+
+        - ``FROM t AT (VERSION => 3)`` / ``AT (TIMESTAMP => '…')`` →
+          temp view over that snapshot's exact file list (versions.py).
+        - ``FROM snapshots('t')`` (also the ``ducklake_snapshots``
+          spelling) → the snapshot history table.
+
+        Matching runs on the literal-masked text (so string contents
+        can't trigger a rewrite); argument values are sliced from the
+        original text, since masking blanks literals."""
+        import uuid as _uuid
+
+        from swanlake_spark import versions
+        from swanlake_spark.plans.parser import _mask_literals
+
+        out = stmt
+        for _ in range(32):  # bounded: each pass splices one reference
+            masked = _mask_literals(out)
+            m = self._AT_RE.search(masked)
+            if m:
+                table = m.group(1).strip('`"')
+                kind = m.group(2).upper()
+                raw = out[m.start(3):m.end(3)].strip().strip("'\" ")
+                if kind == "VERSION":
+                    v = int(raw)
+                else:
+                    try:
+                        ts = float(raw)
+                    except ValueError:
+                        from datetime import datetime, timezone
+
+                        dt = datetime.fromisoformat(raw)
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        ts = dt.timestamp()
+                    v = versions.version_at_timestamp(self.spark, table, ts)
+                view = (
+                    f"_swl_tt_{table.replace('.', '_')}_{_uuid.uuid4().hex[:6]}"
+                )
+                versions.read_version(self.spark, table, v) \
+                    .createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            m = self._SNAPSHOTS_RE.search(masked)
+            if m:
+                arg = out[m.start(1):m.end(1)].strip()
+                am = re.match(r"^'([^']+)'$", arg)
+                if am is None:
+                    break  # not the snapshots('t') shape; leave untouched
+                table = am.group(1)
+                view = (
+                    f"_swl_snap_{table.replace('.', '_')}"
+                    f"_{_uuid.uuid4().hex[:6]}"
+                )
+                versions.snapshots(self.spark, table) \
+                    .createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            break
+        return out
 
     def _rewrite_information_schema(self, stmt: str) -> str:
         """Spark has no information_schema; materialize the reference's

@@ -145,6 +145,30 @@ def _partition_predicate(location: str, leaf: str):
     return " AND ".join(texts), cond
 
 
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    columns: list[str] | None = None,
+) -> None:
+    """Refresh catalog statistics so CBO join reordering and runtime
+    bloom filters (config.py) see real row counts / NDVs instead of
+    size-based guesses — Spark's equivalent of the table stats DuckDB
+    maintains automatically. ``columns=None`` computes table-level
+    stats only (cheap: count + size); pass join/filter keys for
+    column-level NDV + min/max + histogram.
+
+    One full scan per call — at 100 TB run it where the data was just
+    read anyway (compact_table/cluster_table do, post-rewrite)."""
+    from swanlake_spark.plans.quoting import quote_identifier
+
+    tq = ".".join(quote_identifier(p) for p in table.split("."))
+    if columns:
+        cols = ", ".join(quote_identifier(c) for c in columns)
+        spark.sql(f"ANALYZE TABLE {tq} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    else:
+        spark.sql(f"ANALYZE TABLE {tq} COMPUTE STATISTICS")
+
+
 def compact_table(
     spark: SparkSession,
     table: str,
@@ -191,6 +215,10 @@ def compact_table(
         _rm_path(spark, staging)
     stats["compacted"] = True
     stats["files_after"] = len(_parquet_parts(spark, loc))
+    analyze_table(spark, table)
+    from swanlake_spark import versions
+
+    versions.record_version(spark, table, "compact")
     return stats
 
 
@@ -224,6 +252,11 @@ def _compact_partitioned(
         _overwrite(spark, table, pdf, where_text)
         compacted_any = True
         files_after += len(_parquet_parts(spark, leaf))
+    if compacted_any:
+        analyze_table(spark, table)
+        from swanlake_spark import versions
+
+        versions.record_version(spark, table, "compact")
     return {
         "table": table,
         "files_before": files_before,
@@ -419,6 +452,12 @@ def cluster_table(
         _rm_path(spark, staging)
     stats["clustered"] = True
     stats["files_after"] = len(_parquet_parts(spark, table_location(spark, table)))
+    # The rewrite just scanned everything; refresh table + clustered-key
+    # column stats while the cost is already paid.
+    analyze_table(spark, table, columns=list(columns))
+    from swanlake_spark import versions
+
+    versions.record_version(spark, table, "cluster")
     return stats
 
 

@@ -213,6 +213,18 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
     src = jvm.org.apache.hadoop.fs.Path(src_dir)
     if not fs.exists(src):
         return False
+    # Snapshot retention: move the outgoing data files aside instead of
+    # deleting (versions.py) — a rename, so still a metadata-only
+    # publish. Anything retire_files can't move (versioning off,
+    # partition subtrees) is deleted as before.
+    from swanlake_spark import versions as _versions
+
+    olds = [
+        st.getPath().toString()
+        for st in fs.listStatus(dst)
+        if not st.getPath().getName().startswith(("_", "."))
+    ]
+    _versions.retire_files(spark, table, olds)
     for st in fs.listStatus(dst):
         fs.delete(st.getPath(), True)
     for st in fs.listStatus(src):
@@ -540,6 +552,11 @@ def _publish_file_swap(
     conf = spark._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(loc)
     fs = dst.getFileSystem(conf)
+    # Snapshot retention (see _publish_by_move): retire the matched
+    # originals, delete whatever couldn't be moved.
+    from swanlake_spark import versions as _versions
+
+    _versions.retire_files(spark, table, list(old_files))
     for f in old_files:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     src = jvm.org.apache.hadoop.fs.Path(staged_dir)
@@ -1103,10 +1120,15 @@ def merge_table(
     whole target. Inserts land in the swapped-in files. Targets whose
     match set spans every file (the bulk-upsert shape) fall back to the
     full rewrite."""
+    from swanlake_spark import versions
+
     with table_write_lock(spark, table):
-        return _merge_table_locked(
+        affected = _merge_table_locked(
             spark, table, t_alias, source_text, cond, clauses
         )
+        if affected:
+            versions.record_version(spark, table, "merge")
+    return affected
 
 
 def _merge_table_locked(
@@ -1227,8 +1249,13 @@ def update_table(
     statement (match probe through publish) runs under the per-table
     write lock, so concurrent writers serialize instead of interleaving
     probe/publish windows (lost updates, double file swaps)."""
+    from swanlake_spark import versions
+
     with table_write_lock(spark, table):
-        return _update_table_locked(spark, table, assignments, where)
+        affected = _update_table_locked(spark, table, assignments, where)
+        if affected:
+            versions.record_version(spark, table, "update")
+    return affected
 
 
 def _update_table_locked(
@@ -1287,8 +1314,13 @@ def _update_table_locked(
 def delete_from(spark: SparkSession, table: str, where: str | None = None) -> int:
     """SQL DELETE semantics; returns affected row count (serialized per
     table, see :func:`update_table`)."""
+    from swanlake_spark import versions
+
     with table_write_lock(spark, table):
-        return _delete_from_locked(spark, table, where)
+        affected = _delete_from_locked(spark, table, where)
+        if affected:
+            versions.record_version(spark, table, "delete")
+    return affected
 
 
 def _delete_from_locked(

@@ -185,4 +185,7 @@ def insert_arrow(
 
     constraints.check_insert_batch(spark, table, aligned)
     aligned.write.insertInto(table)
+    from swanlake_spark import versions
+
+    versions.record_version(df.sparkSession, table, "append")
     return tbl.num_rows
