@@ -122,6 +122,23 @@ class EngineConfig:
             # stages are unaffected.
             "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8MB",
             "spark.sql.adaptive.skewJoin.enabled": "true",
+            # Cost-based optimization: DuckDB always has table/column
+            # stats for join ordering; Spark needs CBO on + ANALYZE'd
+            # tables (maintenance.analyze_table, auto-run after
+            # compaction). Catalog tables without stats fall back to
+            # size-based estimates — same behavior as before, so this
+            # is strictly additive. At 100 TB, join reorder on starved
+            # stats is the difference between a fact-fact shuffle and a
+            # dim-first broadcast chain.
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+            "spark.sql.statistics.histogram.enabled": "true",
+            # Row-level runtime filters: a selective dim-side filter is
+            # pushed to the fact scan as a bloom filter before the
+            # shuffle (Spark's equivalent of DuckDB's perfect hash-join
+            # pushdown). On by default in Spark 4 — pinned explicitly so
+            # a default change can't silently regress the 100 TB plan.
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
             "spark.sql.autoBroadcastJoinThreshold": str(self.broadcast_threshold_bytes),
             "spark.sql.files.maxPartitionBytes": str(self.max_partition_bytes),
             "spark.sql.parquet.filterPushdown": "true",

@@ -323,3 +323,70 @@ class TestIvfIndexPruning:
         )[1].split("\n")[0], plan
         rows = top.collect()
         assert rows and rows[0].vec_id == 0  # the query vector itself
+
+
+class TestCboStatistics:
+    """CBO + ANALYZE: maintenance.analyze_table feeds Catalyst real
+    row counts / NDVs (config.py enables spark.sql.cbo.* — DuckDB keeps
+    these stats automatically; Spark needs the explicit ANALYZE)."""
+
+    def test_analyze_populates_rowcount_stats(self, spark):
+        import tempfile
+
+        from swanlake_spark import maintenance
+
+        assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        loc = tempfile.mkdtemp(prefix="swl_cbo_")
+        spark.sql(
+            f"CREATE TABLE cbo_t (a INT, b STRING) USING parquet LOCATION '{loc}'"
+        )
+        try:
+            spark.sql(
+                "INSERT INTO cbo_t SELECT id, CAST(id AS STRING) FROM range(1234)"
+            )
+            maintenance.analyze_table(spark, "cbo_t", columns=["a"])
+            stats = (
+                spark.table("cbo_t")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert stats.rowCount().isDefined(), "ANALYZE left no rowCount"
+            assert int(str(stats.rowCount().get())) == 1234
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cbo_t")
+
+    def test_compaction_refreshes_stats(self, spark):
+        """compact_table piggybacks ANALYZE on its full rewrite, so a
+        freshly compacted table always has current row counts."""
+        import tempfile
+
+        from swanlake_spark import maintenance
+
+        loc = tempfile.mkdtemp(prefix="swl_cbo2_")
+        spark.sql(
+            f"CREATE TABLE cbo_c (a INT) USING parquet LOCATION '{loc}'"
+        )
+        try:
+            for _ in range(6):  # many small files to trigger compaction
+                spark.sql(
+                    "INSERT INTO cbo_c SELECT id FROM range(100)"
+                )
+            st = maintenance.compact_table(
+                spark, "cbo_c", target_file_bytes=1 << 30, min_files=2
+            )
+            assert st["compacted"], st
+            stats = (
+                spark.table("cbo_c")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert stats.rowCount().isDefined()
+            assert int(str(stats.rowCount().get())) == 600
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cbo_c")
