@@ -506,11 +506,13 @@ class Engine:
                     s["staging_dirs_removed"],
                     s["locks_removed"],
                     s["bytes"],
+                    s["snapshots_expired"],
+                    s["snapshot_bytes"],
                 )
             )
         schema = (
             "table STRING, staging_dirs_removed INT, locks_removed INT, "
-            "bytes BIGINT"
+            "bytes BIGINT, snapshots_expired INT, snapshot_bytes BIGINT"
         )
         return self.spark.createDataFrame(rows, schema)
 

@@ -474,7 +474,13 @@ def vacuum_table(
     staged copy may be the only complete one, see StagingPin.cleanup)
     and must eventually be reclaimed. The age guard keeps in-flight
     publishes safe: nothing younger than ``min_age_s`` is touched.
-    Returns ``{table, staging_dirs_removed, locks_removed, bytes}``."""
+
+    Also runs the snapshot retention sweep (:func:`versions.expire`):
+    manifests older than ``min_age_s`` (beyond the newest) are dropped
+    and retained data files nothing references anymore are reclaimed —
+    the Delta-style ``VACUUM t RETAIN n SECONDS`` contract.
+    Returns ``{table, staging_dirs_removed, locks_removed, bytes,
+    snapshots_expired, snapshot_bytes}``."""
     import time as _time
 
     from swanlake_spark.operators.dml import _table_location
@@ -485,6 +491,8 @@ def vacuum_table(
         "staging_dirs_removed": 0,
         "locks_removed": 0,
         "bytes": 0,
+        "snapshots_expired": 0,
+        "snapshot_bytes": 0,
     }
     if loc is None:
         return stats
@@ -494,20 +502,24 @@ def vacuum_table(
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(staging_root)
     fs = root.getFileSystem(conf)
-    if not fs.exists(root):
-        return stats
-    now_ms = _time.time() * 1000.0
-    for st in fs.listStatus(root):
-        age_ms = now_ms - st.getModificationTime()
-        if age_ms < min_age_s * 1000.0:
-            continue
-        name = st.getPath().getName()
-        if st.isDirectory():
-            size = fs.getContentSummary(st.getPath()).getLength()
-            fs.delete(st.getPath(), True)
-            stats["staging_dirs_removed"] += 1
-            stats["bytes"] += int(size)
-        elif name.endswith(".writelock"):
-            fs.delete(st.getPath(), False)
-            stats["locks_removed"] += 1
+    if fs.exists(root):
+        now_ms = _time.time() * 1000.0
+        for st in fs.listStatus(root):
+            age_ms = now_ms - st.getModificationTime()
+            if age_ms < min_age_s * 1000.0:
+                continue
+            name = st.getPath().getName()
+            if st.isDirectory():
+                size = fs.getContentSummary(st.getPath()).getLength()
+                fs.delete(st.getPath(), True)
+                stats["staging_dirs_removed"] += 1
+                stats["bytes"] += int(size)
+            elif name.endswith(".writelock"):
+                fs.delete(st.getPath(), False)
+                stats["locks_removed"] += 1
+    from swanlake_spark import versions
+
+    vexp = versions.expire(spark, table, keep_last=1, min_age_s=min_age_s)
+    stats["snapshots_expired"] = vexp["manifests_removed"]
+    stats["snapshot_bytes"] = vexp["bytes_reclaimed"]
     return stats

@@ -119,3 +119,17 @@ class TestSnapshots:
         finally:
             versions.set_enabled(True)
         assert {r.v for r in spark.table("vt").collect()} == {"b"}
+
+    def test_vacuum_statement_expires_snapshots(self, spark, vtable):
+        """`VACUUM t RETAIN 0 SECONDS` runs the snapshot retention sweep
+        alongside staging reclamation (Delta's VACUUM contract)."""
+        eng = self._engine(spark)
+        eng.execute("INSERT INTO vt VALUES (1, 'a')")
+        eng.execute("UPDATE vt SET v = 'b' WHERE id = 1")
+        eng.execute("UPDATE vt SET v = 'c' WHERE id = 1")
+        row = eng.query("VACUUM vt RETAIN 0 SECONDS").df.collect()[0]
+        assert row.snapshots_expired >= 2
+        assert versions.current_version(spark, "vt") >= 1
+        # latest snapshot still resolvable; older ones are gone
+        v_now = versions.current_version(spark, "vt")
+        assert versions.resolve_files(spark, "vt", v_now)
