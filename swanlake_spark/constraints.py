@@ -123,7 +123,7 @@ def check_insert_sql(spark: SparkSession, insert_sql: str) -> None:
         return
     table = _norm_table(m.group("table"))
     cols = pk_columns(table)
-    if not cols:
+    if not cols and not check_exprs(table) and not fk_list(table):
         return
     src = m.group("src").rstrip().rstrip(";")
     if src.upper().startswith("VALUES"):
@@ -172,7 +172,13 @@ def check_insert_batch(
     One aggregation computes the internal-duplicate check (distinct key
     count vs row count) AND the per-column key min/max in a single
     driver action; the existing-table probe is then bounded to the
-    batch's key range (see :func:`bounded_existing_probe`)."""
+    batch's key range (see :func:`bounded_existing_probe`).
+
+    Also the single choke point for CHECK and child-side FOREIGN KEY
+    constraints: every write path (INSERT SQL and the Arrow appender)
+    lands here, so those are enforced before any PK probe runs."""
+    enforce_checks(spark, table, new_rows)
+    enforce_fks_insert(spark, table, new_rows)
     cols = pk_columns(table)
     if not cols:
         return
@@ -199,3 +205,266 @@ def check_insert_batch(
         raise InvalidArgument(
             f"duplicate key value violates PRIMARY KEY ({', '.join(cols)}) of {table}"
         )
+
+
+# -- CHECK constraints --------------------------------------------------------
+#
+# DuckDB (the reference's engine) enforces CHECK constraints on INSERT
+# and UPDATE; Spark parquet tables have none, so the engine supplies the
+# same gate: the clause is stripped from the DDL before Catalyst sees
+# it, registered here, and every write evaluates the expressions over
+# the incoming/rewritten rows in ONE aggregate pass (the same
+# sum(when(...)) compilation as operators/validate.py). SQL semantics:
+# a NULL verdict passes (standard CHECK), a FALSE verdict rejects the
+# whole statement.
+
+# table (lower, unquoted) -> [(constraint_name, boolean_sql_expr)]
+_CHECK_REGISTRY: dict[str, list[tuple[str, str]]] = {}
+
+_CHECK_HEAD = re.compile(
+    r"^\s*(?:CONSTRAINT\s+(?P<name>[\w`\"]+)\s+)?CHECK\s*\(", re.IGNORECASE
+)
+_INLINE_CHECK = re.compile(r"\bCHECK\s*\(", re.IGNORECASE)
+
+
+def _split_depth0(body: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _balanced(text: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at open_idx."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise ValueError("unbalanced parentheses in CHECK clause")
+
+
+def extract_and_strip_checks(
+    create_sql: str,
+) -> tuple[str, str | None, list[tuple[str, str]]]:
+    """Parse CREATE TABLE; return (rewritten_sql, table, checks) where
+    each check is (name, boolean_expr). Handles table-level
+    ``[CONSTRAINT name] CHECK (expr)`` parts and column-level
+    ``<col> <type> CHECK (expr)`` suffixes; parentheses inside the
+    expression are balanced-matched, not regex-matched."""
+    m = _CREATE_RE.match(create_sql)
+    if not m:
+        return create_sql, None, []
+    prefix, table, body, tail = (
+        m.group("prefix"), m.group("table"), m.group("body"), m.group("tail")
+    )
+    checks: list[tuple[str, str]] = []
+    new_parts: list[str] = []
+    for part in _split_depth0(body):
+        hm = _CHECK_HEAD.match(part)
+        if hm:  # table-level part
+            open_idx = hm.end() - 1
+            end = _balanced(part, open_idx)
+            expr = part[open_idx + 1: end - 1].strip()
+            name = (hm.group("name") or f"check_{len(checks) + 1}").strip('`"')
+            checks.append((name, expr))
+            rest = part[end:].strip()
+            if rest:
+                new_parts.append(rest)
+            continue
+        im = _INLINE_CHECK.search(part)
+        if im:  # column-level suffix
+            open_idx = im.end() - 1
+            end = _balanced(part, open_idx)
+            expr = part[open_idx + 1: end - 1].strip()
+            colname = part.strip().split()[0].strip('`"')
+            checks.append((f"check_{colname}", expr))
+            part = part[: im.start()] + part[end:]
+        new_parts.append(part)
+    if not checks:
+        return create_sql, None, []
+    rewritten = f"{prefix}({','.join(new_parts)}){tail}"
+    return rewritten, table, checks
+
+
+def register_checks(table: str, checks: list[tuple[str, str]]) -> None:
+    if checks:
+        _CHECK_REGISTRY[_norm_table(table)] = checks
+
+
+def check_exprs(table: str) -> list[tuple[str, str]]:
+    return _CHECK_REGISTRY.get(_norm_table(table), [])
+
+
+def drop_checks(table: str) -> None:
+    _CHECK_REGISTRY.pop(_norm_table(table), None)
+
+
+def enforce_checks(spark: SparkSession, table: str, rows: DataFrame) -> None:
+    """Reject ``rows`` if any registered CHECK fails: all expressions
+    evaluate in one aggregate over one pass (no per-rule scans)."""
+    checks = check_exprs(table)
+    if not checks:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+        ).alias(f"_c{i}")
+        for i, (_, expr) in enumerate(checks)
+    ]
+    stats = rows.agg(*aggs).collect()[0]
+    for i, (name, expr) in enumerate(checks):
+        if (stats[f"_c{i}"] or 0) > 0:
+            raise InvalidArgument(
+                f"CHECK constraint {name} ({expr}) of {table} failed"
+            )
+
+
+# -- FOREIGN KEY constraints --------------------------------------------------
+#
+# DuckDB enforces referential integrity on both ends; the engine mirrors
+# it at the same choke points as PK/CHECK:
+# - child INSERT/append: non-null FK values must exist in the parent
+#   (one broadcast LEFT ANTI probe per FK — parent key column only,
+#   column-pruned scan);
+# - parent DELETE/TRUNCATE: rejected if any child still references a
+#   deleted key (one semi-join per referencing child, computed before
+#   any rewrite happens).
+# Divergence (documented): an UPDATE that rewrites a *parent key* value
+# is not re-checked against children; DuckDB would reject it.
+
+# child table -> [(child_cols, parent_table, parent_cols)]
+_FK_REGISTRY: dict[str, list[tuple[list[str], str, list[str]]]] = {}
+
+_TABLE_LEVEL_FK = re.compile(
+    r"^\s*(?:CONSTRAINT\s+[\w`\"]+\s+)?FOREIGN\s+KEY\s*\(([^)]*)\)\s*"
+    r"REFERENCES\s+([\w.`\"]+)\s*\(([^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+_COLUMN_LEVEL_FK = re.compile(
+    r"\bREFERENCES\s+([\w.`\"]+)\s*\(([^)]*)\)", re.IGNORECASE
+)
+
+
+def extract_and_strip_fks(
+    create_sql: str,
+) -> tuple[str, str | None, list[tuple[list[str], str, list[str]]]]:
+    """Parse CREATE TABLE; return (rewritten_sql, table, fks) where each
+    fk is (child_cols, parent_table, parent_cols)."""
+    m = _CREATE_RE.match(create_sql)
+    if not m:
+        return create_sql, None, []
+    prefix, table, body, tail = (
+        m.group("prefix"), m.group("table"), m.group("body"), m.group("tail")
+    )
+    fks: list[tuple[list[str], str, list[str]]] = []
+    new_parts: list[str] = []
+    for part in _split_depth0(body):
+        tm = _TABLE_LEVEL_FK.match(part)
+        if tm:
+            child_cols = [c.strip().strip('`"') for c in tm.group(1).split(",")]
+            parent = tm.group(2).strip('`"')
+            parent_cols = [c.strip().strip('`"') for c in tm.group(3).split(",")]
+            fks.append((child_cols, parent, parent_cols))
+            continue  # drop the whole table-level part
+        cm = _COLUMN_LEVEL_FK.search(part)
+        if cm:
+            colname = part.strip().split()[0].strip('`"')
+            parent = cm.group(1).strip('`"')
+            parent_cols = [c.strip().strip('`"') for c in cm.group(2).split(",")]
+            fks.append(([colname], parent, parent_cols))
+            part = part[: cm.start()] + part[cm.end():]
+        new_parts.append(part)
+    if not fks:
+        return create_sql, None, []
+    rewritten = f"{prefix}({','.join(new_parts)}){tail}"
+    return rewritten, table, fks
+
+
+def register_fks(
+    table: str, fks: list[tuple[list[str], str, list[str]]]
+) -> None:
+    if fks:
+        _FK_REGISTRY[_norm_table(table)] = fks
+
+
+def fk_list(table: str) -> list[tuple[list[str], str, list[str]]]:
+    return _FK_REGISTRY.get(_norm_table(table), [])
+
+
+def drop_fks(table: str) -> None:
+    _FK_REGISTRY.pop(_norm_table(table), None)
+
+
+def referencing_children(
+    parent: str,
+) -> list[tuple[str, list[str], list[str]]]:
+    """Every (child_table, child_cols, parent_cols) referencing
+    ``parent``."""
+    p = _norm_table(parent)
+    out = []
+    for child, fks in _FK_REGISTRY.items():
+        for child_cols, parent_table, parent_cols in fks:
+            if _norm_table(parent_table) == p:
+                out.append((child, child_cols, parent_cols))
+    return out
+
+
+def enforce_fks_insert(
+    spark: SparkSession, table: str, new_rows: DataFrame
+) -> None:
+    """Child-side enforcement: every non-null FK tuple in the batch must
+    exist in its parent. Broadcast anti-join per FK (parents are the
+    small side by construction)."""
+    for child_cols, parent, parent_cols in fk_list(table):
+        probe = new_rows.select(
+            *[F.col(c).alias(p) for c, p in zip(child_cols, parent_cols)]
+        ).na.drop()
+        parent_keys = spark.table(parent).select(*parent_cols).distinct()
+        orphan = (
+            probe.join(F.broadcast(parent_keys), parent_cols, "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if orphan:
+            raise InvalidArgument(
+                f"insert into {table} violates FOREIGN KEY "
+                f"({', '.join(child_cols)}) REFERENCES {parent}"
+                f"({', '.join(parent_cols)})"
+            )
+
+
+def enforce_fks_delete(
+    spark: SparkSession, parent: str, deleted_keys: DataFrame | None
+) -> None:
+    """Parent-side enforcement before a DELETE/TRUNCATE publishes:
+    reject if any child row references a key being deleted.
+    ``deleted_keys=None`` means every row goes (TRUNCATE)."""
+    for child, child_cols, parent_cols in referencing_children(parent):
+        try:
+            child_df = spark.table(child)
+        except Exception:
+            continue  # child table dropped without deregistration
+        refs = child_df.select(*child_cols).na.drop()
+        if deleted_keys is not None:
+            keys = deleted_keys.select(
+                *[F.col(p).alias(c) for p, c in zip(parent_cols, child_cols)]
+            ).distinct()
+            refs = refs.join(F.broadcast(keys), child_cols, "left_semi")
+        if refs.limit(1).collect():
+            raise InvalidArgument(
+                f"delete from {parent} violates FOREIGN KEY on {child} "
+                f"({', '.join(child_cols)})"
+            )

@@ -297,8 +297,18 @@ class Engine:
                     continue
             pk_table: str | None = None
             pk_cols: list[str] = []
+            ck_table: str | None = None
+            ck_list: list[tuple[str, str]] = []
+            fk_table: str | None = None
+            fk_defs: list = []
             if kw.startswith("CREATE"):
                 stmt, pk_table, pk_cols = constraints.extract_and_strip_pk(stmt)
+                stmt, ck_table, ck_list = constraints.extract_and_strip_checks(
+                    stmt
+                )
+                stmt, fk_table, fk_defs = constraints.extract_and_strip_fks(
+                    stmt
+                )
             elif kw.startswith("INSERT"):
                 constraints.check_insert_sql(self.spark, stmt)
             elif kw.startswith("DROP"):
@@ -309,9 +319,15 @@ class Engine:
                 )
                 if m:
                     constraints.drop_pk(m.group(1))
+                    constraints.drop_checks(m.group(1))
+                    constraints.drop_fks(m.group(1))
             df = self.spark.sql(stmt, args=args) if args else self.spark.sql(stmt)
             if pk_table and pk_cols:
                 constraints.register_pk(pk_table, pk_cols)
+            if ck_table and ck_list:
+                constraints.register_checks(ck_table, ck_list)
+            if fk_table and fk_defs:
+                constraints.register_fks(fk_table, fk_defs)
             if kw.startswith("INSERT"):
                 m = re.match(
                     r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
@@ -364,6 +380,8 @@ class Engine:
         from swanlake_spark.plans.parser import _mask_literals
 
         stmt, pk_table, pk_cols = constraints.extract_and_strip_pk(create_stmt)
+        stmt, ck_table, ck_list = constraints.extract_and_strip_checks(stmt)
+        stmt, fk_table, fk_defs = constraints.extract_and_strip_fks(stmt)
         # locate a depth-0 `AS <query>` split (CTAS form)
         masked = _mask_literals(stmt)
         as_pos = -1
@@ -402,6 +420,8 @@ class Engine:
             try:
                 self.spark.sql(f"DROP TABLE IF EXISTS {table}")
                 constraints.drop_pk(table)
+                constraints.drop_checks(table)
+                constraints.drop_fks(table)
                 if old_loc:
                     _rm_path(self.spark, old_loc)  # replaced, not merged
                 self.spark.sql(f"{head} AS SELECT * FROM parquet.`{staging}`")
@@ -413,11 +433,17 @@ class Engine:
             self.spark._jsparkSession.sessionState().sqlParser().parsePlan(stmt)
             self.spark.sql(f"DROP TABLE IF EXISTS {table}")
             constraints.drop_pk(table)
+            constraints.drop_checks(table)
+            constraints.drop_fks(table)
             if old_loc:
                 _rm_path(self.spark, old_loc)
             self.spark.sql(stmt)
         if pk_table and pk_cols:
             constraints.register_pk(pk_table, pk_cols)
+        if ck_table and ck_list:
+            constraints.register_checks(ck_table, ck_list)
+        if fk_table and fk_defs:
+            constraints.register_fks(fk_table, fk_defs)
 
     # -- catalog metadata (A20-A25) ----------------------------------------
 

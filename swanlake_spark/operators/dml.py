@@ -1265,6 +1265,17 @@ def _update_table_locked(
     where: str | None = None,
 ) -> int:
     df = spark.table(table)
+
+    # CHECK constraints (DuckDB enforces them on UPDATE too): evaluate
+    # the registered expressions over the rewritten rows before any
+    # publish. Free when no checks are registered (enforce_checks
+    # early-returns without an action).
+    def _checked(ndf: DataFrame) -> DataFrame:
+        from swanlake_spark import constraints
+
+        constraints.enforce_checks(spark, table, ndf)
+        return ndf
+
     # An UPDATE that reassigns a partition column moves rows BETWEEN
     # partitions: the dynamic-overwrite path selects staged rows by their
     # NEW partition values but rewrites the OLD matching partitions, so a
@@ -1284,7 +1295,9 @@ def _update_table_locked(
             spark,
             table,
             where,
-            lambda sub: apply_update(sub, assignments, where, alias=table),
+            lambda sub: _checked(
+                apply_update(sub, assignments, where, alias=table)
+            ),
             files,
         ):
             return affected
@@ -1295,7 +1308,9 @@ def _update_table_locked(
     overwrite_where = None if part_cols & set(assignments) else where
     stage = StagingPin(spark, table)
     try:
-        new_df = apply_update(df, assignments, where, alias=table, pin=stage)
+        new_df = _checked(
+            apply_update(df, assignments, where, alias=table, pin=stage)
+        )
     except BaseException:
         stage.cleanup()  # planning failed; nothing published — tidy up
         raise
@@ -1327,6 +1342,19 @@ def _delete_from_locked(
     spark: SparkSession, table: str, where: str | None = None
 ) -> int:
     df = spark.table(table)
+    # Parent-side FOREIGN KEY guard (DuckDB rejects deleting referenced
+    # rows): checked before any rewrite starts. Free when no child
+    # references this table.
+    from swanlake_spark import constraints
+
+    if constraints.referencing_children(table):
+        if where is None:
+            deleted = None  # TRUNCATE: every key goes
+        elif where_has_subquery(where):
+            deleted = spark.sql(f"SELECT * FROM {table} WHERE {where}")
+        else:
+            deleted = df.filter(F.expr(where).eqNullSafe(F.lit(True)))
+        constraints.enforce_fks_delete(spark, table, deleted)
     if where is None:
         affected = df.count()
         _overwrite(spark, table, df.limit(0), None)

@@ -214,3 +214,32 @@ class TestParameterTypesScenario:
         out = normalize_arrow_for_spark(tbl)
         assert out.column("iv").type == pa.duration("us")
         assert out.column("iv")[0].as_py().total_seconds() == 86400.000005
+
+
+class TestAppenderChecks:
+    def test_insert_arrow_enforces_check_constraints(self, engine, spark):
+        """The appender rides the same constraint choke point as INSERT
+        SQL (constraints.check_insert_batch): a CHECK violation rejects
+        the Arrow batch; balanced-paren expressions parse correctly."""
+        import uuid
+
+        import pytest as _pytest
+
+        from swanlake_spark.errors import InvalidArgument
+
+        name = f"swl_ck_{uuid.uuid4().hex[:8]}"
+        engine.execute(
+            f"CREATE TABLE {name} (id INT, qty INT, "
+            f"CHECK (qty IN (0, 1, 2, 3))) "
+            f"USING parquet LOCATION '{engine.spark.conf.get('spark.sql.warehouse.dir')}/{name}'"
+        )
+        try:
+            assert insert_arrow(spark, name, pa.table({"id": [1], "qty": [2]})) == 1
+            with _pytest.raises(InvalidArgument, match="CHECK constraint"):
+                insert_arrow(spark, name, pa.table({"id": [2], "qty": [9]}))
+            assert (
+                engine.query(f"SELECT count(*) AS c FROM {name}").collect()[0].c
+                == 1
+            )
+        finally:
+            engine.execute(f"DROP TABLE IF EXISTS {name}")
