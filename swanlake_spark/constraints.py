@@ -341,9 +341,10 @@ def enforce_checks(spark: SparkSession, table: str, rows: DataFrame) -> None:
 #   column-pruned scan);
 # - parent DELETE/TRUNCATE: rejected if any child still references a
 #   deleted key (one semi-join per referencing child, computed before
-#   any rewrite happens).
-# Divergence (documented): an UPDATE that rewrites a *parent key* value
-# is not re-checked against children; DuckDB would reject it.
+#   any rewrite happens);
+# - parent UPDATE touching a referenced key column: children are
+#   re-validated against the complete new key set before publish
+#   (dml._update_table_locked's _fk_checked).
 
 # child table -> [(child_cols, parent_table, parent_cols)]
 _FK_REGISTRY: dict[str, list[tuple[list[str], str, list[str]]]] = {}

@@ -224,7 +224,7 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
         for st in fs.listStatus(dst)
         if not st.getPath().getName().startswith(("_", "."))
     ]
-    _versions.retire_files(spark, table, olds)
+    _versions.retire_files(spark, table, olds, loc=loc)
     for st in fs.listStatus(dst):
         fs.delete(st.getPath(), True)
     for st in fs.listStatus(src):
@@ -556,7 +556,7 @@ def _publish_file_swap(
     # originals, delete whatever couldn't be moved.
     from swanlake_spark import versions as _versions
 
-    _versions.retire_files(spark, table, list(old_files))
+    _versions.retire_files(spark, table, list(old_files), loc=loc)
     for f in old_files:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
     src = jvm.org.apache.hadoop.fs.Path(staged_dir)
@@ -1276,6 +1276,35 @@ def _update_table_locked(
         constraints.enforce_checks(spark, table, ndf)
         return ndf
 
+    # Parent-side FK guard for key rewrites (DuckDB re-checks children
+    # when a referenced key changes): when the UPDATE touches a column
+    # some child references, the file-granular shortcut is disabled so
+    # new_df is the FULL new table, and the children are re-validated
+    # against the complete new key set before publish.
+    from swanlake_spark import constraints as _constraints
+
+    _fk_children = _constraints.referencing_children(table)
+    _fk_touched = [
+        (child, ccols, pcols)
+        for child, ccols, pcols in _fk_children
+        if set(pcols) & set(assignments)
+    ]
+
+    def _fk_checked(ndf: DataFrame) -> DataFrame:
+        for child, ccols, pcols in _fk_touched:
+            refs = spark.table(child).select(*ccols).na.drop()
+            new_keys = ndf.select(
+                *[F.col(p).alias(c) for p, c in zip(pcols, ccols)]
+            ).distinct()
+            if refs.join(
+                F.broadcast(new_keys), ccols, "left_anti"
+            ).limit(1).collect():
+                raise InvalidArgument(
+                    f"update of {table} would orphan FOREIGN KEY rows in "
+                    f"{child} ({', '.join(ccols)})"
+                )
+        return ndf
+
     # An UPDATE that reassigns a partition column moves rows BETWEEN
     # partitions: the dynamic-overwrite path selects staged rows by their
     # NEW partition values but rewrites the OLD matching partitions, so a
@@ -1284,6 +1313,7 @@ def _update_table_locked(
     file_cow_ok = (
         where
         and not part_cols
+        and not _fk_touched
         and not where_has_subquery(where)
         and not any(where_has_subquery(v) for v in assignments.values())
     )
@@ -1308,9 +1338,9 @@ def _update_table_locked(
     overwrite_where = None if part_cols & set(assignments) else where
     stage = StagingPin(spark, table)
     try:
-        new_df = _checked(
+        new_df = _fk_checked(_checked(
             apply_update(df, assignments, where, alias=table, pin=stage)
-        )
+        ))
     except BaseException:
         stage.cleanup()  # planning failed; nothing published — tidy up
         raise

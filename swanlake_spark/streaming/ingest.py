@@ -192,6 +192,9 @@ def streaming_append_to_table(
         spark = batch_df.sparkSession
         aligned = align_to_schema(batch_df, spark.table(table).schema)
         aligned.write.insertInto(table)
+        from swanlake_spark import versions
+
+        versions.record_version(spark, table, f"stream_batch_{batch_id}")
 
     writer = events.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

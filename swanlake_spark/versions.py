@@ -74,12 +74,18 @@ def _fs(spark: SparkSession, path: str):
     return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
-def versions_root(spark: SparkSession, table: str) -> str | None:
+def versions_root(
+    spark: SparkSession, table: str, loc: str | None = None
+) -> str | None:
     """``<parent>/_versions/<table-dir-name>`` beside the table location
-    (stable per table, unlike the per-op ``_staging/<uuid>``)."""
-    from swanlake_spark.operators.dml import _table_location
+    (stable per table, unlike the per-op ``_staging/<uuid>``). Callers
+    that already resolved the table location pass it via ``loc`` —
+    ``DESCRIBE FORMATTED`` costs a Catalyst round-trip, so the write
+    paths resolve it once and thread it through."""
+    if loc is None:
+        from swanlake_spark.operators.dml import _table_location
 
-    loc = _table_location(spark, table)
+        loc = _table_location(spark, table)
     if loc is None:
         return None
     loc = loc.rstrip("/")
@@ -163,8 +169,10 @@ def _manifest_paths(spark: SparkSession, root: str) -> list[tuple[int, str]]:
 # -- snapshot recording -------------------------------------------------------
 
 
-def current_version(spark: SparkSession, table: str) -> int:
-    root = versions_root(spark, table)
+def current_version(
+    spark: SparkSession, table: str, loc: str | None = None
+) -> int:
+    root = versions_root(spark, table, loc)
     if root is None:
         return 0
     ms = _manifest_paths(spark, root)
@@ -173,17 +181,18 @@ def current_version(spark: SparkSession, table: str) -> int:
 
 def record_version(spark: SparkSession, table: str, op: str) -> int | None:
     """Append a manifest of the table's current live files. Cheap
-    (driver-side listing + one small JSON), called after every publish."""
+    (driver-side listing + one small JSON), called after every publish.
+    One catalog lookup total — everything else is FileSystem metadata."""
     if not _ENABLED:
         return None
     from swanlake_spark.operators.dml import _table_location
 
     loc = _table_location(spark, table)
-    root = versions_root(spark, table)
+    root = versions_root(spark, table, loc)
     if loc is None or root is None:
         return None
     files = _list_data_files(spark, loc)
-    n = current_version(spark, table) + 1
+    n = current_version(spark, table, loc) + 1
     _write_json(
         spark,
         f"{_manifest_dir(root)}/v{n:08d}.json",
@@ -197,7 +206,12 @@ def record_version(spark: SparkSession, table: str, op: str) -> int | None:
     return n
 
 
-def retire_files(spark: SparkSession, table: str, paths: list[str]) -> bool:
+def retire_files(
+    spark: SparkSession,
+    table: str,
+    paths: list[str],
+    loc: str | None = None,
+) -> bool:
     """Move retiring data files into the retained dir instead of
     deleting them (rename = metadata op on a real FileSystem). Returns
     False when versioning is off or the move isn't possible — the
@@ -205,14 +219,18 @@ def retire_files(spark: SparkSession, table: str, paths: list[str]) -> bool:
     read time)."""
     if not _ENABLED:
         return False
-    root = versions_root(spark, table)
+    if loc is None:
+        from swanlake_spark.operators.dml import _table_location
+
+        loc = _table_location(spark, table)
+    if loc is None:
+        return False
+    root = versions_root(spark, table, loc)
     if root is None:
         return False
     jvm, fs, rdir = _fs(spark, _retained_dir(root))
     fs.mkdirs(rdir)
-    from swanlake_spark.operators.dml import _table_location
-
-    loc = _table_location(spark, table).rstrip("/")
+    loc = loc.rstrip("/")
     for f in paths:
         src = jvm.org.apache.hadoop.fs.Path(f)
         if not fs.exists(src):
