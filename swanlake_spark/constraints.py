@@ -469,3 +469,77 @@ def enforce_fks_delete(
                 f"delete from {parent} violates FOREIGN KEY on {child} "
                 f"({', '.join(child_cols)})"
             )
+
+
+# -- ALTER TABLE ADD/DROP CONSTRAINT ------------------------------------------
+
+
+def add_constraint(spark: SparkSession, table: str, clause: str) -> str:
+    """``ALTER TABLE t ADD [CONSTRAINT name] <PK|CHECK|FK clause>`` —
+    DuckDB semantics: the EXISTING rows are validated first (the ADD
+    fails if they violate), then the constraint registers for future
+    writes. The clause is parsed by wrapping it in a synthetic CREATE
+    body so the battle-tested extractors do the parsing."""
+    fake = f"CREATE TABLE {table} (__x INT, {clause})"
+    _, _, pk = extract_and_strip_pk(fake)
+    if pk:
+        df = spark.table(table)
+        stats = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_distinct(F.struct(*[F.col(c) for c in pk])).alias("_nd"),
+        ).collect()[0]
+        if stats["_nd"] < stats["_n"]:
+            raise InvalidArgument(
+                f"existing rows of {table} violate PRIMARY KEY "
+                f"({', '.join(pk)})"
+            )
+        register_pk(table, pk)
+        return "primary key"
+    _, _, cks = extract_and_strip_checks(fake)
+    if cks:
+        df = spark.table(table)
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+            ).alias(f"_c{i}")
+            for i, (_, expr) in enumerate(cks)
+        ]
+        stats = df.agg(*aggs).collect()[0]
+        for i, (name, expr) in enumerate(cks):
+            if (stats[f"_c{i}"] or 0) > 0:
+                raise InvalidArgument(
+                    f"existing rows of {table} violate CHECK {name} ({expr})"
+                )
+        register_checks(table, check_exprs(table) + cks)
+        return "check"
+    _, _, fks = extract_and_strip_fks(fake)
+    if fks:
+        # validate existing rows against the new FKs only
+        old = fk_list(table)
+        try:
+            register_fks(table, fks)
+            enforce_fks_insert(spark, table, spark.table(table))
+        except InvalidArgument:
+            _FK_REGISTRY[_norm_table(table)] = old or []
+            if not old:
+                _FK_REGISTRY.pop(_norm_table(table), None)
+            raise
+        register_fks(table, (old or []) + fks)
+        return "foreign key"
+    raise InvalidArgument(f"unsupported constraint clause: {clause.strip()!r}")
+
+
+def drop_constraint(table: str, name: str) -> bool:
+    """``ALTER TABLE t DROP CONSTRAINT name`` for named CHECK
+    constraints (PK/FK registrations are unnamed; drop them by
+    recreating the table)."""
+    t = _norm_table(table)
+    checks = _CHECK_REGISTRY.get(t, [])
+    kept = [(n, e) for n, e in checks if n != name.strip('`"')]
+    if len(kept) == len(checks):
+        return False
+    if kept:
+        _CHECK_REGISTRY[t] = kept
+    else:
+        _CHECK_REGISTRY.pop(t, None)
+    return True

@@ -295,6 +295,32 @@ class Engine:
                         self.spark, table, t_alias, source_text, cond, cls
                     )
                     continue
+            if kw.startswith("ALTER"):
+                # Constraint ALTERs are engine-level (Spark's v1 parquet
+                # tables have no constraints); every other ALTER (ADD
+                # COLUMN, RENAME, ...) falls through to Catalyst.
+                am = re.match(
+                    r"^\s*ALTER\s+TABLE\s+([\w.`\"]+)\s+ADD\s+"
+                    r"((?:CONSTRAINT\s+[\w`\"]+\s+)?"
+                    r"(?:PRIMARY\s+KEY|CHECK|FOREIGN\s+KEY)\b.*)$",
+                    stmt,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if am:
+                    constraints.add_constraint(
+                        self.spark, am.group(1).strip('`"'),
+                        am.group(2).rstrip().rstrip(";"),
+                    )
+                    continue
+                dm = re.match(
+                    r"^\s*ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+"
+                    r"CONSTRAINT\s+(?:IF\s+EXISTS\s+)?([\w`\"]+)\s*;?\s*$",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if dm:
+                    constraints.drop_constraint(dm.group(1), dm.group(2))
+                    continue
             pk_table: str | None = None
             pk_cols: list[str] = []
             ck_table: str | None = None
