@@ -185,7 +185,32 @@ def main() -> None:
                 ),
             ])
 
+    class _Vocab:
+        @staticmethod
+        def build(spark, sf_dir):
+            from swanlake_spark.operators import text as T
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            return T.build_vocab(spark.table("documents"), top_k=1000)
+
+    class _Tfidf:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import text as T
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            out = T.tfidf_top_terms(spark.table("documents"), n_per_doc=3)
+            return out.agg(
+                F.count("*").alias("n"), F.sum("tfidf").alias("s")
+            )
+
     suite["curation_chunk"] = _Chunk
+    suite["text_vocab_top1k"] = _Vocab
+    suite["text_tfidf_top3"] = _Tfidf
     suite["validate_expectations"] = _Validate
     suite["sim_pq_adc_topk"] = _PqSearch
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]

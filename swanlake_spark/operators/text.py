@@ -140,3 +140,73 @@ def fingerprint(text_col: str | Column = "text", bits: int = 64) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.substring(F.md5(norm), 1, bits // 4)
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: global token counts (lower-cased whitespace
+    tokens), the tokenizer-training prerequisite. One explode + one
+    map-side-combinable groupBy — a single shuffle keyed on token, no
+    global window. ``top_k`` bounds the result via a count-ordered limit
+    (a top-k reduce, not a full sort of the vocabulary); ``rank`` is
+    assigned only within that bounded set."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .withColumn("token", F.lower("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    if top_k is None:
+        return counts
+    top = counts.orderBy(F.col("count").desc(), F.col("token")).limit(top_k)
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    # the window runs over <= top_k rows (bounded small), not the corpus
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_per_doc: int = 3,
+) -> DataFrame:
+    """Smooth TF-IDF (sklearn's formula: idf = ln((N+1)/(df+1)) + 1) with
+    the top ``n_per_doc`` terms per document. Shapes: one shuffle for
+    per-doc term counts, one for document frequency, a broadcast-sized
+    join of df_t back onto tf, and a per-doc window for the top-n — all
+    partitioned by document or term, never a global sort."""
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .withColumn("token", F.lower("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "token").withColumn(
+        "tfidf",
+        F.floor(F.col("tf") * idf * 10000 + 0.5) / 10000.0,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n_per_doc)
+        .select(id_col, "token", "tf", "df", "tfidf", "rk")
+    )

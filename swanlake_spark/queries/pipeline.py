@@ -978,6 +978,73 @@ _add(
 )
 
 
+# -- vocabulary + TF-IDF ------------------------------------------------------
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary with ranks (tokenizer-training
+    prerequisite; one token-keyed shuffle, no global vocabulary sort)."""
+    return text.build_vocab(_docs(spark, sf_dir), top_k=200).orderBy("rank")
+
+
+_add(
+    "pipe_vocab_topk",
+    _vocab,
+    """
+    WITH toks AS (
+      SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+      FROM documents),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS count
+      FROM toks WHERE token <> '' GROUP BY token),
+    top AS (
+      SELECT token, count,
+             CAST(row_number() OVER (ORDER BY count DESC, token) AS BIGINT)
+               AS rank
+      FROM counts)
+    SELECT token, count, rank FROM top WHERE rank <= 200 ORDER BY rank
+    """,
+)
+
+
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return text.tfidf_top_terms(df, n_per_doc=3).orderBy("doc_id", "rk")
+
+
+_add(
+    "pipe_tfidf",
+    _tfidf,
+    """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    toks AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+      FROM d),
+    tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tk GROUP BY doc_id, token),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM d),
+    dfreq AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tk GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             floor(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0)
+                   * 10000 + 0.5) / 10000.0 AS tfidf
+      FROM tf JOIN dfreq USING (token), n),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT)
+               AS rk
+      FROM scored)
+    SELECT doc_id, token, tf, df, tfidf, rk
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+)
+
+
 # -- data-quality validation --------------------------------------------------
 
 
@@ -1243,6 +1310,8 @@ _add("pipe_sample_mix_battery", _sample_mix_battery,
 DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # corpus-verified, outside the full 50-slot window
     "pipe_validate",
+    "pipe_vocab_topk",
+    "pipe_tfidf",
     # rows-only sketch variants
     "pipe_dedup_simhash",
     "pipe_sim_cosine_topk_lsh",
