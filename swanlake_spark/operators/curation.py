@@ -359,3 +359,53 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus (or a
+    supplied ``reference`` corpus) unigram model — the cheap stand-in
+    for KenLM perplexity filtering: documents whose tokens are unlikely
+    under the reference distribution (gibberish, boilerplate soup, wrong
+    language) score low and can be thresholded out.
+
+    Model: p(w) = count(w) / total, add-one smoothed over the vocab for
+    unseen tokens; score = mean over doc tokens of ln p(w), rounded to
+    4 decimals (the cross-engine float discipline).
+
+    Shape: one token-keyed shuffle to build the model, one broadcast-or
+    shuffle join of doc tokens against it, one per-doc aggregation — no
+    Python in the hot path, no global sort. The model side is vocab-
+    sized (small relative to the corpus), so Spark broadcasts it."""
+    from swanlake_spark.operators.text import build_vocab
+
+    ref = reference if reference is not None else df
+    vocab = build_vocab(ref, text_col=text_col)
+    totals = vocab.agg(
+        F.sum("count").alias("_total"), F.count("*").alias("_v")
+    ).collect()[0]
+    total, v = float(totals["_total"]), float(totals["_v"])
+    toks = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .withColumn("token", F.lower("token"))
+        .filter(F.col("token") != "")
+    )
+    # add-one smoothing: unseen tokens get ln(1 / (total + |V|))
+    joined = toks.join(F.broadcast(vocab), "token", "left").withColumn(
+        "_lp",
+        F.log(
+            (F.coalesce(F.col("count"), F.lit(0)) + 1.0)
+            / F.lit(total + v)
+        ),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            _round4(F.avg("_lp")).alias("mean_logprob"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )

@@ -1045,6 +1045,44 @@ _add(
 )
 
 
+def _logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-prob per doc (bounded slice scored against the
+    full-corpus model) — the KenLM-style quality filter's cheap core."""
+    docs = _docs(spark, sf_dir)
+    scored = curation.unigram_logprob(
+        docs.filter(F.col("doc_id") < 200), reference=docs
+    )
+    return scored.orderBy("doc_id")
+
+
+_add(
+    "pipe_unigram_logprob",
+    _logprob,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+      FROM documents),
+    tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS count
+      FROM tk GROUP BY token),
+    stats AS (
+      SELECT CAST(sum(count) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab)
+    SELECT d.doc_id,
+           floor(avg(ln((coalesce(vocab.count, 0) + 1.0)
+                        / (stats.total + stats.v))) * 10000 + 0.5)
+             / 10000.0 AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM tk d LEFT JOIN vocab USING (token), stats
+    WHERE d.doc_id < 200
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+
+
 # -- data-quality validation --------------------------------------------------
 
 
@@ -1312,6 +1350,7 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_validate",
     "pipe_vocab_topk",
     "pipe_tfidf",
+    "pipe_unigram_logprob",
     # rows-only sketch variants
     "pipe_dedup_simhash",
     "pipe_sim_cosine_topk_lsh",
