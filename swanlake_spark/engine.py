@@ -694,7 +694,7 @@ class Engine:
         fmt = opts.get("FORMAT", "").lower()
         if not fmt:
             ext = path.rsplit(".", 1)[-1].lower()
-            fmt = ext if ext in ("parquet", "csv", "json") else "parquet"
+            fmt = ext if ext in ("parquet", "csv", "json", "orc") else "parquet"
         header = opts.get("HEADER", "").lower() in ("true", "1", "")\
             and "HEADER" in opts
         delim = opts.get("DELIMITER") or opts.get("DELIM")

@@ -472,6 +472,20 @@ class TestCopy:
         rows = engine.query(f"SELECT id, name, age FROM {t} ORDER BY id").collect()
         assert [(r.id, r.name, r.age) for r in rows] == [(7, "zed", 77), (8, "yak", 88)]
 
+    def test_copy_orc_roundtrip(self, engine):
+        """ORC rides Spark's native datasource: extension-inferred on TO,
+        explicit (FORMAT orc) on FROM."""
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
+        out = tempfile.mkdtemp() + "/export.orc"
+        assert engine.execute_update(f"COPY {t} TO '{out}'") == 2
+        t2 = _mktable(engine)
+        assert engine.execute_update(
+            f"COPY {t2} FROM '{out}' (FORMAT orc)"
+        ) == 2
+        rows = engine.query(f"SELECT id, name, age FROM {t2} ORDER BY id").collect()
+        assert [(r.id, r.name, r.age) for r in rows] == [(1, "a", 10), (2, "b", 20)]
+
     def test_copy_from_respects_pk(self, engine):
         t = _mkpk(engine, "id INT PRIMARY KEY, v STRING")
         engine.execute(f"INSERT INTO {t} VALUES (1, 'a')")
