@@ -339,6 +339,61 @@ def _drop_partitions(
     spark.catalog.refreshTable(table)
 
 
+def _retain_partition_files(
+    spark: SparkSession,
+    table: str,
+    part_cols: list[str],
+    affected: DataFrame,
+    cap: int = 64,
+) -> None:
+    """Snapshot retention for the dynamic-partition overwrite path:
+    move the affected partitions' current data files aside before Spark
+    replaces them (Spark deletes internally, bypassing the publish-path
+    retention). Bounded: a rewrite touching more than ``cap`` partitions
+    skips retention — renaming 10⁵ partitions' files serially on the
+    driver is the wrong trade, and the skipped snapshot resolves loudly
+    as SnapshotUnavailable at read time (versions.py's documented
+    contract for bulk rewrites)."""
+    from swanlake_spark import versions
+
+    if not versions.enabled():
+        return
+    rows = affected.limit(cap + 1).collect()
+    if not rows or len(rows) > cap:
+        return
+    loc = _table_location(spark, table)
+    if loc is None:
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    files: list[str] = []
+    for r in rows:
+        key = tuple(r[c] for c in part_cols)
+        spec = _partition_spec(part_cols, key)
+        ploc = None
+        try:
+            for pr in spark.sql(
+                f"DESCRIBE FORMATTED {table} PARTITION ({spec})"
+            ).collect():
+                if pr.col_name.strip() == "Location":
+                    ploc = pr.data_type.strip()
+                    break
+        except Exception:
+            continue  # partition vanished between probe and here
+        if not ploc:
+            continue
+        hp = jvm.org.apache.hadoop.fs.Path(ploc)
+        fs = hp.getFileSystem(conf)
+        if not fs.exists(hp):
+            continue
+        for st in fs.listStatus(hp):
+            nm = st.getPath().getName()
+            if not nm.startswith(("_", ".")) and not st.isDirectory():
+                files.append(st.getPath().toString())
+    if files:
+        versions.retire_files(spark, table, files, loc=loc)
+
+
 def _overwrite(
     spark: SparkSession,
     table: str,
@@ -396,6 +451,11 @@ def _overwrite(
                         filtered.write.parquet(staging, mode="overwrite")
                         wrote_staging = True
                         filtered = spark.read.parquet(staging)
+                    # Retire the affected partitions' current files for
+                    # time travel BEFORE Spark's overwrite deletes them.
+                    # Safe here: `filtered` scans staged parquet (or the
+                    # caller's durable staging), never the live table.
+                    _retain_partition_files(spark, table, part_cols, affected)
                     # Dynamic overwrite only touches partitions PRESENT
                     # in the inserted data — a DELETE that empties a
                     # partition contributes no rows for it, so the old

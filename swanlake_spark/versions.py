@@ -30,10 +30,11 @@ Scale notes (100 TB):
   configuration is ``set_enabled(False)`` + bucket versioning, or a
   manifest-primary table format (Delta/Iceberg) — documented
   divergence, same as the COW publish itself.
-- Paths that bypass our publish code (Spark's own dynamic-partition
-  INSERT OVERWRITE on partitioned tables, the rare ``insertInto``
-  fallback) delete files internally; manifests still record the new
-  state but older snapshots referencing those files raise
+- Dynamic-partition rewrites retire the affected partitions' files
+  first (``dml._retain_partition_files``), bounded at 64 partitions per
+  statement — beyond that, and on the rare ``insertInto`` fallback
+  where Spark deletes files internally, manifests still record the new
+  state but older snapshots referencing the destroyed files raise
   :class:`SnapshotUnavailable` instead of silently returning wrong
   rows.
 """
@@ -101,10 +102,6 @@ def _manifest_dir(root: str) -> str:
 
 def _retained_dir(root: str) -> str:
     return root + "/retained"
-
-
-def _flat(rel: str) -> str:
-    return rel.replace("/", "%2F")
 
 
 def _list_data_files(spark: SparkSession, loc: str) -> list[tuple[str, int]]:
@@ -229,19 +226,22 @@ def retire_files(
     if root is None:
         return False
     jvm, fs, rdir = _fs(spark, _retained_dir(root))
-    fs.mkdirs(rdir)
     loc = loc.rstrip("/")
     for f in paths:
         src = jvm.org.apache.hadoop.fs.Path(f)
         if not fs.exists(src):
             continue
         if fs.getFileStatus(src).isDirectory():
-            # partitioned subtrees don't ride the retained flat-dir
-            # scheme; the caller deletes them (documented hole)
+            # whole-directory retirement isn't modeled; the caller
+            # deletes it (documented hole)
             return False
         fstr = src.toString()
         rel = fstr[len(loc) + 1 :] if fstr.startswith(loc + "/") else src.getName()
-        dst = jvm.org.apache.hadoop.fs.Path(rdir, _flat(rel))
+        # MIRROR the table-relative path under retained/ (not a flat
+        # rename): partition-dir structure survives, so snapshot reads
+        # recover directory-encoded partition values via basePath.
+        dst = jvm.org.apache.hadoop.fs.Path(rdir, rel)
+        fs.mkdirs(dst.getParent())
         if not fs.rename(src, dst):
             return False
     return True
@@ -291,7 +291,7 @@ def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
         if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
             out.append(live)
             continue
-        kept = f"{_retained_dir(root)}/{_flat(f['name'])}"
+        kept = f"{_retained_dir(root)}/{f['name']}"
         if fs.exists(jvm.org.apache.hadoop.fs.Path(kept)):
             out.append(kept)
             continue
@@ -317,10 +317,29 @@ def version_at_timestamp(spark: SparkSession, table: str, ts: float) -> int:
 
 
 def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+    """Scan exactly the snapshot's file list. Files are read under
+    their tree's basePath (table dir or the mirrored retained dir) so
+    directory-encoded partition values are recovered on partitioned
+    tables; a snapshot spanning both trees unions the two scans."""
     files = resolve_files(spark, table, version)
     if not files:
         return spark.table(table).limit(0)
-    return spark.read.parquet(*files)
+    from swanlake_spark.operators.dml import _table_location
+
+    loc = _table_location(spark, table).rstrip("/")
+    root = versions_root(spark, table, loc)
+    rdir = _retained_dir(root)
+    live = [f for f in files if f.startswith(loc + "/")]
+    kept = [f for f in files if not f.startswith(loc + "/")]
+    parts = []
+    if live:
+        parts.append(spark.read.option("basePath", loc).parquet(*live))
+    if kept:
+        parts.append(spark.read.option("basePath", rdir).parquet(*kept))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 # -- rollback & retention -----------------------------------------------------
@@ -379,15 +398,25 @@ def expire(
             continue
         fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
         stats["manifests_removed"] += 1
-    referenced = {
-        _flat(f["name"]) for m in remaining for f in m["files"]
-    }
+    referenced = {f["name"] for m in remaining for f in m["files"]}
     rdir = _retained_dir(root)
     _, fs2, rpath = _fs(spark, rdir)
     if fs2.exists(rpath):
-        for st in fs2.listStatus(rpath):
-            if st.getPath().getName() not in referenced:
-                stats["files_removed"] += 1
-                stats["bytes_reclaimed"] += int(st.getLen())
-                fs2.delete(st.getPath(), False)
+        base = rpath.toString().rstrip("/")
+
+        def sweep(p):
+            children = fs2.listStatus(p)
+            for st in children:
+                if st.isDirectory():
+                    sweep(st.getPath())
+                else:
+                    rel = st.getPath().toString()[len(base) + 1 :]
+                    if rel not in referenced:
+                        stats["files_removed"] += 1
+                        stats["bytes_reclaimed"] += int(st.getLen())
+                        fs2.delete(st.getPath(), False)
+            if p.toString() != base and len(fs2.listStatus(p)) == 0:
+                fs2.delete(p, False)  # prune emptied partition dirs
+
+        sweep(rpath)
     return stats

@@ -133,3 +133,35 @@ class TestSnapshots:
         # latest snapshot still resolvable; older ones are gone
         v_now = versions.current_version(spark, "vt")
         assert versions.resolve_files(spark, "vt", v_now)
+
+    def test_partitioned_dynamic_overwrite_retains(self, spark):
+        """The dynamic-partition UPDATE path must retire the rewritten
+        partitions' files (bounded retention) so older snapshots of
+        partitioned tables stay readable."""
+        import tempfile
+
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_vp_")
+        spark.sql(
+            f"CREATE TABLE vpt (id INT, v STRING, p INT) USING parquet "
+            f"PARTITIONED BY (p) LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO vpt VALUES (1, 'a', 1), (2, 'b', 1), (3, 'c', 2)"
+            )
+            v1 = versions.current_version(spark, "vpt")
+            eng.execute("UPDATE vpt SET v = 'X' WHERE p = 1")
+            # current state reflects the update
+            assert {
+                (r.id, r.v) for r in spark.table("vpt").collect()
+            } == {(1, "X"), (2, "X"), (3, "c")}
+            # the pre-update snapshot reads the original partition files
+            # WITH the directory-encoded partition column recovered
+            old = versions.read_version(spark, "vpt", v1)
+            assert "p" in old.columns
+            assert {(r.id, r.v, r.p) for r in old.collect()} == {
+                (1, "a", 1), (2, "b", 1), (3, "c", 2)
+            }
+        finally:
+            spark.sql("DROP TABLE IF EXISTS vpt")
