@@ -353,11 +353,35 @@ def rollback(spark: SparkSession, table: str, version: int) -> int:
     from swanlake_spark.operators import dml
 
     old = read_version(spark, table, version)
+    # column order must match the table (insertInto is positional, and
+    # partitioned reads surface partition columns last already)
+    old = old.select(*[f.name for f in spark.table(table).schema.fields])
     staging = dml.staging_dir(spark, table)
     old.write.parquet(staging)
     try:
         with dml.table_write_lock(spark, table):
-            if not dml._publish_by_move(spark, table, staging):
+            partitioned = bool(dml._partition_columns(spark, table))
+            if partitioned:
+                # flat staged files cannot be renamed into a partitioned
+                # layout; a full static overwrite re-encodes them into
+                # the right partition dirs (retention of the replaced
+                # files is skipped here — the pre-rollback state already
+                # has its own manifest from the write that created it)
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                try:
+                    spark.read.parquet(staging).write.insertInto(
+                        table, overwrite=True
+                    )
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+            elif not dml._publish_by_move(spark, table, staging):
                 spark.read.parquet(staging).write.insertInto(
                     table, overwrite=True
                 )

@@ -165,3 +165,32 @@ class TestSnapshots:
             }
         finally:
             spark.sql("DROP TABLE IF EXISTS vpt")
+
+    def test_partitioned_rollback(self, spark):
+        """Rollback of a partitioned table re-encodes through a static
+        overwrite (flat staged files can't rename into partition dirs)."""
+        import tempfile
+
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_vr_")
+        spark.sql(
+            f"CREATE TABLE vrt (id INT, v STRING, p INT) USING parquet "
+            f"PARTITIONED BY (p) LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO vrt VALUES (1, 'a', 1), (2, 'b', 2)"
+            )
+            v1 = versions.current_version(spark, "vrt")
+            eng.execute("UPDATE vrt SET v = 'Z' WHERE p = 1")
+            n = versions.rollback(spark, "vrt", v1)
+            assert n > v1
+            assert {
+                (r.id, r.v, r.p) for r in spark.table("vrt").collect()
+            } == {(1, "a", 1), (2, "b", 2)}
+            # partition pruning still works on the restored layout
+            plan = spark.table("vrt").filter("p = 1")._jdf.queryExecution() \
+                .executedPlan().toString()
+            assert "PartitionFilters" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS vrt")
