@@ -912,9 +912,23 @@ class Engine:
         return self.spark.createDataFrame(rows, self._KEYS_SCHEMA)
 
     def foreign_keys(self, table: str) -> DataFrame:
-        """Always empty — the engine does not track FKs (reference returns
-        fixed-schema empty sets, metadata.rs:324-397)."""
-        return self.spark.createDataFrame([], self._KEYS_SCHEMA)
+        """FKs declared via CREATE TABLE ... REFERENCES / ALTER TABLE
+        ADD FOREIGN KEY (engine-level registry). One row per child key
+        column; ``key_name`` carries ``fk_<parent>(<parent_cols>)`` so
+        the referenced end is recoverable from the 6-column key schema
+        (the reference returns fixed-schema empty sets here,
+        metadata.rs:324-397 — the engine goes further because it
+        actually enforces FKs)."""
+        rows = []
+        for n, (child_cols, parent, parent_cols) in enumerate(
+            constraints.fk_list(table)
+        ):
+            name = f"fk_{parent}({', '.join(parent_cols)})"
+            for i, c in enumerate(child_cols):
+                rows.append(
+                    ("spark_catalog", "default", table, c, i + 1, name)
+                )
+        return self.spark.createDataFrame(rows, self._KEYS_SCHEMA)
 
     def sql_info(self) -> dict:
         """Static capability map (reference sql_info.rs:20-36)."""

@@ -438,6 +438,29 @@ class TestResultAccounting:
         assert res2.rows == 1 and res2.bytes == tbl.nbytes > 0
 
 
+class TestFkMetadata:
+    def test_foreign_keys_reflect_registry(self, engine):
+        import uuid
+
+        p = f"fkm_p_{uuid.uuid4().hex[:6]}"
+        c = f"fkm_c_{uuid.uuid4().hex[:6]}"
+        lp, lc = tempfile.mkdtemp(), tempfile.mkdtemp()
+        engine.execute(f"CREATE TABLE {p} (pid INT) USING parquet LOCATION '{lp}'")
+        engine.execute(
+            f"CREATE TABLE {c} (cid INT, pid INT REFERENCES {p}(pid)) "
+            f"USING parquet LOCATION '{lc}'"
+        )
+        try:
+            rows = engine.foreign_keys(c).collect()
+            assert len(rows) == 1
+            assert rows[0].column_name == "pid"
+            assert p in rows[0].key_name
+            assert engine.foreign_keys(p).count() == 0
+        finally:
+            engine.execute(f"DROP TABLE {c}")
+            engine.execute(f"DROP TABLE {p}")
+
+
 class TestCopy:
     """DuckDB-style COPY TO/FROM export-import surface."""
 
