@@ -197,3 +197,85 @@ def test_merge_keywords_inside_literals_ignored(payload):
     assert len(clauses) == 2
     assert clauses[0].kind() == "update"
     assert clauses[1].kind() == "insert"
+
+
+# -- constraint DDL extractors ------------------------------------------------
+#
+# extract_and_strip_{pk,checks,fks} must (a) find every declared
+# constraint, (b) remove exactly the constraint text, leaving a DDL body
+# Catalyst can parse, and (c) never fire on look-alike text inside the
+# remaining column definitions.
+
+from swanlake_spark.constraints import (  # noqa: E402
+    extract_and_strip_checks,
+    extract_and_strip_fks,
+)
+
+_col = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.upper() not in {"CHECK", "CONSTRAINT", "FOREIGN", "KEY",
+                                "PRIMARY", "REFERENCES", "INT"}
+)
+_cmp_expr = st.builds(
+    lambda c, lo, hi: f"{c} BETWEEN {lo} AND {hi}",
+    _col, st.integers(-100, 0), st.integers(1, 100),
+)
+_nested_expr = st.builds(
+    lambda c, vals: f"{c} IN ({', '.join(str(v) for v in vals)})",
+    _col, st.lists(st.integers(0, 9), min_size=1, max_size=4),
+)
+
+
+@given(
+    cols=st.lists(_col, min_size=2, max_size=5, unique=True),
+    exprs=st.lists(st.one_of(_cmp_expr, _nested_expr), min_size=1, max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_extract_checks_finds_all_and_strips_clean(cols, exprs):
+    body = ", ".join(f"{c} INT" for c in cols)
+    checks_sql = ", ".join(
+        f"CONSTRAINT ck{i} CHECK ({e})" for i, e in enumerate(exprs)
+    )
+    sql = f"CREATE TABLE t ({body}, {checks_sql})"
+    stripped, table, checks = extract_and_strip_checks(sql)
+    assert table == "t"
+    assert [e for _, e in checks] == exprs
+    up = stripped.upper()
+    assert "CHECK" not in up
+    # every column definition survives
+    for c in cols:
+        assert f"{c} INT".upper() in up
+
+
+@given(
+    cols=st.lists(_col, min_size=2, max_size=4, unique=True),
+    expr=_nested_expr,
+)
+@settings(max_examples=200, deadline=None)
+def test_extract_checks_column_level_balanced_parens(cols, expr):
+    defs = [f"{c} INT" for c in cols]
+    defs[0] = f"{cols[0]} INT CHECK ({expr})"
+    sql = f"CREATE TABLE t ({', '.join(defs)})"
+    stripped, table, checks = extract_and_strip_checks(sql)
+    assert table == "t" and len(checks) == 1
+    assert checks[0][1] == expr
+    assert "CHECK" not in stripped.upper()
+
+
+@given(
+    child=st.lists(_col, min_size=1, max_size=3, unique=True),
+    parent_t=_col,
+    parent_c=st.lists(_col, min_size=1, max_size=3, unique=True),
+)
+@settings(max_examples=200, deadline=None)
+def test_extract_fks_table_level_roundtrip(child, parent_t, parent_c):
+    n = min(len(child), len(parent_c))
+    child, parent_c = child[:n], parent_c[:n]
+    sql = (
+        f"CREATE TABLE t ({', '.join(f'{c} INT' for c in child)}, "
+        f"FOREIGN KEY ({', '.join(child)}) "
+        f"REFERENCES {parent_t}({', '.join(parent_c)}))"
+    )
+    stripped, table, fks = extract_and_strip_fks(sql)
+    assert table == "t" and len(fks) == 1
+    assert fks[0] == (child, parent_t, parent_c)
+    assert "REFERENCES" not in stripped.upper()
