@@ -295,6 +295,49 @@ class Engine:
                         self.spark, table, t_alias, source_text, cond, cls
                     )
                     continue
+            if kw.startswith(("CREATE", "REFRESH", "DROP")):
+                # Materialized views (matview.py): persisted results +
+                # durable definition sidecar + COW refresh.
+                from swanlake_spark import matview
+
+                cm = re.match(
+                    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`\"]+)\s*"
+                    r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.+)$",
+                    stmt,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if cm:
+                    parts = (
+                        [c.strip().strip('`"') for c in cm.group(2).split(",")]
+                        if cm.group(2)
+                        else None
+                    )
+                    affected = matview.create(
+                        self.spark, cm.group(1).strip('`"'),
+                        cm.group(3).rstrip().rstrip(";"),
+                        partition_by=parts,
+                    )
+                    continue
+                rm = re.match(
+                    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`\"]+)"
+                    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+                    stmt,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if rm:
+                    affected = matview.refresh(
+                        self.spark, rm.group(1).strip('`"'), rm.group(2)
+                    )
+                    continue
+                dmv = re.match(
+                    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?"
+                    r"([\w.`\"]+)\s*;?\s*$",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if dmv:
+                    matview.drop(self.spark, dmv.group(1).strip('`"'))
+                    continue
             if kw.startswith("ALTER"):
                 # Constraint ALTERs are engine-level (Spark's v1 parquet
                 # tables have no constraints); every other ALTER (ADD

@@ -226,6 +226,11 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
     ]
     _versions.retire_files(spark, table, olds, loc=loc)
     for st in fs.listStatus(dst):
+        # spare metadata siblings living inside the table dir (the
+        # matview definition sidecar, _SUCCESS markers): they are not
+        # data, and Hadoop's PathFilter hides them from scans anyway
+        if st.getPath().getName().startswith(("_", ".")):
+            continue
         fs.delete(st.getPath(), True)
     for st in fs.listStatus(src):
         name = st.getPath().getName()
