@@ -307,6 +307,20 @@ class TestTransactions:
         rows = s.query(f"SELECT id, val FROM {t} ORDER BY id").collect()
         assert [(r.id, r.val) for r in rows] == [(1, "updated")]
 
+    def test_check_constraint_enforced_in_transaction(self, registry):
+        """Staged-transaction INSERTs ride check_insert_batch, so CHECK
+        constraints gate in-transaction writes too."""
+        from swanlake_spark.errors import InvalidArgument
+
+        s = registry.get_or_create("tx-ck")
+        t = _mktable(s, cols="id INT, qty INT CHECK (qty >= 0)")
+        s.begin_transaction()
+        s.query(f"INSERT INTO {t} VALUES (1, 5)")
+        with pytest.raises(InvalidArgument, match="CHECK constraint"):
+            s.query(f"INSERT INTO {t} VALUES (2, -1)")
+        s.commit_transaction()
+        assert s.query(f"SELECT count(*) AS c FROM {t}").collect()[0].c == 1
+
     def test_rollback_discards(self, registry):
         s = registry.get_or_create("tx-2")
         t = _mktable(s)
