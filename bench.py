@@ -208,7 +208,35 @@ def main() -> None:
                 F.count("*").alias("n"), F.sum("tfidf").alias("s")
             )
 
+    class _MatviewRefresh:
+        """Partition-scoped rollup refresh: per-orderstatus revenue view
+        built once (outside the window), one partition refreshed per
+        timed run — the steady-state cadence a 100 TB pipeline runs."""
+
+        _ready = False
+
+        @classmethod
+        def build(cls, spark, sf_dir):
+            from swanlake_spark import matview
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            if not cls._ready:
+                if spark.catalog.tableExists("swl_bench_mv"):
+                    spark.sql("DROP TABLE swl_bench_mv")
+                matview.create(
+                    spark,
+                    "swl_bench_mv",
+                    "SELECT sum(o_totalprice) AS rev, count(*) AS n, "
+                    "o_orderstatus FROM orders GROUP BY o_orderstatus",
+                    partition_by=["o_orderstatus"],
+                )
+                cls._ready = True
+            matview.refresh(spark, "swl_bench_mv", "o_orderstatus = 'F'")
+            return spark.table("swl_bench_mv")
+
     suite["curation_chunk"] = _Chunk
+    suite["matview_partial_refresh"] = _MatviewRefresh
     suite["text_vocab_top1k"] = _Vocab
     suite["text_tfidf_top3"] = _Tfidf
     suite["validate_expectations"] = _Validate
