@@ -222,14 +222,20 @@ def main() -> None:
 
             ensure_tables(spark, sf_dir)
             if not cls._ready:
+                import tempfile
+
                 if spark.catalog.tableExists("swl_bench_mv"):
                     spark.sql("DROP TABLE swl_bench_mv")
+                # explicit throwaway location: a managed table's dir in
+                # spark-warehouse/ outlives the in-memory catalog and
+                # collides on the next process (LOCATION_ALREADY_EXISTS)
                 matview.create(
                     spark,
                     "swl_bench_mv",
                     "SELECT sum(o_totalprice) AS rev, count(*) AS n, "
                     "o_orderstatus FROM orders GROUP BY o_orderstatus",
                     partition_by=["o_orderstatus"],
+                    location=tempfile.mkdtemp(prefix="swl_bench_mv_") + "/mv",
                 )
                 cls._ready = True
             matview.refresh(spark, "swl_bench_mv", "o_orderstatus = 'F'")
