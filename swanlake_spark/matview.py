@@ -71,6 +71,16 @@ def definition(spark: SparkSession, name: str) -> str | None:
     return json.loads(data.decode("utf-8"))["query"]
 
 
+def _write_sidecar(spark: SparkSession, name: str, query: str) -> None:
+    path = _sidecar_path(spark, name)
+    jvm, fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps({"query": query}).encode("utf-8")))
+    finally:
+        out.close()
+
+
 def create(
     spark: SparkSession,
     name: str,
@@ -90,17 +100,42 @@ def create(
     if location:
         writer = writer.option("path", location)
     writer.saveAsTable(name)
-    path = _sidecar_path(spark, name)
-    jvm, fs, p = _fs(spark, path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps({"query": query}).encode("utf-8")))
-    finally:
-        out.close()
+    _write_sidecar(spark, name, query)
     from swanlake_spark import versions
 
     versions.record_version(spark, name, "matview_create")
     return spark.table(name).count()
+
+
+def _pred_columns(spark: SparkSession, name: str, where: str) -> set | None:
+    """Lower-cased column names the predicate references, resolved
+    against the view's schema via Catalyst (exact — identifiers inside
+    strings or function names never count). None when analysis fails;
+    callers treat that conservatively."""
+    from pyspark.sql import functions as F
+
+    try:
+        jplan = (
+            spark.table(name)
+            .filter(F.expr(where))
+            ._jdf.queryExecution()
+            .analyzed()
+        )
+        it = jplan.references().iterator()
+        cols = set()
+        while it.hasNext():
+            cols.add(it.next().name().lower())
+        return cols
+    except Exception:
+        return None
+
+
+def _aligned(spark: SparkSession, name: str, df: DataFrame) -> DataFrame:
+    """Reorder ``df`` to the table's column order before publishing.
+    ``saveAsTable(partitionBy=...)`` moves partition columns to the end
+    of the saved schema, so a defining query that does not list them
+    last would otherwise positionally misalign through insertInto."""
+    return df.select(*[f.name for f in spark.table(name).schema.fields])
 
 
 def refresh(
@@ -109,8 +144,9 @@ def refresh(
     """REFRESH MATERIALIZED VIEW: recompute the defining query and
     publish through the COW overwrite path. With ``where``, only the
     matching output rows recompute and overwrite (partition-scoped when
-    the view is partitioned on the predicate columns). Returns the
-    number of rows in the refreshed region."""
+    the view is partitioned AND the predicate references partition
+    columns exclusively). Returns the number of rows in the refreshed
+    region."""
     q = definition(spark, name)
     if q is None:
         raise NotFound(f"{name} is not a materialized view")
@@ -120,24 +156,39 @@ def refresh(
     from swanlake_spark.operators import dml
 
     if where is None:
-        new_df = spark.sql(q)
+        new_df = _aligned(spark, name, spark.sql(q))
         n = new_df.count()
         with dml.table_write_lock(spark, name):
             dml._overwrite(spark, name, new_df, None)
+            # A static INSERT OVERWRITE of a partitioned view clears the
+            # table root (sidecar included); re-write it so the
+            # definition stays durable across every publish shape.
+            _write_sidecar(spark, name, q)
             versions.record_version(spark, name, "matview_refresh")
         return n
     # Partial refresh = refresh-UPSERT on the predicate's region: the
     # predicate applies to the VIEW's output columns; the matching rows
     # recompute from source and replace the view's current matching
-    # region. Partitioned views replace exactly the partitions present
-    # in the recomputed data (dynamic overwrite — a day's rollup
-    # refresh rewrites one partition); unpartitioned views rebuild as
+    # region. The dynamic-partition overwrite (a day's rollup refresh
+    # rewrites one partition) applies ONLY when the predicate references
+    # partition columns exclusively — a narrower predicate (e.g.
+    # ``day='d2' AND domain='x'`` on a day-partitioned view) would
+    # replace all of d2 with just the domain='x' rows, silently dropping
+    # the rest of the partition. Any other predicate rebuilds as
     # keep(NOT pred) ∪ recomputed, published through staging.
-    new_df = spark.sql(f"SELECT * FROM ({q}) __mv WHERE {where}")
+    new_df = _aligned(
+        spark, name, spark.sql(f"SELECT * FROM ({q}) __mv WHERE {where}")
+    )
     n = new_df.count()
     part_cols = dml._partition_columns(spark, name)
+    pred_cols = _pred_columns(spark, name, where)
+    partition_scoped = (
+        bool(part_cols)
+        and pred_cols is not None
+        and pred_cols <= {c.lower() for c in part_cols}
+    )
     with dml.table_write_lock(spark, name):
-        if part_cols:
+        if partition_scoped:
             affected = new_df.select(*part_cols).distinct()
             dml._retain_partition_files(spark, name, part_cols, affected)
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -155,6 +206,7 @@ def refresh(
                 ~F.coalesce(F.expr(where), F.lit(False))
             )
             dml._overwrite(spark, name, keep.unionByName(new_df), None)
+            _write_sidecar(spark, name, q)  # see full-refresh note
         versions.record_version(spark, name, "matview_refresh_partial")
     return n
 

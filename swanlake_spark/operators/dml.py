@@ -511,8 +511,20 @@ def table_write_lock(spark: SparkSession, table: str, timeout_s: float = 120.0):
     base = _table_location(spark, table)
     path = None
     if base:
-        scheme_less = base.split("://")[-1] if "://" in base else base
-        if base.startswith(("file:", "/")) or "://" not in base:
+        # Hadoop renders local locations as `file:/abs/path` (single
+        # slash) or `file:///abs/path`; strip the scheme down to the OS
+        # path so the lock lives beside the table, not in a literal
+        # `file:` directory relative to the CWD (which would make the
+        # lock path CWD-dependent and break cross-process exclusion).
+        if base.startswith("file:"):
+            scheme_less = base[len("file:"):]
+            while scheme_less.startswith("//"):
+                scheme_less = scheme_less[1:]
+        elif "://" not in base:
+            scheme_less = base
+        else:
+            scheme_less = None  # non-local scheme: lock unsupported
+        if scheme_less:
             root = (
                 scheme_less.rstrip("/").rsplit("/", 1)[0]
                 if "/" in scheme_less.rstrip("/")

@@ -103,6 +103,70 @@ class TestMatview:
         finally:
             eng.execute("DROP MATERIALIZED VIEW mv3")
 
+    def test_partial_refresh_narrower_than_partition_keeps_rows(
+        self, spark, eng, src
+    ):
+        """A predicate NARROWER than the partition key must not replace
+        the whole partition with just the matching rows (the r3
+        silent-data-loss edge): non-matching rows of the partition
+        survive via the keep ∪ recompute path."""
+        eng.execute("INSERT INTO mv_src VALUES (7, 9.0, 'd2')")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv5 PARTITIONED BY (day) AS "
+            "SELECT cast(id AS STRING) AS dom, sum(amt) AS total, day "
+            "FROM mv_src GROUP BY day, id"
+        )
+        try:
+            eng.execute("INSERT INTO mv_src VALUES (3, 2.0, 'd2')")
+            eng.execute(
+                "REFRESH MATERIALIZED VIEW mv5 "
+                "WHERE day = 'd2' AND dom = '3'"
+            )
+            rows = {
+                (r.day, r.dom, r.total)
+                for r in eng.query(
+                    "SELECT day, dom, total FROM mv5"
+                ).df.collect()
+            }
+            assert rows == {
+                ("d1", "1", 10.0),
+                ("d1", "2", 20.0),
+                ("d2", "3", 7.0),   # recomputed
+                ("d2", "7", 9.0),   # same partition, untouched by pred
+            }
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv5")
+
+    def test_refresh_aligns_partition_col_not_last(self, spark, eng, src):
+        """saveAsTable(partitionBy) moves partition columns to the end
+        of the saved schema; a defining query listing them first must
+        still refresh with correct column alignment (full AND
+        partition-scoped partial)."""
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv6 PARTITIONED BY (day) AS "
+            "SELECT day, sum(amt) AS total FROM mv_src GROUP BY day"
+        )
+        try:
+            assert [f.name for f in spark.table("mv6").schema.fields] == [
+                "total", "day",
+            ]
+            eng.execute("INSERT INTO mv_src VALUES (8, 4.0, 'd2')")
+            eng.execute("REFRESH MATERIALIZED VIEW mv6")
+            rows = {
+                (r.day, r.total)
+                for r in eng.query("SELECT day, total FROM mv6").df.collect()
+            }
+            assert rows == {("d1", 30.0), ("d2", 9.0)}
+            eng.execute("INSERT INTO mv_src VALUES (9, 1.0, 'd1')")
+            eng.execute("REFRESH MATERIALIZED VIEW mv6 WHERE day = 'd1'")
+            rows = {
+                (r.day, r.total)
+                for r in eng.query("SELECT day, total FROM mv6").df.collect()
+            }
+            assert rows == {("d1", 31.0), ("d2", 9.0)}
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv6")
+
     def test_refresh_non_matview_errors(self, eng, src):
         with pytest.raises(NotFound):
             eng.execute("REFRESH MATERIALIZED VIEW mv_src")
