@@ -20,6 +20,7 @@ typically small relative to the table.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +30,150 @@ from swanlake_spark.errors import InvalidArgument
 
 # table (lower, unquoted) -> pk column list
 _PK_REGISTRY: dict[str, list[str]] = {}
+
+# -- durable definitions ------------------------------------------------------
+#
+# The reference persists constraints in the DuckLake catalog, so they
+# survive re-attach (``/root/reference/tests/sql/ducklake_basic.test:54-86``;
+# PK rejection ``tests/sql/error_status.test:6-13``). The in-memory dicts
+# here are only a CACHE: the source of truth is a JSON sidecar beside the
+# table data (``<location>/_swl_constraints.json`` — the same
+# definition-sidecar discipline as matview.py/versions.py), lazy-loaded
+# on first touch per table, so a restarted engine keeps enforcing every
+# previously declared constraint. FK definitions are mirrored into the
+# PARENT's sidecar as a ``referenced_by`` reverse index, so parent-side
+# DELETE/UPDATE guards work even when the restarted engine never touched
+# the child table.
+
+# tables whose sidecar has been consulted this process
+_LOADED: set[str] = set()
+# parent table -> [(child_table, child_cols, parent_cols)] (durable mirror)
+_REFBY_REGISTRY: dict[str, list[tuple[str, list[str], list[str]]]] = {}
+
+_SIDECAR_NAME = "_swl_constraints.json"
+
+
+def _active_spark() -> SparkSession | None:
+    return SparkSession.getActiveSession()
+
+
+def _sidecar_path(spark: SparkSession, table: str) -> str | None:
+    from swanlake_spark.operators.dml import _table_location
+
+    loc = _table_location(spark, table)
+    if loc is None:
+        return None
+    return loc.rstrip("/") + "/" + _SIDECAR_NAME
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _ensure_loaded(table: str) -> None:
+    """Populate the in-memory cache from the table's sidecar on first
+    touch. No-op when already consulted, when no session is active, or
+    when the table has no resolvable location (temp views)."""
+    t = _norm_table(table)
+    if t in _LOADED:
+        return
+    _LOADED.add(t)  # even a miss is an answer; don't re-probe per call
+    spark = _active_spark()
+    if spark is None:
+        return
+    path = _sidecar_path(spark, t)
+    if path is None:
+        return
+    try:
+        jvm, fs, p = _fs(spark, path)
+        if not fs.exists(p):
+            return
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        payload = json.loads(data.decode("utf-8"))
+    except Exception:
+        return  # unreadable sidecar: enforce what we know in-memory
+    if payload.get("pk") and t not in _PK_REGISTRY:
+        _PK_REGISTRY[t] = list(payload["pk"])
+    if payload.get("checks") and t not in _CHECK_REGISTRY:
+        _CHECK_REGISTRY[t] = [(n, e) for n, e in payload["checks"]]
+    if payload.get("fks") and t not in _FK_REGISTRY:
+        _FK_REGISTRY[t] = [
+            (list(cc), pt, list(pc)) for cc, pt, pc in payload["fks"]
+        ]
+    if payload.get("referenced_by") and t not in _REFBY_REGISTRY:
+        _REFBY_REGISTRY[t] = [
+            (ch, list(cc), list(pc))
+            for ch, cc, pc in payload["referenced_by"]
+        ]
+
+
+def _persist(table: str) -> None:
+    """Write (or remove, when empty) the table's constraint sidecar from
+    the current cache state. Best-effort: tables without a resolvable
+    location keep in-memory-only enforcement."""
+    spark = _active_spark()
+    if spark is None:
+        return
+    t = _norm_table(table)
+    path = _sidecar_path(spark, t)
+    if path is None:
+        return
+    payload = {
+        "pk": _PK_REGISTRY.get(t),
+        "checks": _CHECK_REGISTRY.get(t),
+        "fks": _FK_REGISTRY.get(t),
+        "referenced_by": _REFBY_REGISTRY.get(t),
+    }
+    try:
+        jvm, fs, p = _fs(spark, path)
+        if not any(payload.values()):
+            fs.delete(p, False)
+            return
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+    except Exception:
+        pass
+
+
+def _update_refby(child: str, fks, add: bool) -> None:
+    """Mirror ``child``'s FK list into each parent's reverse index (and
+    sidecar)."""
+    c = _norm_table(child)
+    for child_cols, parent, parent_cols in fks:
+        p = _norm_table(parent)
+        _ensure_loaded(p)
+        entries = _REFBY_REGISTRY.setdefault(p, [])
+        entry = (c, list(child_cols), list(parent_cols))
+        if add:
+            if entry not in entries:
+                entries.append(entry)
+        else:
+            _REFBY_REGISTRY[p] = [
+                e for e in entries if e[0] != c
+            ]
+            if not _REFBY_REGISTRY[p]:
+                _REFBY_REGISTRY.pop(p, None)
+        _persist(p)
+
+
+def reset_memory() -> None:
+    """Forget every in-memory registration and cache mark (test hook:
+    simulates an engine restart — enforcement must come back from the
+    sidecars alone)."""
+    _PK_REGISTRY.clear()
+    _CHECK_REGISTRY.clear()
+    _FK_REGISTRY.clear()
+    _REFBY_REGISTRY.clear()
+    _LOADED.clear()
 
 _TABLE_LEVEL_PK = re.compile(
     r",?\s*PRIMARY\s+KEY\s*\(([^)]*)\)", re.IGNORECASE
@@ -92,15 +237,20 @@ def extract_and_strip_pk(create_sql: str) -> tuple[str, str | None, list[str]]:
 
 
 def register_pk(table: str, columns: list[str]) -> None:
+    _ensure_loaded(table)
     _PK_REGISTRY[_norm_table(table)] = columns
+    _persist(table)
 
 
 def pk_columns(table: str) -> list[str] | None:
+    _ensure_loaded(table)
     return _PK_REGISTRY.get(_norm_table(table))
 
 
 def drop_pk(table: str) -> None:
-    _PK_REGISTRY.pop(_norm_table(table), None)
+    _ensure_loaded(table)
+    if _PK_REGISTRY.pop(_norm_table(table), None) is not None:
+        _persist(table)
 
 
 _INSERT_RE = re.compile(
@@ -135,6 +285,15 @@ def check_insert_sql(spark: SparkSession, insert_sql: str) -> None:
     else:
         names = [f.name for f in spark.table(table).schema.fields]
     src_df = src_df.toDF(*names[: len(src_df.columns)])
+    # Partial-column INSERT: table columns absent from the batch land as
+    # NULL — pad them so CHECK/FK expressions referencing them resolve
+    # (NULL passes CHECK per the SQL standard; a NULL FK tuple is
+    # dropped by the probe's na.drop) instead of raising an
+    # unresolved-column error on inserts DuckDB accepts.
+    have = {c.lower() for c in src_df.columns}
+    for f in spark.table(table).schema.fields:
+        if f.name.lower() not in have:
+            src_df = src_df.withColumn(f.name, F.lit(None).cast(f.dataType))
     # INSERT OVERWRITE replaces the table: only the batch-internal
     # uniqueness check applies.
     overwrite = m.group("mode").upper() == "OVERWRITE"
@@ -301,15 +460,20 @@ def extract_and_strip_checks(
 
 def register_checks(table: str, checks: list[tuple[str, str]]) -> None:
     if checks:
+        _ensure_loaded(table)
         _CHECK_REGISTRY[_norm_table(table)] = checks
+        _persist(table)
 
 
 def check_exprs(table: str) -> list[tuple[str, str]]:
+    _ensure_loaded(table)
     return _CHECK_REGISTRY.get(_norm_table(table), [])
 
 
 def drop_checks(table: str) -> None:
-    _CHECK_REGISTRY.pop(_norm_table(table), None)
+    _ensure_loaded(table)
+    if _CHECK_REGISTRY.pop(_norm_table(table), None) is not None:
+        _persist(table)
 
 
 def enforce_checks(spark: SparkSession, table: str, rows: DataFrame) -> None:
@@ -398,27 +562,49 @@ def register_fks(
     table: str, fks: list[tuple[list[str], str, list[str]]]
 ) -> None:
     if fks:
+        _ensure_loaded(table)
         _FK_REGISTRY[_norm_table(table)] = fks
+        _persist(table)
+        _update_refby(table, fks, add=True)
 
 
 def fk_list(table: str) -> list[tuple[list[str], str, list[str]]]:
+    _ensure_loaded(table)
     return _FK_REGISTRY.get(_norm_table(table), [])
 
 
 def drop_fks(table: str) -> None:
-    _FK_REGISTRY.pop(_norm_table(table), None)
+    _ensure_loaded(table)
+    gone = _FK_REGISTRY.pop(_norm_table(table), None)
+    if gone is not None:
+        _persist(table)
+        _update_refby(table, gone, add=False)
 
 
 def referencing_children(
     parent: str,
 ) -> list[tuple[str, list[str], list[str]]]:
     """Every (child_table, child_cols, parent_cols) referencing
-    ``parent``."""
+    ``parent`` — union of the in-memory FK cache and the parent
+    sidecar's durable ``referenced_by`` mirror (covers restarts where
+    the child table was never touched)."""
     p = _norm_table(parent)
+    _ensure_loaded(p)
     out = []
     for child, fks in _FK_REGISTRY.items():
         for child_cols, parent_table, parent_cols in fks:
             if _norm_table(parent_table) == p:
+                out.append((child, child_cols, parent_cols))
+    seen = {(c, tuple(cc), tuple(pc)) for c, cc, pc in out}
+    for child, child_cols, parent_cols in _REFBY_REGISTRY.get(p, []):
+        key = (child, tuple(child_cols), tuple(parent_cols))
+        if key not in seen:
+            # trust the mirror only while the child still declares the
+            # FK (its own sidecar is authoritative)
+            if any(
+                _norm_table(pt) == p and list(cc) == list(child_cols)
+                for cc, pt, _ in fk_list(child)
+            ):
                 out.append((child, child_cols, parent_cols))
     return out
 
@@ -514,15 +700,19 @@ def add_constraint(spark: SparkSession, table: str, clause: str) -> str:
         return "check"
     _, _, fks = extract_and_strip_fks(fake)
     if fks:
-        # validate existing rows against the new FKs only
+        # validate existing rows against the new FKs only; the trial
+        # registration is in-memory only (direct dict write, no sidecar)
+        # so a failed ADD leaves no durable trace
         old = fk_list(table)
+        t = _norm_table(table)
+        _FK_REGISTRY[t] = fks
         try:
-            register_fks(table, fks)
             enforce_fks_insert(spark, table, spark.table(table))
         except InvalidArgument:
-            _FK_REGISTRY[_norm_table(table)] = old or []
-            if not old:
-                _FK_REGISTRY.pop(_norm_table(table), None)
+            if old:
+                _FK_REGISTRY[t] = old
+            else:
+                _FK_REGISTRY.pop(t, None)
             raise
         register_fks(table, (old or []) + fks)
         return "foreign key"
@@ -534,6 +724,7 @@ def drop_constraint(table: str, name: str) -> bool:
     constraints (PK/FK registrations are unnamed; drop them by
     recreating the table)."""
     t = _norm_table(table)
+    _ensure_loaded(t)
     checks = _CHECK_REGISTRY.get(t, [])
     kept = [(n, e) for n, e in checks if n != name.strip('`"')]
     if len(kept) == len(checks):
@@ -542,4 +733,5 @@ def drop_constraint(table: str, name: str) -> bool:
         _CHECK_REGISTRY[t] = kept
     else:
         _CHECK_REGISTRY.pop(t, None)
+    _persist(t)
     return True

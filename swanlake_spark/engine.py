@@ -380,7 +380,8 @@ class Engine:
                 )
             elif kw.startswith("INSERT"):
                 constraints.check_insert_sql(self.spark, stmt)
-            elif kw.startswith("DROP"):
+            dropped_versions_root: str | None = None
+            if kw.startswith("DROP"):
                 m = re.match(
                     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.`\"]+)",
                     stmt,
@@ -390,7 +391,27 @@ class Engine:
                     constraints.drop_pk(m.group(1))
                     constraints.drop_checks(m.group(1))
                     constraints.drop_fks(m.group(1))
+                    # Snapshot history must not survive re-creation: a
+                    # same-named table would otherwise continue the old
+                    # manifest chain and AT (VERSION => n) would return
+                    # the dropped table's rows. Resolve the root while
+                    # the table still exists; remove after the DROP.
+                    try:
+                        from swanlake_spark import versions
+
+                        dropped_versions_root = versions.versions_root(
+                            self.spark, m.group(1).strip('`"')
+                        )
+                    except Exception:
+                        dropped_versions_root = None
             df = self.spark.sql(stmt, args=args) if args else self.spark.sql(stmt)
+            if dropped_versions_root:
+                try:
+                    from swanlake_spark.operators.dml import _rm_path
+
+                    _rm_path(self.spark, dropped_versions_root)
+                except Exception:
+                    pass
             if pk_table and pk_cols:
                 constraints.register_pk(pk_table, pk_cols)
             if ck_table and ck_list:
@@ -477,6 +498,16 @@ class Engine:
                     break
         except Exception:
             pass
+        old_versions_root = None
+        if old_loc:
+            try:
+                from swanlake_spark import versions as _versions
+
+                old_versions_root = _versions.versions_root(
+                    self.spark, table, old_loc
+                )
+            except Exception:
+                old_versions_root = None
         if as_pos >= 0:
             head, query = stmt[:as_pos].rstrip(), stmt[as_pos + 2 :]
             src = self.spark.sql(query)  # analysis errors surface here
@@ -507,12 +538,21 @@ class Engine:
             if old_loc:
                 _rm_path(self.spark, old_loc)
             self.spark.sql(stmt)
+        if old_versions_root:
+            # the replacement is a NEW table: the dropped table's
+            # snapshot chain (manifests + retained files) must not leak
+            # into its history (same reasoning as the DROP TABLE path)
+            try:
+                _rm_path(self.spark, old_versions_root)
+            except Exception:
+                pass
         if pk_table and pk_cols:
             constraints.register_pk(pk_table, pk_cols)
         if ck_table and ck_list:
             constraints.register_checks(ck_table, ck_list)
         if fk_table and fk_defs:
             constraints.register_fks(fk_table, fk_defs)
+        self._record_table_version(table, "create")
 
     # -- catalog metadata (A20-A25) ----------------------------------------
 
