@@ -378,8 +378,17 @@ class Engine:
                 stmt, fk_table, fk_defs = constraints.extract_and_strip_fks(
                     stmt
                 )
-            elif kw.startswith("INSERT"):
+            insert_target: str | None = None
+            if kw.startswith("INSERT"):
                 constraints.check_insert_sql(self.spark, stmt)
+                im = re.match(
+                    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+                    r"([\w.`\"]+)",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if im:
+                    insert_target = im.group(1).strip('`"')
             dropped_versions_root: str | None = None
             if kw.startswith("DROP"):
                 m = re.match(
@@ -404,7 +413,23 @@ class Engine:
                         )
                     except Exception:
                         dropped_versions_root = None
-            df = self.spark.sql(stmt, args=args) if args else self.spark.sql(stmt)
+            if insert_target is not None:
+                # Serialize appends per table: two concurrent Spark
+                # append jobs on one path share the committer's
+                # _temporary dir and can destroy each other's staging
+                # (and their manifests must be ordered anyway). Same
+                # lock every COW publish takes.
+                from swanlake_spark.operators.dml import table_write_lock
+
+                with table_write_lock(self.spark, insert_target):
+                    df = (
+                        self.spark.sql(stmt, args=args)
+                        if args
+                        else self.spark.sql(stmt)
+                    )
+                    self._record_table_version(insert_target, "insert")
+            else:
+                df = self.spark.sql(stmt, args=args) if args else self.spark.sql(stmt)
             if dropped_versions_root:
                 try:
                     from swanlake_spark.operators.dml import _rm_path
@@ -418,16 +443,7 @@ class Engine:
                 constraints.register_checks(ck_table, ck_list)
             if fk_table and fk_defs:
                 constraints.register_fks(fk_table, fk_defs)
-            if kw.startswith("INSERT"):
-                m = re.match(
-                    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-                    r"([\w.`\"]+)",
-                    stmt,
-                    re.IGNORECASE,
-                )
-                if m:
-                    self._record_table_version(m.group(1).strip('`"'), "insert")
-            elif kw.startswith("CREATE"):
+            if kw.startswith("CREATE"):
                 cm = re.match(
                     r"^\s*CREATE\s+(?:EXTERNAL\s+)?TABLE\s+"
                     r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.`\"]+)",
@@ -821,7 +837,11 @@ class Engine:
         )
         constraints.check_insert_batch(self.spark, table, aligned)
         n = aligned.count()
-        aligned.write.insertInto(table)
+        from swanlake_spark.operators.dml import table_write_lock
+
+        with table_write_lock(self.spark, table):
+            aligned.write.insertInto(table)
+            self._record_table_version(table, "copy")
         return n
 
     _ATTACH_RE = re.compile(

@@ -149,6 +149,13 @@ def _partition_columns(spark: SparkSession, table: str) -> list[str]:
     return cols
 
 
+# Sentinel distinguishing "caller did not resolve the location" from a
+# genuinely unresolvable (None) location: every DESCRIBE FORMATTED is a
+# Catalyst round-trip (~25 ms), and one OLTP-shaped statement used to
+# pay for five of them — the write paths resolve once and thread it.
+_UNRESOLVED = object()
+
+
 def _table_location(spark: SparkSession, table: str) -> str | None:
     try:
         rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
@@ -160,7 +167,11 @@ def _table_location(spark: SparkSession, table: str) -> str | None:
     return None
 
 
-def staging_dir(spark: SparkSession, table: str) -> str:
+def _loc_or_resolve(spark: SparkSession, table: str, loc) -> str | None:
+    return _table_location(spark, table) if loc is _UNRESOLVED else loc
+
+
+def staging_dir(spark: SparkSession, table: str, loc=_UNRESOLVED) -> str:
     """Cluster-visible staging path for copy-on-write rewrites.
 
     A driver-local ``tempfile.mkdtemp`` only works on local[n] where
@@ -172,7 +183,7 @@ def staging_dir(spark: SparkSession, table: str) -> str:
     OVERWRITE truncates wholesale. The ``_`` prefix keeps it invisible
     to directory-level scans (Hadoop's default PathFilter hides
     ``_``/``.`` names during file listing)."""
-    base = _table_location(spark, table)
+    base = _loc_or_resolve(spark, table, loc)
     if base is None:
         base = spark.conf.get("spark.sql.warehouse.dir")
     else:
@@ -189,7 +200,9 @@ def _rm_path(spark: SparkSession, path: str) -> None:
     fs.delete(hpath, True)
 
 
-def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
+def _publish_by_move(
+    spark: SparkSession, table: str, src_dir: str, loc=_UNRESOLVED
+) -> bool:
     """Publish staged parquet into an unpartitioned table by file move.
 
     ``insertInto(overwrite=True)`` from the staging scan decodes and
@@ -203,7 +216,7 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
     Returns False (caller falls back to insertInto) when the table
     location can't be resolved or a rename fails midway is impossible
     to pre-check — renames within one FileSystem don't copy."""
-    loc = _table_location(spark, table)
+    loc = _loc_or_resolve(spark, table, loc)
     if loc is None:
         return False
     jvm = spark._jvm
@@ -213,10 +226,6 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
     src = jvm.org.apache.hadoop.fs.Path(src_dir)
     if not fs.exists(src):
         return False
-    # Snapshot retention: move the outgoing data files aside instead of
-    # deleting (versions.py) — a rename, so still a metadata-only
-    # publish. Anything retire_files can't move (versioning off,
-    # partition subtrees) is deleted as before.
     from swanlake_spark import versions as _versions
 
     olds = [
@@ -224,27 +233,38 @@ def _publish_by_move(spark: SparkSession, table: str, src_dir: str) -> bool:
         for st in fs.listStatus(dst)
         if not st.getPath().getName().startswith(("_", "."))
     ]
-    _versions.retire_files(spark, table, olds, loc=loc)
-    for st in fs.listStatus(dst):
-        # spare metadata siblings living inside the table dir (the
-        # matview definition sidecar, _SUCCESS markers): they are not
-        # data, and Hadoop's PathFilter hides them from scans anyway
-        if st.getPath().getName().startswith(("_", ".")):
-            continue
-        fs.delete(st.getPath(), True)
+    # ADD-THEN-RETIRE ordering (the DuckLake/Delta commit shape): the
+    # incoming files land FIRST, so at no instant does the current
+    # snapshot's manifest reference files that are neither live nor
+    # retained — a manifest-resolved reader (versions.read_current /
+    # AT (VERSION =>)) always sees exactly the old or the new snapshot.
+    # Part-file names embed the writing job's task UUIDs, so staged
+    # names cannot collide with the incumbents.
+    news: list[tuple[str, int]] = []
     for st in fs.listStatus(src):
         name = st.getPath().getName()
         if name.startswith("_") or name.startswith("."):
             continue  # _SUCCESS and friends
         # FileSystem.rename signals failure by RETURN VALUE, not by
-        # raising — and at this point the old table files are gone, so a
-        # silently skipped file would be permanent data loss. Fail loud;
-        # the staged files still exist for manual recovery.
+        # raising — a silently skipped file would be data loss. Fail
+        # loud; the old table files are still intact at this point.
         if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)):
             raise IOError(
                 f"publish rename failed for {st.getPath()} -> {dst}; "
-                f"staged data retained at {src_dir}"
+                f"table files untouched, staged data at {src_dir}"
             )
+        news.append((name, int(st.getLen())))
+    # Snapshot retention: move the outgoing data files aside instead of
+    # deleting (versions.py) — a rename, so still a metadata-only
+    # publish. Anything retire_files can't move (versioning off,
+    # partition subtrees) is deleted as before. Metadata siblings
+    # (sidecars, _SUCCESS) never match `olds` — PathFilter semantics.
+    _versions.retire_files(spark, table, olds, loc=loc)
+    for old in olds:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    # The caller's record_version right after this publish can use the
+    # exact new file list instead of re-walking the directory.
+    _versions.note_published_files(table, news)
     spark.catalog.refreshTable(table)
     return True
 
@@ -266,14 +286,15 @@ class StagingPin:
     The caller owns :meth:`cleanup` — after the publish completes, not
     before (the published INSERT reads the staged files)."""
 
-    def __init__(self, spark: SparkSession, table: str):
+    def __init__(self, spark: SparkSession, table: str, loc=_UNRESOLVED):
         self.spark = spark
         self.table = table
+        self.loc = loc
         self.paths: list[str] = []
         self.last: DataFrame | None = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        path = staging_dir(self.spark, self.table)
+        path = staging_dir(self.spark, self.table, self.loc)
         df.write.parquet(path, mode="overwrite")
         self.paths.append(path)
         self.last = self.spark.read.parquet(path)
@@ -406,6 +427,7 @@ def _overwrite(
     where: str | None,
     staged: bool = False,
     staged_path: str | None = None,
+    loc=_UNRESOLVED,
 ) -> None:
     """Stage-and-overwrite. Spark refuses INSERT OVERWRITE from a
     self-referencing plan, so materialize to a staging dir under the
@@ -417,7 +439,7 @@ def _overwrite(
     rename (:func:`_publish_by_move`) instead of re-encoding them
     through a second INSERT."""
     part_cols = _partition_columns(spark, table)
-    staging = staging_dir(spark, table)
+    staging = staging_dir(spark, table, loc)
     wrote_staging = False
     try:
         if part_cols and where and not where_has_subquery(where):
@@ -433,7 +455,7 @@ def _overwrite(
                 # is staged to parquet (tiny — one row per affected
                 # partition) so the publish never scans the target table
                 # it is overwriting.
-                aff_path = staging_dir(spark, table)
+                aff_path = staging_dir(spark, table, loc)
                 (
                     spark.table(table)
                     .filter(F.expr(where))
@@ -477,13 +499,13 @@ def _overwrite(
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         elif staged:
             if part_cols or staged_path is None or not _publish_by_move(
-                spark, table, staged_path
+                spark, table, staged_path, loc=loc
             ):
                 new_df.write.insertInto(table, overwrite=True)
         else:
             new_df.write.parquet(staging, mode="overwrite")
             wrote_staging = True
-            if part_cols or not _publish_by_move(spark, table, staging):
+            if part_cols or not _publish_by_move(spark, table, staging, loc=loc):
                 spark.read.parquet(staging).write.insertInto(table, overwrite=True)
     finally:
         if wrote_staging or not staged:
@@ -494,7 +516,12 @@ def _overwrite(
 
 
 @contextmanager
-def table_write_lock(spark: SparkSession, table: str, timeout_s: float = 120.0):
+def table_write_lock(
+    spark: SparkSession,
+    table: str,
+    timeout_s: float = 120.0,
+    loc=_UNRESOLVED,
+):
     """Serialize COW publishes per table: every UPDATE/DELETE/MERGE
     publish runs under an O_EXCL lock file beside the table's
     ``_staging`` dir, so two writers can't interleave their
@@ -508,7 +535,7 @@ def table_write_lock(spark: SparkSession, table: str, timeout_s: float = 120.0):
 
     from swanlake_spark.errors import FailedPrecondition
 
-    base = _table_location(spark, table)
+    base = _loc_or_resolve(spark, table, loc)
     path = None
     if base:
         # Hadoop renders local locations as `file:/abs/path` (single
@@ -577,6 +604,26 @@ class _WriteLock:
                 pass
 
 
+@contextmanager
+def _point_statement_profile(spark: SparkSession):
+    """Static execution profile for bounded point-DML work (the
+    matched-file probe and the file-granular rewrite, both capped at
+    ``_FILE_COW_MAX_FILES``): AQE's stage-by-stage re-planning only adds
+    latency to these single-stage sub-second jobs, and the probe's tiny
+    aggregate (≤ one row per matched file) never needs a wide shuffle.
+    Applied-and-restored per statement; the full-table rewrite path runs
+    under the session's settings, where AQE earns its keep."""
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
 # -- file-granular copy-on-write ---------------------------------------------
 
 # Driver-side cap on the matched-file list; a predicate touching more
@@ -586,7 +633,7 @@ _FILE_COW_MAX_FILES = 10_000
 
 
 def _matched_files(
-    spark: SparkSession, table: str, where: str
+    spark: SparkSession, table: str, where: str, loc=_UNRESOLVED
 ) -> tuple[list[str] | None, int]:
     """``(files, affected)``: the data files containing at least one row
     matching ``where`` — the DuckLake/Iceberg copy-on-write granularity
@@ -597,46 +644,58 @@ def _matched_files(
     rewrite), every file matched, or more matches than the driver-side
     cap — ``affected`` is still valid in every case."""
     df = spark.table(table)
-    rows = (
-        df.filter(F.expr(where).eqNullSafe(F.lit(True)))
-        .groupBy(F.input_file_name().alias("f"))
-        .count()
-        .collect()
-    )
+    matched = df.filter(F.expr(where).eqNullSafe(F.lit(True)))
+    rows = matched.groupBy(F.input_file_name().alias("f")).count().collect()
     affected = sum(r["count"] for r in rows)
-    if affected == 0 or _table_location(spark, table) is None:
+    file_list = [r["f"] for r in rows]
+    if affected == 0 or _loc_or_resolve(spark, table, loc) is None:
         return None, affected
     try:
         total = len(df.inputFiles())
     except Exception:
         return None, affected
-    files = [r.f for r in rows]
+    files = file_list
     if total <= 1 or len(files) > _FILE_COW_MAX_FILES or len(files) >= total:
         return None, affected
     return files, affected
 
 
 def _publish_file_swap(
-    spark: SparkSession, table: str, staged_dir: str, old_files: list[str]
+    spark: SparkSession,
+    table: str,
+    staged_dir: str,
+    old_files: list[str],
+    loc=_UNRESOLVED,
 ) -> None:
     """Swap rewritten files into the table: delete the matched originals,
     rename the staged replacements in, refresh. Same delete-then-move
     ordering (and the same documented non-atomicity window) as
     :func:`_publish_by_move`; unmatched files are never touched, so the
     I/O is proportional to the matched files, not the table."""
-    loc = _table_location(spark, table)
+    loc = _loc_or_resolve(spark, table, loc)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     dst = jvm.org.apache.hadoop.fs.Path(loc)
     fs = dst.getFileSystem(conf)
-    # Snapshot retention (see _publish_by_move): retire the matched
-    # originals, delete whatever couldn't be moved.
     from swanlake_spark import versions as _versions
 
-    _versions.retire_files(spark, table, list(old_files), loc=loc)
-    for f in old_files:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    # Survivors = current data files NOT being swapped out (the
+    # file-granular path applies to unpartitioned tables, so all data
+    # files sit at the top level). Compared by file NAME — the matched
+    # list comes from input_file_name() whose URI rendering
+    # (file:///x) differs from listStatus's (file:/x).
+    old_names = {f.rstrip("/").rsplit("/", 1)[-1] for f in old_files}
+    survivors = [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in fs.listStatus(dst)
+        if not st.getPath().getName().startswith(("_", "."))
+        and st.getPath().getName() not in old_names
+    ]
+    # ADD-THEN-RETIRE (see _publish_by_move): staged replacements land
+    # first — old files stay intact until every rename succeeded, and
+    # manifest-resolved readers never observe a half-swapped snapshot.
     src = jvm.org.apache.hadoop.fs.Path(staged_dir)
+    news: list[tuple[str, int]] = []
     for st in fs.listStatus(src):
         name = st.getPath().getName()
         if name.startswith("_") or name.startswith("."):
@@ -644,13 +703,83 @@ def _publish_file_swap(
         if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)):
             raise IOError(
                 f"file-swap rename failed for {st.getPath()} -> {dst}; "
-                f"staged data retained at {staged_dir}"
+                f"table files untouched, staged data at {staged_dir}"
             )
+        news.append((name, int(st.getLen())))
+    # Snapshot retention: retire the matched originals, delete whatever
+    # couldn't be moved.
+    _versions.retire_files(spark, table, list(old_files), loc=loc)
+    for f in old_files:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    _versions.note_published_files(table, sorted(survivors + news))
     spark.catalog.refreshTable(table)
 
 
+# Point-statement driver-rewrite bound: when the matched files total at
+# most this many bytes, the rewritten contents are collected as ONE
+# Arrow batch and written by the driver — no output-committer dance, no
+# task scheduling (~3× faster staged write). 128 MB ≈ one
+# compaction-target file, so at 100 TB a point UPDATE still qualifies;
+# anything larger runs the distributed write.
+_DRIVER_REWRITE_MAX_BYTES = 128 << 20
+
+# Types proven to round-trip Spark -> Arrow -> parquet -> Spark with
+# identical logical types; nested/interval/ntz types take the
+# distributed write instead.
+_ARROW_SAFE_TYPES = re.compile(
+    r"^(boolean|tinyint|smallint|int|bigint|float|double|string|binary|"
+    r"date|timestamp|decimal\(\d+,\s*-?\d+\))$"
+)
+
+
+def _driver_rewrite(spark: SparkSession, staged: str, new_sub, files) -> bool:
+    """Stage the rewritten matched-file contents via a single Arrow
+    collect + driver-side parquet write. Returns False when ineligible
+    (non-local staging, matched set too large, exotic types) — the
+    caller falls back to the distributed write. Local-scheme only:
+    pyarrow writes OS paths, not HDFS/s3a."""
+    base = staged
+    if base.startswith("file:"):
+        base = base[len("file:"):]
+        while base.startswith("//"):
+            base = base[1:]
+    elif "://" in base:
+        return False
+    if any(
+        not _ARROW_SAFE_TYPES.match(f.dataType.simpleString())
+        for f in new_sub.schema.fields
+    ):
+        return False
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += int(p.getFileSystem(conf).getFileStatus(p).getLen())
+        if total > _DRIVER_REWRITE_MAX_BYTES:
+            return False
+        import pyarrow.parquet as pq
+
+        tbl = new_sub.toArrow()
+        os.makedirs(base, exist_ok=True)
+        pq.write_table(
+            tbl,
+            f"{base}/part-00000-{uuid.uuid4().hex}-c000.snappy.parquet",
+            compression="snappy",
+        )
+        return True
+    except Exception:
+        return False  # any surprise → distributed write handles it
+
+
 def _file_granular_cow(
-    spark: SparkSession, table: str, where: str, transform, files: list[str]
+    spark: SparkSession,
+    table: str,
+    where: str,
+    transform,
+    files: list[str],
+    loc=_UNRESOLVED,
 ) -> bool:
     """Copy-on-write at FILE granularity (the reference's DuckLake model:
     rewrite only the data files containing matched rows,
@@ -662,10 +791,11 @@ def _file_granular_cow(
     one-file rewrite."""
     sub = spark.read.parquet(*files)
     new_sub = transform(sub)
-    staged = staging_dir(spark, table)
-    new_sub.write.parquet(staged, mode="overwrite")
+    staged = staging_dir(spark, table, loc)
+    if not _driver_rewrite(spark, staged, new_sub, files):
+        new_sub.write.parquet(staged, mode="overwrite")
     try:
-        _publish_file_swap(spark, table, staged, files)
+        _publish_file_swap(spark, table, staged, files, loc=loc)
     except BaseException:
         raise  # staged data retained for recovery (see _publish_file_swap)
     _rm_path(spark, staged)
@@ -1173,6 +1303,30 @@ def _apply_merge_body(
     return new_df, n_matched_actioned + n_inserted
 
 
+def _enforce_fk_parent(
+    spark: SparkSession,
+    table: str,
+    new_df: DataFrame,
+    children: list[tuple[str, list[str], list[str]]],
+) -> None:
+    """Parent-side FK revalidation against the complete NEW contents of
+    ``table``: every child reference must still resolve after the
+    rewrite. One broadcast anti-join per referencing child (key columns
+    only)."""
+    for child, ccols, pcols in children:
+        refs = spark.table(child).select(*ccols).na.drop()
+        new_keys = new_df.select(
+            *[F.col(p).alias(c) for p, c in zip(pcols, ccols)]
+        ).distinct()
+        if refs.join(
+            F.broadcast(new_keys), ccols, "left_anti"
+        ).limit(1).collect():
+            raise InvalidArgument(
+                f"write to {table} would orphan FOREIGN KEY rows in "
+                f"{child} ({', '.join(ccols)})"
+            )
+
+
 def merge_table(
     spark: SparkSession,
     table: str,
@@ -1199,12 +1353,13 @@ def merge_table(
     full rewrite."""
     from swanlake_spark import versions
 
-    with table_write_lock(spark, table):
+    loc = _table_location(spark, table)
+    with table_write_lock(spark, table, loc=loc):
         affected = _merge_table_locked(
-            spark, table, t_alias, source_text, cond, clauses
+            spark, table, t_alias, source_text, cond, clauses, loc=loc
         )
         if affected:
-            versions.record_version(spark, table, "merge")
+            versions.record_version(spark, table, "merge", loc=loc)
     return affected
 
 
@@ -1215,17 +1370,39 @@ def _merge_table_locked(
     source_text: str,
     cond: str,
     clauses: list[MergeClause],
+    loc=_UNRESOLVED,
 ) -> int:
-    if not _partition_columns(spark, table):
-        files = _merge_matched_files(spark, table, t_alias, source_text, cond)
+    # Constraint gates (DuckDB enforces them on MERGE like any other
+    # write): CHECK + child-side FK evaluate over the rewritten/new
+    # rows; parent-side FK (a WHEN MATCHED arm may update or delete a
+    # referenced key) requires the COMPLETE new contents, so referencing
+    # children disable the file-granular shortcut.
+    from swanlake_spark import constraints
+
+    fk_children = (
+        constraints.referencing_children(table)
+        if any(c.matched for c in clauses)
+        else []
+    )
+
+    def _constrained(ndf: DataFrame) -> DataFrame:
+        constraints.enforce_checks(spark, table, ndf)
+        constraints.enforce_fks_insert(spark, table, ndf)
+        return ndf
+
+    if not _partition_columns(spark, table) and not fk_children:
+        files = _merge_matched_files(
+            spark, table, t_alias, source_text, cond, loc=loc
+        )
         if files is not None:
             sub = spark.read.parquet(*files)
-            stage = StagingPin(spark, table)
+            stage = StagingPin(spark, table, loc=loc)
             try:
                 new_df, affected = apply_merge(
                     spark, sub, table, t_alias, source_text, cond,
                     clauses, pin=stage,
                 )
+                _constrained(new_df)
             except BaseException:
                 stage.cleanup()
                 raise
@@ -1233,20 +1410,23 @@ def _merge_table_locked(
                 if stage.pinned(new_df):
                     staged_path = stage.paths[-1]
                 else:
-                    staged_path = staging_dir(spark, table)
+                    staged_path = staging_dir(spark, table, loc)
                     new_df.write.parquet(staged_path, mode="overwrite")
                     stage.paths.append(staged_path)
-                _publish_file_swap(spark, table, staged_path, files)
+                _publish_file_swap(spark, table, staged_path, files, loc=loc)
             stage.cleanup()
             return affected
-    stage = StagingPin(spark, table)
+    stage = StagingPin(spark, table, loc=loc)
     try:
         new_df, affected = apply_merge(
             spark, spark.table(table), table, t_alias, source_text, cond,
             clauses, pin=stage,
         )
+        _constrained(new_df)
+        if fk_children:
+            _enforce_fk_parent(spark, table, new_df, fk_children)
     except BaseException:
-        stage.cleanup()  # planning failed; nothing published — tidy up
+        stage.cleanup()  # planning/validation failed; nothing published
         raise
     try:
         if affected:
@@ -1254,6 +1434,7 @@ def _merge_table_locked(
                 spark, table, new_df, None,
                 staged=stage.pinned(new_df),
                 staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
+                loc=loc,
             )
     except BaseException:
         raise  # publish failed: retain staged data (StagingPin.cleanup docs)
@@ -1267,6 +1448,7 @@ def _merge_matched_files(
     t_alias: str | None,
     source_text: str,
     cond: str,
+    loc=_UNRESOLVED,
 ) -> list[str] | None:
     """Data files containing target rows matched by the MERGE ON
     condition (one semi-join probe), or None when the file-granular
@@ -1275,7 +1457,7 @@ def _merge_matched_files(
     also returns None: there is nothing to rewrite file-by-file, and
     the probe result would swap in the inserts while deleting nothing,
     which the full path handles as a plain append-shaped rewrite."""
-    if _table_location(spark, table) is None:
+    if _loc_or_resolve(spark, table, loc) is None:
         return None
     tdf = spark.table(table)
     try:
@@ -1328,10 +1510,13 @@ def update_table(
     probe/publish windows (lost updates, double file swaps)."""
     from swanlake_spark import versions
 
-    with table_write_lock(spark, table):
-        affected = _update_table_locked(spark, table, assignments, where)
+    loc = _table_location(spark, table)
+    with table_write_lock(spark, table, loc=loc):
+        affected = _update_table_locked(
+            spark, table, assignments, where, loc=loc
+        )
         if affected:
-            versions.record_version(spark, table, "update")
+            versions.record_version(spark, table, "update", loc=loc)
     return affected
 
 
@@ -1340,17 +1525,27 @@ def _update_table_locked(
     table: str,
     assignments: dict[str, str],
     where: str | None = None,
+    loc=_UNRESOLVED,
 ) -> int:
     df = spark.table(table)
 
-    # CHECK constraints (DuckDB enforces them on UPDATE too): evaluate
-    # the registered expressions over the rewritten rows before any
-    # publish. Free when no checks are registered (enforce_checks
-    # early-returns without an action).
-    def _checked(ndf: DataFrame) -> DataFrame:
-        from swanlake_spark import constraints
+    # CHECK constraints (DuckDB enforces them on UPDATE too) plus
+    # child-side FK revalidation when the UPDATE reassigns one of this
+    # table's OWN foreign-key columns (``UPDATE child SET pid = 99``
+    # must fail exactly like the equivalent INSERT would): both
+    # evaluate over the rewritten rows before any publish. Free when
+    # nothing is registered.
+    from swanlake_spark import constraints as _constraints
 
-        constraints.enforce_checks(spark, table, ndf)
+    _child_fk_touched = any(
+        set(ccols) & set(assignments)
+        for ccols, _, _ in _constraints.fk_list(table)
+    )
+
+    def _checked(ndf: DataFrame) -> DataFrame:
+        _constraints.enforce_checks(spark, table, ndf)
+        if _child_fk_touched:
+            _constraints.enforce_fks_insert(spark, table, ndf)
         return ndf
 
     # Parent-side FK guard for key rewrites (DuckDB re-checks children
@@ -1358,28 +1553,15 @@ def _update_table_locked(
     # some child references, the file-granular shortcut is disabled so
     # new_df is the FULL new table, and the children are re-validated
     # against the complete new key set before publish.
-    from swanlake_spark import constraints as _constraints
-
-    _fk_children = _constraints.referencing_children(table)
     _fk_touched = [
         (child, ccols, pcols)
-        for child, ccols, pcols in _fk_children
+        for child, ccols, pcols in _constraints.referencing_children(table)
         if set(pcols) & set(assignments)
     ]
 
     def _fk_checked(ndf: DataFrame) -> DataFrame:
-        for child, ccols, pcols in _fk_touched:
-            refs = spark.table(child).select(*ccols).na.drop()
-            new_keys = ndf.select(
-                *[F.col(p).alias(c) for p, c in zip(pcols, ccols)]
-            ).distinct()
-            if refs.join(
-                F.broadcast(new_keys), ccols, "left_anti"
-            ).limit(1).collect():
-                raise InvalidArgument(
-                    f"update of {table} would orphan FOREIGN KEY rows in "
-                    f"{child} ({', '.join(ccols)})"
-                )
+        if _fk_touched:
+            _enforce_fk_parent(spark, table, ndf, _fk_touched)
         return ndf
 
     # An UPDATE that reassigns a partition column moves rows BETWEEN
@@ -1395,25 +1577,27 @@ def _update_table_locked(
         and not any(where_has_subquery(v) for v in assignments.values())
     )
     if file_cow_ok:
-        files, affected = _matched_files(spark, table, where)
-        if affected == 0:
-            return 0
-        if files is not None and _file_granular_cow(
-            spark,
-            table,
-            where,
-            lambda sub: _checked(
-                apply_update(sub, assignments, where, alias=table)
-            ),
-            files,
-        ):
-            return affected
+        with _point_statement_profile(spark):
+            files, affected = _matched_files(spark, table, where, loc=loc)
+            if affected == 0:
+                return 0
+            if files is not None and _file_granular_cow(
+                spark,
+                table,
+                where,
+                lambda sub: _checked(
+                    apply_update(sub, assignments, where, alias=table)
+                ),
+                files,
+                loc=loc,
+            ):
+                return affected
     else:
         affected = _count_matching(spark, table, where) if where else df.count()
         if affected == 0:
             return 0
     overwrite_where = None if part_cols & set(assignments) else where
-    stage = StagingPin(spark, table)
+    stage = StagingPin(spark, table, loc=loc)
     try:
         new_df = _fk_checked(_checked(
             apply_update(df, assignments, where, alias=table, pin=stage)
@@ -1426,6 +1610,7 @@ def _update_table_locked(
             spark, table, new_df, overwrite_where,
             staged=stage.pinned(new_df),
             staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
+            loc=loc,
         )
     except BaseException:
         raise  # publish failed: retain staged data (StagingPin.cleanup docs)
@@ -1438,15 +1623,16 @@ def delete_from(spark: SparkSession, table: str, where: str | None = None) -> in
     table, see :func:`update_table`)."""
     from swanlake_spark import versions
 
-    with table_write_lock(spark, table):
-        affected = _delete_from_locked(spark, table, where)
+    loc = _table_location(spark, table)
+    with table_write_lock(spark, table, loc=loc):
+        affected = _delete_from_locked(spark, table, where, loc=loc)
         if affected:
-            versions.record_version(spark, table, "delete")
+            versions.record_version(spark, table, "delete", loc=loc)
     return affected
 
 
 def _delete_from_locked(
-    spark: SparkSession, table: str, where: str | None = None
+    spark: SparkSession, table: str, where: str | None = None, loc=_UNRESOLVED
 ) -> int:
     df = spark.table(table)
     # Parent-side FOREIGN KEY guard (DuckDB rejects deleting referenced
@@ -1464,28 +1650,30 @@ def _delete_from_locked(
         constraints.enforce_fks_delete(spark, table, deleted)
     if where is None:
         affected = df.count()
-        _overwrite(spark, table, df.limit(0), None)
+        _overwrite(spark, table, df.limit(0), None, loc=loc)
         return affected
     file_cow_ok = not _partition_columns(
         spark, table
     ) and not where_has_subquery(where)
     if file_cow_ok:
-        files, affected = _matched_files(spark, table, where)
-        if affected == 0:
-            return 0
-        if files is not None and _file_granular_cow(
-            spark,
-            table,
-            where,
-            lambda sub: apply_delete(sub, where, alias=table),
-            files,
-        ):
-            return affected
+        with _point_statement_profile(spark):
+            files, affected = _matched_files(spark, table, where, loc=loc)
+            if affected == 0:
+                return 0
+            if files is not None and _file_granular_cow(
+                spark,
+                table,
+                where,
+                lambda sub: apply_delete(sub, where, alias=table),
+                files,
+                loc=loc,
+            ):
+                return affected
     else:
         affected = _count_matching(spark, table, where)
         if affected == 0:
             return 0
-    stage = StagingPin(spark, table)
+    stage = StagingPin(spark, table, loc=loc)
     try:
         new_df = apply_delete(df, where, alias=table, pin=stage)
     except BaseException:
@@ -1496,6 +1684,7 @@ def _delete_from_locked(
             spark, table, new_df, where,
             staged=stage.pinned(new_df),
             staged_path=stage.paths[-1] if stage.pinned(new_df) else None,
+            loc=loc,
         )
     except BaseException:
         raise  # publish failed: retain staged data (StagingPin.cleanup docs)

@@ -184,8 +184,13 @@ def insert_arrow(
     from swanlake_spark import constraints
 
     constraints.check_insert_batch(spark, table, aligned)
-    aligned.write.insertInto(table)
     from swanlake_spark import versions
+    from swanlake_spark.operators.dml import table_write_lock
 
-    versions.record_version(df.sparkSession, table, "append")
+    # Serialized per table (engine INSERT takes the same lock): two
+    # concurrent append jobs on one path share the committer's
+    # _temporary dir, and manifests must be ordered.
+    with table_write_lock(spark, table):
+        aligned.write.insertInto(table)
+        versions.record_version(df.sparkSession, table, "append")
     return tbl.num_rows

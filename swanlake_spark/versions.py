@@ -109,6 +109,10 @@ def _list_data_files(spark: SparkSession, loc: str) -> list[tuple[str, int]]:
     skipping ``_``/``.`` names at every level — metadata only, no read."""
     jvm, fs, base = _fs(spark, loc)
     out: list[tuple[str, int]] = []
+    # listStatus renders fully-qualified child paths (file:/...); the
+    # base must be qualified the same way or the relpath slice is wrong
+    # for scheme-less ``loc`` arguments.
+    base = fs.makeQualified(base)
     base_str = base.toString().rstrip("/")
 
     def walk(p):
@@ -176,31 +180,77 @@ def current_version(
     return ms[-1][0] if ms else 0
 
 
-def record_version(spark: SparkSession, table: str, op: str) -> int | None:
+# publish paths stash the exact post-publish file list here so the
+# record_version immediately after skips the directory walk (one fewer
+# metadata sweep per OLTP statement). Keyed by lowered table name;
+# written and consumed under the caller's table_write_lock.
+_PENDING_FILES: dict[str, list[tuple[str, int]]] = {}
+
+
+def note_published_files(table: str, files: list[tuple[str, int]]) -> None:
+    """A COW publish just installed exactly ``files`` (rel name, size)
+    as the table's live data files; the next record_version for this
+    table uses the list verbatim."""
+    _PENDING_FILES[table.strip('`"').lower()] = list(files)
+
+
+def _write_json_exclusive(spark: SparkSession, path: str, payload: dict) -> bool:
+    """Create-exclusive JSON write: False when the path already exists
+    (another writer claimed this version number)."""
+    jvm, fs, p = _fs(spark, path)
+    try:
+        out = fs.create(p, False)
+    except Exception as e:  # FileAlreadyExistsException via py4j
+        if "exists" in str(e).lower():
+            return False
+        raise
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def record_version(
+    spark: SparkSession, table: str, op: str, loc: str | None = None
+) -> int | None:
     """Append a manifest of the table's current live files. Cheap
-    (driver-side listing + one small JSON), called after every publish.
-    One catalog lookup total — everything else is FileSystem metadata."""
+    (driver-side listing — or the publishing path's explicit list — plus
+    one small JSON), called after every publish. The manifest file is
+    written create-exclusive and the version number retried on
+    collision, so two concurrent appends (the only writes not under the
+    table write lock) can never silently overwrite each other's
+    snapshot."""
     if not _ENABLED:
         return None
-    from swanlake_spark.operators.dml import _table_location
+    if loc is None:
+        from swanlake_spark.operators.dml import _table_location
 
-    loc = _table_location(spark, table)
+        loc = _table_location(spark, table)
     root = versions_root(spark, table, loc)
     if loc is None or root is None:
+        _PENDING_FILES.pop(table.strip('`"').lower(), None)
         return None
-    files = _list_data_files(spark, loc)
+    files = _PENDING_FILES.pop(table.strip('`"').lower(), None)
+    if files is None:
+        files = _list_data_files(spark, loc)
     n = current_version(spark, table, loc) + 1
-    _write_json(
-        spark,
-        f"{_manifest_dir(root)}/v{n:08d}.json",
-        {
-            "version": n,
-            "ts": time.time(),
-            "op": op,
-            "files": [{"name": rel, "size": size} for rel, size in files],
-        },
+    payload = {
+        "version": n,
+        "ts": time.time(),
+        "op": op,
+        "files": [{"name": rel, "size": size} for rel, size in files],
+    }
+    for _ in range(64):
+        payload["version"] = n
+        if _write_json_exclusive(
+            spark, f"{_manifest_dir(root)}/v{n:08d}.json", payload
+        ):
+            return n
+        n += 1
+    raise IOError(
+        f"could not claim a manifest version for {table} after 64 attempts"
     )
-    return n
 
 
 def retire_files(
@@ -272,8 +322,14 @@ def snapshots(spark: SparkSession, table: str) -> DataFrame:
 
 
 def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
-    """Absolute paths backing snapshot ``version``: live path if the
-    file is still in the table dir, retained path otherwise."""
+    """Absolute paths backing snapshot ``version``. The RETAINED copy is
+    preferred when it exists: retired files are immutable until
+    expire/VACUUM, whereas a live file can be retired (renamed away) by
+    a concurrent COW publish — resolving retained-first means only
+    readers that resolved strictly before the retirement can race it,
+    and such a reader fails LOUDLY (FILE_NOT_EXIST) and re-resolves;
+    partial or duplicated rows are never observable (optimistic
+    snapshot reads, the MVCC retry discipline)."""
     root = versions_root(spark, table)
     if root is None:
         raise InvalidArgument(f"table {table} has no resolvable location")
@@ -287,13 +343,13 @@ def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
     jvm, fs, _ = _fs(spark, loc)
     out = []
     for f in m["files"]:
-        live = f"{loc}/{f['name']}"
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
-            out.append(live)
-            continue
         kept = f"{_retained_dir(root)}/{f['name']}"
         if fs.exists(jvm.org.apache.hadoop.fs.Path(kept)):
             out.append(kept)
+            continue
+        live = f"{loc}/{f['name']}"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
+            out.append(live)
             continue
         raise SnapshotUnavailable(
             f"{table} snapshot v{version}: file {f['name']} was removed "
@@ -340,6 +396,31 @@ def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
     for p in parts[1:]:
         df = df.unionByName(p)
     return df
+
+
+def read_current(spark: SparkSession, table: str) -> DataFrame:
+    """Scan the LATEST snapshot by manifest (Delta-style
+    manifest-primary read): the file list comes from the newest
+    manifest, never from a directory listing, so a reader racing a COW
+    publish sees exactly the pre- or post-publish snapshot — the
+    add-then-retire publish ordering guarantees every manifest entry is
+    resolvable (live or retained) at every instant. Falls back to the
+    catalog table when no snapshot exists (versioning off / fresh
+    table)."""
+    last_err: Exception | None = None
+    for _ in range(3):
+        v = current_version(spark, table)
+        if v == 0:
+            return spark.table(table)
+        try:
+            # spark.read.parquet(explicit files) reads footers at plan
+            # time, so a file retired between resolution and here fails
+            # NOW — re-resolve (it's in retained by then). Execution-time
+            # races surface to the caller as loud retryable errors.
+            return read_version(spark, table, v)
+        except Exception as e:  # noqa: BLE001 — re-resolve and retry
+            last_err = e
+    raise last_err
 
 
 # -- rollback & retention -----------------------------------------------------

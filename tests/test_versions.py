@@ -194,3 +194,159 @@ class TestSnapshots:
             assert "PartitionFilters" in plan
         finally:
             spark.sql("DROP TABLE IF EXISTS vrt")
+
+
+class TestAtomicPublish:
+    """Add-then-retire publish ordering + manifest-primary reads: a
+    reader racing a COW publish observes exactly the pre- or
+    post-publish snapshot, never a partial table (the DuckLake atomic
+    catalog-pointer-swap model, maintenance/mod.rs:192-222)."""
+
+    def _engine(self, spark):
+        from swanlake_spark.engine import Engine
+
+        return Engine(spark=spark)
+
+    def test_concurrent_reader_sees_only_whole_snapshots(self, spark):
+        import threading
+
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_pub_")
+        spark.sql(
+            f"CREATE TABLE pub_t (id INT, v INT) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            vals = ", ".join(f"({i}, 0)" for i in range(200))
+            eng.execute(f"INSERT INTO pub_t VALUES {vals}")
+            errors: list = []
+            transient = [0]
+            stop = threading.Event()
+
+            def reader():
+                while not stop.is_set():
+                    try:
+                        rows = (
+                            versions.read_current(spark, "pub_t")
+                            .groupBy("v")
+                            .count()
+                            .collect()
+                        )
+                        distinct_vs = {r["v"] for r in rows}
+                        total = sum(r["count"] for r in rows)
+                        if len(distinct_vs) != 1 or total != 200:
+                            errors.append((distinct_vs, total))
+                    except Exception as e:  # noqa: BLE001
+                        # A reader that resolved a live file strictly
+                        # before its retirement fails LOUDLY and
+                        # re-resolves (optimistic snapshot read) — that
+                        # is the allowed outcome; silent partial or
+                        # mixed results are not.
+                        msg = f"{type(e).__name__}: {e}"
+                        if (
+                            "FILE_NOT_EXIST" in msg
+                            or "PATH_NOT_FOUND" in msg
+                            or "does not exist" in msg
+                            or "NOT_EXIST" in msg
+                            or "FileNotFound" in msg
+                            or "CANNOT_READ_FILE_FOOTER" in msg
+                            or "UNABLE_TO_INFER_SCHEMA" in msg
+                        ):
+                            transient[0] += 1
+                        else:
+                            errors.append(msg)
+
+            t = threading.Thread(target=reader, daemon=True)
+            t.start()
+            for i in range(1, 5):
+                # full-table rewrite through the move publish path
+                eng.execute(f"UPDATE pub_t SET v = {i}")
+            stop.set()
+            t.join(timeout=60)
+            assert errors == []
+            assert {
+                r.v for r in spark.table("pub_t").select("v").distinct().collect()
+            } == {4}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS pub_t")
+
+    def test_concurrent_appends_never_lose_a_snapshot(self, spark):
+        """record_version claims version numbers create-exclusive:
+        concurrent appends (the one write path outside the table write
+        lock) each land their own manifest."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_pubA_")
+        spark.sql(
+            f"CREATE TABLE pub_a (id INT) USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute("INSERT INTO pub_a VALUES (0)")
+            base = versions.current_version(spark, "pub_a")
+
+            def ins(i):
+                eng.execute(f"INSERT INTO pub_a VALUES ({i})")
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(ins, range(1, 9)))
+            assert versions.current_version(spark, "pub_a") == base + 8
+            assert spark.table("pub_a").count() == 9
+        finally:
+            spark.sql("DROP TABLE IF EXISTS pub_a")
+
+    def test_explicit_manifest_matches_directory(self, spark):
+        """The publish path's explicit file list must agree with what a
+        directory walk would record (same names, sizes)."""
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_pubE_")
+        spark.sql(
+            f"CREATE TABLE pub_e (id INT, v STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute("INSERT INTO pub_e VALUES (1, 'a'), (2, 'b')")
+            eng.execute("UPDATE pub_e SET v = 'X' WHERE id = 1")
+            v = versions.current_version(spark, "pub_e")
+            root = versions.versions_root(spark, "pub_e")
+            manifest = versions._read_json(
+                spark, f"{versions._manifest_dir(root)}/v{v:08d}.json"
+            )
+            walked = versions._list_data_files(spark, loc)
+            assert sorted(
+                (f["name"], f["size"]) for f in manifest["files"]
+            ) == walked
+            # and the snapshot resolves + reads cleanly
+            got = {
+                (r.id, r.v)
+                for r in versions.read_version(spark, "pub_e", v).collect()
+            }
+            assert got == {(1, "X"), (2, "b")}
+        finally:
+            spark.sql("DROP TABLE IF EXISTS pub_e")
+
+    def test_record_version_create_exclusive(self, spark):
+        """Direct concurrent record_version calls (no lock held): the
+        create-exclusive claim + retry must land every manifest."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_pubX_")
+        spark.sql(
+            f"CREATE TABLE pub_x (id INT) USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute("INSERT INTO pub_x VALUES (1)")
+            base = versions.current_version(spark, "pub_x")
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                list(
+                    ex.map(
+                        lambda i: versions.record_version(
+                            spark, "pub_x", f"op{i}"
+                        ),
+                        range(12),
+                    )
+                )
+            assert versions.current_version(spark, "pub_x") == base + 12
+        finally:
+            spark.sql("DROP TABLE IF EXISTS pub_x")
