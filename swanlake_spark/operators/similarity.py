@@ -150,7 +150,11 @@ def ivf_centroids(
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cid.setdefault(r._cid, {})[r.pos] = r.m
+            # 9-decimal rounding removes the last-bit jitter from the
+            # arrival order of partial-aggregate merges (float addition
+            # is not associative), making the codebook — and everything
+            # scored against it — bit-stable across runs.
+            by_cid.setdefault(r._cid, {})[r.pos] = round(r.m, 9)
         cents = [
             [by_cid[c][p] for p in sorted(by_cid[c])] if c in by_cid else cents[c]
             for c in range(len(cents))
@@ -354,7 +358,10 @@ def pq_codebooks(
         )
         agg: dict[tuple[int, int], dict[int, float]] = {}
         for r in means:
-            agg.setdefault((r.sub, r.code), {})[r.pos] = r.mean
+            # same 9-decimal stabilization as ivf_centroids: partial
+            # aggregates merge in arrival order, so unrounded means can
+            # differ in the last bit between runs
+            agg.setdefault((r.sub, r.code), {})[r.pos] = round(r.mean, 9)
         for s in range(m):
             for c in range(k):
                 got = agg.get((s, c))

@@ -289,7 +289,85 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(df, max_hamming=3).orderBy("a", "b")
 
 
-_add("pipe_dedup_simhash", _simhash, None)
+# Frozen-expected oracle (the r3-verdict-prescribed pattern for sketches
+# whose hash functions DuckDB cannot reproduce): the committed parquet
+# under tests/expected/ is this very query's deterministic output —
+# fixed xxhash64 seeds, integer-only banding — generated once by
+# tools/freeze_expected.py and INDEPENDENTLY verified in
+# tests/test_frozen_expected.py (brute-force all-pairs hamming over the
+# collected signatures: zero missed pairs, exact distances). The oracle
+# dispatches on sum(length(text)) because the sf0.001/sf0.01 documents
+# tables differ in content, not row count.
+_REPO_ROOT = __import__("os").path.dirname(
+    __import__("os").path.dirname(
+        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+    )
+)
+
+
+def _frozen(name: str) -> str:
+    return f"{_REPO_ROOT}/tests/expected/{name}.parquet"
+
+
+_add(
+    "pipe_dedup_simhash",
+    _simhash,
+    f"""
+    SELECT a, b, hamming FROM read_parquet('{_frozen("simhash_sf0_01")}')
+    WHERE (SELECT sum(length(text)) FROM documents) = 149174
+    UNION ALL
+    SELECT a, b, hamming FROM read_parquet('{_frozen("simhash_sf0_001")}')
+    WHERE (SELECT sum(length(text)) FROM documents) = 153156
+    ORDER BY a, b
+    """,
+)
+
+
+def _sim_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three approximate-nearest-neighbor scale paths — hyperplane
+    LSH, IVF probe, PQ/ADC — top-10 for one fixed query vector in one
+    frame. All three are seeded-deterministic (hyperplanes seed=42,
+    lowest-id centroid/codebook seeding, 9-decimal-stabilized Lloyd
+    means), so the output is hash-stable; the frozen-expected oracle
+    locks it, and tests/test_frozen_expected.py asserts recall against
+    brute-force exact cosine independently."""
+    df = _embs(spark, sf_dir)
+    qrow = df.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = [float(x) for x in qrow[0][0]]
+    lsh = similarity.cosine_topk_lsh(df, qvec, k=10, planes=4).select(
+        F.lit("lsh").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sim").alias("score"),
+    )
+    ivf = similarity.cosine_topk_ivf(df, qvec, k=10).select(
+        F.lit("ivf").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sim").alias("score"),
+    )
+    books = similarity.pq_codebooks(df, m=8, k=32, dim=64)
+    coded = similarity.pq_encode(df, books)
+    pq = similarity.pq_topk(coded, qvec, books, k=10).select(
+        F.lit("pq").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("adc_dist").alias("score"),
+    )
+    return lsh.unionAll(ivf).unionAll(pq).orderBy("method", "vec_id")
+
+
+_add(
+    "pipe_sim_ann_battery",
+    _sim_ann_battery,
+    f"""
+    SELECT method, vec_id, score
+    FROM read_parquet('{_frozen("sim_ann_sf0_01")}')
+    WHERE (SELECT sum(embedding[1]) FROM embeddings) BETWEEN 0.9 AND 1.3
+    UNION ALL
+    SELECT method, vec_id, score
+    FROM read_parquet('{_frozen("sim_ann_sf0_001")}')
+    WHERE (SELECT sum(embedding[1]) FROM embeddings) BETWEEN -1.7 AND -1.2
+    ORDER BY method, vec_id
+    """,
+)
 
 # -- embedding similarity ----------------------------------------------------
 
@@ -1351,8 +1429,12 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_vocab_topk",
     "pipe_tfidf",
     "pipe_unigram_logprob",
-    # rows-only sketch variants
-    "pipe_dedup_simhash",
+    # rotated out r4 (VERDICT r3 #4) to open slots for the now
+    # frozen-oracled pipe_dedup_simhash + pipe_sim_ann_battery; both
+    # remain hash-matched by tests/test_oracle_corpus.py
+    "pipe_dedup_exact",
+    "pipe_shuffle",
+    # rows-only sketch variants (simhash graduated to a frozen oracle)
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",
     "pipe_multimodal_features",
