@@ -350,3 +350,49 @@ class TestAtomicPublish:
             assert versions.current_version(spark, "pub_x") == base + 12
         finally:
             spark.sql("DROP TABLE IF EXISTS pub_x")
+
+
+class TestNullPartitionDml:
+    """Regression (r3 review 'What's wrong' #3): UPDATE/DELETE on a
+    partition whose key is NULL — Spark encodes it as
+    __HIVE_DEFAULT_PARTITION__, and the `p = null` DROP PARTITION spec
+    must actually remove the catalog entry and the directory."""
+
+    def _engine(self, spark):
+        from swanlake_spark.engine import Engine
+
+        return Engine(spark=spark)
+
+    def test_delete_empties_null_partition_and_removes_files(self, spark):
+        import os
+
+        eng = self._engine(spark)
+        loc = tempfile.mkdtemp(prefix="swl_nullp_")
+        spark.sql(
+            f"CREATE TABLE npt (id INT, v STRING, p STRING) USING parquet "
+            f"PARTITIONED BY (p) LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO npt VALUES (1, 'a', 'x'), (2, 'b', NULL), "
+                "(3, 'c', NULL)"
+            )
+            assert os.path.isdir(f"{loc}/p=__HIVE_DEFAULT_PARTITION__")
+            res = eng.execute("DELETE FROM npt WHERE p IS NULL")
+            assert res.affected_rows == 2
+            assert sorted(
+                (r.id, r.p) for r in spark.table("npt").collect()
+            ) == [(1, "x")]
+            # the emptied NULL partition's directory is gone (files
+            # would otherwise resurrect on the next NULL-key insert)
+            assert not os.path.exists(f"{loc}/p=__HIVE_DEFAULT_PARTITION__")
+            # and a later NULL-key insert starts clean
+            eng.execute("INSERT INTO npt VALUES (4, 'd', NULL)")
+            assert eng.execute(
+                "UPDATE npt SET v = 'D' WHERE p IS NULL"
+            ).affected_rows == 1
+            assert sorted(
+                (r.id, r.v) for r in spark.table("npt").collect()
+            ) == [(1, "a"), (4, "D")]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS npt")
