@@ -26,6 +26,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "5"))
 WARMUP_RUNS = int(os.environ.get("SWL_BENCH_WARMUPS", "2"))
 SHUFFLE_PARTITIONS = int(os.environ.get("SWL_BENCH_SHUFFLE_PARTITIONS", "8"))
+# local[n] hosts driver + all executor threads in ONE JVM, so broadcast
+# builds at 10x data need more heap than the sf0.1 default; a real
+# cluster sizes driver/executor memory per deployment (EngineConfig).
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
 def main() -> None:
@@ -44,6 +48,7 @@ def main() -> None:
         app_name="swanlake-spark-bench",
         cpus=CPUS,
         shuffle_partitions=SHUFFLE_PARTITIONS,
+        driver_memory=DRIVER_MEM,
     )
     eng = Engine(config=cfg)
     eng.spark.sparkContext.setLogLevel("ERROR")
@@ -268,16 +273,17 @@ def main() -> None:
     # (static-plan) profile on sub-second queries never leaks into the
     # adaptive-by-default rest of the suite. Profiles are tuned for the
     # interactive/sub-second class, which only exists at small scale —
-    # past sf1 the same queries are shuffle-heavy and AQE-on with
+    # from sf1 up the same queries are shuffle-heavy and AQE-on with
     # default partitioning is the right configuration, so profiles are
-    # ignored there.
+    # ignored there (the sf1 scale-fidelity pass in SCALE.md runs with
+    # this exact policy: no profiles, AQE on).
     from contextlib import contextmanager
 
     try:
         _sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
         _sf = -1.0
-    apply_profiles = 0 < _sf <= 1.0
+    apply_profiles = 0 < _sf < 1.0
 
     @contextmanager
     def exec_profile(spec):

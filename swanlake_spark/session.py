@@ -434,9 +434,25 @@ class Session:
         try:
             self._unshadow()
             for table, df in self._txn_staged.items():
-                from swanlake_spark.operators.dml import _overwrite
+                from swanlake_spark import versions
+                from swanlake_spark.operators.dml import (
+                    _overwrite,
+                    _table_location,
+                    table_write_lock,
+                )
 
-                _overwrite(self.spark, table, df, None)
+                # COMMIT is a publish like any other: serialized under
+                # the per-table write lock (a concurrent UPDATE must not
+                # interleave its file swap with ours) and recorded as a
+                # snapshot so the transaction's result is visible to
+                # AT (VERSION =>) / read_current and the pre-commit
+                # state stays time-travelable.
+                loc = _table_location(self.spark, table)
+                with table_write_lock(self.spark, table, loc=loc):
+                    _overwrite(self.spark, table, df, None, loc=loc)
+                    versions.record_version(
+                        self.spark, table, "txn_commit", loc=loc
+                    )
         except Exception as e:
             self._aborted_txns.add(self.txn_id)
             self.txn_id = None

@@ -378,3 +378,30 @@ class TestTransactions:
         s = registry.get_or_create("tx-4")
         s.commit_transaction()
         s.rollback_transaction()
+
+
+class TestTransactionSnapshots:
+    def test_commit_records_snapshot_and_is_time_travelable(self, registry):
+        """COMMIT publishes under the table write lock and records a
+        manifest like every other write path — a transaction's result
+        must be visible to AT (VERSION =>) / read_current, and the
+        pre-commit state must stay readable."""
+        from swanlake_spark import versions
+
+        s = registry.get_or_create("tx-snap")
+        t = _mktable(s)
+        s.query(f"INSERT INTO {t} VALUES (1,'a'), (2,'b')")
+        spark = s.spark
+        v_before = versions.current_version(spark, t)
+        assert v_before >= 1
+        s.begin_transaction()
+        s.query(f"UPDATE {t} SET val = 'committed' WHERE id = 1")
+        s.commit_transaction()
+        v_after = versions.current_version(spark, t)
+        assert v_after > v_before
+        ops = [r.op for r in versions.snapshots(spark, t).collect()]
+        assert ops[-1] == "txn_commit"
+        old = versions.read_version(spark, t, v_before).collect()
+        assert {(r.id, r.val) for r in old} == {(1, "a"), (2, "b")}
+        cur = versions.read_current(spark, t).collect()
+        assert {(r.id, r.val) for r in cur} == {(1, "committed"), (2, "b")}
