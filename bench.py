@@ -248,10 +248,31 @@ def main() -> None:
 
     suite["curation_chunk"] = _Chunk
     suite["matview_partial_refresh"] = _MatviewRefresh
+    class _BpeTrain:
+        """32-merge BPE fit over the FULL documents table + corpus
+        encode: the corpus reads once (word-freq shuffle), then 32
+        bounded iterations over the distinct-word table."""
+
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import tokenizer
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            docs = spark.table("documents")
+            _, segmented = tokenizer.train_bpe(docs, n_merges=32)
+            enc = tokenizer.encode(docs, segmented)
+            return enc.agg(
+                F.count("*").alias("docs"), F.sum("n_tokens").alias("toks")
+            )
+
     suite["text_vocab_top1k"] = _Vocab
     suite["text_tfidf_top3"] = _Tfidf
     suite["validate_expectations"] = _Validate
     suite["sim_pq_adc_topk"] = _PqSearch
+    suite["bpe_train_encode_32"] = _BpeTrain
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 

@@ -1,0 +1,211 @@
+"""Distributed BPE tokenizer training + encoding.
+
+A training-data pipeline needs its tokenizer trained ON the corpus the
+engine curates (the reference feeds curated parquet to downstream
+training jobs; the tokenizer-fit step is the canonical first consumer).
+Classic BPE (Sennrich et al. 2016, public algorithm) fits here
+Spark-first:
+
+- **Train on word frequencies, not the corpus.** The corpus collapses
+  to a ``(word, freq)`` table first (one map-side-combinable shuffle —
+  at 100 TB the distinct-word table is vocabulary-sized, millions of
+  rows, not corpus-sized). Every merge iteration then runs on that
+  bounded table only.
+- **One shuffle per merge.** Each iteration explodes adjacent symbol
+  pairs weighted by word frequency, takes the max-count pair
+  (deterministic tiebreak: count DESC, pair ASC), and rewrites every
+  word's symbol array with a greedy left-to-right merge fold — a pure
+  ``F.aggregate`` lambda, JVM-side, no Python in the loop.
+- **Encoding is a join.** The trained table already carries every
+  in-vocabulary word's final segmentation; ``encode`` joins documents'
+  words against it (broadcast when the vocab is small) and falls back
+  to character symbols for OOV words (documented simplification: real
+  deployments export the merges to their tokenizer runtime; the
+  engine-side encoding exists for corpus statistics, packing and
+  dedup-by-token pipelines).
+
+Determinism: the merge sequence is a pure function of the word
+frequencies (ties broken lexicographically), so training is
+reproducible across layouts and engines — verified against a pure
+Python reference implementation in tests/test_tokenizer.py.
+
+Lineage: the word table re-persists per iteration and truncates
+lineage every ``_CHECKPOINT_EVERY`` merges via localCheckpoint — the
+table is vocabulary-sized (bounded, not corpus-sized), so
+executor-local copies are safe at any corpus scale; a lost executor
+restarts the (cheap) training loop, never touching corpus data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # word-end marker, per the original BPE formulation
+
+_CHECKPOINT_EVERY = 8
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over whitespace-split words — the bounded
+    training table (one shuffle, map-side combined)."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _char_symbols(word_col) -> "F.Column":
+    """word → [c1, c2, ..., cn, </w>]"""
+    chars = F.filter(
+        F.split(word_col, ""), lambda c: c != F.lit("")
+    )
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def _adjacent_pairs(syms) -> "F.Column":
+    """[(s_i, s_i+1)] structs for counting."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _merge_fold(syms, a: str, b: str) -> "F.Column":
+    """Greedy left-to-right merge of adjacent (a, b) → a+b inside a
+    symbol array — a single JVM-side aggregate fold, the same pass a
+    single-node BPE trainer makes over one word."""
+    ab = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("prev"),
+    )
+
+    def step(acc, x):
+        merged = F.struct(
+            F.concat(acc.out, F.array(F.lit(ab))).alias("out"),
+            F.lit("").alias("prev"),
+        )
+        shifted = F.struct(
+            F.when(
+                acc.prev != F.lit(""), F.concat(acc.out, F.array(acc.prev))
+            ).otherwise(acc.out).alias("out"),
+            x.alias("prev"),
+        )
+        return F.when(
+            (acc.prev == F.lit(a)) & (x == F.lit(b)), merged
+        ).otherwise(shifted)
+
+    def finish(acc):
+        return F.when(
+            acc.prev != F.lit(""), F.concat(acc.out, F.array(acc.prev))
+        ).otherwise(acc.out)
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Fit ``n_merges`` BPE merges on ``df``'s text column.
+
+    Returns ``(merges, segmented)``: the ordered merge list and the
+    ``(word, freq, tokens)`` table holding every distinct word's final
+    segmentation (the encoding join table). Each iteration is one
+    bounded shuffle over the distinct-word table; the corpus itself is
+    read exactly once (inside :func:`word_freqs`)."""
+    # The distinct-word table is vocabulary-sized: a handful of
+    # partitions right-sizes every iteration's task count (32 tasks on
+    # a 20k-row table is pure scheduling overhead).
+    words = (
+        word_freqs(df, text_col)
+        .withColumn("syms", _char_symbols(F.col("word")))
+        .coalesce(8)
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    cur = words
+    for i in range(n_merges):
+        top = (
+            cur.select(
+                F.explode(_adjacent_pairs(F.col("syms"))).alias("p"),
+                F.col("freq"),
+            )
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] <= 1:
+            break  # nothing left worth merging (all pairs unique)
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        # Folds stay LAZY between checkpoints: each pair-count job
+        # re-executes at most _CHECKPOINT_EVERY folds over the bounded
+        # word table (cheap, one task round), which beats materializing
+        # every iteration (an extra job per merge). The periodic
+        # checkpoint truncates lineage so plan-analysis cost stays flat.
+        cur = cur.withColumn("syms", _merge_fold(F.col("syms"), a, b))
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            cur = cur.localCheckpoint(eager=True)
+    segmented = cur.select(
+        "word", "freq", F.col("syms").alias("tokens")
+    )
+    return merges, segmented
+
+
+def encode(
+    df: DataFrame,
+    segmented: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenize documents with a trained segmentation table:
+    ``(id, tokens, n_tokens)``. Words join against the trained table
+    (broadcast by default — vocabularies are dim-sized); OOV words fall
+    back to character symbols. Token order is reconstructed from the
+    word's position, so the output is deterministic."""
+    seg = segmented.select("word", "tokens")
+    if broadcast_vocab:
+        seg = F.broadcast(seg)
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    joined = exploded.join(seg, "word", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(
+            F.col("tokens"), _char_symbols(F.col("word"))
+        ).alias("word_tokens"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("word_tokens"))
+                        )
+                    ),
+                    lambda s: s.word_tokens,
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens"))
+    )

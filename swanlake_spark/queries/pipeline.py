@@ -323,6 +323,40 @@ _add(
 )
 
 
+def _bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 32 BPE merges on the documents corpus and encode it:
+    (doc_id, n_tokens, tokens_md5). Deterministic (merge ties break
+    lexicographically; training is layout-independent), so the frozen
+    expected locks it; the merge sequence itself is verified against a
+    pure-Python reference BPE in tests/test_tokenizer.py."""
+    from swanlake_spark.operators import tokenizer
+
+    docs = _docs(spark, sf_dir)
+    _, segmented = tokenizer.train_bpe(docs, n_merges=32)
+    enc = tokenizer.encode(docs, segmented)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+    ).orderBy("doc_id")
+
+
+_add(
+    "pipe_bpe_tokenize",
+    _bpe_tokenize,
+    f"""
+    SELECT doc_id, n_tokens, tokens_md5
+    FROM read_parquet('{{root}}/tests/expected/bpe_sf0_01.parquet')
+    WHERE (SELECT sum(length(text)) FROM documents) = 149174
+    UNION ALL
+    SELECT doc_id, n_tokens, tokens_md5
+    FROM read_parquet('{{root}}/tests/expected/bpe_sf0_001.parquet')
+    WHERE (SELECT sum(length(text)) FROM documents) = 153156
+    ORDER BY doc_id
+    """.replace("{root}", _REPO_ROOT),
+)
+
+
 def _sim_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three approximate-nearest-neighbor scale paths — hyperplane
     LSH, IVF probe, PQ/ADC — top-10 for one fixed query vector in one
@@ -1434,6 +1468,10 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # remain hash-matched by tests/test_oracle_corpus.py
     "pipe_dedup_exact",
     "pipe_shuffle",
+    # frozen-oracled but outside the full 50-slot window (hash-matched
+    # at both SFs by the pytest corpus; reference-BPE-verified in
+    # test_tokenizer.py)
+    "pipe_bpe_tokenize",
     # rows-only sketch variants (simhash graduated to a frozen oracle)
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",

@@ -1,0 +1,105 @@
+"""BPE tokenizer training (operators/tokenizer.py) verified against an
+independent pure-Python reference implementation of classic BPE
+(Sennrich et al. 2016): same word-frequency input → the merge sequence,
+final segmentations, and document encodings must match exactly."""
+
+import pytest
+
+from swanlake_spark.operators import tokenizer
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Straightforward single-node BPE: dict of word → symbol list,
+    loop: count pairs, merge the (count DESC, pair ASC) winner."""
+    words = {
+        w: tuple(list(w) + [tokenizer.END]) for w in word_freqs
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] <= 1:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        merged = {}
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[w] = tuple(out)
+        words = merged
+    return merges, {w: list(s) for w, s in words.items()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ate the rat"),
+        (3, "a cat and a rat and a mat"),
+        (4, "low lower lowest low low"),
+        (5, "new newer newest new new newer"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+class TestTrainBpe:
+    def test_merges_match_reference(self, spark, corpus):
+        freqs = {
+            r.word: r.freq
+            for r in tokenizer.word_freqs(corpus).collect()
+        }
+        ref_merges, ref_segs = _ref_bpe(freqs, n_merges=12)
+        merges, segmented = tokenizer.train_bpe(corpus, n_merges=12)
+        assert merges == ref_merges
+        got = {r.word: list(r.tokens) for r in segmented.collect()}
+        assert got == ref_segs
+
+    def test_training_is_deterministic(self, spark, corpus):
+        m1, _ = tokenizer.train_bpe(corpus, n_merges=6)
+        m2, _ = tokenizer.train_bpe(
+            corpus.repartition(7), n_merges=6
+        )  # layout must not matter
+        assert m1 == m2
+
+    def test_encode_reconstructs_word_order(self, spark, corpus):
+        merges, segmented = tokenizer.train_bpe(corpus, n_merges=12)
+        enc = tokenizer.encode(corpus, segmented)
+        row = {r.doc_id: (list(r.tokens), r.n_tokens) for r in enc.collect()}
+        # decoding: strip end markers → the original words in order
+        for doc in corpus.collect():
+            toks, n = row[doc.doc_id]
+            assert n == len(toks)
+            text = "".join(toks).replace(tokenizer.END, " ").strip()
+            assert text == " ".join(doc.text.split())
+
+    def test_encode_oov_falls_back_to_chars(self, spark, corpus):
+        _, segmented = tokenizer.train_bpe(corpus, n_merges=4)
+        oov = spark.createDataFrame(
+            [(9, "zzz the")], "doc_id int, text string"
+        )
+        enc = tokenizer.encode(oov, segmented).collect()[0]
+        toks = list(enc.tokens)
+        # "zzz" never seen → char symbols; "the" seen → trained tokens
+        assert toks[:4] == ["z", "z", "z", tokenizer.END]
+
+    def test_sf_corpus_runs_and_counts(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+        merges, segmented = tokenizer.train_bpe(docs, n_merges=16)
+        assert 1 <= len(merges) <= 16
+        enc = tokenizer.encode(docs, segmented)
+        agg = enc.agg({"n_tokens": "sum"}).collect()[0][0]
+        assert agg > 0
