@@ -239,3 +239,57 @@ class TestFlightSqlTransactions:
         c.rollback(txn)
         tbl = c.execute(f"SELECT count(*) AS c FROM {t}")
         assert tbl.column("c")[0].as_py() == 1
+
+
+class TestCrossProcessClient:
+    def test_independent_process_speaks_flight_sql(self, flight):
+        """A SEPARATE OS process with its own hand-rolled Flight SQL
+        protobuf encoding (no swanlake import — only pyarrow.flight and
+        20 lines of varint framing against the public FlightSql.proto
+        field numbers) queries the server over real gRPC — the closest
+        available stand-in for an external ADBC client (no ADBC libs in
+        this environment; reference clients are ADBC,
+        swanlake-client/src/client.rs:109-172)."""
+        import subprocess
+        import sys
+
+        script = r'''
+import sys
+import pyarrow.flight as fl
+
+def tag(field, wire):
+    return bytes([(field << 3) | wire])
+
+def varint(n):
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+def ld(field, data):  # length-delimited field
+    return tag(field, 2) + varint(len(data)) + data
+
+query = ld(1, sys.argv[2].encode())
+type_url = b"type.googleapis.com/arrow.flight.protocol.sql.CommandStatementQuery"
+any_msg = ld(1, type_url) + ld(2, query)
+client = fl.connect(sys.argv[1])
+info = client.get_flight_info(fl.FlightDescriptor.for_command(any_msg))
+tbl = client.do_get(info.endpoints[0].ticket).read_all()
+print("XP_RESULT:", tbl.num_rows, tbl.column(0).to_pylist())
+'''
+        out = subprocess.run(
+            [
+                sys.executable, "-c", script, flight,
+                "SELECT n_nationkey FROM nation "
+                "WHERE n_nationkey < 3 ORDER BY n_nationkey",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert "XP_RESULT: 3 [0, 1, 2]" in out.stdout, (
+            out.stdout, out.stderr[-800:]
+        )
