@@ -249,8 +249,8 @@ def main() -> None:
     suite["curation_chunk"] = _Chunk
     suite["matview_partial_refresh"] = _MatviewRefresh
     class _BpeTrain:
-        """32-merge BPE fit over the FULL documents table + corpus
-        encode: the corpus reads once (word-freq shuffle), then 32
+        """16-merge BPE fit over the FULL documents table + corpus
+        encode: the corpus reads once (word-freq shuffle), then 16
         bounded iterations over the distinct-word table."""
 
         @staticmethod
@@ -262,7 +262,7 @@ def main() -> None:
 
             ensure_tables(spark, sf_dir)
             docs = spark.table("documents")
-            _, segmented = tokenizer.train_bpe(docs, n_merges=32)
+            _, segmented = tokenizer.train_bpe(docs, n_merges=16)
             enc = tokenizer.encode(docs, segmented)
             return enc.agg(
                 F.count("*").alias("docs"), F.sum("n_tokens").alias("toks")
@@ -272,7 +272,7 @@ def main() -> None:
     suite["text_tfidf_top3"] = _Tfidf
     suite["validate_expectations"] = _Validate
     suite["sim_pq_adc_topk"] = _PqSearch
-    suite["bpe_train_encode_32"] = _BpeTrain
+    suite["bpe_train_encode_16"] = _BpeTrain
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 

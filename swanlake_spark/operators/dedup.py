@@ -583,3 +583,52 @@ def embedding_dedup(
         ).select("b")
     dups = pairs.distinct()
     return df.join(dups, df[id_col] == dups["b"], "left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means-cluster the embedding space, then compare pairs
+    ONLY within a cluster and drop every row whose cosine to a
+    lower-id cluster-mate is ≥ ``threshold``. Keep-lowest-id, the same
+    representative convention as :func:`embedding_dedup`.
+
+    Scale shape: the deterministic codebook
+    (:func:`similarity.ivf_centroids` — lowest-id seeding + stabilized
+    Lloyd means) ships as a plan literal; assignment is one narrow
+    projection; the only join is the within-cluster self-join on
+    ``_cid`` — the cluster granularity bounds the quadratic term
+    exactly as the published method intends (cluster count scales with
+    corpus size; pair work is Σ cluster² instead of n²). The cosine is
+    exact — clustering only limits WHICH pairs are compared, never the
+    score, so the drop decision for compared pairs matches the exact
+    method bit-for-bit."""
+    from swanlake_spark.operators import similarity
+
+    cents = centroids or similarity.ivf_centroids(
+        df, n_clusters, id_col, vec_col
+    )
+    assigned = similarity.ivf_assign(df, cents, id_col, vec_col)
+    a = assigned.select(
+        F.col("_cid"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("_cid"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    dups = (
+        a.join(b, "_cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "sim", F.round(similarity.cosine(F.col("va"), F.col("vb")), 4)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("b")
+        .distinct()
+    )
+    return df.join(dups, df[id_col] == dups["b"], "left_anti")

@@ -1055,3 +1055,69 @@ class TestValidation:
             F.sum(F.when(F.col("id").isNull(), 1).otherwise(0)).alias("v0"),
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan") <= 2  # single source, no re-scans
+
+
+class TestSemanticDedup:
+    """SemDeDup (cluster-bounded pairwise semantic dedup) verified
+    against an independent numpy reference: same centroids → identical
+    assignments, identical within-cluster drop set."""
+
+    def _ref(self, ids, V, cents, threshold):
+        import numpy as np
+
+        C = np.asarray(cents, dtype=float)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        cid = np.argmax(Vn @ Cn.T, axis=1)
+        drop = set()
+        for c in set(cid.tolist()):
+            members = [i for i in range(len(ids)) if cid[i] == c]
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    i, j = members[x], members[y]
+                    sim = round(float(Vn[i] @ Vn[j]), 4)
+                    if sim >= threshold:
+                        drop.add(ids[max(i, j, key=lambda k: ids[k])])
+        return drop
+
+    def test_matches_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import dedup, similarity
+
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+        # synthetic semantic duplicates: scaled copies of every 5th
+        # vector (cosine exactly 1.0 to the original) under new ids —
+        # random synthetic embeddings are near-orthogonal, so without
+        # these nothing would ever cross a meaningful threshold
+        clones = base.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.25)
+            ).alias("embedding"),
+            "label",
+        )
+        emb = base.unionByName(clones)
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = [r.vec_id for r in rows]
+        V = np.array([list(r.embedding) for r in rows], dtype=float)
+        cents = similarity.ivf_centroids(emb, 8)
+        kept = dedup.semantic_dedup(
+            emb, threshold=0.95, n_clusters=8, centroids=cents
+        )
+        got_kept = {r.vec_id for r in kept.select("vec_id").collect()}
+        ref_drop = self._ref(ids, V, cents, 0.95)
+        assert got_kept == set(ids) - ref_drop
+        assert len(ref_drop) >= 30, "clones must actually dedup"
+
+    def test_pair_join_is_cluster_bounded(self, spark, sf_dir):
+        """The only join must be the _cid equi-join — no cross product
+        in the plan."""
+        from swanlake_spark.operators import dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+        kept = dedup.semantic_dedup(emb, threshold=0.9, n_clusters=4)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
