@@ -1,0 +1,183 @@
+"""Batch event-stream analytics: sessionization, funnels, cohort
+retention.
+
+The reference's `events` workload (tests exercise event scans and
+time-ordered aggregations) plus the standard product-analytics
+operators every event warehouse grows. All three are pure
+DataFrame/window compositions — no UDFs, no iteration — and every
+shuffle is keyed on ``user_id`` (or the derived cohort), so at 100 TB
+the work partitions by user exactly like the streaming sessionizer
+(`streaming/ingest.sessionize` is the stateful online twin of
+:func:`sessionize_batch` — same gap semantics; the batch operator is
+hash-verified against an equivalent DuckDB window-SQL oracle).
+
+Scale notes: one sort-shuffle on ``user_id`` serves both the lag and
+the running-sum window in :func:`sessionize_batch` (same partition
+key + ordering → Catalyst reuses the exchange). Funnels reduce to one
+groupBy(user) over a pre-filtered scan (steps are a tiny IN filter).
+Retention is two user-keyed aggregates + one join on the bounded
+(user, period) grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+
+def _secs(col) -> "F.Column":
+    """Epoch seconds as double for TZ or NTZ timestamps (the engine
+    pins the session timezone to UTC, so NTZ→timestamp is
+    value-preserving)."""
+    return col.cast("timestamp").cast("double")
+
+
+def sessionize_batch(
+    df: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Adds ``session_id``
+    (``<user>-<n>``, 1-based per user) and ``is_session_start``.
+
+    One sort-shuffle: both windows (lag + running count) share the
+    ``partitionBy(user) orderBy(ts)`` spec, so Catalyst plans a single
+    exchange + sort."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = gap_minutes * 60.0
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = (
+        prev.isNull()
+        | (
+            _secs(F.col(ts_col)) - _secs(prev)
+            > F.lit(gap_s)
+        )
+    ).cast("long")
+    out = df.withColumn("is_session_start", new_session)
+    sess_n = F.sum("is_session_start").over(w)
+    return out.withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"), sess_n),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup: (user, session_id, n_events, start, end,
+    duration_s)."""
+    s = sessionize_batch(df, gap_minutes, user_col, ts_col)
+    return s.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start"),
+        F.max(ts_col).alias("end"),
+        F.round(
+            F.max(_secs(F.col(ts_col))) - F.min(_secs(F.col(ts_col))),
+            3,
+        ).alias("duration_s"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: one row per step with the number of users who
+    reached it IN ORDER (step i's first qualifying event must be at or
+    after the user's step i-1 time). Returns (step_index, step,
+    users).
+
+    Shape: filter to the step types (tiny IN pushed to the scan), one
+    groupBy(user) computing each step's earliest qualifying timestamp
+    left-to-right via conditional mins — no joins, no windows."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    filtered = df.filter(F.col(type_col).isin(list(steps)))
+    # step_ts[0] = min ts of step0; step_ts[i] = min ts of step_i that
+    # is >= step_ts[i-1]. min(CASE ...) per user does this in ONE agg
+    # when computed iteratively over a self-joining plan — instead
+    # aggregate per (user, type) minimal info: collect each type's
+    # sorted event times (bounded by the funnel's steps only) and fold
+    # driver-free with array functions.
+    per_user = filtered.groupBy(user_col).agg(
+        *[
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col(type_col) == s, _secs(F.col(ts_col)))
+                )
+            ).alias(f"_ts_{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # fold: t0 = first(_ts_0); t_i = first element of _ts_i >= t_{i-1}
+    reached = per_user
+    prev_expr = None
+    for i in range(len(steps)):
+        arr = F.col(f"_ts_{i}")
+        if prev_expr is None:
+            cur = F.try_element_at(arr, F.lit(1))
+        else:
+            ge = F.filter(arr, lambda x: x >= prev_expr)  # noqa: B023
+            cur = F.when(prev_expr.isNull(), F.lit(None)).otherwise(
+                F.try_element_at(ge, F.lit(1))
+            )
+        reached = reached.withColumn(f"_t{i}", cur)
+        prev_expr = F.col(f"_t{i}")
+    aggs = [
+        F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(steps))
+    ]
+    counts = reached.agg(*aggs).collect()[0]
+    rows = [
+        (i + 1, steps[i], int(counts[f"_n{i}"])) for i in range(len(steps))
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "step_index int, step string, users bigint"
+    )
+
+
+def retention(
+    df: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity period;
+    for each (cohort, offset) the count of cohort users active in
+    cohort+offset. Returns (cohort, offset, users).
+
+    Two user-keyed aggregates (first period per user; distinct
+    user-periods) and one broadcast-able join on the bounded grid."""
+    trunc = F.date_trunc(period, F.col(ts_col))
+    activity = df.select(
+        F.col(user_col).alias("u"), trunc.alias("p")
+    ).distinct()
+    cohorts = activity.groupBy("u").agg(F.min("p").alias("cohort"))
+    per = {"week": 7 * 86400.0, "day": 86400.0, "month": None}[
+        period if period in ("week", "day", "month") else "week"
+    ]
+    joined = activity.join(cohorts, "u")
+    if per is None:
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        )
+    else:
+        offset = F.round(
+            (_secs(F.col("p")) - _secs(F.col("cohort"))) / F.lit(per)
+        ).cast("int")
+    return (
+        joined.withColumn("offset", offset)
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("u").alias("users"))
+        .orderBy("cohort", "offset")
+    )

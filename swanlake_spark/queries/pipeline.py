@@ -547,6 +547,117 @@ _add("pipe_sim_cosine_topk_ivf", _cos_topk_ivf, None)
 # -- as-of join (time-series "latest value as of") ---------------------------
 
 
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup (operators/events.py): per-session
+    event counts and durations over the events table; DuckDB oracle is
+    the equivalent lag + running-sum window SQL."""
+    from swanlake_spark.operators import events as EV
+
+    ensure_tables(spark, sf_dir)
+    return EV.session_stats(
+        spark.table("events"), gap_minutes=30.0
+    ).orderBy("user_id", "session_id")
+
+
+_add(
+    "pipe_sessionize",
+    _sessionize,
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) / 1000000.0
+                       - epoch_us(lag(ts) OVER w) / 1000000.0 > 1800.0
+                  THEN 1 ELSE 0 END AS st
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s2 AS (
+      SELECT user_id, ts,
+             sum(st) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sn
+      FROM s
+    )
+    SELECT user_id,
+           CAST(user_id AS VARCHAR) || '-' || CAST(sn AS VARCHAR)
+             AS session_id,
+           count(*) AS n_events,
+           min(ts) AS start, max(ts) AS "end",
+           round(epoch_us(max(ts)) / 1000000.0
+                 - epoch_us(min(ts)) / 1000000.0, 3) AS duration_s
+    FROM s2
+    GROUP BY user_id, sn
+    ORDER BY user_id, session_id
+    """,
+)
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→view→purchase funnel (operators/events.py): the
+    DuckDB oracle chains per-step conditional mins through joins —
+    step i's earliest event at-or-after the user's step i-1 time."""
+    from swanlake_spark.operators import events as EV
+
+    ensure_tables(spark, sf_dir)
+    return EV.funnel(
+        spark.table("events"), ["signup", "view", "purchase"]
+    ).orderBy("step_index")
+
+
+_add(
+    "pipe_funnel",
+    _funnel,
+    """
+    WITH u0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    u1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN u0 ON e.user_id = u0.user_id AND e.ts >= u0.t0
+      WHERE e.event_type = 'view' GROUP BY e.user_id),
+    u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u1 ON e.user_id = u1.user_id AND e.ts >= u1.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS step_index, 'signup' AS step, count(*) AS users FROM u0
+    UNION ALL
+    SELECT 2, 'view', count(*) FROM u1
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM u2
+    ORDER BY step_index
+    """,
+)
+
+
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/events.py) — cohort = the
+    user's first active week; users counted per (cohort, offset)."""
+    from swanlake_spark.operators import events as EV
+
+    ensure_tables(spark, sf_dir)
+    return EV.retention(spark.table("events"), period="week").withColumn(
+        "cohort", F.col("cohort").cast("timestamp")
+    )
+
+
+_add(
+    "pipe_retention",
+    _retention,
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events),
+    coh AS (SELECT u, min(p) AS cohort FROM act GROUP BY u)
+    SELECT CAST(coh.cohort AS TIMESTAMP) AS cohort,
+           CAST(round((epoch_us(act.p) / 1000000.0
+                 - epoch_us(coh.cohort) / 1000000.0) / 604800.0)
+                AS INT) AS offset,
+           count(DISTINCT act.u) AS users
+    FROM act JOIN coh ON act.u = coh.u
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+
 def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each click event, the user's latest purchase at-or-before the
     click. Spark side is the tag+union+window carry-forward operator
@@ -1472,6 +1583,10 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # at both SFs by the pytest corpus; reference-BPE-verified in
     # test_tokenizer.py)
     "pipe_bpe_tokenize",
+    # corpus-verified event analytics (r4), outside the full window
+    "pipe_sessionize",
+    "pipe_funnel",
+    "pipe_retention",
     # rows-only sketch variants (simhash graduated to a frozen oracle)
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",

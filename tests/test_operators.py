@@ -1121,3 +1121,56 @@ class TestSemanticDedup:
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEventAnalytics:
+    def test_sessionize_gap_boundary(self, spark):
+        """An inter-event gap EXACTLY equal to the threshold does NOT
+        start a new session (strictly-greater semantics, matching the
+        oracle SQL); one microsecond over does."""
+        from swanlake_spark.operators import events as EV
+
+        rows = [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00"),          # gap == 30 min → same
+            (1, "2024-01-01 01:00:00.000001"),   # 1 µs over → new
+            (2, "2024-01-01 00:00:00"),          # other user independent
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        s = EV.sessionize_batch(df, gap_minutes=30.0)
+        got = {
+            (r.user_id, str(r.ts), r.session_id)
+            for r in s.collect()
+        }
+        sess = {r.session_id for r in s.filter("user_id = 1").collect()}
+        assert sess == {"1-1", "1-2"}
+        assert ("2", ) not in got  # sanity: user 2 got its own 2-1
+        assert {r.session_id for r in s.filter("user_id = 2").collect()} == {
+            "2-1"
+        }
+
+    def test_funnel_requires_order(self, spark):
+        """A user who purchases BEFORE viewing does not count for the
+        view→purchase step."""
+        from swanlake_spark.operators import events as EV
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "signup"),
+            (1, "2024-01-01 00:01:00", "purchase"),  # too early
+            (1, "2024-01-01 00:02:00", "view"),
+            (2, "2024-01-01 00:00:00", "signup"),
+            (2, "2024-01-01 00:01:00", "view"),
+            (2, "2024-01-01 00:02:00", "purchase"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r.step, r.users)
+            for r in EV.funnel(
+                df, ["signup", "view", "purchase"]
+            ).collect()
+        }
+        assert out == {("signup", 2), ("view", 2), ("purchase", 1)}
