@@ -103,9 +103,19 @@ def sessionize(
     than ``gap``; a session row is emitted when event time (the
     watermark) passes ``last_event + gap``.
 
-    State per user is four scalars — memory is O(active users), expired
-    by event-time timeout, the bounded-state contract that makes this
-    safe on an unbounded stream.
+    State per user is the OPEN session runs — gap-separated
+    ``(start, last, n, sum)`` intervals. Multiple runs exist exactly
+    when one micro-batch (or late data) carries events more than
+    ``gap`` apart whose sessions the watermark has not yet sealed:
+    closing them eagerly would be wrong, because an allowed-late event
+    can still arrive between two runs and BRIDGE them into one session.
+    Runs are emitted only once the watermark passes ``last + gap`` —
+    the same decision rule, and the same results, as the batch operator
+    (operators/events.sessionize_batch) once all data is in; the parity
+    test in tests/test_streaming.py asserts exactly that. Memory is
+    O(active users × runs inside the lateness horizon) — bounded by the
+    watermark, the contract that makes this safe on an unbounded
+    stream.
     """
     import pandas as pd  # noqa: F401 (applyInPandasWithState ships pandas)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -119,39 +129,98 @@ def sessionize(
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long, sum_value double"
     )
-    state_schema = "start long, last long, n long, s double"
+    state_schema = (
+        "starts array<long>, lasts array<long>, ns array<long>, "
+        "ss array<double>"
+    )
+
+    def _emit(user_id, runs):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(runs),
+                "session_start": [
+                    pd.Timestamp(r[0], unit="ms") for r in runs
+                ],
+                "session_end": [pd.Timestamp(r[1], unit="ms") for r in runs],
+                "n_events": [r[2] for r in runs],
+                "sum_value": [r[3] for r in runs],
+            }
+        )
+
+    def _flush(state, runs, wm):
+        """Emit watermark-sealed runs; keep/re-arm the rest."""
+        closed = [r for r in runs if r[1] + gap_ms <= wm]
+        keep = [r for r in runs if r[1] + gap_ms > wm]
+        if keep:
+            state.update((
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                [r[2] for r in keep],
+                [r[3] for r in keep],
+            ))
+            state.setTimeoutTimestamp(
+                max(min(r[1] + gap_ms for r in keep), wm + 1)
+            )
+        else:
+            state.remove()
+        return closed
 
     def fn(key, pdf_iter, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
-            start, last, n, s = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(last, unit="ms")],
-                    "n_events": [n],
-                    "sum_value": [s],
-                }
-            )
+            starts, lasts, ns, ss = state.get
+            runs = list(zip(starts, lasts, ns, ss))
+            closed = _flush(state, runs, state.getCurrentWatermarkMs())
+            if closed:
+                yield _emit(user_id, closed)
             return
-        start = last = None
-        n, s = 0, 0.0
+        runs: list[tuple[int, int, int, float]] = []
         if state.exists:
-            start, last, n, s = state.get
+            starts, lasts, ns, ss = state.get
+            runs = [list(r) for r in zip(starts, lasts, ns, ss)]
         for pdf in pdf_iter:
             ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-            start = min([start, *ts_ms]) if start is not None else min(ts_ms)
-            last = max([last, *ts_ms]) if last is not None else max(ts_ms)
-            n += len(pdf)
-            s += float(pdf["value"].fillna(0.0).sum())
-        state.update((start, last, n, s))
-        # Late rows are NOT auto-dropped for flatMapGroupsWithState (only
-        # aggregations drop them), so last+gap can lie behind the
-        # watermark — clamp, else Spark rejects the past timestamp.
-        wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
+            vals = pdf["value"].fillna(0.0).tolist()
+            for t, v in sorted(zip(ts_ms, vals)):
+                # place the event: extend/join a run within gap, else
+                # open a new run (kept sorted by start)
+                hit = None
+                for r in runs:
+                    if r[0] - gap_ms <= t <= r[1] + gap_ms:
+                        hit = r
+                        break
+                if hit is None:
+                    runs.append([t, t, 1, float(v)])
+                    runs.sort(key=lambda r: r[0])
+                else:
+                    hit[0] = min(hit[0], t)
+                    hit[1] = max(hit[1], t)
+                    hit[2] += 1
+                    hit[3] += float(v)
+                    # the grown run may now bridge its neighbours
+                    runs.sort(key=lambda r: r[0])
+                    merged = [runs[0]]
+                    for r in runs[1:]:
+                        p = merged[-1]
+                        if r[0] <= p[1] + gap_ms:
+                            p[1] = max(p[1], r[1])
+                            p[0] = min(p[0], r[0])
+                            p[2] += r[2]
+                            p[3] += r[3]
+                        else:
+                            merged.append(r)
+                    runs = merged
+        # Late rows are NOT auto-dropped for flatMapGroupsWithState
+        # (only aggregations drop them), so a run can already lie
+        # behind the watermark — _flush emits those immediately and the
+        # timeout clamp keeps Spark's past-timestamp check happy.
+        closed = _flush(
+            state,
+            [tuple(r) for r in runs],
+            state.getCurrentWatermarkMs(),
+        )
+        if closed:
+            yield _emit(user_id, closed)
 
     return (
         events.withWatermark("ts", watermark)

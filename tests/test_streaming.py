@@ -391,3 +391,76 @@ def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(batch) > 40  # long docs chunked into multiple rows
+
+
+def test_sessionize_stream_matches_batch_operator(spark):
+    """Parity: the streaming sessionizer's CLOSED sessions must equal
+    operators/events.sessionize_batch over the same events — the two
+    operators implement one gap semantics (batch is hash-verified
+    against a DuckDB window-SQL oracle, so this transitively anchors
+    the streaming path to SQL semantics too). A far-future sentinel
+    event pushes the watermark past every real session's gap so all of
+    them close and emit."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from swanlake_spark.operators import events as EV
+    from swanlake_spark.streaming import (
+        sessionize,
+        stream_events_from_directory,
+    )
+
+    d = tempfile.mkdtemp(prefix="swl_sesspar_")
+    base = [
+        # user 1: two sessions (gap 10 min > 5-minute threshold)
+        {"event_id": 1, "ts": "2025-01-01T00:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2025-01-01T00:02:00.000Z", "user_id": 1,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2025-01-01T00:12:30.000Z", "user_id": 1,
+         "event_type": "click", "value": 4.0, "props": "{}"},
+        # user 2: one session of three events
+        {"event_id": 4, "ts": "2025-01-01T00:01:00.000Z", "user_id": 2,
+         "event_type": "click", "value": 5.0, "props": "{}"},
+        {"event_id": 5, "ts": "2025-01-01T00:04:00.000Z", "user_id": 2,
+         "event_type": "view", "value": 6.0, "props": "{}"},
+        {"event_id": 6, "ts": "2025-01-01T00:05:30.000Z", "user_id": 2,
+         "event_type": "view", "value": 7.0, "props": "{}"},
+    ]
+    with open(os.path.join(d, "b1.json"), "w") as f:
+        for r in base:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(d, "b2.json"), "w") as f:
+        f.write(json.dumps(
+            {"event_id": 99, "ts": "2025-01-01T12:00:00.000Z", "user_id": 9,
+             "event_type": "click", "value": 0.0, "props": "{}"}
+        ) + "\n")
+
+    events = stream_events_from_directory(spark, d, max_files_per_trigger=1)
+    sessions = sessionize(events, gap="5 minutes", watermark="1 minute")
+    name = "sess_parity"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r.user_id in (1, 2)
+    }
+    bdf = spark.createDataFrame(
+        [(r["user_id"], r["ts"]) for r in base], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        (r.user_id, str(r.start), str(r.end), r.n_events)
+        for r in EV.session_stats(bdf, gap_minutes=5.0).collect()
+    }
+    assert got == expected
+    assert len(expected) == 3  # 2 sessions for user 1, 1 for user 2
