@@ -221,6 +221,10 @@ def record_version(
     collision, so two concurrent appends (the only writes not under the
     table write lock) can never silently overwrite each other's
     snapshot."""
+    # consume the pending explicit list unconditionally — an early
+    # return (versioning disabled, unresolvable location) must not
+    # leave a stale list behind for some later, unrelated manifest
+    files = _PENDING_FILES.pop(table.strip('`"').lower(), None)
     if not _ENABLED:
         return None
     if loc is None:
@@ -229,9 +233,7 @@ def record_version(
         loc = _table_location(spark, table)
     root = versions_root(spark, table, loc)
     if loc is None or root is None:
-        _PENDING_FILES.pop(table.strip('`"').lower(), None)
         return None
-    files = _PENDING_FILES.pop(table.strip('`"').lower(), None)
     if files is None:
         files = _list_data_files(spark, loc)
     n = current_version(spark, table, loc) + 1
