@@ -251,7 +251,9 @@ def _publish_by_move(
         if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)):
             raise IOError(
                 f"publish rename failed for {st.getPath()} -> {dst}; "
-                f"table files untouched, staged data at {src_dir}"
+                f"incumbent files untouched (earlier staged renames may "
+                f"already be in place — remove them), staged data at "
+                f"{src_dir}"
             )
         news.append((name, int(st.getLen())))
     # Snapshot retention: move the outgoing data files aside instead of
@@ -703,7 +705,9 @@ def _publish_file_swap(
         if not fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)):
             raise IOError(
                 f"file-swap rename failed for {st.getPath()} -> {dst}; "
-                f"table files untouched, staged data at {staged_dir}"
+                f"incumbent files untouched (earlier staged renames may "
+                f"already be in place — remove them), staged data at "
+                f"{staged_dir}"
             )
         news.append((name, int(st.getLen())))
     # Snapshot retention: retire the matched originals, delete whatever
