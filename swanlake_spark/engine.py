@@ -207,6 +207,27 @@ class Engine:
             if kw.startswith("VACUUM"):
                 last_df = self._vacuum(stmt)
                 continue
+            scm = re.match(
+                r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`\"]+)\s*;?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if scm:
+                last_df = self._show_create_table(scm.group(1).strip('`"'))
+                continue
+            dhm = re.match(
+                r"^\s*DESCRIBE\s+HISTORY\s+([\w.`\"]+)\s*;?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if dhm:
+                # Delta's spelling for the snapshot log → snapshots('t')
+                from swanlake_spark import versions
+
+                last_df = versions.snapshots(
+                    self.spark, dhm.group(1).strip('`"')
+                )
+                continue
             if kw.startswith("FROM"):
                 # DuckDB's leading-FROM shorthand: `FROM t [...]`
                 stmt = "SELECT * " + stmt
@@ -569,6 +590,48 @@ class Engine:
         if fk_table and fk_defs:
             constraints.register_fks(fk_table, fk_defs)
         self._record_table_version(table, "create")
+
+    def _show_create_table(self, table: str):
+        """``SHOW CREATE TABLE`` with the engine-enforced constraints
+        reconstituted into the DDL. Spark never saw the PK/CHECK/FK
+        clauses (they are stripped before Catalyst and enforced at the
+        write choke points), but a user migrating schemas — DuckDB
+        prints them in its DDL — needs them back. The clauses are
+        rebuilt from the durable constraint registry and injected at
+        the end of Spark's emitted column list."""
+        ddl = self.spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+        clauses: list[str] = []
+        pk = constraints.pk_columns(table)
+        if pk:
+            clauses.append(
+                "PRIMARY KEY (" + ", ".join(f"`{c}`" for c in pk) + ")"
+            )
+        for name, expr in constraints.check_exprs(table):
+            clauses.append(f"CONSTRAINT `{name}` CHECK ({expr})")
+        for child_cols, parent, parent_cols in constraints.fk_list(table):
+            clauses.append(
+                "FOREIGN KEY ("
+                + ", ".join(f"`{c}`" for c in child_cols)
+                + f") REFERENCES {parent} ("
+                + ", ".join(f"`{c}`" for c in parent_cols)
+                + ")"
+            )
+        if clauses:
+            # Spark formats the column block as "(...)\nUSING ..." —
+            # inject before that closing paren (column types may carry
+            # their own parens, so match the block terminator, not a
+            # bare paren).
+            marker = ")\nUSING "
+            at = ddl.find(marker)
+            if at >= 0:
+                ddl = (
+                    ddl[:at] + ",\n  " + ",\n  ".join(clauses) + ddl[at:]
+                )
+            else:
+                ddl += "\n-- constraints: " + "; ".join(clauses)
+        return self.spark.createDataFrame(
+            [(ddl,)], "createtab_stmt string"
+        )
 
     # -- catalog metadata (A20-A25) ----------------------------------------
 

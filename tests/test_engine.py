@@ -1190,3 +1190,57 @@ class TestFileGranularCow:
         }
         assert all(got[k] == "wa" for k in range(6))
         assert all(got[k] == "wb" for k in range(500, 506))
+
+
+class TestShowCreateWithConstraints:
+    def test_constraints_reconstituted_in_ddl(self, spark, engine):
+        import tempfile
+
+        loc1, loc2 = (
+            tempfile.mkdtemp(prefix="swl_sct_") for _ in range(2)
+        )
+        engine.execute(
+            f"CREATE TABLE sct_par (pid INT PRIMARY KEY) "
+            f"USING parquet LOCATION '{loc1}'"
+        )
+        engine.execute(
+            f"CREATE TABLE sct_t (id INT PRIMARY KEY, "
+            f"qty INT CHECK (qty > 0), "
+            f"pid INT REFERENCES sct_par(pid)) "
+            f"USING parquet LOCATION '{loc2}'"
+        )
+        try:
+            ddl = engine.query(
+                "SHOW CREATE TABLE sct_t"
+            ).df.collect()[0].createtab_stmt
+            assert "PRIMARY KEY (`id`)" in ddl
+            assert "CHECK (qty > 0)" in ddl
+            assert "FOREIGN KEY (`pid`) REFERENCES sct_par (`pid`)" in ddl
+            # the emitted DDL is still inside the column list, ahead of
+            # the USING clause
+            assert ddl.index("PRIMARY KEY") < ddl.index("USING parquet")
+            # round trip: the emitted DDL re-parses through the engine's
+            # own constraint stripper (fresh name to avoid collision)
+            from swanlake_spark import constraints as C
+
+            renamed = ddl.replace("sct_t", "sct_t2")
+            _, t, pk = C.extract_and_strip_pk(renamed)
+            assert pk == ["id"]
+        finally:
+            engine.execute("DROP TABLE IF EXISTS sct_t")
+            engine.execute("DROP TABLE IF EXISTS sct_par")
+
+    def test_describe_history_alias(self, spark, engine):
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="swl_dh_")
+        engine.execute(
+            f"CREATE TABLE dh_t (id INT) USING parquet LOCATION '{loc}'"
+        )
+        try:
+            engine.execute("INSERT INTO dh_t VALUES (1)")
+            engine.execute("UPDATE dh_t SET id = 2 WHERE id = 1")
+            rows = engine.query("DESCRIBE HISTORY dh_t").df.collect()
+            assert [r.op for r in rows][-2:] == ["insert", "update"]
+        finally:
+            engine.execute("DROP TABLE IF EXISTS dh_t")
