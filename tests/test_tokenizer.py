@@ -103,3 +103,35 @@ class TestTrainBpe:
         enc = tokenizer.encode(docs, segmented)
         agg = enc.agg({"n_tokens": "sum"}).collect()[0][0]
         assert agg > 0
+
+
+class TestTrainBpeProperties:
+    def test_random_corpora_match_reference(self, spark):
+        """Property check: random corpora over a 2-letter alphabet
+        (maximally merge-ambiguous — runs like 'aaaa' stress the greedy
+        left-to-right fold and lexicographic tie-breaks) must reproduce
+        the reference implementation exactly."""
+        import random
+
+        rng = random.Random(1234)
+        for trial in range(6):
+            words = [
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(4, 10))
+            ]
+            text_rows = [
+                (i, " ".join(rng.choices(words, k=rng.randint(2, 8))))
+                for i in range(4)
+            ]
+            corpus = spark.createDataFrame(
+                text_rows, "doc_id int, text string"
+            )
+            freqs = {
+                r.word: r.freq
+                for r in tokenizer.word_freqs(corpus).collect()
+            }
+            ref_merges, ref_segs = _ref_bpe(freqs, n_merges=8)
+            merges, segmented = tokenizer.train_bpe(corpus, n_merges=8)
+            assert merges == ref_merges, (trial, words)
+            got = {r.word: list(r.tokens) for r in segmented.collect()}
+            assert got == ref_segs, (trial, words)
