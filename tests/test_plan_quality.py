@@ -390,3 +390,51 @@ class TestCboStatistics:
             assert int(str(stats.rowCount().get())) == 600
         finally:
             spark.sql("DROP TABLE IF EXISTS cbo_c")
+
+
+class TestEventAnalyticsPlans:
+    def test_sessionize_single_exchange(self, spark, sf_dir):
+        """Both windows (lag + running sum) share partitionBy(user)
+        orderBy(ts), so Catalyst plans ONE shuffle for the whole
+        sessionization."""
+        from swanlake_spark.operators import events as EV
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        plan = (
+            EV.sessionize_batch(ev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re as _re
+
+        # count shuffle exchanges only (AQE may add reused references)
+        n_ex = len(_re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, plan[:2000]
+
+    def test_funnel_has_no_joins(self, spark, sf_dir):
+        """Funnel reach is one pre-filtered groupBy(user) + array folds
+        — no join anywhere in the plan."""
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import events as EV
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # reconstruct the pre-collect plan: same pipeline as funnel()
+        filtered = ev.filter(
+            F.col("event_type").isin(["signup", "view", "purchase"])
+        )
+        per_user = filtered.groupBy("user_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == "signup",
+                        F.col("ts").cast("timestamp").cast("double"),
+                    )
+                )
+            ).alias("_ts_0")
+        )
+        plan = per_user._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        # the step-type filter reaches the scan as a pushed filter
+        assert "PushedFilters: [" in plan and "In(event_type" in plan
