@@ -385,6 +385,40 @@ class Engine:
                 if dm:
                     constraints.drop_constraint(dm.group(1), dm.group(2))
                     continue
+                # DROP COLUMN / RENAME COLUMN: DuckDB supports both;
+                # Spark v1 parquet tables support neither — the engine
+                # rewrites the table copy-on-write (schema_evolution.py)
+                dcm = re.match(
+                    r"^\s*ALTER\s+TABLE\s+([\w.`\"]+)\s+DROP\s+"
+                    r"COLUMN\s+([\w`\"]+)\s*;?\s*$",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if dcm:
+                    from swanlake_spark.operators import schema_evolution
+
+                    schema_evolution.drop_column(
+                        self.spark,
+                        dcm.group(1).strip('`"'),
+                        dcm.group(2).strip('`"'),
+                    )
+                    continue
+                rcm = re.match(
+                    r"^\s*ALTER\s+TABLE\s+([\w.`\"]+)\s+RENAME\s+"
+                    r"COLUMN\s+([\w`\"]+)\s+TO\s+([\w`\"]+)\s*;?\s*$",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if rcm:
+                    from swanlake_spark.operators import schema_evolution
+
+                    schema_evolution.rename_column(
+                        self.spark,
+                        rcm.group(1).strip('`"'),
+                        rcm.group(2).strip('`"'),
+                        rcm.group(3).strip('`"'),
+                    )
+                    continue
             pk_table: str | None = None
             pk_cols: list[str] = []
             ck_table: str | None = None

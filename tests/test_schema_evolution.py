@@ -1,0 +1,146 @@
+"""ALTER TABLE DROP COLUMN / RENAME COLUMN (schema_evolution.py):
+COW schema rewrite with constraint-dependency guards, snapshot
+continuity, and durable constraint carry-over."""
+
+import tempfile
+
+import pytest
+
+from swanlake_spark import constraints, versions
+from swanlake_spark.errors import InvalidArgument
+
+
+@pytest.fixture()
+def eng(spark):
+    from swanlake_spark.engine import Engine
+
+    return Engine(spark=spark)
+
+
+def _loc():
+    return tempfile.mkdtemp(prefix="swl_sev_")
+
+
+class TestDropColumn:
+    def test_drop_column_rewrites_and_keeps_history(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_t (id INT, junk STRING, v INT) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute("INSERT INTO se_t VALUES (1, 'x', 10), (2, 'y', 20)")
+            v_before = versions.current_version(spark, "se_t")
+            eng.execute("ALTER TABLE se_t DROP COLUMN junk")
+            assert [f.name for f in spark.table("se_t").schema.fields] == [
+                "id", "v",
+            ]
+            assert {
+                (r.id, r.v) for r in spark.table("se_t").collect()
+            } == {(1, 10), (2, 20)}
+            # pre-ALTER snapshot still reads WITH the dropped column
+            old = versions.read_version(spark, "se_t", v_before)
+            assert "junk" in old.columns
+            assert {(r.id, r.junk) for r in old.collect()} == {
+                (1, "x"), (2, "y"),
+            }
+            ops = [r.op for r in versions.snapshots(spark, "se_t").collect()]
+            assert ops[-1] == "alter_drop_column"
+            # table still writable after the rewrite
+            eng.execute("INSERT INTO se_t VALUES (3, 30)")
+            assert spark.table("se_t").count() == 3
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_t")
+
+    def test_drop_guards(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_par (pid INT PRIMARY KEY, label STRING) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        eng.execute(
+            f"CREATE TABLE se_g (id INT PRIMARY KEY, "
+            f"qty INT CHECK (qty > 0), pid INT REFERENCES se_par(pid)) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+                eng.execute("ALTER TABLE se_g DROP COLUMN id")
+            with pytest.raises(InvalidArgument, match="CHECK"):
+                eng.execute("ALTER TABLE se_g DROP COLUMN qty")
+            with pytest.raises(InvalidArgument, match="FOREIGN KEY"):
+                eng.execute("ALTER TABLE se_g DROP COLUMN pid")
+            with pytest.raises(
+                InvalidArgument, match="PRIMARY KEY|referenced by"
+            ):
+                eng.execute("ALTER TABLE se_par DROP COLUMN pid")
+            # a non-key parent column referenced by nothing still drops
+            eng.execute("ALTER TABLE se_par DROP COLUMN label")
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_g")
+            eng.execute("DROP TABLE IF EXISTS se_par")
+
+    def test_drop_partitioned_non_partition_column(self, spark, eng):
+        loc = _loc()
+        spark.sql(
+            f"CREATE TABLE se_p (id INT, junk STRING, day STRING) "
+            f"USING parquet PARTITIONED BY (day) LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO se_p VALUES (1, 'x', 'd1'), (2, 'y', 'd2')"
+            )
+            with pytest.raises(InvalidArgument, match="partition column"):
+                eng.execute("ALTER TABLE se_p DROP COLUMN day")
+            eng.execute("ALTER TABLE se_p DROP COLUMN junk")
+            assert {
+                (r.id, r.day) for r in spark.table("se_p").collect()
+            } == {(1, "d1"), (2, "d2")}
+            # partition pruning still works on the rewritten layout
+            plan = (
+                spark.table("se_p").filter("day = 'd1'")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "PartitionFilters" in plan
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_p")
+
+
+class TestRenameColumn:
+    def test_rename_carries_data_and_pk(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_r (id INT PRIMARY KEY, v INT) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute("INSERT INTO se_r VALUES (1, 10)")
+            eng.execute("ALTER TABLE se_r RENAME COLUMN id TO rid")
+            assert [f.name for f in spark.table("se_r").schema.fields] == [
+                "rid", "v",
+            ]
+            assert constraints.pk_columns("se_r") == ["rid"]
+            # the PK still enforces under the new name — and survives a
+            # restart (sidecar re-persisted with the renamed columns)
+            constraints.reset_memory()
+            from swanlake_spark.engine import Engine
+
+            eng2 = Engine(spark=spark)
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+                eng2.execute("INSERT INTO se_r VALUES (1, 99)")
+            eng2.execute("INSERT INTO se_r VALUES (2, 20)")
+            assert spark.table("se_r").count() == 2
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_r")
+
+    def test_rename_rejected_when_check_references(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_rc (id INT, qty INT CHECK (qty > 0)) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            with pytest.raises(InvalidArgument, match="CHECK"):
+                eng.execute("ALTER TABLE se_rc RENAME COLUMN qty TO amount")
+            # dropping the constraint unblocks the rename
+            eng.execute("ALTER TABLE se_rc DROP CONSTRAINT check_qty")
+            eng.execute("ALTER TABLE se_rc RENAME COLUMN qty TO amount")
+            assert "amount" in spark.table("se_rc").columns
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_rc")
