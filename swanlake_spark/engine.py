@@ -419,6 +419,23 @@ class Engine:
                         rcm.group(3).strip('`"'),
                     )
                     continue
+                tcm = re.match(
+                    r"^\s*ALTER\s+TABLE\s+([\w.`\"]+)\s+ALTER\s+"
+                    r"(?:COLUMN\s+)?([\w`\"]+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+                    r"([\w()\s,]+?)\s*;?\s*$",
+                    stmt,
+                    re.IGNORECASE,
+                )
+                if tcm:
+                    from swanlake_spark.operators import schema_evolution
+
+                    schema_evolution.alter_column_type(
+                        self.spark,
+                        tcm.group(1).strip('`"'),
+                        tcm.group(2).strip('`"'),
+                        tcm.group(3).strip(),
+                    )
+                    continue
             pk_table: str | None = None
             pk_cols: list[str] = []
             ck_table: str | None = None

@@ -198,6 +198,38 @@ def drop_column(spark: SparkSession, table: str, column: str) -> None:
     )
 
 
+def alter_column_type(
+    spark: SparkSession, table: str, column: str, new_type: str
+) -> None:
+    """``ALTER TABLE t ALTER COLUMN c TYPE <t>`` (DuckDB's spelling) —
+    the same COW rewrite with an ANSI cast. The engine runs ANSI mode,
+    so a narrowing cast that would truncate raises instead of silently
+    corrupting (DuckDB errors on lossy casts too)."""
+    from pyspark.sql import functions as F
+
+    from swanlake_spark.operators import dml
+
+    df = spark.table(table)
+    names = {f.name.lower(): f.name for f in df.schema.fields}
+    if column.lower() not in names:
+        raise InvalidArgument(f"no column {column} in {table}")
+    if column.lower() in [
+        c.lower() for c in dml._partition_columns(spark, table)
+    ]:
+        raise InvalidArgument(
+            f"cannot retype partition column {column} of {table}"
+        )
+    _guard_dependencies(table, column, renaming=True)
+    real = names[column.lower()]
+    try:
+        new_df = df.withColumn(real, F.col(real).cast(new_type))
+    except Exception as e:
+        raise InvalidArgument(
+            f"cannot cast {column} to {new_type}: {e}"
+        ) from e
+    _rewrite_schema(spark, table, new_df, "alter_column_type")
+
+
 def rename_column(
     spark: SparkSession, table: str, old: str, new: str
 ) -> None:

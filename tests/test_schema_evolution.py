@@ -144,3 +144,37 @@ class TestRenameColumn:
             assert "amount" in spark.table("se_rc").columns
         finally:
             eng.execute("DROP TABLE IF EXISTS se_rc")
+
+
+class TestAlterColumnType:
+    def test_widen_int_to_bigint(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_w (id INT, v INT) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute("INSERT INTO se_w VALUES (1, 100)")
+            eng.execute("ALTER TABLE se_w ALTER COLUMN v TYPE BIGINT")
+            f = {x.name: x.dataType.simpleString()
+                 for x in spark.table("se_w").schema.fields}
+            assert f["v"] == "bigint"
+            assert spark.table("se_w").collect()[0].v == 100
+            ops = [r.op for r in versions.snapshots(spark, "se_w").collect()]
+            assert ops[-1] == "alter_column_type"
+            # still writable with the new type
+            eng.execute("INSERT INTO se_w VALUES (2, 9223372036854775806)")
+            assert spark.table("se_w").count() == 2
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_w")
+
+    def test_string_to_int_on_numeric_strings(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_s (id INT, n STRING) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute("INSERT INTO se_s VALUES (1, '42')")
+            eng.execute("ALTER TABLE se_s ALTER COLUMN n TYPE INT")
+            assert spark.table("se_s").collect()[0].n == 42
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_s")
