@@ -90,10 +90,13 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_s: float | None = None,
 ) -> DataFrame:
     """Ordered funnel: one row per step with the number of users who
     reached it IN ORDER (step i's first qualifying event must be at or
-    after the user's step i-1 time). Returns (step_index, step,
+    after the user's step i-1 time; with ``within_s``, also no later
+    than ``within_s`` seconds after the user's step-0 time — the
+    standard conversion-window semantics). Returns (step_index, step,
     users).
 
     Shape: filter to the step types (tiny IN pushed to the scan), one
@@ -126,7 +129,14 @@ def funnel(
         if prev_expr is None:
             cur = F.try_element_at(arr, F.lit(1))
         else:
-            ge = F.filter(arr, lambda x: x >= prev_expr)  # noqa: B023
+            if within_s is None:
+                ge = F.filter(arr, lambda x: x >= prev_expr)  # noqa: B023
+            else:
+                deadline = F.col("_t0") + F.lit(float(within_s))
+                ge = F.filter(
+                    arr,
+                    lambda x: (x >= prev_expr) & (x <= deadline),  # noqa: B023
+                )
             cur = F.when(prev_expr.isNull(), F.lit(None)).otherwise(
                 F.try_element_at(ge, F.lit(1))
             )

@@ -1174,3 +1174,30 @@ class TestEventAnalytics:
             ).collect()
         }
         assert out == {("signup", 2), ("view", 2), ("purchase", 1)}
+
+    def test_funnel_conversion_window(self, spark):
+        """within_s bounds later steps to the user's step-0 time."""
+        from swanlake_spark.operators import events as EV
+
+        rows = [
+            (1, "2024-01-01 00:00:00", "signup"),
+            (1, "2024-01-01 00:30:00", "view"),      # inside 1h window
+            (2, "2024-01-01 00:00:00", "signup"),
+            (2, "2024-01-01 02:00:00", "view"),      # outside window
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r.step, r.users)
+            for r in EV.funnel(
+                df, ["signup", "view"], within_s=3600.0
+            ).collect()
+        }
+        assert out == {("signup", 2), ("view", 1)}
+        # without the window both convert
+        out2 = {
+            (r.step, r.users)
+            for r in EV.funnel(df, ["signup", "view"]).collect()
+        }
+        assert out2 == {("signup", 2), ("view", 2)}
