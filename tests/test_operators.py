@@ -1201,3 +1201,28 @@ class TestEventAnalytics:
             for r in EV.funnel(df, ["signup", "view"]).collect()
         }
         assert out2 == {("signup", 2), ("view", 2)}
+
+    def test_retention_monthly_cohorts(self, spark):
+        from swanlake_spark.operators import events as EV
+
+        rows = [
+            (1, "2024-01-05 10:00:00"),
+            (1, "2024-02-10 10:00:00"),   # month offset 1
+            (1, "2024-04-01 10:00:00"),   # month offset 3
+            (2, "2024-02-01 10:00:00"),   # Feb cohort
+            (2, "2024-03-15 10:00:00"),   # offset 1
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (str(r.cohort)[:7], r.offset, r.users)
+            for r in EV.retention(df, period="month").collect()
+        }
+        assert got == {
+            ("2024-01", 0, 1),
+            ("2024-01", 1, 1),
+            ("2024-01", 3, 1),
+            ("2024-02", 0, 1),
+            ("2024-02", 1, 1),
+        }
