@@ -36,14 +36,22 @@ _PK_REGISTRY: dict[str, list[str]] = {}
 # The reference persists constraints in the DuckLake catalog, so they
 # survive re-attach (``/root/reference/tests/sql/ducklake_basic.test:54-86``;
 # PK rejection ``tests/sql/error_status.test:6-13``). The in-memory dicts
-# here are only a CACHE: the source of truth is a JSON sidecar beside the
-# table data (``<location>/_swl_constraints.json`` — the same
-# definition-sidecar discipline as matview.py/versions.py), lazy-loaded
-# on first touch per table, so a restarted engine keeps enforcing every
-# previously declared constraint. FK definitions are mirrored into the
-# PARENT's sidecar as a ``referenced_by`` reverse index, so parent-side
-# DELETE/UPDATE guards work even when the restarted engine never touched
-# the child table.
+# here are only a CACHE: the source of truth is a JSON sidecar stored in
+# the table's ``_versions`` sibling directory
+# (``<parent>/_versions/<table>/_swl_constraints.json``), lazy-loaded on
+# first touch per table, so a restarted engine keeps enforcing every
+# previously declared constraint. The ``_versions`` sibling — not the
+# table root — is deliberate: overwrite-shaped publishes (SQL INSERT
+# OVERWRITE, ``insertInto(overwrite=True)``, full partitioned rewrites)
+# clear the TABLE ROOT, and a root-resident sidecar silently vanished
+# with them while the in-process cache masked the loss until restart.
+# The sibling dir survives every data publish and is removed by the same
+# engine paths that remove a dropped/CTAS-replaced table's version
+# history, so constraint lifetime tracks table lifetime exactly. Legacy
+# root-resident sidecars (written by earlier builds) are migrated on
+# first load. FK definitions are mirrored into the PARENT's sidecar as a
+# ``referenced_by`` reverse index, so parent-side DELETE/UPDATE guards
+# work even when the restarted engine never touched the child table.
 
 # tables whose sidecar has been consulted this process
 _LOADED: set[str] = set()
@@ -58,6 +66,18 @@ def _active_spark() -> SparkSession | None:
 
 
 def _sidecar_path(spark: SparkSession, table: str) -> str | None:
+    from swanlake_spark import versions as _versions
+
+    root = _versions.versions_root(spark, table)
+    if root is None:
+        return None
+    return root + "/" + _SIDECAR_NAME
+
+
+def _legacy_sidecar_path(spark: SparkSession, table: str) -> str | None:
+    """Pre-r5 location inside the table root (cleared by overwrite
+    publishes — the reason it moved). Read-only: consulted for
+    migration, deleted after a successful persist to the new path."""
     from swanlake_spark.operators.dml import _table_location
 
     loc = _table_location(spark, table)
@@ -83,21 +103,32 @@ def _ensure_loaded(table: str) -> None:
     spark = _active_spark()
     if spark is None:
         return
-    path = _sidecar_path(spark, t)
-    if path is None:
-        return
-    try:
-        jvm, fs, p = _fs(spark, path)
-        if not fs.exists(p):
-            return
-        stream = fs.open(p)
+    payload = None
+    from_legacy = False
+    for is_legacy, path in (
+        (False, _sidecar_path(spark, t)),
+        (True, _legacy_sidecar_path(spark, t)),
+    ):
+        if path is None:
+            continue
         try:
-            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-        finally:
-            stream.close()
-        payload = json.loads(data.decode("utf-8"))
-    except Exception:
-        return  # unreadable sidecar: enforce what we know in-memory
+            jvm, fs, p = _fs(spark, path)
+            if not fs.exists(p):
+                continue
+            stream = fs.open(p)
+            try:
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            payload = json.loads(data.decode("utf-8"))
+            from_legacy = is_legacy
+            break
+        except Exception:
+            continue  # unreadable sidecar: try the other location
+    if payload is None:
+        return
     if payload.get("pk") and t not in _PK_REGISTRY:
         _PK_REGISTRY[t] = list(payload["pk"])
     if payload.get("checks") and t not in _CHECK_REGISTRY:
@@ -111,6 +142,10 @@ def _ensure_loaded(table: str) -> None:
             (ch, list(cc), list(pc))
             for ch, cc, pc in payload["referenced_by"]
         ]
+    if from_legacy:
+        # one-time migration: re-persist to the overwrite-safe location
+        # (also removes the root-resident copy on success)
+        _persist(t)
 
 
 def _persist(table: str) -> None:
@@ -134,12 +169,20 @@ def _persist(table: str) -> None:
         jvm, fs, p = _fs(spark, path)
         if not any(payload.values()):
             fs.delete(p, False)
-            return
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
+        else:
+            fs.mkdirs(p.getParent())
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(json.dumps(payload).encode("utf-8")))
+            finally:
+                out.close()
+        # retire any pre-r5 root-resident copy so an overwrite publish
+        # can't resurrect a stale definition set
+        legacy = _legacy_sidecar_path(spark, t)
+        if legacy is not None:
+            _, lfs, lp = _fs(spark, legacy)
+            if lfs.exists(lp):
+                lfs.delete(lp, False)
     except Exception:
         pass
 

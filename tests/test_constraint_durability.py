@@ -78,6 +78,79 @@ class TestPkDurability:
             eng.execute("DROP TABLE IF EXISTS cd_pk2")
 
 
+class TestOverwriteDurability:
+    """Overwrite-shaped publishes clear the TABLE ROOT; the sidecar
+    lives in the ``_versions`` sibling precisely so these paths can't
+    erase the constraint definitions (r5; pre-r5 the root-resident
+    sidecar silently vanished and only the in-process cache masked it)."""
+
+    def test_insert_overwrite_keeps_pk_after_restart(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE cd_ow (id INT PRIMARY KEY, v INT) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute("INSERT INTO cd_ow VALUES (1, 10), (2, 20)")
+            eng.execute("INSERT OVERWRITE cd_ow VALUES (3, 30)")
+            eng2 = _fresh_engine(spark)
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+                eng2.execute("INSERT INTO cd_ow VALUES (3, 99)")
+            eng2.execute("INSERT INTO cd_ow VALUES (4, 40)")
+        finally:
+            eng.execute("DROP TABLE IF EXISTS cd_ow")
+
+    def test_partitioned_update_keeps_check_after_restart(self, spark, eng):
+        """Partitioned UPDATE publishes via insertInto(overwrite) /
+        dynamic-partition overwrite — the root-clearing path the r4
+        advisor flagged."""
+        eng.execute(
+            f"CREATE TABLE cd_owp (id INT, qty INT CHECK (qty > 0), p INT) "
+            f"USING parquet PARTITIONED BY (p) LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO cd_owp VALUES (1, 5, 0), (2, 6, 0), (3, 7, 1)"
+            )
+            eng.execute("UPDATE cd_owp SET qty = qty + 1 WHERE id = 1")
+            eng2 = _fresh_engine(spark)
+            with pytest.raises(InvalidArgument, match="CHECK"):
+                eng2.execute("INSERT INTO cd_owp VALUES (9, -1, 0)")
+            eng2.execute("INSERT INTO cd_owp VALUES (9, 1, 0)")
+        finally:
+            eng.execute("DROP TABLE IF EXISTS cd_owp")
+
+    def test_legacy_root_sidecar_migrates(self, spark, eng):
+        """A pre-r5 sidecar inside the table root still loads, then
+        moves to the overwrite-safe ``_versions`` location."""
+        import json
+        import os
+
+        loc = _loc()
+        eng.execute(
+            f"CREATE TABLE cd_leg (id INT, v INT) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            with open(os.path.join(loc, "_swl_constraints.json"), "w") as f:
+                json.dump({"pk": ["id"], "checks": None, "fks": None,
+                           "referenced_by": None}, f)
+            eng2 = _fresh_engine(spark)
+            eng2.execute("INSERT INTO cd_leg VALUES (1, 10)")
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+                eng2.execute("INSERT INTO cd_leg VALUES (1, 99)")
+            # migrated: legacy copy retired, survives an overwrite +
+            # restart purely from the new location
+            assert not os.path.exists(
+                os.path.join(loc, "_swl_constraints.json")
+            )
+            eng2.execute("INSERT OVERWRITE cd_leg VALUES (2, 20)")
+            eng3 = _fresh_engine(spark)
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+                eng3.execute("INSERT INTO cd_leg VALUES (2, 99)")
+        finally:
+            eng.execute("DROP TABLE IF EXISTS cd_leg")
+
+
 class TestCheckDurability:
     def test_check_enforced_after_restart(self, spark, eng):
         eng.execute(
