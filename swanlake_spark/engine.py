@@ -48,16 +48,50 @@ class QueryResult:
     statements_run: int = 1
     rows: int | None = None  # filled on collect/to_arrow (connection.rs:305)
     bytes: int | None = None
+    # set by Engine.query for pure single-statement queries: rebuilds
+    # the (lazy) df when a collect races a COW schema publish and the
+    # already-analyzed plan pins a stale file listing
+    _requery: object = None
+
+    def _materialize(self, fn):
+        """Run ``fn(df)`` swap-safely: a COW schema-ALTER publish moves
+        data files under an already-planned scan, so the deferred
+        collect — not the planning the engine already guards — can hit
+        FAILED_READ_FILE. Re-query (fresh file listing) after waiting
+        any in-flight publish out; bounded retries cover back-to-back
+        ALTERs."""
+        try:
+            return fn(self.df)
+        except Exception as e:
+            msg = str(e)
+            if self._requery is None or not (
+                "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg
+            ):
+                raise
+            from swanlake_spark.operators import schema_evolution
+
+            for _ in range(4):
+                for ev in schema_evolution.swap_in_progress():
+                    ev.wait(30.0)
+                try:
+                    self.df = self._requery()
+                    return fn(self.df)
+                except Exception as e2:
+                    msg = str(e2)
+                    if "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg:
+                        continue
+                    raise
+            raise
 
     def collect(self):
-        out = self.df.collect() if self.df is not None else []
+        out = self._materialize(lambda df: df.collect()) if self.df is not None else []
         self.rows = len(out)
         return out
 
     def to_arrow(self):
         if self.df is None:
             return None
-        tbl = self.df.toArrow()
+        tbl = self._materialize(lambda df: df.toArrow())
         self.rows = tbl.num_rows
         self.bytes = tbl.nbytes
         return tbl
@@ -159,7 +193,7 @@ class Engine:
         t0 = time.perf_counter()
         with self.metrics.start_query():
             try:
-                res = self._run_script(sql, args=args)
+                res = self._run_script_swap_safe(sql, args=args)
             except EngineError as e:
                 self.metrics.record_error(str(e), sql)
                 raise
@@ -168,6 +202,16 @@ class Engine:
                 raise EngineError(str(e)) from e
         res.elapsed_s = time.perf_counter() - t0
         self.metrics.record_query(res.elapsed_s, sql, is_query=res.is_query)
+        if (
+            res.is_query
+            and res.statements_run == 1
+            and res.affected_rows < 0
+        ):
+            # side-effect-free: safe to transparently re-run if a COW
+            # schema publish moves files under the deferred collect
+            res._requery = (
+                lambda: self._run_script_swap_safe(sql, args=args).df
+            )
         return res
 
     def execute(self, sql: str) -> QueryResult:
@@ -178,6 +222,57 @@ class Engine:
         """Execute a command/DML statement, returning affected rows when
         the underlying writer reports them (−1 otherwise)."""
         return self.query(sql).affected_rows
+
+    def _run_script_swap_safe(
+        self, sql: str, args: list | None = None
+    ) -> QueryResult:
+        """Run the script swap-safely around schema-ALTER publishes.
+
+        An ALTER's COW publish briefly renames staged files in, retires
+        the old ones, and swaps the catalog entry (DROP→CREATE — v1
+        parquet has no in-place column DDL). Two reader races exist:
+        a new query planning against the half-published file listing,
+        and an already-planned query whose scan hits a moved file or
+        the catalog gap. The first is closed by pre-waiting any
+        in-flight publish before planning; the second by waiting the
+        publish out and retrying once (the writer's refreshTable has
+        invalidated the stale listing by then). A concurrent reader
+        thus observes the old or the new schema, never an error."""
+        from swanlake_spark.operators import schema_evolution
+
+        attempts = 0
+        while True:
+            for ev in schema_evolution.swap_in_progress():
+                ev.wait(30.0)
+            try:
+                return self._run_script(sql, args=args)
+            except Exception as e:
+                msg = str(e)
+                stale_scan = (
+                    "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg
+                )
+                missing_table = (
+                    "TABLE_OR_VIEW_NOT_FOUND" in msg
+                    or "cannot be found" in msg
+                )
+                if not (stale_scan or missing_table):
+                    raise
+                attempts += 1
+                if attempts > 4:
+                    raise
+                # a genuinely absent table must still error; a
+                # moved-file scan failure in a COW engine always means
+                # a publish raced this query's file listing — retry
+                # even if the publish already finished (its
+                # refreshTable fixed the listing). Back-to-back ALTERs
+                # can race successive retries, hence the loop (each
+                # pass pre-waits whatever publish is now in flight).
+                if (
+                    missing_table
+                    and not stale_scan
+                    and not schema_evolution.swap_in_progress()
+                ):
+                    raise
 
     def _run_script(self, sql: str, args: list | None = None) -> QueryResult:
         stripped = strip_select_locks(sql)

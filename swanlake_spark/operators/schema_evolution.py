@@ -8,42 +8,79 @@ machinery as DML:
 
 1. dependency checks first (DuckDB semantics): a column referenced by
    the table's own PRIMARY KEY / CHECK / FOREIGN KEY, referenced by a
-   child table's FK, or used as a partition column blocks the ALTER;
+   child table's FK, or used as a partition column blocks a DROP — and
+   a TYPE change too (DuckDB refuses dependent-constraint retypes; a
+   silently retyped PK/FK column would change FK-probe join semantics);
+   RENAME is allowed on key columns because the registrations are
+   rewritten to the new name;
 2. the new contents stage to the ``_staging`` sibling (cluster-visible);
-3. under the table write lock: current data files retire into the
-   snapshot store (the pre-ALTER contents stay time-travelable — an old
-   ``AT (VERSION => n)`` reads the retained files with their old
-   schema), the table re-creates with the new column list at the SAME
-   location, the staged files rename in, and a manifest records the new
-   state (op ``alter_drop_column`` / ``alter_rename_column``);
-4. constraint registrations survive: RENAME rewrites the PK/FK column
+3. under the table write lock, ADD-THEN-RETIRE (the same ordering as
+   ``dml._publish_by_move``): the staged files rename INTO the table
+   location first (part-file names are unique, file-granular so
+   existing partition dirs merge instead of colliding), THEN the
+   pre-ALTER files retire into the snapshot store (the old contents
+   stay time-travelable — ``AT (VERSION => n)`` reads the retained
+   files with their old schema), and only then does the catalog entry
+   swap to the new column list at the SAME location, with a manifest
+   recording the new state (op ``alter_drop_column`` /
+   ``alter_rename_column`` / ``alter_column_type``). A crash anywhere
+   in the window leaves a table with data present (possibly briefly
+   doubled for directory-scan readers — the documented COW window),
+   never an empty or missing one;
+4. the catalog swap itself (DROP → CREATE, Spark v1 parquet has no
+   in-place column DDL) is registered in an in-process swap table so
+   concurrent engine readers that hit table-not-found inside the
+   window wait for the swap and retry instead of erroring
+   (``swap_in_progress`` / engine.query's retry);
+5. constraint registrations survive: RENAME rewrites the PK/FK column
    lists and re-persists the sidecar (CHECK expressions referencing the
    column are rejected rather than text-rewritten — expression surgery
    on SQL text is how silent corruption happens).
 
 Scale: one full-table rewrite — the same cost DuckLake pays for a
 column rewrite on immutable parquet; at 100 TB you schedule it like a
-compaction. The publish window has the same manifest-primary
-atomicity as every other COW publish.
+compaction.
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import SparkSession
 
 from swanlake_spark.errors import InvalidArgument
 
+# tables whose publish section is in flight (staged-files rename-in →
+# retire → DROP→CREATE catalog swap → refresh): engine readers consult
+# this — new queries wait before planning (so they can't plan against a
+# half-published file listing), and queries that planned BEFORE the
+# window and hit a moved file or the briefly-absent catalog entry wait
+# it out and retry instead of failing
+_SWAP_LOCK = threading.Lock()
+_SWAPPING: dict[str, threading.Event] = {}
 
-def _guard_dependencies(
-    table: str, column: str, renaming: bool
-) -> None:
+
+def swap_in_progress() -> list[threading.Event]:
+    """Events for every schema-rewrite publish currently in flight
+    (engine.query pre-wait + retry hook — ALTERs are rare DDL, so
+    waiting on all of them is simpler and safe)."""
+    with _SWAP_LOCK:
+        return list(_SWAPPING.values())
+
+
+def _guard_dependencies(table: str, column: str, mode: str) -> None:
+    """``mode``: ``"drop"`` | ``"rename"`` | ``"retype"``. Key
+    membership (PK / own FK) blocks drop AND retype; rename passes
+    because the registrations are rewritten. CHECK references and
+    child-table FK references block every mode."""
     from swanlake_spark import constraints
 
     col = column.lower()
+    key_change = mode in ("drop", "retype")
     pk = constraints.pk_columns(table) or []
-    if not renaming and col in [c.lower() for c in pk]:
+    if key_change and col in [c.lower() for c in pk]:
         raise InvalidArgument(
-            f"cannot drop {column}: part of the PRIMARY KEY of {table}"
+            f"cannot {mode} {column}: part of the PRIMARY KEY of {table}"
         )
     for name, expr in constraints.check_exprs(table):
         # word-boundary containment: good enough to be safe (false
@@ -56,9 +93,9 @@ def _guard_dependencies(
                 f"({expr}) — drop the constraint first"
             )
     for child_cols, parent, parent_cols in constraints.fk_list(table):
-        if not renaming and col in [c.lower() for c in child_cols]:
+        if key_change and col in [c.lower() for c in child_cols]:
             raise InvalidArgument(
-                f"cannot drop {column}: part of a FOREIGN KEY of {table}"
+                f"cannot {mode} {column}: part of a FOREIGN KEY of {table}"
             )
     for child, child_cols, parent_cols in constraints.referencing_children(
         table
@@ -129,51 +166,79 @@ def _rewrite_schema(
         cols_ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
-        # retire the pre-ALTER files (time travel), then swap catalogs
         olds = [
             f"{loc.rstrip('/')}/{rel}"
             for rel, _ in versions._list_data_files(spark, loc)
         ]
-        versions.retire_files(spark, table, olds, loc=loc)
-        for old in olds:
-            p = jvm.org.apache.hadoop.fs.Path(old)
-            p.getFileSystem(conf).delete(p, False)
-        spark.sql(f"DROP TABLE {table}")  # direct: keep _versions root
-        part_sql = (
-            " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in part_cols) + ")"
-            if part_cols
-            else ""
-        )
-        spark.sql(
-            f"CREATE TABLE {table} ({cols_ddl}) USING parquet"
-            f"{part_sql} LOCATION '{loc}'"
-        )
-        # rename staged content into the table location
+        # ADD first (see module docstring): staged files rename into the
+        # table location file-by-file — unique part-file names can't
+        # collide with the still-present old files, and per-file renames
+        # merge into existing partition dirs instead of nesting under
+        # them the way a directory rename onto an existing dir would.
         src = jvm.org.apache.hadoop.fs.Path(staging)
         dst = jvm.org.apache.hadoop.fs.Path(loc)
         fs = dst.getFileSystem(conf)
-        news = []
-        for st in fs.listStatus(src):
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")):
-                continue
-            if not fs.rename(
-                st.getPath(), jvm.org.apache.hadoop.fs.Path(dst, name)
-            ):
-                raise IOError(
-                    f"schema-rewrite publish failed for {st.getPath()}"
-                )
-            if not st.isDirectory():
-                news.append((name, int(st.getLen())))
-        fs.delete(src, True)
-        if part_cols:
-            spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
-        spark.catalog.refreshTable(table)
+
+        def _rename_tree(d, rel):
+            out = []
+            for st in fs.listStatus(d):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                child_rel = f"{rel}/{name}" if rel else name
+                if st.isDirectory():
+                    out.extend(_rename_tree(st.getPath(), child_rel))
+                    continue
+                target = jvm.org.apache.hadoop.fs.Path(dst, child_rel)
+                fs.mkdirs(target.getParent())
+                if not fs.rename(st.getPath(), target):
+                    raise IOError(
+                        f"schema-rewrite publish failed for {st.getPath()}"
+                    )
+                out.append((child_rel, int(st.getLen())))
+            return out
+
+        # The whole publish section registers in _SWAPPING: new engine
+        # queries pre-wait (no planning against a half-published file
+        # listing = no doubled/missing rows), and in-flight readers
+        # that hit a moved file or the DROP→CREATE gap retry after it.
+        t_norm = table.strip('`"').lower()
+        ev = threading.Event()
+        with _SWAP_LOCK:
+            _SWAPPING[t_norm] = ev
+        try:
+            news = _rename_tree(src, "")
+            fs.delete(src, True)
+            # THEN retire the pre-ALTER files (time travel) and swap
+            # the catalog entry
+            versions.retire_files(spark, table, olds, loc=loc)
+            for old in olds:
+                p = jvm.org.apache.hadoop.fs.Path(old)
+                p.getFileSystem(conf).delete(p, False)
+            spark.sql(f"DROP TABLE {table}")  # direct: keep _versions root
+            part_sql = (
+                " PARTITIONED BY ("
+                + ", ".join(f"`{c}`" for c in part_cols)
+                + ")"
+                if part_cols
+                else ""
+            )
+            spark.sql(
+                f"CREATE TABLE {table} ({cols_ddl}) USING parquet"
+                f"{part_sql} LOCATION '{loc}'"
+            )
+            if part_cols:
+                spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
+            spark.catalog.refreshTable(table)
+        finally:
+            with _SWAP_LOCK:
+                _SWAPPING.pop(t_norm, None)
+            ev.set()
         if not part_cols:
             versions.note_published_files(table, sorted(news))
         versions.record_version(spark, table, op, loc=loc)
-        # the sidecar lived inside the table dir; re-persist whatever
-        # the registries still hold (rename paths already updated them)
+        # re-persist whatever the registries still hold (rename paths
+        # already updated them)
         constraints._persist(table)
 
 
@@ -192,7 +257,7 @@ def drop_column(spark: SparkSession, table: str, column: str) -> None:
         raise InvalidArgument(
             f"cannot drop partition column {column} of {table}"
         )
-    _guard_dependencies(table, column, renaming=False)
+    _guard_dependencies(table, column, mode="drop")
     _rewrite_schema(
         spark, table, df.drop(names[column.lower()]), "alter_drop_column"
     )
@@ -219,7 +284,7 @@ def alter_column_type(
         raise InvalidArgument(
             f"cannot retype partition column {column} of {table}"
         )
-    _guard_dependencies(table, column, renaming=True)
+    _guard_dependencies(table, column, mode="retype")
     real = names[column.lower()]
     try:
         new_df = df.withColumn(real, F.col(real).cast(new_type))
@@ -247,7 +312,7 @@ def rename_column(
         raise InvalidArgument(
             f"cannot rename partition column {old} of {table}"
         )
-    _guard_dependencies(table, old, renaming=True)
+    _guard_dependencies(table, old, mode="rename")
     _rewrite_schema(
         spark,
         table,

@@ -178,3 +178,89 @@ class TestAlterColumnType:
             assert spark.table("se_s").collect()[0].n == 42
         finally:
             eng.execute("DROP TABLE IF EXISTS se_s")
+
+
+class TestRetypeGuards:
+    """DuckDB refuses ALTER COLUMN TYPE on constraint-dependent columns;
+    a silently retyped PK/FK column would change FK-probe join
+    semantics (r4 advisor finding)."""
+
+    def test_retype_pk_column_blocked(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_rt (id INT PRIMARY KEY, v INT) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY"):
+                eng.execute("ALTER TABLE se_rt ALTER COLUMN id TYPE BIGINT")
+            # non-key column retype still fine
+            eng.execute("ALTER TABLE se_rt ALTER COLUMN v TYPE BIGINT")
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_rt")
+
+    def test_retype_fk_columns_blocked_both_ends(self, spark, eng):
+        eng.execute(
+            f"CREATE TABLE se_rtp (pid INT PRIMARY KEY) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        eng.execute(
+            f"CREATE TABLE se_rtc (cid INT, pid INT REFERENCES se_rtp(pid)) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            with pytest.raises(InvalidArgument, match="FOREIGN KEY"):
+                eng.execute("ALTER TABLE se_rtc ALTER COLUMN pid TYPE BIGINT")
+            with pytest.raises(InvalidArgument, match="PRIMARY KEY|FOREIGN KEY"):
+                eng.execute("ALTER TABLE se_rtp ALTER COLUMN pid TYPE BIGINT")
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_rtc")
+            eng.execute("DROP TABLE IF EXISTS se_rtp")
+
+
+class TestConcurrentReaderDuringAlter:
+    def test_reader_never_sees_missing_table(self, spark, eng):
+        """Readers racing the ALTER's DROP→CREATE catalog swap must
+        observe the old or new schema — never table-not-found (engine
+        retry via schema_evolution.swap_in_progress)."""
+        import threading
+
+        eng.execute(
+            f"CREATE TABLE se_cc (id INT, junk STRING, v INT) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO se_cc SELECT id, 'x', id FROM RANGE(2000) t(id)"
+            )
+            errors: list[str] = []
+            counts: list[int] = []
+            stop = threading.Event()
+
+            def reader():
+                while not stop.is_set():
+                    try:
+                        n = eng.query(
+                            "SELECT count(*) AS n FROM se_cc"
+                        ).collect()[0].n
+                        counts.append(n)
+                    except Exception as e:  # any error = the bug
+                        errors.append(str(e))
+                        return
+
+            threads = [threading.Thread(target=reader) for _ in range(4)]
+            for t in threads:
+                t.start()
+            try:
+                eng.execute("ALTER TABLE se_cc DROP COLUMN junk")
+                eng.execute("ALTER TABLE se_cc RENAME COLUMN v TO val")
+            finally:
+                stop.set()
+                for t in threads:
+                    t.join(60)
+            assert errors == []
+            assert set(counts) == {2000}
+            assert [f.name for f in spark.table("se_cc").schema.fields] == [
+                "id", "val",
+            ]
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_cc")
