@@ -13,10 +13,11 @@ hash-verified against an equivalent DuckDB window-SQL oracle).
 
 Scale notes: one sort-shuffle on ``user_id`` serves both the lag and
 the running-sum window in :func:`sessionize_batch` (same partition
-key + ordering → Catalyst reuses the exchange). Funnels reduce to one
-groupBy(user) over a pre-filtered scan (steps are a tiny IN filter).
-Retention is two user-keyed aggregates + one join on the bounded
-(user, period) grid.
+key + ordering → Catalyst reuses the exchange). Funnels chain one
+scalar conditional-min aggregation per step over a pre-filtered scan
+(steps are a tiny IN filter) — per-user state is bounded, never an
+array (see :func:`funnel_reach`). Retention is two user-keyed
+aggregates + one join on the bounded (user, period) grid.
 """
 
 from __future__ import annotations
@@ -84,6 +85,63 @@ def session_stats(
     )
 
 
+def funnel_reach(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_s: float | None = None,
+) -> DataFrame:
+    """Per-user funnel progression: one row per user who reached step 0,
+    with columns ``_t0.._tN`` — step i's earliest qualifying event time
+    (NULL once the user falls out). Step i qualifies at or after the
+    user's step i-1 time; with ``within_s``, also no later than
+    ``within_s`` seconds after the user's step-0 time (the standard
+    conversion-window semantics).
+
+    Shape: filter to the step types (tiny IN pushed to the scan), then
+    one conditional-min aggregation per step chained through joins on
+    the user key — the same shape as the DuckDB window-SQL oracle.
+    Every aggregation buffer is a SCALAR (min of a conditional), so a
+    bot-grade user with 10^7 events of one type streams through a
+    sort-merge join partition instead of materializing a 10^7-element
+    array in one buffer (the r4 unbounded ``collect_list`` hazard). A
+    bounded per-(user, step) pre-aggregation (keep the earliest K
+    times) would NOT be exact: a user whose early step-i events all
+    precede their step i-1 time but whose late one qualifies must
+    still convert. All joins/aggs share the user key, so the chain
+    re-uses one hash partitioning; each step joins the step-filtered
+    (small) event slice against the one-row-per-user reach table."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    filtered = df.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_ty"),
+        _secs(F.col(ts_col)).alias("_x"),
+    )
+    reached = (
+        filtered.filter(F.col("_ty") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_x").alias("_t0"))
+    )
+    for i in range(1, len(steps)):
+        ev_i = filtered.filter(F.col("_ty") == steps[i]).select("_u", "_x")
+        prev = F.col(f"_t{i-1}")
+        cond = F.col("_x") >= prev
+        if within_s is not None:
+            cond = cond & (
+                F.col("_x") <= F.col("_t0") + F.lit(float(within_s))
+            )
+        carried = [f"_t{j}" for j in range(i)]
+        reached = (
+            reached.join(ev_i, "_u", "left")
+            .groupBy("_u", *carried)
+            .agg(F.min(F.when(cond, F.col("_x"))).alias(f"_t{i}"))
+        )
+    return reached
+
+
 def funnel(
     df: DataFrame,
     steps: list[str],
@@ -93,55 +151,10 @@ def funnel(
     within_s: float | None = None,
 ) -> DataFrame:
     """Ordered funnel: one row per step with the number of users who
-    reached it IN ORDER (step i's first qualifying event must be at or
-    after the user's step i-1 time; with ``within_s``, also no later
-    than ``within_s`` seconds after the user's step-0 time — the
-    standard conversion-window semantics). Returns (step_index, step,
-    users).
-
-    Shape: filter to the step types (tiny IN pushed to the scan), one
-    groupBy(user) computing each step's earliest qualifying timestamp
-    left-to-right via conditional mins — no joins, no windows."""
-    if not steps:
-        raise ValueError("funnel needs at least one step")
-    filtered = df.filter(F.col(type_col).isin(list(steps)))
-    # step_ts[0] = min ts of step0; step_ts[i] = min ts of step_i that
-    # is >= step_ts[i-1]. min(CASE ...) per user does this in ONE agg
-    # when computed iteratively over a self-joining plan — instead
-    # aggregate per (user, type) minimal info: collect each type's
-    # sorted event times (bounded by the funnel's steps only) and fold
-    # driver-free with array functions.
-    per_user = filtered.groupBy(user_col).agg(
-        *[
-            F.sort_array(
-                F.collect_list(
-                    F.when(F.col(type_col) == s, _secs(F.col(ts_col)))
-                )
-            ).alias(f"_ts_{i}")
-            for i, s in enumerate(steps)
-        ]
-    )
-    # fold: t0 = first(_ts_0); t_i = first element of _ts_i >= t_{i-1}
-    reached = per_user
-    prev_expr = None
-    for i in range(len(steps)):
-        arr = F.col(f"_ts_{i}")
-        if prev_expr is None:
-            cur = F.try_element_at(arr, F.lit(1))
-        else:
-            if within_s is None:
-                ge = F.filter(arr, lambda x: x >= prev_expr)  # noqa: B023
-            else:
-                deadline = F.col("_t0") + F.lit(float(within_s))
-                ge = F.filter(
-                    arr,
-                    lambda x: (x >= prev_expr) & (x <= deadline),  # noqa: B023
-                )
-            cur = F.when(prev_expr.isNull(), F.lit(None)).otherwise(
-                F.try_element_at(ge, F.lit(1))
-            )
-        reached = reached.withColumn(f"_t{i}", cur)
-        prev_expr = F.col(f"_t{i}")
+    reached it IN ORDER (see :func:`funnel_reach` for the qualifying
+    semantics and the bounded-state plan shape). Returns (step_index,
+    step, users)."""
+    reached = funnel_reach(df, steps, user_col, ts_col, type_col, within_s)
     aggs = [
         F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(steps))
     ]

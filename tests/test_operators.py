@@ -1202,6 +1202,52 @@ class TestEventAnalytics:
         }
         assert out2 == {("signup", 2), ("view", 2)}
 
+    def test_funnel_late_qualifier_counts(self, spark):
+        """A user whose EARLY step-1 events all precede step 0 but
+        whose late one qualifies must convert — the case an
+        earliest-K per-(user, step) cap would get wrong (why the
+        bounded plan uses conditional-min joins, not capped arrays)."""
+        from swanlake_spark.operators import events as EV
+
+        rows = [(1, "2024-01-01 00:00:10", "signup")] + [
+            (1, f"2024-01-01 00:00:{s:02d}", "view") for s in range(8)
+        ] + [(1, "2024-01-01 00:01:00", "view")]  # only qualifying view
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r.step, r.users)
+            for r in EV.funnel(df, ["signup", "view"]).collect()
+        }
+        assert out == {("signup", 1), ("view", 1)}
+
+    def test_funnel_hot_user_skew(self, spark):
+        """A bot-grade user with 200k events of one step type streams
+        through scalar min buffers (and still converts exactly once)."""
+        from swanlake_spark.operators import events as EV
+
+        base = spark.range(200_000).select(
+            F.lit(7).alias("user_id"),
+            (
+                F.lit("2024-01-01 01:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id").cast("double"))
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+        )
+        head = spark.createDataFrame(
+            [
+                (7, "2024-01-01 00:00:00", "signup"),
+                (8, "2024-01-01 00:00:00", "signup"),  # no view: drops out
+            ],
+            "user_id int, ts string, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df = head.unionByName(base)
+        out = {
+            (r.step, r.users)
+            for r in EV.funnel(df, ["signup", "view"]).collect()
+        }
+        assert out == {("signup", 2), ("view", 1)}
+
     def test_retention_monthly_cohorts(self, spark):
         from swanlake_spark.operators import events as EV
 

@@ -412,29 +412,18 @@ class TestEventAnalyticsPlans:
         n_ex = len(_re.findall(r"Exchange hashpartitioning", plan))
         assert n_ex == 1, plan[:2000]
 
-    def test_funnel_has_no_joins(self, spark, sf_dir):
-        """Funnel reach is one pre-filtered groupBy(user) + array folds
-        — no join anywhere in the plan."""
-        from pyspark.sql import functions as F
-
+    def test_funnel_state_is_bounded(self, spark, sf_dir):
+        """Funnel per-user state must be scalar conditional mins — no
+        collect_list anywhere (a bot user with 10^7 events of one step
+        type must never build a 10^7-element aggregation buffer); the
+        step-type IN filter reaches the scan."""
         from swanlake_spark.operators import events as EV
 
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # reconstruct the pre-collect plan: same pipeline as funnel()
-        filtered = ev.filter(
-            F.col("event_type").isin(["signup", "view", "purchase"])
-        )
-        per_user = filtered.groupBy("user_id").agg(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("event_type") == "signup",
-                        F.col("ts").cast("timestamp").cast("double"),
-                    )
-                )
-            ).alias("_ts_0")
-        )
-        plan = per_user._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan
+        reach = EV.funnel_reach(ev, ["signup", "view", "purchase"])
+        qe = reach._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        analyzed = qe.analyzed().toString()
+        assert "collect_list" not in plan and "collect_list" not in analyzed
         # the step-type filter reaches the scan as a pushed filter
         assert "PushedFilters: [" in plan and "In(event_type" in plan
