@@ -262,7 +262,11 @@ def main() -> None:
 
             ensure_tables(spark, sf_dir)
             docs = spark.table("documents")
-            _, segmented = tokenizer.train_bpe(docs, n_merges=16)
+            # batched merges (8 non-interacting per driver round-trip):
+            # 64 merges at roughly the old 16-merge wall time
+            _, segmented = tokenizer.train_bpe(
+                docs, n_merges=64, merge_batch=8
+            )
             enc = tokenizer.encode(docs, segmented)
             return enc.agg(
                 F.count("*").alias("docs"), F.sum("n_tokens").alias("toks")
@@ -272,7 +276,7 @@ def main() -> None:
     suite["text_tfidf_top3"] = _Tfidf
     suite["validate_expectations"] = _Validate
     suite["sim_pq_adc_topk"] = _PqSearch
-    suite["bpe_train_encode_16"] = _BpeTrain
+    suite["bpe_train_encode_64"] = _BpeTrain
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 

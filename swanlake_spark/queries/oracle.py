@@ -912,10 +912,11 @@ _add(
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
 DRIVER_ORACLE_NAMES: tuple[str, ...] = (
-    "q22d_grouping_battery",
-    "q24b_window_battery",
-    "q28b_setops_battery",
-    "q34_scalar_battery",
+    # r5 rotation: q22d_grouping_battery / q24b_window_battery /
+    # q28b_setops_battery / q34_scalar_battery moved OUT of the window
+    # (long-stable since r2, still hash-matched every run by
+    # tests/test_oracle_corpus.py); their slots went to the events trio
+    # + pipe_bpe_tokenize (pipeline.py DRIVER_PIPELINE_EXCLUDE).
     "q43_array_battery",
     "q44_json_regex",
     "q46_view_ctas",

@@ -1579,14 +1579,11 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # remain hash-matched by tests/test_oracle_corpus.py
     "pipe_dedup_exact",
     "pipe_shuffle",
-    # frozen-oracled but outside the full 50-slot window (hash-matched
-    # at both SFs by the pytest corpus; reference-BPE-verified in
-    # test_tokenizer.py)
-    "pipe_bpe_tokenize",
-    # corpus-verified event analytics (r4), outside the full window
-    "pipe_sessionize",
-    "pipe_funnel",
-    "pipe_retention",
+    # r5 rotation (VERDICT r4 #5): pipe_bpe_tokenize and the events trio
+    # (pipe_sessionize / pipe_funnel / pipe_retention) moved INTO the
+    # driver window; the four slots came from rotating out the
+    # long-stable q22d/q24b/q28b/q34 batteries (DRIVER_ORACLE_NAMES),
+    # which stay hash-matched in tests/test_oracle_corpus.py.
     # rows-only sketch variants (simhash graduated to a frozen oracle)
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",
