@@ -209,12 +209,23 @@ def _publish_by_move(
     re-encodes every row — a second full write of the table. The staged
     files ARE the new table contents (same schema, written by this very
     statement), so the lakehouse-style publish is a metadata swap:
-    delete current data files, rename staged files in, refresh. Same
-    non-atomicity window as INSERT OVERWRITE's truncate-then-write (the
-    reference's DuckLake gets atomicity from its catalog pointer swap;
-    Spark's file catalog has no such pointer), at half the I/O.
+    rename staged files in, retire current data files, refresh.
+
+    Consistency window (explicit): ADD-THEN-RETIRE means a
+    DIRECTORY-SCAN reader (plain ``spark.table`` planned mid-publish)
+    can briefly see old and new files together — duplicated rows —
+    where the pre-r4 retire-then-add ordering showed missing rows.
+    Add-first is the deliberate choice: a crash mid-publish leaves a
+    recoverable superset instead of a data hole, matching DuckLake's
+    add-before-retire manifest commits. MANIFEST-RESOLVED readers
+    (``versions.read_current`` / ``AT (VERSION => n)``) never see the
+    window — the manifest flips atomically to the exact new file list —
+    and writers are excluded by the table write lock. Readers that need
+    snapshot isolation against concurrent DML read through the version
+    API; the engine's plain reads accept the transient window (the
+    reference's directory-scanning fallback has the same property).
     Returns False (caller falls back to insertInto) when the table
-    location can't be resolved or a rename fails midway is impossible
+    location can't be resolved; a rename failing midway is impossible
     to pre-check — renames within one FileSystem don't copy."""
     loc = _loc_or_resolve(spark, table, loc)
     if loc is None:
@@ -727,6 +738,51 @@ def _publish_file_swap(
 # anything larger runs the distributed write.
 _DRIVER_REWRITE_MAX_BYTES = 128 << 20
 
+# Output-side cap: the input bound above can't see an EXPANDING rewrite
+# expression (SET text = repeat(text, 1000) on a 1 MB matched set is a
+# multi-GB Arrow collect). Rewrites whose analyzed plan contains a
+# length-increasing construct (below) pay one exact output-size
+# aggregation over the matched files before the driver collect; beyond
+# this cap they take the distributed write instead.
+_DRIVER_REWRITE_MAX_OUTPUT_BYTES = 256 << 20
+_EXPANDING_EXPRS = re.compile(
+    r"\b(repeat|array_repeat|space|lpad|rpad|concat|concat_ws|sequence|"
+    r"flatten|explode|posexplode|transform|aggregate|regexp_replace|"
+    r"replace|uuid|collect_list|collect_set)\s*\(",
+    re.IGNORECASE,
+)
+
+_FIXED_WIDTHS = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+    "float": 4, "double": 8, "date": 4, "timestamp": 8,
+}
+
+
+def _output_size_ok(new_sub) -> bool:
+    """Exact rewritten-output size check, run only when the rewrite
+    plan contains a potentially length-increasing expression: one
+    aggregation job over the (bounded) matched files summing var-width
+    byte lengths plus fixed widths."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    fixed_per_row = 0
+    for f in new_sub.schema.fields:
+        t = f.dataType.simpleString()
+        if t in ("string", "binary"):
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.octet_length(F.col(f.name))), F.lit(0)
+                ).alias(f"_b_{f.name}")
+            )
+        else:
+            fixed_per_row += _FIXED_WIDTHS.get(t, 16)
+    row = new_sub.agg(*aggs).collect()[0]
+    total = int(row["_n"]) * fixed_per_row + sum(
+        int(row[i]) for i in range(1, len(aggs))
+    )
+    return total <= _DRIVER_REWRITE_MAX_OUTPUT_BYTES
+
 # Types proven to round-trip Spark -> Arrow -> parquet -> Spark with
 # identical logical types; nested/interval/ntz types take the
 # distributed write instead.
@@ -763,6 +819,13 @@ def _driver_rewrite(spark: SparkSession, staged: str, new_sub, files) -> bool:
             total += int(p.getFileSystem(conf).getFileStatus(p).getLen())
         if total > _DRIVER_REWRITE_MAX_BYTES:
             return False
+        # the input bound can't see expanding SET expressions; those
+        # pay one exact output-size agg before the driver collect
+        plan_text = str(new_sub._jdf.queryExecution().analyzed())
+        if _EXPANDING_EXPRS.search(plan_text) and not _output_size_ok(
+            new_sub
+        ):
+            return False
         import pyarrow.parquet as pq
 
         tbl = new_sub.toArrow()
@@ -774,7 +837,16 @@ def _driver_rewrite(spark: SparkSession, staged: str, new_sub, files) -> bool:
         )
         return True
     except Exception:
-        return False  # any surprise → distributed write handles it
+        # the distributed write handles any surprise, but don't swallow
+        # it silently — a genuine failure here (permissions, Arrow
+        # round-trip) repeated per-statement deserves a trace
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "driver-side rewrite fell back to the distributed write",
+            exc_info=True,
+        )
+        return False
 
 
 def _file_granular_cow(

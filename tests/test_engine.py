@@ -84,6 +84,36 @@ class TestDML:
         rows = engine.query(f"SELECT id, age FROM {t} ORDER BY id").collect()
         assert [(r.id, r.age) for r in rows] == [(1, 30), (2, 20)]
 
+    def test_update_expanding_expression_capped(self, engine, monkeypatch):
+        """An UPDATE whose SET expression EXPANDS the output (repeat)
+        must not collect an oversized Arrow table on the driver: with
+        the output cap shrunk, the expanding rewrite detours to the
+        distributed write and still produces the right rows (r4 advisor
+        finding on the input-only 128 MB bound)."""
+        from swanlake_spark.operators import dml
+
+        t = _mktable(engine)
+        engine.execute(f"INSERT INTO {t} VALUES (1, 'ab', 10), (2, 'cd', 20)")
+        monkeypatch.setattr(dml, "_DRIVER_REWRITE_MAX_OUTPUT_BYTES", 64)
+        calls = {"n": 0}
+        orig = dml._output_size_ok
+
+        def spy(new_sub):
+            calls["n"] += 1
+            return orig(new_sub)
+
+        monkeypatch.setattr(dml, "_output_size_ok", spy)
+        affected = engine.execute_update(
+            f"UPDATE {t} SET name = repeat(name, 100) WHERE id = 1"
+        )
+        assert affected == 1
+        assert calls["n"] == 1  # guard agg ran (expanding expr detected)
+        rows = engine.query(f"SELECT id, length(name) AS ln FROM {t} ORDER BY id").collect()
+        assert [(r.id, r.ln) for r in rows] == [(1, 200), (2, 2)]
+        # non-expanding point UPDATE never pays the guard job
+        engine.execute_update(f"UPDATE {t} SET age = 99 WHERE id = 2")
+        assert calls["n"] == 1
+
     def test_update_expression_and_multi_set(self, engine):
         t = _mktable(engine)
         engine.execute(f"INSERT INTO {t} VALUES (1, 'a', 10), (2, 'b', 20)")
