@@ -628,13 +628,25 @@ def _point_statement_profile(spark: SparkSession):
     under the session's settings, where AQE earns its keep."""
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Pack the probe's scan into few fat tasks: a point predicate is
+    # answered by parquet footer stats (row-group min/max skipping), so
+    # per-file work is a footer read — one task covering many small
+    # files beats per-file task scheduling. Scale-safe: tasks remain
+    # total_bytes / 1 GB, so a 100 TB table still probes with ~100k
+    # parallel tasks; only the per-task file packing changes.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(8 << 20))
     try:
         yield
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
 
 # -- file-granular copy-on-write ---------------------------------------------
@@ -673,6 +685,42 @@ def _matched_files(
     return files, affected
 
 
+def _local_os_path(loc: str) -> str | None:
+    """OS path for file-scheme (or scheme-less) locations, else None.
+    Handles Hadoop's two renderings (``file:/x`` and ``file:///x``)."""
+    if loc.startswith("file:"):
+        p = loc[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" not in loc and loc.startswith("/"):
+        return loc
+    return None
+
+
+def _list_toplevel_files(spark, loc, fs, dst) -> list[tuple[str, int]]:
+    """(name, size) of non-hidden top-level files. Local locations list
+    via one os.scandir (a per-file Py4J getName/getLen loop costs
+    ~1 ms/file — real latency on the point-DML path); other schemes go
+    through the Hadoop FileSystem."""
+    osp = _local_os_path(loc)
+    if osp is not None:
+        try:
+            return [
+                (e.name, e.stat().st_size)
+                for e in os.scandir(osp)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            ]
+        except OSError:
+            pass  # fall through to the FileSystem listing
+    jvm = spark._jvm
+    return [
+        (st.getPath().getName(), int(st.getLen()))
+        for st in fs.listStatus(dst)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
 def _publish_file_swap(
     spark: SparkSession,
     table: str,
@@ -699,10 +747,9 @@ def _publish_file_swap(
     # (file:///x) differs from listStatus's (file:/x).
     old_names = {f.rstrip("/").rsplit("/", 1)[-1] for f in old_files}
     survivors = [
-        (st.getPath().getName(), int(st.getLen()))
-        for st in fs.listStatus(dst)
-        if not st.getPath().getName().startswith(("_", "."))
-        and st.getPath().getName() not in old_names
+        (name, size)
+        for name, size in _list_toplevel_files(spark, loc, fs, dst)
+        if name not in old_names
     ]
     # ADD-THEN-RETIRE (see _publish_by_move): staged replacements land
     # first — old files stay intact until every rename succeeded, and
@@ -865,7 +912,9 @@ def _file_granular_cow(
     True when published; False → caller runs the full-table path. At
     100 TB this turns a point UPDATE from a table rewrite into a
     one-file rewrite."""
-    sub = spark.read.parquet(*files)
+    # the table schema is already in the session catalog — passing it
+    # skips the read's driver-side footer-inference round-trip
+    sub = spark.read.schema(spark.table(table).schema).parquet(*files)
     new_sub = transform(sub)
     staged = staging_dir(spark, table, loc)
     if not _driver_rewrite(spark, staged, new_sub, files):

@@ -117,26 +117,86 @@ def select_batch(
 ) -> list[tuple[str, str]]:
     """Greedy top-``k`` NON-INTERACTING merge selection from a ranked
     (count DESC, a ASC, b ASC) pair list — the standard batched-BPE
-    optimization. A candidate is taken only if it shares NO symbol with
-    any already-selected pair (neither side equals either side of a
-    selected pair). Disjointness makes the batch exact with respect to
-    itself: merging (a1,b1) can neither create nor destroy occurrences
-    of a disjoint (a2,b2) (the new symbol a1+b1 is a fresh string, and
-    adjacency of a2,b2 has no a1/b1 between them), so applying the
-    batch left-to-right equals applying each merge as if re-counted —
-    the pair counts of every disjoint pair are invariant under the
-    earlier merges in the batch."""
+    optimization. A candidate is taken only if
+
+    - it shares NO symbol with any already-selected pair (neither side
+      equals either side of a selected pair), and
+    - neither of its symbols equals an already-selected pair's
+      CONCATENATION (and vice versa, including concat-vs-concat).
+
+    Symbol-disjointness makes the batch exact with respect to itself
+    (merging (a1,b1) can neither create nor destroy occurrences of a
+    disjoint (a2,b2): the new symbol a1+b1 is fresh and adjacency of
+    a2,b2 has no a1/b1 between them, so every selected pair's count is
+    invariant under the batch's other merges). The concatenation rule
+    additionally guarantees no pair can match a token another pair
+    JUST produced — which is what lets the whole batch apply in ONE
+    fold pass (:func:`_merge_fold_multi`) with results identical to
+    applying the merges sequentially in rank order."""
     taken: list[tuple[str, str]] = []
-    used: set[str] = set()
+    used: set[str] = set()      # symbols of selected pairs
+    concats: set[str] = set()   # tokens selected pairs will produce
     for a, b, _n in ranked:
         if len(taken) >= k:
             break
-        if a in used or b in used:
+        ab = a + b
+        if (
+            a in used or b in used
+            or a in concats or b in concats
+            or ab in used or ab in concats
+        ):
             continue
         taken.append((a, b))
         used.add(a)
         used.add(b)
+        concats.add(ab)
     return taken
+
+
+def _merge_fold_multi(syms, pairs: list[tuple[str, str]]) -> "F.Column":
+    """Apply a whole NON-INTERACTING batch (see :func:`select_batch`)
+    in one greedy left-to-right fold — a single ``F.aggregate`` pass
+    with a CASE chain over the batch's pairs, instead of one chained
+    fold per merge. select_batch's disjointness + concatenation rules
+    make this pass produce exactly what applying the merges one at a
+    time (in rank order) would: no pair can consume another pair's
+    symbols or freshly-produced token, so per-position at most one
+    pair can ever match."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit("").alias("prev"),
+    )
+
+    def match_tok(prev, x):
+        expr = F.lit(None).cast("string")
+        # reversed: build the when-chain so earlier (higher-rank) pairs
+        # win, though disjointness means at most one can match anyway
+        for a, b in reversed(pairs):
+            expr = F.when(
+                (prev == F.lit(a)) & (x == F.lit(b)), F.lit(a + b)
+            ).otherwise(expr)
+        return expr
+
+    def step(acc, x):
+        tok = match_tok(acc.prev, x)
+        merged = F.struct(
+            F.concat(acc.out, F.array(tok)).alias("out"),
+            F.lit("").alias("prev"),
+        )
+        shifted = F.struct(
+            F.when(
+                acc.prev != F.lit(""), F.concat(acc.out, F.array(acc.prev))
+            ).otherwise(acc.out).alias("out"),
+            x.alias("prev"),
+        )
+        return F.when(tok.isNotNull(), merged).otherwise(shifted)
+
+    def finish(acc):
+        return F.when(
+            acc.prev != F.lit(""), F.concat(acc.out, F.array(acc.prev))
+        ).otherwise(acc.out)
+
+    return F.aggregate(syms, init, step, finish)
 
 
 def train_bpe(
@@ -198,18 +258,26 @@ def train_bpe(
         batch = select_batch(ranked, want)
         if not batch:
             break  # nothing left worth merging (all pairs unique)
-        # Folds stay LAZY between checkpoints: each pair-count job
-        # re-executes at most _CHECKPOINT_EVERY folds over the bounded
-        # word table (cheap, one task round), which beats materializing
-        # every iteration (an extra job per merge). The periodic
-        # checkpoint truncates lineage so plan-analysis cost stays flat.
-        for a, b in batch:
-            merges.append((a, b))
-            cur = cur.withColumn("syms", _merge_fold(F.col("syms"), a, b))
-            folds_since_checkpoint += 1
-            if folds_since_checkpoint >= _CHECKPOINT_EVERY:
-                cur = cur.localCheckpoint(eager=True)
-                folds_since_checkpoint = 0
+        merges.extend(batch)
+        # the whole batch applies in ONE fold pass (exact — see
+        # select_batch/_merge_fold_multi), so lineage grows one fold
+        # layer per ROUND, not per merge. Folds stay LAZY between
+        # checkpoints: each pair-count job re-executes at most
+        # _CHECKPOINT_EVERY pending fold layers over the bounded word
+        # table, and the periodic checkpoint truncates lineage so
+        # plan-analysis cost stays flat.
+        if len(batch) == 1:
+            cur = cur.withColumn(
+                "syms", _merge_fold(F.col("syms"), *batch[0])
+            )
+        else:
+            cur = cur.withColumn(
+                "syms", _merge_fold_multi(F.col("syms"), batch)
+            )
+        folds_since_checkpoint += 1
+        if folds_since_checkpoint >= _CHECKPOINT_EVERY:
+            cur = cur.localCheckpoint(eager=True)
+            folds_since_checkpoint = 0
     segmented = cur.select(
         "word", "freq", F.col("syms").alias("tokens")
     )

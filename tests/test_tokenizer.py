@@ -261,12 +261,14 @@ class TestBatchedMerges:
     def test_batch_selection_is_disjoint(self):
         ranked = [
             ("a", "b", 10),
-            ("b", "c", 9),   # shares b → skipped
+            ("b", "c", 9),    # shares b → skipped
             ("c", "d", 8),
-            ("ab", "cd", 7),  # disjoint of both → taken
-            ("a", "d", 6),   # shares a and d → skipped
+            ("ab", "cd", 7),  # symbols equal selected CONCATS → skipped
+            ("a", "d", 6),    # shares a and d → skipped
             ("e", "f", 5),
+            ("g", "ef", 4),   # "ef" equals (e,f)'s concat → skipped
+            ("x", "y", 3),
         ]
-        assert tokenizer.select_batch(ranked, 4) == [
-            ("a", "b"), ("c", "d"), ("ab", "cd"), ("e", "f"),
+        assert tokenizer.select_batch(ranked, 5) == [
+            ("a", "b"), ("c", "d"), ("e", "f"), ("x", "y"),
         ]
