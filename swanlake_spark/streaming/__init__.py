@@ -7,6 +7,7 @@ file-source streams → watermarked windowed aggregation → parquet/table
 sinks, with exactly-once checkpointing.
 """
 
+from swanlake_spark.streaming.funnel import funnel_stream
 from swanlake_spark.streaming.ingest import (
     sessionize,
     stream_events_from_directory,
@@ -16,6 +17,7 @@ from swanlake_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "funnel_stream",
     "sessionize",
     "stream_events_from_directory",
     "streaming_append_to_table",

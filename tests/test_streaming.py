@@ -464,3 +464,128 @@ def test_sessionize_stream_matches_batch_operator(spark):
     }
     assert got == expected
     assert len(expected) == 3  # 2 sessions for user 1, 1 for user 2
+
+
+class TestStreamingFunnel:
+    """funnel_stream parity vs the batch operator (which is
+    DuckDB-oracle-anchored), including out-of-order delivery."""
+
+    def _run(self, spark, batches):
+        import json
+        import os
+        import tempfile
+
+        from swanlake_spark.streaming import (
+            funnel_stream,
+            stream_events_from_directory,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_funstr_")
+        for i, batch in enumerate(batches):
+            with open(os.path.join(d, f"b{i}.json"), "w") as f:
+                for r in batch:
+                    f.write(json.dumps(r) + "\n")
+        events = stream_events_from_directory(
+            spark, d, max_files_per_trigger=1
+        )
+        out = funnel_stream(
+            events, ["signup", "view", "purchase"], watermark="1 minute"
+        )
+        name = f"funnel_par_{abs(hash(str(batches))) % 10**8}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow terminates on completion; assert it actually
+        # finished so a loaded box can't hand us a partial sink
+        assert q.awaitTermination(300)
+        return {
+            (r.user_id, r.step_index, r.step, str(r.step_ts))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r.user_id != 999  # watermark sentinel
+        }
+
+    @staticmethod
+    def _ev(eid, ts, uid, ty):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": ty, "value": 0.0, "props": "{}"}
+
+    def _batch_expected(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import events as EV
+
+        bdf = spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["event_type"]) for r in rows],
+            "user_id long, ts string, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        reach = EV.funnel_reach(
+            bdf, ["signup", "view", "purchase"]
+        ).collect()
+        expected = set()
+        steps = ["signup", "view", "purchase"]
+        for r in reach:
+            for i, s in enumerate(steps):
+                t = r[f"_t{i}"]
+                if t is not None:
+                    import datetime
+
+                    ts = datetime.datetime.utcfromtimestamp(t)
+                    expected.add((r._u, i + 1, s, str(ts)))
+        return expected
+
+    def test_in_order_matches_batch(self, spark):
+        rows = [
+            self._ev(1, "2025-01-01T00:00:00.000Z", 1, "signup"),
+            self._ev(2, "2025-01-01T00:01:00.000Z", 1, "view"),
+            self._ev(3, "2025-01-01T00:02:00.000Z", 1, "purchase"),
+            # user 2 purchases BEFORE viewing: funnel stops at signup+view
+            self._ev(4, "2025-01-01T00:00:30.000Z", 2, "signup"),
+            self._ev(5, "2025-01-01T00:00:40.000Z", 2, "purchase"),
+            self._ev(6, "2025-01-01T00:03:00.000Z", 2, "view"),
+        ]
+        sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
+        got = self._run(spark, [rows, sentinel])
+        assert got == self._batch_expected(spark, rows)
+        assert {(u, i) for u, i, _, _ in got} == {
+            (1, 1), (1, 2), (1, 3), (2, 1), (2, 2),
+        }
+
+    def test_out_of_order_late_step0_matches_batch(self, spark):
+        """The user's view events arrive FIRST; the signup that makes
+        one of them qualify arrives late (within the watermark) in a
+        later micro-batch. Pending view candidates must survive until
+        the late signup lands — then the funnel matches batch."""
+        early = [
+            self._ev(1, "2025-01-01T00:00:20.000Z", 7, "view"),
+            self._ev(2, "2025-01-01T00:00:40.000Z", 7, "view"),
+        ]
+        late = [self._ev(3, "2025-01-01T00:00:30.000Z", 7, "signup")]
+        sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
+        rows = early + late
+        got = self._run(spark, [early, late, sentinel])
+        expected = self._batch_expected(spark, rows)
+        assert got == expected
+        # the qualifying view is the 00:00:40 one (>= signup 00:00:30)
+        assert (7, 2, "view", "2025-01-01 00:00:40") in got
+
+    def test_hot_user_spamming_one_step_emits_nothing(self, spark):
+        """A bot emitting only step-1 events never converts and never
+        blocks: no rows for it, stream completes (its candidates are
+        watermark-pruned, not accumulated)."""
+        bot = [
+            self._ev(i, f"2025-01-01T00:{m:02d}:{s:02d}.000Z", 13, "view")
+            for i, (m, s) in enumerate(
+                (m, s) for m in range(8) for s in (0, 30)
+            )
+        ]
+        real = [
+            self._ev(100, "2025-01-01T00:00:00.000Z", 14, "signup"),
+            self._ev(101, "2025-01-01T00:00:10.000Z", 14, "view"),
+        ]
+        sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
+        got = self._run(spark, [bot, real, sentinel])
+        assert {(u, i) for u, i, _, _ in got} == {(14, 1), (14, 2)}
