@@ -284,18 +284,80 @@ def train_bpe(
     return merges, segmented
 
 
+def group_merges(
+    merges: list[tuple[str, str]],
+) -> list[list[tuple[str, str]]]:
+    """Split an ORDERED merge list into maximal consecutive
+    conflict-free groups (the :func:`select_batch` rule: no shared
+    symbols, no symbol-equals-concatenation). Each group applies in one
+    fused fold with results identical to applying its merges one at a
+    time, so ``fold(g1); fold(g2); ...`` reproduces the exact
+    sequential semantics of the full list."""
+    groups: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    for a, b in merges:
+        ab = a + b
+        if (
+            a in used or b in used
+            or a in concats or b in concats
+            or ab in used or ab in concats
+        ):
+            groups.append(cur)
+            cur, used, concats = [], set(), set()
+        cur.append((a, b))
+        used.add(a)
+        used.add(b)
+        concats.add(ab)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Segment arbitrary words by applying an ordered merge list — the
+    standard BPE encode over a (distinct) word column, char symbols
+    folded through the merges in conflict-free fused groups. Used for
+    OOV words at encode time so unseen words get TRUE BPE
+    segmentations, not a character fallback."""
+    out = words.withColumn(out_col, _char_symbols(F.col(word_col)))
+    for i, grp in enumerate(group_merges(merges)):
+        if len(grp) == 1:
+            out = out.withColumn(
+                out_col, _merge_fold(F.col(out_col), *grp[0])
+            )
+        else:
+            out = out.withColumn(
+                out_col, _merge_fold_multi(F.col(out_col), grp)
+            )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
 def encode(
     df: DataFrame,
     segmented: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Tokenize documents with a trained segmentation table:
     ``(id, tokens, n_tokens)``. Words join against the trained table
-    (broadcast by default — vocabularies are dim-sized); OOV words fall
-    back to character symbols. Token order is reconstructed from the
-    word's position, so the output is deterministic."""
+    (broadcast by default — vocabularies are dim-sized). OOV words:
+    with ``merges`` given, the DISTINCT unseen words fold through the
+    merge list (:func:`segment_words`) — the segmentation a real BPE
+    tokenizer produces; without it they fall back to character symbols
+    (the pre-r5 behavior, kept as the zero-extra-jobs default). Token
+    order is reconstructed from the word's position, so the output is
+    deterministic."""
     seg = segmented.select("word", "tokens")
     if broadcast_vocab:
         seg = F.broadcast(seg)
@@ -305,6 +367,16 @@ def encode(
             F.split(F.trim(F.col(text_col)), r"\s+")
         ).alias("pos", "word"),
     ).filter(F.col("word") != "")
+    if merges is not None:
+        oov = (
+            exploded.join(seg.select("word"), "word", "left_anti")
+            .select("word")
+            .distinct()
+        )
+        oov_seg = segment_words(oov, merges)
+        seg = seg.unionByName(oov_seg)
+        if broadcast_vocab:
+            seg = F.broadcast(seg)
     joined = exploded.join(seg, "word", "left").select(
         id_col,
         "pos",

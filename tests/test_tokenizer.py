@@ -272,3 +272,52 @@ class TestBatchedMerges:
         assert tokenizer.select_batch(ranked, 5) == [
             ("a", "b"), ("c", "d"), ("e", "f"), ("x", "y"),
         ]
+
+
+class TestOovEncodeWithMerges:
+    def test_oov_words_get_true_bpe_segmentation(self, spark, corpus):
+        """Unseen words at encode time must segment through the merge
+        list exactly as the pure-Python reference applies it — not as
+        character symbols."""
+        merges, segmented = tokenizer.train_bpe(corpus, n_merges=12)
+        unseen = spark.createDataFrame(
+            [(100, "lowest newest catnap the thee")],
+            "doc_id int, text string",
+        )
+        enc = tokenizer.encode(unseen, segmented, merges=merges)
+        got = {r.doc_id: list(r.tokens) for r in enc.collect()}
+        words = ["lowest", "newest", "catnap", "the", "thee"]
+        ref = _apply_merges({w: 1 for w in words}, merges)
+        expected = [t for w in words for t in ref[w]]
+        assert got[100] == expected
+
+    def test_char_fallback_unchanged_without_merges(self, spark, corpus):
+        _, segmented = tokenizer.train_bpe(corpus, n_merges=6)
+        unseen = spark.createDataFrame(
+            [(1, "zqzq")], "doc_id int, text string"
+        )
+        enc = tokenizer.encode(unseen, segmented)
+        assert list(enc.collect()[0].tokens) == ["z", "q", "z", "q",
+                                                 tokenizer.END]
+
+    def test_group_merges_preserves_sequential_semantics(self, spark):
+        """Grouped fused application over a merge list with
+        INTERACTING consecutive merges (forcing group splits) equals
+        sequential application."""
+        rows = [(1, "aaab aab ab abb bb aabb")]
+        corpus = spark.createDataFrame(rows, "doc_id int, text string")
+        freqs = {
+            r.word: r.freq for r in tokenizer.word_freqs(corpus).collect()
+        }
+        merges, _ = tokenizer.train_bpe(corpus, n_merges=8)
+        # interacting list: groups must split (e.g. (a,b) then (ab,x))
+        assert len(tokenizer.group_merges(merges)) > 1
+        words = spark.createDataFrame(
+            [("aaabbb",), ("abab",), ("ba",)], "word string"
+        )
+        got = {
+            r.word: list(r.tokens)
+            for r in tokenizer.segment_words(words, merges).collect()
+        }
+        ref = _apply_merges({w: 1 for w in ["aaabbb", "abab", "ba"]}, merges)
+        assert got == ref
