@@ -436,14 +436,24 @@ class Engine:
                     continue
                 rm = re.match(
                     r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.`\"]+)"
-                    r"(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+                    r"(?:\s+(INCREMENTAL))?(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
                     stmt,
                     re.IGNORECASE | re.DOTALL,
                 )
                 if rm:
-                    affected = matview.refresh(
-                        self.spark, rm.group(1).strip('`"'), rm.group(2)
-                    )
+                    if rm.group(2):
+                        if rm.group(3):
+                            raise InvalidArgument(
+                                "INCREMENTAL refresh takes no WHERE "
+                                "predicate (it folds base-table appends)"
+                            )
+                        affected = matview.refresh_incremental(
+                            self.spark, rm.group(1).strip('`"')
+                        )
+                    else:
+                        affected = matview.refresh(
+                            self.spark, rm.group(1).strip('`"'), rm.group(3)
+                        )
                     continue
                 dmv = re.match(
                     r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?"

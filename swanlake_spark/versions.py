@@ -323,6 +323,21 @@ def snapshots(spark: SparkSession, table: str) -> DataFrame:
     ).orderBy("version")
 
 
+def snapshot_file_names(
+    spark: SparkSession, table: str, version: int
+) -> list[str]:
+    """Table-relative data-file names recorded in snapshot
+    ``version``'s manifest (metadata only — no existence resolution;
+    delta computations diff these sets across versions)."""
+    root = versions_root(spark, table)
+    if root is None:
+        raise InvalidArgument(f"table {table} has no resolvable location")
+    ms = dict(_manifest_paths(spark, root))
+    if version not in ms:
+        raise NotFound(f"no snapshot v{version} for {table}")
+    return [f["name"] for f in _read_json(spark, ms[version])["files"]]
+
+
 def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
     """Absolute paths backing snapshot ``version``. The RETAINED copy is
     preferred when it exists: retired files are immutable until

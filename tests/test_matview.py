@@ -189,3 +189,130 @@ class TestMatview:
             assert eng2.query("SELECT n FROM mv4").df.collect()[0].n == 4
         finally:
             eng.execute("DROP MATERIALIZED VIEW mv4")
+
+
+class TestIncrementalRefresh:
+    """REFRESH MATERIALIZED VIEW ... INCREMENTAL: append-delta
+    maintenance for single-table GROUP BY views (matview.py r5). Every
+    result is compared against what a full recompute would produce."""
+
+    def _full(self, spark, q):
+        return {tuple(r) for r in spark.sql(q).collect()}
+
+    def test_appends_fold_in_and_match_full_recompute(self, spark, eng, src):
+        q = ("SELECT day, count(*) AS n, sum(amt) AS total, "
+             "min(amt) AS lo, max(amt) AS hi FROM mv_src GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_inc AS {q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_src VALUES (4, 40.0, 'd1'), (5, 1.0, 'd3')"
+            )
+            n = eng.query(
+                "REFRESH MATERIALIZED VIEW mv_inc INCREMENTAL"
+            ).affected_rows
+            assert n >= 1  # delta files folded
+            got = {tuple(r) for r in spark.table("mv_inc").collect()}
+            assert got == self._full(spark, q)
+            # second round: two more appends, fold again
+            eng.execute("INSERT INTO mv_src VALUES (6, 2.0, 'd3')")
+            eng.execute("INSERT INTO mv_src VALUES (7, 0.5, 'd2')")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_inc INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_inc").collect()}
+            assert got == self._full(spark, q)
+            # no new appends: no-op
+            assert eng.query(
+                "REFRESH MATERIALIZED VIEW mv_inc INCREMENTAL"
+            ).affected_rows == 0
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_inc")
+
+    def test_where_in_definition_applies_to_delta(self, spark, eng, src):
+        q = ("SELECT day, sum(amt) AS total FROM mv_src "
+             "WHERE amt > 4.0 GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_incw AS {q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_src VALUES (8, 3.0, 'd1'), (9, 50.0, 'd1')"
+            )
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incw INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_incw").collect()}
+            assert got == self._full(spark, q)  # 3.0 filtered out of delta
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incw")
+
+    def test_base_rewrite_demands_full_refresh(self, spark, eng, src):
+        from swanlake_spark.errors import InvalidArgument
+
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_incr AS "
+            "SELECT day, count(*) AS n FROM mv_src GROUP BY day"
+        )
+        try:
+            eng.execute("UPDATE mv_src SET amt = amt + 1 WHERE id = 1")
+            with pytest.raises(InvalidArgument, match="append-only"):
+                eng.execute("REFRESH MATERIALIZED VIEW mv_incr INCREMENTAL")
+            # full refresh recovers and re-stamps; incremental works again
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incr")
+            eng.execute("INSERT INTO mv_src VALUES (10, 9.0, 'd4')")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incr INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_incr").collect()}
+            assert got == self._full(
+                spark, "SELECT day, count(*) AS n FROM mv_src GROUP BY day"
+            )
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incr")
+
+    def test_unmergeable_definition_rejected(self, spark, eng, src):
+        from swanlake_spark.errors import InvalidArgument
+
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_incavg AS "
+            "SELECT day, avg(amt) AS a FROM mv_src GROUP BY day"
+        )
+        try:
+            eng.execute("INSERT INTO mv_src VALUES (11, 1.0, 'd1')")
+            with pytest.raises(InvalidArgument, match="maintainable"):
+                eng.execute(
+                    "REFRESH MATERIALIZED VIEW mv_incavg INCREMENTAL"
+                )
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incavg")
+
+    def test_partial_refresh_clears_stamp(self, spark, eng, src):
+        from swanlake_spark.errors import InvalidArgument
+
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_incp AS "
+            "SELECT day, sum(amt) AS total FROM mv_src GROUP BY day"
+        )
+        try:
+            eng.execute("INSERT INTO mv_src VALUES (12, 4.0, 'd1')")
+            eng.execute(
+                "REFRESH MATERIALIZED VIEW mv_incp WHERE day = 'd1'"
+            )
+            # the partial refresh consumed newer base data for d1 only:
+            # a stamp would double-count — it must be gone
+            with pytest.raises(InvalidArgument, match="full REFRESH"):
+                eng.execute("REFRESH MATERIALIZED VIEW mv_incp INCREMENTAL")
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incp")
+
+    def test_null_group_keys_merge_as_one_group(self, spark, eng):
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="swl_mvng_")
+        eng.execute(
+            f"CREATE TABLE mv_ng (k STRING, v INT) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute("INSERT INTO mv_ng VALUES (NULL, 1), ('a', 2)")
+            q = "SELECT k, sum(v) AS s FROM mv_ng GROUP BY k"
+            eng.execute(f"CREATE MATERIALIZED VIEW mv_ngv AS {q}")
+            eng.execute("INSERT INTO mv_ng VALUES (NULL, 10), ('a', 20)")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_ngv INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_ngv").collect()}
+            assert got == self._full(spark, q) == {(None, 11), ("a", 22)}
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv_ngv")
+            eng.execute("DROP TABLE IF EXISTS mv_ng")
