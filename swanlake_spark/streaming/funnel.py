@@ -45,12 +45,19 @@ def funnel_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_s: float | None = None,
 ) -> DataFrame:
     """Append-mode stream of finalized funnel steps:
     ``(user_id, step_index, step, step_ts)`` — one row per user per
     step, emitted when the step's time is final (see module
     docstring). ``step_index`` is 1-based, matching the batch
-    ``funnel()`` output."""
+    ``funnel()`` output.
+
+    ``within_s`` bounds later steps to the conversion window after the
+    user's step-0 time (the batch operator's semantics). The window's
+    deadline moves only when t0 moves — and t0 only decreases — so
+    emission still happens strictly at prefix-finality: by the time
+    step i can finalize, t0 (hence the deadline) is already final."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -71,18 +78,27 @@ def funnel_stream(
     # candidate events (step, ts ms), watermark-pruned
     state_schema = "finals array<long>, cand_step array<int>, cand_ts array<long>"
 
+    within_ms = None if within_s is None else int(within_s * 1000)
+
     def _progress(finals, cands):
         """Current progression times under everything known: the final
-        prefix, extended greedily from pending candidates."""
+        prefix, extended greedily from pending candidates (bounded by
+        the conversion window when one is configured)."""
         T = list(finals)
         by_step = {}
         for s, t in cands:
             by_step.setdefault(s, []).append(t)
         for i in range(len(finals), depth):
             theta = T[i - 1] if i else None
+            deadline = (
+                T[0] + within_ms
+                if within_ms is not None and i > 0
+                else None
+            )
             opts = [
                 t for t in by_step.get(i, [])
-                if theta is None or t >= theta
+                if (theta is None or t >= theta)
+                and (deadline is None or t <= deadline)
             ]
             if not opts:
                 break

@@ -470,7 +470,7 @@ class TestStreamingFunnel:
     """funnel_stream parity vs the batch operator (which is
     DuckDB-oracle-anchored), including out-of-order delivery."""
 
-    def _run(self, spark, batches):
+    def _run(self, spark, batches, within_s=None):
         import json
         import os
         import tempfile
@@ -489,7 +489,8 @@ class TestStreamingFunnel:
             spark, d, max_files_per_trigger=1
         )
         out = funnel_stream(
-            events, ["signup", "view", "purchase"], watermark="1 minute"
+            events, ["signup", "view", "purchase"], watermark="1 minute",
+            within_s=within_s,
         )
         name = f"funnel_par_{abs(hash(str(batches))) % 10**8}"
         q = (
@@ -513,7 +514,7 @@ class TestStreamingFunnel:
         return {"event_id": eid, "ts": ts, "user_id": uid,
                 "event_type": ty, "value": 0.0, "props": "{}"}
 
-    def _batch_expected(self, spark, rows):
+    def _batch_expected(self, spark, rows, within_s=None):
         from pyspark.sql import functions as F
 
         from swanlake_spark.operators import events as EV
@@ -523,7 +524,7 @@ class TestStreamingFunnel:
             "user_id long, ts string, event_type string",
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         reach = EV.funnel_reach(
-            bdf, ["signup", "view", "purchase"]
+            bdf, ["signup", "view", "purchase"], within_s=within_s
         ).collect()
         expected = set()
         steps = ["signup", "view", "purchase"]
@@ -589,3 +590,24 @@ class TestStreamingFunnel:
         sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
         got = self._run(spark, [bot, real, sentinel])
         assert {(u, i) for u, i, _, _ in got} == {(14, 1), (14, 2)}
+
+    def test_conversion_window_matches_batch(self, spark):
+        """within_s parity: step-1 events outside the window after the
+        (late-arriving, earlier) signup must not convert — the moving
+        deadline re-evaluates when t0 drops."""
+        rows = [
+            # signup lands LATE; its arrival moves the deadline earlier
+            self._ev(1, "2025-01-01T00:00:10.000Z", 21, "view"),
+            self._ev(2, "2025-01-01T00:05:00.000Z", 21, "view"),
+            self._ev(3, "2025-01-01T00:00:00.000Z", 21, "signup"),
+            # user 22: view inside its window
+            self._ev(4, "2025-01-01T00:00:00.000Z", 22, "signup"),
+            self._ev(5, "2025-01-01T00:01:00.000Z", 22, "view"),
+        ]
+        batches = [rows[:2], rows[2:]]
+        sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
+        got = self._run(spark, batches + [sentinel], within_s=120.0)
+        assert got == self._batch_expected(spark, rows, within_s=120.0)
+        # user 21 converts via the 00:00:10 view (inside 2 min of
+        # 00:00:00); the 00:05:00 one alone would have been outside
+        assert (21, 2, "view", "2025-01-01 00:00:10") in got
