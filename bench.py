@@ -281,6 +281,54 @@ def main() -> None:
     suite["ycsb_point_read"] = YCSB_QUERIES["ycsb_point_read"]
     suite["ycsb_scan"] = YCSB_QUERIES["ycsb_scan"]
 
+    # Incremental matview maintenance: each measured run appends a
+    # batch to the base table and folds it in via REFRESH ...
+    # INCREMENTAL — cost tracks the APPENDED files, not the base size
+    # (the 100 TB rollup-refresh story; full refresh rescans the base).
+    class _MatviewIncremental:
+        _eng = None
+        _k = 0
+
+        @classmethod
+        def build(cls, spark, sf_dir):
+            import tempfile as _tf
+
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.engine import Engine
+
+            if cls._eng is None:
+                cls._eng = Engine(spark=spark)
+                loc = _tf.mkdtemp(prefix="swl_bench_mvi_")
+                cls._eng.execute(
+                    f"CREATE TABLE bench_mvi_src (day STRING, amt DOUBLE) "
+                    f"USING parquet LOCATION '{loc}'"
+                )
+                cls._eng.execute(
+                    "INSERT INTO bench_mvi_src "
+                    "SELECT concat('d', id % 30), id * 1.0 "
+                    "FROM RANGE(200000) t(id)"
+                )
+                cls._eng.execute(
+                    "CREATE MATERIALIZED VIEW bench_mvi AS "
+                    "SELECT day, count(*) AS n, sum(amt) AS total "
+                    "FROM bench_mvi_src GROUP BY day"
+                )
+            cls._k += 1
+            cls._eng.execute(
+                f"INSERT INTO bench_mvi_src "
+                f"SELECT concat('d', id % 30), {cls._k}.0 "
+                f"FROM RANGE(5000) t(id)"
+            )
+            cls._eng.execute(
+                "REFRESH MATERIALIZED VIEW bench_mvi INCREMENTAL"
+            )
+            return spark.table("bench_mvi").groupBy().agg(
+                F.count("*").alias("g"), F.sum("n").alias("rows")
+            )
+
+    suite["matview_incremental_refresh"] = _MatviewIncremental
+
     # Load phase (like the reference's BenchBase load into DuckLake,
     # outside the measured window): ingest the single-file source tables
     # into the engine's own multi-part layout so scans parallelize.

@@ -264,3 +264,54 @@ class TestConcurrentReaderDuringAlter:
             ]
         finally:
             eng.execute("DROP TABLE IF EXISTS se_cc")
+
+
+class TestCrashMidPublish:
+    def test_crash_between_add_and_retire_leaves_superset(
+        self, spark, eng, monkeypatch
+    ):
+        """The r5 ADD-THEN-RETIRE reorder's crash contract: an abort
+        after the staged files renamed in but before retirement leaves
+        the table READABLE with at least all pre-ALTER rows (a
+        transient superset for directory scans — never an empty or
+        missing table, which is what the pre-r5 retire-then-add
+        ordering produced)."""
+        from swanlake_spark import versions
+        from swanlake_spark.errors import EngineError
+
+        eng.execute(
+            f"CREATE TABLE se_crash (id INT, junk STRING) "
+            f"USING parquet LOCATION '{_loc()}'"
+        )
+        try:
+            eng.execute("INSERT INTO se_crash VALUES (1, 'x'), (2, 'y')")
+            v_before = versions.current_version(spark, "se_crash")
+
+            def boom(*a, **k):
+                raise RuntimeError("injected crash mid-publish")
+
+            monkeypatch.setattr(versions, "retire_files", boom)
+            with pytest.raises((EngineError, RuntimeError)):
+                eng.execute("ALTER TABLE se_crash DROP COLUMN junk")
+            monkeypatch.undo()
+            # catalog entry intact (old schema), data present — the
+            # staged copy joined the old files, so ids survive (twice)
+            df = spark.table("se_crash")
+            assert "junk" in df.columns
+            ids = [r.id for r in df.collect()]
+            assert set(ids) == {1, 2} and len(ids) >= 2
+            # pre-crash snapshot still reads exactly the old contents
+            old = versions.read_version(spark, "se_crash", v_before)
+            assert {(r.id, r.junk) for r in old.collect()} == {
+                (1, "x"), (2, "y"),
+            }
+            # and the write lock was released: a fresh ALTER succeeds
+            # after manual cleanup of the duplicate-producing extras
+            eng.execute("DELETE FROM se_crash WHERE junk IS NULL")
+            eng.execute("ALTER TABLE se_crash DROP COLUMN junk")
+            assert [f.name for f in spark.table("se_crash").schema.fields] == [
+                "id"
+            ]
+            assert {r.id for r in spark.table("se_crash").collect()} == {1, 2}
+        finally:
+            eng.execute("DROP TABLE IF EXISTS se_crash")
