@@ -1,0 +1,178 @@
+"""Exact duplicate-span dedup (operators/span_dedup.py) vs a
+pure-Python reference implementing the same definition (Lee et al.
+2022 ExactSubstr semantics at window granularity): every stride-1
+window of >= min_tokens occurring more than once in the corpus marks
+its tokens; marked runs merge into maximal spans; removal keeps the
+corpus-wide first occurrence of each duplicated window."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from swanlake_spark.operators import span_dedup as SD
+
+
+def _ref_spans(docs: dict[int, str], L: int):
+    """doc_id -> list of (start, end) maximal duplicated spans."""
+    toks = {d: t.split() for d, t in docs.items()}
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, ts in toks.items():
+        for i in range(len(ts) - L + 1):
+            occ[" ".join(ts[i:i + L])].append((d, i))
+    dup_starts = defaultdict(set)
+    for w, places in occ.items():
+        if len(places) > 1:
+            for d, i in places:
+                dup_starts[d].add(i)
+    spans = {}
+    for d, ss in dup_starts.items():
+        merged = []
+        for s in sorted(ss):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], s + L)
+            else:
+                merged.append((s, s + L))
+        spans[d] = merged
+    return spans
+
+
+def _ref_strip(docs: dict[int, str], L: int, keep_first: bool):
+    """doc_id -> (stripped text, n_removed)."""
+    toks = {d: t.split() for d, t in docs.items()}
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, ts in toks.items():
+        for i in range(len(ts) - L + 1):
+            occ[" ".join(ts[i:i + L])].append((d, i))
+    removed = defaultdict(set)
+    for w, places in occ.items():
+        if len(places) > 1:
+            first = min(places)
+            for d, i in places:
+                if keep_first and (d, i) == first:
+                    continue
+                removed[d].update(range(i, i + L))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in removed[d]]
+        out[d] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id int, text string"
+    )
+
+
+class TestDuplicateSpans:
+    def test_shared_passage_detected_and_merged(self, spark):
+        passage = "the quick brown fox jumps over the lazy dog"
+        docs = {
+            1: f"intro words here {passage} and some closing remarks",
+            2: f"{passage} entirely different tail content follows now",
+            3: "no duplication in this document at all whatsoever here",
+        }
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in SD.duplicate_spans(_df(spark, docs), 6).collect()
+        }
+        exp = {
+            (d, s, e)
+            for d, spans in _ref_spans(docs, 6).items()
+            for s, e in spans
+        }
+        assert got == exp
+        assert 3 not in {d for d, _, _ in got}
+
+    def test_within_document_repeat_detected(self, spark):
+        rep = "alpha beta gamma delta epsilon zeta"
+        docs = {1: f"{rep} middle filler words go here {rep}"}
+        got = SD.duplicate_spans(_df(spark, docs), 6).collect()
+        exp = _ref_spans(docs, 6)[1]
+        assert {(r.span_start, r.span_end) for r in got} == set(exp)
+
+    def test_randomized_corpora_match_reference(self, spark):
+        rng = random.Random(99)
+        vocab = [f"w{i}" for i in range(30)]
+        for trial in range(4):
+            passage = " ".join(rng.choices(vocab, k=rng.randint(8, 14)))
+            docs = {}
+            for d in range(8):
+                body = " ".join(rng.choices(vocab, k=rng.randint(10, 40)))
+                if rng.random() < 0.6:
+                    cut = rng.randint(0, body.count(" "))
+                    ws = body.split()
+                    body = " ".join(ws[:cut] + passage.split() + ws[cut:])
+                docs[d] = body
+            L = 7
+            got = {
+                (r.doc_id, r.span_start, r.span_end)
+                for r in SD.duplicate_spans(_df(spark, docs), L).collect()
+            }
+            exp = {
+                (d, s, e)
+                for d, spans in _ref_spans(docs, L).items()
+                for s, e in spans
+            }
+            assert got == exp, (trial, docs)
+
+
+class TestStripDuplicateSpans:
+    def test_keep_first_preserves_one_copy(self, spark):
+        passage = "one two three four five six seven eight"
+        docs = {
+            1: f"{passage} unique tail a b c",
+            2: f"prefix x y z {passage}",
+            3: f"{passage}",
+        }
+        out = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in SD.strip_duplicate_spans(_df(spark, docs), 6).collect()
+        }
+        assert out == _ref_strip(docs, 6, keep_first=True)
+        # the globally-first occurrence (doc 1, pos 0) survived
+        assert out[1][0].startswith("one two three")
+        assert "one two" not in out[2][0] and out[3][0] == ""
+
+    def test_strip_all_occurrences(self, spark):
+        passage = "p q r s t u v w"
+        docs = {1: f"{passage} aa bb", 2: f"cc dd {passage}"}
+        out = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in SD.strip_duplicate_spans(
+                _df(spark, docs), 6, keep_first=False
+            ).collect()
+        }
+        assert out == _ref_strip(docs, 6, keep_first=False)
+        assert "p q" not in out[1][0] and "p q" not in out[2][0]
+
+    def test_randomized_strip_matches_reference(self, spark):
+        rng = random.Random(7)
+        vocab = [f"t{i}" for i in range(25)]
+        passage = " ".join(rng.choices(vocab, k=10))
+        docs = {}
+        for d in range(6):
+            ws = rng.choices(vocab, k=rng.randint(12, 30))
+            if d % 2 == 0:
+                ws = ws[:5] + passage.split() + ws[5:]
+            docs[d] = " ".join(ws)
+        for keep in (True, False):
+            out = {
+                r.doc_id: (r.text, r.n_tokens_removed)
+                for r in SD.strip_duplicate_spans(
+                    _df(spark, docs), 7, keep_first=keep
+                ).collect()
+            }
+            assert out == _ref_strip(docs, 7, keep_first=keep), keep
+
+    def test_stats_report(self, spark):
+        passage = "m n o p q r s t"
+        docs = {1: f"{passage} x", 2: f"y {passage}", 3: "z z2 z3"}
+        r = SD.span_dedup_stats(_df(spark, docs), 6).collect()[0]
+        assert r.docs_affected == 2 and r.dup_spans == 2
+        assert r.dup_tokens == 16 and len(r.examples) == 2
