@@ -357,6 +357,41 @@ _add(
 )
 
 
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span removal (operators/span_dedup.py, Lee et
+    al. ExactSubstr semantics): per doc, the stripped text's md5 and
+    removed-token count with the corpus-wide first occurrence kept.
+    Deterministic (keep-first = min (doc, pos) per window hash), so
+    the frozen expected locks it; the span/strip definitions are
+    verified against a pure-Python reference in
+    tests/test_span_dedup.py + tests/test_frozen_expected.py."""
+    from swanlake_spark.operators import span_dedup as SD
+
+    docs = _docs(spark, sf_dir)
+    out = SD.strip_duplicate_spans(docs, min_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_tokens_removed",
+        F.md5(F.col("text")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+_add(
+    "pipe_span_dedup",
+    _span_dedup,
+    f"""
+    SELECT doc_id, n_tokens_removed, text_md5
+    FROM read_parquet('{_frozen("span_sf0_01")}')
+    WHERE (SELECT sum(length(text)) FROM documents) = 149174
+    UNION ALL
+    SELECT doc_id, n_tokens_removed, text_md5
+    FROM read_parquet('{_frozen("span_sf0_001")}')
+    WHERE (SELECT sum(length(text)) FROM documents) = 153156
+    ORDER BY doc_id
+    """,
+)
+
+
 def _sim_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three approximate-nearest-neighbor scale paths — hyperplane
     LSH, IVF probe, PQ/ADC — top-10 for one fixed query vector in one
@@ -1579,6 +1614,10 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # remain hash-matched by tests/test_oracle_corpus.py
     "pipe_dedup_exact",
     "pipe_shuffle",
+    # frozen-oracled exact substring dedup (r5) — corpus-verified
+    # (tests/test_oracle_corpus.py + test_frozen_expected.py), outside
+    # the full 50-slot window
+    "pipe_span_dedup",
     # r5 rotation (VERDICT r4 #5): pipe_bpe_tokenize and the events trio
     # (pipe_sessionize / pipe_funnel / pipe_retention) moved INTO the
     # driver window; the four slots came from rotating out the
