@@ -481,10 +481,16 @@ class TestStreamingFunnel:
         )
 
         d = tempfile.mkdtemp(prefix="swl_funstr_")
+        base = 1_700_000_000
         for i, batch in enumerate(batches):
-            with open(os.path.join(d, f"b{i}.json"), "w") as f:
+            p = os.path.join(d, f"b{i}.json")
+            with open(p, "w") as f:
                 for r in batch:
                     f.write(json.dumps(r) + "\n")
+            # distinct mtimes: the file source orders batches by
+            # modification time, and same-ms ties make delivery order
+            # (and thus watermark advancement) nondeterministic
+            os.utime(p, (base + i, base + i))
         events = stream_events_from_directory(
             spark, d, max_files_per_trigger=1
         )
@@ -611,3 +617,113 @@ class TestStreamingFunnel:
         # user 21 converts via the 00:00:10 view (inside 2 min of
         # 00:00:00); the 00:05:00 one alone would have been outside
         assert (21, 2, "view", "2025-01-01 00:00:10") in got
+
+
+class TestStreamingRetention:
+    """retention_stream parity vs the batch operator (DuckDB-anchored):
+    grouped emission counts must equal batch retention, including when
+    the cohort-defining first event arrives LATE."""
+
+    @staticmethod
+    def _ev(eid, ts, uid):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "click", "value": 0.0, "props": "{}"}
+
+    def _run(self, spark, batches, period="day"):
+        import json
+        import os
+        import tempfile
+
+        from swanlake_spark.streaming import (
+            retention_stream,
+            stream_events_from_directory,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_retstr_")
+        base = 1_700_000_000
+        for i, batch in enumerate(batches):
+            p = os.path.join(d, f"b{i}.json")
+            with open(p, "w") as f:
+                for r in batch:
+                    f.write(json.dumps(r) + "\n")
+            os.utime(p, (base + i, base + i))
+        events = stream_events_from_directory(
+            spark, d, max_files_per_trigger=1
+        )
+        out = retention_stream(events, period=period, watermark="1 minute")
+        name = f"ret_par_{abs(hash(str(batches))) % 10**8}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return [
+            (r.user_id, str(r.cohort), r.offset, str(r.period))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r.user_id != 999
+        ]
+
+    def _batch_counts(self, spark, rows, period="day"):
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import events as EV
+
+        bdf = spark.createDataFrame(
+            [(r["user_id"], r["ts"]) for r in rows],
+            "user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        return {
+            (str(r.cohort), r.offset): r.users
+            for r in EV.retention(bdf, period=period).collect()
+        }
+
+    def test_counts_match_batch_with_late_cohort_event(self, spark):
+        rows = [
+            # user 1 active day 2 FIRST; the day-1 (cohort-defining)
+            # event arrives in a later micro-batch 30s out of order —
+            # INSIDE the 1-minute watermark contract (after batch 1 the
+            # watermark sits at 01-01T23:59:20, before the day
+            # boundary, so the day-1 period is still admissible)
+            self._ev(1, "2025-01-02T00:00:20.000Z", 1),
+            self._ev(2, "2025-01-01T23:59:50.000Z", 1),
+            self._ev(3, "2025-01-03T00:00:10.000Z", 1),
+            # user 2: two days, in order
+            self._ev(4, "2025-01-01T10:00:00.000Z", 2),
+            self._ev(5, "2025-01-03T10:00:00.000Z", 2),
+            # user 3: single day, duplicate events collapse
+            self._ev(6, "2025-01-02T09:00:00.000Z", 3),
+            self._ev(7, "2025-01-02T09:30:00.000Z", 3),
+        ]
+        batches = [rows[:1], rows[1:]]
+        sentinel = [self._ev(99, "2025-02-01T00:00:00.000Z", 999)]
+        got = self._run(spark, batches + [sentinel])
+        # emissions unique per (user, period)
+        assert len(got) == len(set(got))
+        from collections import Counter
+
+        counts = Counter((c, o) for _, c, o, _ in got)
+        assert dict(counts) == self._batch_counts(spark, rows)
+        # user 1's cohort settled on the LATE day-1 event
+        u1 = {(c, o) for u, c, o, _ in got if u == 1}
+        assert u1 == {
+            ("2025-01-01 00:00:00", 0),
+            ("2025-01-01 00:00:00", 1),
+            ("2025-01-01 00:00:00", 2),
+        }
+
+    def test_weekly_period_matches_batch(self, spark):
+        rows = [
+            self._ev(1, "2025-01-06T08:00:00.000Z", 5),   # Mon wk1
+            self._ev(2, "2025-01-15T08:00:00.000Z", 5),   # wk2
+            self._ev(3, "2025-01-22T08:00:00.000Z", 5),   # wk3
+            self._ev(4, "2025-01-14T08:00:00.000Z", 6),   # wk2 cohort
+        ]
+        sentinel = [self._ev(99, "2025-03-01T00:00:00.000Z", 999)]
+        got = self._run(spark, [rows, sentinel], period="week")
+        from collections import Counter
+
+        counts = Counter((c, o) for _, c, o, _ in got)
+        assert dict(counts) == self._batch_counts(spark, rows, "week")
