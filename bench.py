@@ -298,6 +298,8 @@ def main() -> None:
             from swanlake_spark.engine import Engine
 
             if cls._eng is None:
+                from swanlake_spark import matview
+
                 cls._eng = Engine(spark=spark)
                 loc = _tf.mkdtemp(prefix="swl_bench_mvi_")
                 cls._eng.execute(
@@ -309,10 +311,16 @@ def main() -> None:
                     "SELECT concat('d', id % 30), id * 1.0 "
                     "FROM RANGE(200000) t(id)"
                 )
-                cls._eng.execute(
-                    "CREATE MATERIALIZED VIEW bench_mvi AS "
+                # explicit tempdir location: a managed-path matview
+                # would leave spark-warehouse/bench_mvi behind and
+                # break the NEXT bench run's saveAsTable on the stale
+                # path (fresh in-memory catalog, old directory)
+                matview.create(
+                    spark,
+                    "bench_mvi",
                     "SELECT day, count(*) AS n, sum(amt) AS total "
-                    "FROM bench_mvi_src GROUP BY day"
+                    "FROM bench_mvi_src GROUP BY day",
+                    location=_tf.mkdtemp(prefix="swl_bench_mvi_v_"),
                 )
             cls._k += 1
             cls._eng.execute(
