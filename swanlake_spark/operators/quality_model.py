@@ -108,6 +108,74 @@ def filter_by_quality(
     )
 
 
+def train_domain_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "domain",
+    n_features: int = 1 << 18,
+    reg_param: float = 0.01,
+):
+    """Multiclass twin of the quality classifier: fit a softmax
+    LogisticRegression over the same hashed bag-of-words features to
+    assign DOMAINS (web/code/academic/...) to unlabeled corpus
+    documents — the upstream step of mixture balancing
+    (``curation.domain_mix`` reweights once documents carry a domain).
+    ``labeled`` provides (text, domain) examples; returns
+    ``(pipeline_model, labels)`` where ``labels[i]`` is the domain
+    string for predicted class ``i`` (StringIndexer order:
+    frequency-desc, ties lexicographic — deterministic)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer, StringIndexer
+
+    tok = RegexTokenizer(
+        inputCol=text_col,
+        outputCol=_TOKENS,
+        pattern=r"\W+",
+        toLowercase=True,
+    )
+    tf = HashingTF(
+        inputCol=_TOKENS, outputCol=_TF, numFeatures=n_features
+    )
+    idx = StringIndexer(
+        inputCol=label_col, outputCol=_LABEL, stringOrderType="frequencyDesc"
+    )
+    lr = LogisticRegression(
+        featuresCol=_TF,
+        labelCol=_LABEL,
+        maxIter=60,
+        regParam=reg_param,
+        standardization=False,
+        family="multinomial",
+    )
+    model = Pipeline(stages=[tok, tf, idx, lr]).fit(labeled)
+    labels = list(model.stages[2].labels)
+    return model, labels
+
+
+def classify_domains(
+    model, labels: list[str], df: DataFrame, text_col: str = "text",
+    out_col: str = "domain", conf_col: str = "domain_conf",
+) -> DataFrame:
+    """Assign each document its predicted domain string and the
+    model's confidence (max softmax probability). One shuffle-free
+    transform pass, like :func:`score_quality`."""
+    from pyspark.ml.functions import vector_to_array
+
+    lab = F.array(*[F.lit(x) for x in labels])
+    scored = model.transform(df)
+    return (
+        scored.withColumn(
+            out_col, lab[F.col("prediction").cast("int")]
+        )
+        .withColumn(
+            conf_col, F.array_max(vector_to_array(F.col("probability")))
+        )
+        .drop(_TOKENS, _TF, _LABEL, "rawPrediction", "probability",
+              "prediction")
+    )
+
+
 def pareto_sample_by_quality(
     model, df: DataFrame, alpha: float = 9.0, seed: int = 0,
     text_col: str = "text", id_col: str = "doc_id",

@@ -147,3 +147,63 @@ class TestQualityClassifier:
         garbage = {r.doc_id for r in neg.collect()}
         assert len(clean & k1) >= len(clean) - 1
         assert len(garbage & k1) <= 2
+
+
+class TestDomainClassifier:
+    def _labeled(self, spark):
+        rows = []
+        web = ["click the subscribe button and share this post online",
+               "breaking news update weather traffic and local events",
+               "best recipes for quick dinner meals at home tonight"]
+        code = ["def main args return int printf include std vector",
+                "class object public static void function import module",
+                "for loop index array pointer malloc free struct union"]
+        acad = ["we propose a novel method and evaluate on benchmarks",
+                "the theorem follows from lemma two by induction proof",
+                "experimental results demonstrate significant improvements"]
+        for i, t in enumerate(web):
+            rows.append((i, t, "web"))
+        for i, t in enumerate(code):
+            rows.append((10 + i, t, "code"))
+        for i, t in enumerate(acad):
+            rows.append((20 + i, t, "academic"))
+        return spark.createDataFrame(
+            rows, "doc_id int, text string, domain string"
+        )
+
+    def test_assigns_held_out_docs_to_right_domain(self, spark):
+        from swanlake_spark.operators import quality_model as QM
+
+        labeled = self._labeled(spark)
+        model, labels = QM.train_domain_classifier(
+            labeled, n_features=1 << 12
+        )
+        assert sorted(labels) == ["academic", "code", "web"]
+        held = spark.createDataFrame(
+            [
+                (0, "subscribe and share the news post", "web"),
+                (1, "static void function with pointer array", "code"),
+                (2, "we evaluate the proposed method on benchmarks",
+                 "academic"),
+            ],
+            "doc_id int, text string, want string",
+        )
+        got = QM.classify_domains(model, labels, held)
+        for r in got.collect():
+            assert r.domain == r.want, (r.doc_id, r.domain, r.want)
+            assert 0.0 <= r.domain_conf <= 1.0
+
+    def test_training_deterministic_under_layout(self, spark):
+        import numpy as np
+
+        from swanlake_spark.operators import quality_model as QM
+
+        labeled = self._labeled(spark)
+        m1, l1 = QM.train_domain_classifier(labeled, n_features=1 << 12)
+        m2, l2 = QM.train_domain_classifier(
+            labeled.repartition(7), n_features=1 << 12
+        )
+        assert l1 == l2
+        w1 = m1.stages[-1].coefficientMatrix.toArray()
+        w2 = m2.stages[-1].coefficientMatrix.toArray()
+        assert np.allclose(w1, w2, atol=1e-6)
