@@ -321,3 +321,61 @@ class TestOovEncodeWithMerges:
         }
         ref = _apply_merges({w: 1 for w in ["aaabbb", "abab", "ba"]}, merges)
         assert got == ref
+
+
+class TestBatchSelectionProperties:
+    """Pure-Python invariants of select_batch / group_merges — the
+    rules that make fused batch application exactly equal sequential
+    application (hypothesis-driven)."""
+
+    def test_select_batch_invariants(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        sym = st.text(alphabet="abc", min_size=1, max_size=3)
+        ranked_strategy = st.lists(
+            st.tuples(sym, sym, st.integers(min_value=2, max_value=99)),
+            max_size=24,
+        )
+
+        @given(ranked_strategy, st.integers(min_value=1, max_value=8))
+        @settings(max_examples=200, deadline=None)
+        def prop(ranked, k):
+            out = tokenizer.select_batch(ranked, k)
+            assert len(out) <= k
+            # subsequence of the ranked order
+            pos = [-1]
+            seq = [(a, b) for a, b, _ in ranked]
+            for p in out:
+                i = seq.index(p, pos[-1] + 1)
+                pos.append(i)
+            # pairwise conflict-free: no shared symbols, no
+            # symbol-equals-concat in either direction
+            for i in range(len(out)):
+                for j in range(i + 1, len(out)):
+                    a1, b1 = out[i]
+                    a2, b2 = out[j]
+                    assert {a1, b1}.isdisjoint({a2, b2})
+                    assert a1 + b1 not in (a2, b2, a2 + b2)
+                    assert a2 + b2 not in (a1, b1)
+
+        prop()
+
+    def test_group_merges_invariants(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        sym = st.text(alphabet="ab", min_size=1, max_size=2)
+
+        @given(st.lists(st.tuples(sym, sym), max_size=20))
+        @settings(max_examples=200, deadline=None)
+        def prop(merges):
+            groups = tokenizer.group_merges(merges)
+            # concatenation reproduces the original ordered list
+            assert [m for g in groups for m in g] == merges
+            # every group internally passes the select_batch rule
+            for g in groups:
+                ranked = [(a, b, 2) for a, b in g]
+                assert tokenizer.select_batch(ranked, len(g)) == g
+
+        prop()
