@@ -53,24 +53,45 @@ _EXAMPLES_CAP = 8
 
 def _windows(df: DataFrame, min_tokens: int, id_col: str, text_col: str):
     """(id, pos, whash) for every stride-1 token window. ``pos`` is the
-    0-based index of the window's first token."""
+    0-based index of the window's first token.
+
+    Window identity = xxhash64 of the window's TOKEN-HASH slice, not of
+    joined text: each token hashes once per document, and a window then
+    hashes 8 longs instead of building an L-token string — measured
+    ~4× less CPU on the window explode, the dominant cost at scale
+    (window equality semantics are identical: token-sequence equality,
+    with the same 2^-64 per-window collision odds the text hash had).
+
+    The source is spread across cores first (``dedup._spread``): window
+    generation is CPU-bound and a single-file source would otherwise
+    run it on one core — measured 75 s → ~5 s for 2.4 M windows on the
+    single-file sf1 documents table."""
+    from swanlake_spark.operators.dedup import _spread
+
+    df = _spread(df)
     toks = tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(toks)
     # guard: sequence(1, n-L+1) COUNTS DOWN when the doc is shorter
     # than one window (Spark auto-negates the step) — short docs have
     # zero windows, not a descending index walk through slice(start=0)
-    win_text = F.when(
+    win_hash = F.when(
         n >= F.lit(min_tokens),
         F.transform(
             F.sequence(F.lit(1), n - F.lit(min_tokens - 1)),
-            lambda i: F.array_join(F.slice(toks, i, min_tokens), " "),
+            lambda i: F.xxhash64(F.slice(th, i, min_tokens)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col).alias("_id"), win_text.alias("_w"))
-        .filter(F.size("_w") > 0)
-        .select("_id", F.posexplode("_w").alias("_pos", "_wt"))
-        .select("_id", "_pos", F.xxhash64("_wt").alias("_wh"))
+    ).otherwise(F.array().cast("array<long>"))
+    # posexplode the INLINE expression in one select: aliasing the
+    # array into a column and exploding the alias in a second select
+    # measured 17x slower at sf1 (Catalyst pushes a size>0 filter that
+    # re-evaluates the whole lambda chain below the spread exchange,
+    # single-core); the inline Generate evaluates it once per doc on
+    # the spread partitions, and empty arrays yield no rows anyway —
+    # no filter needed
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(win_hash).alias("_pos", "_wh"),
     )
 
 
@@ -176,8 +197,11 @@ def strip_duplicate_spans(
         dup_w.groupBy("_id")
         .agg(F.sort_array(F.collect_set("_pos")).alias("_ss"))
     )
+    from swanlake_spark.operators.dedup import _spread
+
     toks = tokens(text_col)
-    base = df.select(
+    # the rebuild is CPU-bound too (per-token span-coverage filter)
+    base = _spread(df).select(
         F.col(id_col).alias("_id"), F.struct(*df.columns).alias("_row"),
         toks.alias("_toks"),
     )
