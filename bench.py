@@ -167,6 +167,28 @@ def main() -> None:
             coded = similarity.pq_encode(emb, cls._books)
             return similarity.pq_topk(coded, cls._query, cls._books, k=10)
 
+    class _SpanStrip:
+        """Exact duplicate-span removal over the FULL documents table
+        (window hashing + keep-first strip — the ExactSubstr scale
+        path; correctness is the frozen pipe_span_dedup oracle)."""
+
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import span_dedup as SD
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            out = SD.strip_duplicate_spans(
+                spark.table("documents"), min_tokens=8
+            )
+            return out.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_tokens_removed").alias("removed"),
+            )
+
+    suite["dedup_span_strip"] = _SpanStrip
     suite["curation_decontaminate"] = _Decontaminate
     suite["curation_shuffle"] = _Shuffle
     suite["curation_line_dedup"] = _LineDedup
