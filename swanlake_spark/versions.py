@@ -196,7 +196,32 @@ def note_published_files(table: str, files: list[tuple[str, int]]) -> None:
 
 def _write_json_exclusive(spark: SparkSession, path: str, payload: dict) -> bool:
     """Create-exclusive JSON write: False when the path already exists
-    (another writer claimed this version number)."""
+    (another writer claimed this version number).
+
+    Local file: scheme goes through POSIX ``O_CREAT|O_EXCL`` — Hadoop's
+    ``RawLocalFileSystem.create(overwrite=false)`` is CHECK-THEN-ACT
+    (exists() then create), and two in-process threads racing the same
+    version number could both "win", silently losing one manifest
+    (caught by the 16-thread claim stress test). Other schemes keep the
+    FileSystem call: HDFS create is atomic server-side; object stores
+    without atomic create are documented in SCALE.md as needing an
+    external coordinator."""
+    from swanlake_spark.operators.dml import _local_os_path
+
+    osp = _local_os_path(path)
+    if osp is not None:
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(osp), exist_ok=True)
+        try:
+            fd = _os.open(osp, _os.O_WRONLY | _os.O_CREAT | _os.O_EXCL)
+        except FileExistsError:
+            return False
+        try:
+            _os.write(fd, json.dumps(payload).encode("utf-8"))
+        finally:
+            _os.close(fd)
+        return True
     jvm, fs, p = _fs(spark, path)
     try:
         out = fs.create(p, False)
@@ -243,11 +268,22 @@ def record_version(
         "op": op,
         "files": [{"name": rel, "size": size} for rel, size in files],
     }
+    transient = 0
     for _ in range(64):
         payload["version"] = n
-        if _write_json_exclusive(
-            spark, f"{_manifest_dir(root)}/v{n:08d}.json", payload
-        ):
+        try:
+            claimed = _write_json_exclusive(
+                spark, f"{_manifest_dir(root)}/v{n:08d}.json", payload
+            )
+        except Exception:
+            # a non-"exists" error here is a transient FS/Py4J hiccup
+            # under load, not a version collision — retry the SAME
+            # number a few times before giving up loudly
+            transient += 1
+            if transient > 3:
+                raise
+            continue
+        if claimed:
             return n
         n += 1
     raise IOError(
