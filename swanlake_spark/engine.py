@@ -237,9 +237,22 @@ class Engine:
         in-flight publish before planning; the second by waiting the
         publish out and retrying once (the writer's refreshTable has
         invalidated the stale listing by then). A concurrent reader
-        thus observes the old or the new schema, never an error."""
+        thus observes the old or the new schema, never an error.
+
+        The retry re-runs the WHOLE script, so it is gated to scripts
+        whose every statement is side-effect-free (``all_queries``): a
+        script containing DML/DDL may have committed a non-idempotent
+        statement (an INSERT) before a later statement hit the race,
+        and a full re-run would silently duplicate its effect — such
+        scripts raise instead. The missing-table check is keyed to the
+        table NAMED in the error: a query on a genuinely nonexistent
+        table errors immediately even while an unrelated ALTER is in
+        flight, and a reader whose failure surfaced just AFTER the
+        swap completed (the table is no longer in the in-flight set)
+        still retries via the recently-swapped record."""
         from swanlake_spark.operators import schema_evolution
 
+        retry_safe = classify(strip_select_locks(sql).sql).all_queries
         attempts = 0
         while True:
             for ev in schema_evolution.swap_in_progress():
@@ -255,7 +268,7 @@ class Engine:
                     "TABLE_OR_VIEW_NOT_FOUND" in msg
                     or "cannot be found" in msg
                 )
-                if not (stale_scan or missing_table):
+                if not (stale_scan or missing_table) or not retry_safe:
                     raise
                 attempts += 1
                 if attempts > 4:
@@ -267,12 +280,14 @@ class Engine:
                 # refreshTable fixed the listing). Back-to-back ALTERs
                 # can race successive retries, hence the loop (each
                 # pass pre-waits whatever publish is now in flight).
-                if (
-                    missing_table
-                    and not stale_scan
-                    and not schema_evolution.swap_in_progress()
-                ):
-                    raise
+                if missing_table and not stale_scan:
+                    mt = re.search(r"`([^`]+)`", msg)
+                    tname = mt.group(1).split(".")[-1] if mt else None
+                    in_flight = schema_evolution.swap_in_progress(tname) if tname else schema_evolution.swap_in_progress()
+                    if not in_flight and not (
+                        tname and schema_evolution.recently_swapped(tname)
+                    ):
+                        raise
 
     def _run_script(self, sql: str, args: list | None = None) -> QueryResult:
         stripped = strip_select_locks(sql)

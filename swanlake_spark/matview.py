@@ -107,7 +107,7 @@ def _write_sidecar(
 # diff detects, and the refresh demands a full recompute instead of
 # silently double-counting.
 
-_MERGEABLE_AGGS = ("count", "sum", "min", "max")
+_MERGEABLE_AGGS = ("count", "sum", "min", "max", "avg")
 
 _INC_VIEW_RE = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[\w.`\"]+)\s*"
@@ -116,11 +116,31 @@ _INC_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^\s*(?P<fn>count|sum|min|max)\s*\((?P<arg>.+)\)\s+AS\s+"
+    r"^\s*(?P<fn>count|sum|min|max|avg)\s*\((?P<arg>.+)\)\s+AS\s+"
     r"(?P<alias>[\w`\"]+)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _IDENT_RE = re.compile(r"^\s*[\w`\".]+\s*$")
+
+# The delta fold re-evaluates the predicate and aggregate arguments at
+# REFRESH time against only the appended rows, so they must be pure
+# functions of the row: a subquery re-reads ANOTHER table as of refresh
+# time, and a non-deterministic function re-reads the clock/RNG —
+# either silently diverges the view from a full recompute. Such
+# definitions force the loud full-refresh fallback.
+_NONDET_RE = re.compile(
+    r"\b(current_date|current_timestamp|current_time|localtimestamp|"
+    r"now|today|rand|randn|random|uuid|unix_timestamp|shuffle|"
+    r"monotonically_increasing_id|input_file_name)\b",
+    re.IGNORECASE,
+)
+_SUBQUERY_RE = re.compile(r"\bselect\b", re.IGNORECASE)
+
+
+def _impure(expr: str | None) -> bool:
+    return bool(expr) and bool(
+        _SUBQUERY_RE.search(expr) or _NONDET_RE.search(expr)
+    )
 
 
 def _split_depth0(body: str) -> list[str]:
@@ -142,16 +162,22 @@ def _split_depth0(body: str) -> list[str]:
 def parse_incremental(query: str) -> dict | None:
     """Decompose a defining query into the shape incremental refresh
     can maintain: single-table ``SELECT <group cols + mergeable aggs>
-    FROM t [WHERE p] GROUP BY <cols>``, aggs in count/sum/min/max,
-    every agg aliased, group items bare identifiers. Returns
-    ``{base, pred, groups, aggs: [(fn, arg, alias)]}`` or None when the
-    query is outside the supported shape (caller falls back loudly to
-    full refresh)."""
+    FROM t [WHERE p] GROUP BY <cols>``, aggs in count/sum/min/max/avg
+    (avg decomposes into a sum+count merge carried in the hidden state
+    sidecar), every agg aliased, group items bare identifiers, and the
+    predicate + agg arguments pure row functions (no subqueries, no
+    non-deterministic functions — see ``_impure``). Returns
+    ``{base, pred, groups, aggs: [(fn, arg, alias)], items, groups_raw}``
+    or None when the query is outside the supported shape (caller falls
+    back loudly to full refresh)."""
     m = _INC_VIEW_RE.match(query)
     if not m:
         return None
     groups = [g.strip().strip('`"') for g in m.group("groups").split(",")]
     if not all(_IDENT_RE.match(g) and "(" not in g for g in groups):
+        return None
+    pred = (m.group("pred") or "").strip() or None
+    if _impure(pred):
         return None
     aggs: list[tuple[str, str, str]] = []
     plain: list[str] = []
@@ -169,7 +195,7 @@ def parse_incremental(query: str) -> dict | None:
         if _IDENT_RE.match(item):
             plain.append(item.strip().strip('`"'))
             continue
-        return None  # expression we can't merge (avg, distinct, ...)
+        return None  # expression we can't merge (distinct, udaf, ...)
     if not aggs:
         return None
     if {p.lower() for p in plain} - {g.lower() for g in groups}:
@@ -177,11 +203,17 @@ def parse_incremental(query: str) -> dict | None:
     for _, arg, _ in aggs:
         if re.search(r"\bdistinct\b", arg, re.IGNORECASE):
             return None  # count(DISTINCT ...) is not mergeable
+        if _impure(arg):
+            return None
     return {
         "base": m.group("table").strip('`"'),
-        "pred": (m.group("pred") or "").strip() or None,
+        "pred": pred,
         "groups": groups,
         "aggs": aggs,
+        # raw text for rebuilding the defining SELECT over a pinned
+        # snapshot of the base (same item order = same view schema)
+        "items": m.group("items"),
+        "groups_raw": m.group("groups").strip(),
     }
 
 
@@ -198,6 +230,117 @@ def _base_stamp(spark: SparkSession, query: str) -> dict:
     if v == 0:
         return {}  # base not snapshot-tracked: no delta identity
     return {"base_table": shape["base"], "base_version": v}
+
+
+def _materialize(
+    spark: SparkSession, q: str, stamp: dict
+) -> tuple[DataFrame, DataFrame | None, bool]:
+    """Evaluate the defining query — and, when the definition carries
+    ``avg`` aggregates, its hidden merge-state twin (per-group sum +
+    count for every avg) — against EXACTLY the stamped base snapshot.
+
+    The stamp is taken from the version manifests, so an unpinned
+    ``spark.sql(q)`` read could include an append published between the
+    stamp and the scan while the stamp predates it: the next
+    INCREMENTAL refresh would fold those same files again (silent
+    double-counting). Pinning closes the window: a temp view named
+    like the base shadows the catalog table with
+    ``versions.read_version`` of the stamped snapshot, so the stored
+    stamp matches the materialized contents exactly. Returns
+    ``(view_df, state_df | None, pinned)``; callers on the unpinned
+    path (no stamp, or a db-qualified base name temp views cannot
+    shadow) must re-validate the stamp after materializing."""
+    shape = parse_incremental(q) if stamp else None
+    if not stamp or shape is None or "." in stamp["base_table"]:
+        df = spark.sql(q)
+        state = _state_query(spark, shape, shape["base"]) if shape else None
+        return df, state, False
+    from swanlake_spark import versions
+
+    base = stamp["base_table"]
+    pinned = versions.read_version(spark, base, stamp["base_version"])
+    pinned.createOrReplaceTempView(base)
+    try:
+        # analysis (temp-view resolution) happens eagerly in spark.sql
+        df = spark.sql(q)
+        state = _state_query(spark, shape, base)
+    finally:
+        spark.catalog.dropTempView(base)
+    return df, state, True
+
+
+# -- hidden avg merge state ---------------------------------------------------
+#
+# avg decomposes exactly into sum+count, but the published view stores
+# only the quotient — the components live in a state sidecar parquet
+# under ``<view>/_swl_matview_state/v<base_version>`` (the leading "_"
+# hides the directory from table scans, the Hadoop hidden-file
+# convention). Refresh merges state, derives the avg column from the
+# merged components, and writes the next state dir keyed by the new
+# base version — a crash between state write and sidecar publish
+# leaves the OLD sidecar pointing at the OLD state, still consistent.
+
+_STATE_DIR = "_swl_matview_state"
+
+
+def _avg_specs(shape: dict) -> list[tuple[str, str]]:
+    return [(arg, a) for fn, arg, a in shape["aggs"] if fn == "avg"]
+
+
+def _state_path(spark: SparkSession, name: str, base_version: int) -> str:
+    from swanlake_spark.operators.dml import _table_location
+
+    loc = _table_location(spark, name).rstrip("/")
+    return f"{loc}/{_STATE_DIR}/v{base_version}"
+
+
+def _state_query(
+    spark: SparkSession, shape: dict, base: str
+) -> DataFrame | None:
+    """Per-group sum+count components for every avg aggregate, built
+    from the same (possibly pinned) base relation the view reads."""
+    if not _avg_specs(shape):
+        return None
+    items = [shape["groups_raw"]]
+    for arg, alias in _avg_specs(shape):
+        items.append(f"sum({arg}) AS `__swl_sum__{alias}`")
+        items.append(f"count({arg}) AS `__swl_cnt__{alias}`")
+    sel = f"SELECT {', '.join(items)} FROM {base}"
+    if shape["pred"]:
+        sel += f" WHERE {shape['pred']}"
+    sel += f" GROUP BY {shape['groups_raw']}"
+    return spark.sql(sel)
+
+
+def _publish_state(
+    spark: SparkSession,
+    name: str,
+    state: DataFrame | None,
+    base_version: int,
+    sweep: bool = True,
+) -> None:
+    """Write the avg merge state keyed by the base version it reflects
+    and (unless deferred — incremental refresh sweeps only after every
+    plan reading the OLD state has executed) sweep older state dirs
+    (tiny, view-sized parquet)."""
+    if state is None:
+        return
+    path = _state_path(spark, name, base_version)
+    state.write.mode("overwrite").parquet(path)
+    if sweep:
+        _sweep_state(spark, name, base_version)
+
+
+def _sweep_state(spark: SparkSession, name: str, keep_version: int) -> None:
+    path = _state_path(spark, name, keep_version)
+    jvm, fs, _ = _fs(spark, path)
+    parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
+    if not fs.exists(parent):
+        return
+    for st in fs.listStatus(parent):
+        child = st.getPath()
+        if child.getName() != f"v{keep_version}":
+            fs.delete(child, True)
 
 
 def refresh_incremental(spark: SparkSession, name: str) -> int:
@@ -222,7 +365,8 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     if shape is None:
         raise InvalidArgument(
             f"{name} is not incrementally maintainable (supported: "
-            f"single-table GROUP BY with count/sum/min/max aggregates); "
+            f"single-table GROUP BY with count/sum/min/max/avg "
+            f"aggregates over deterministic, subquery-free arguments); "
             f"run REFRESH MATERIALIZED VIEW {name}"
         )
     base, base_v = meta.get("base_table"), meta.get("base_version")
@@ -249,12 +393,49 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     ).parquet(*[f"{base_loc}/{n}" for n in delta_names])
     if shape["pred"]:
         delta = delta.filter(F.expr(shape["pred"]))
+    avgs = _avg_specs(shape)
     agg_exprs = []
     for fn, arg, alias in shape["aggs"]:
-        agg_exprs.append(F.expr(f"{fn}({arg})").alias(alias))
+        if fn == "avg":
+            # decomposed: the quotient is derived from merged
+            # components, never merged itself
+            agg_exprs.append(F.expr(f"sum({arg})").alias(f"__swl_sum__{alias}"))
+            agg_exprs.append(F.expr(f"count({arg})").alias(f"__swl_cnt__{alias}"))
+        else:
+            agg_exprs.append(F.expr(f"{fn}({arg})").alias(alias))
     d = delta.groupBy(*shape["groups"]).agg(*agg_exprs)
     o = spark.table(name)
     gl = [g for g in shape["groups"]]
+    view_types = {f.name: f.dataType for f in o.schema.fields}
+    if avgs:
+        # fold the hidden sum/count state (written by the stamped
+        # create/refresh that produced base_v) into the "old" side
+        try:
+            s = spark.read.parquet(_state_path(spark, name, base_v))
+        except Exception as e:  # noqa: BLE001 — state dir absent/corrupt
+            raise InvalidArgument(
+                f"{name} has avg aggregates but no merge state for base "
+                f"snapshot v{base_v} (view predates avg support or state "
+                f"was removed); run a full REFRESH"
+            ) from e
+        state_types = {f.name: f.dataType for f in s.schema.fields}
+        s = s.select(
+            *[F.col(g).alias(f"__swl_g_{i}") for i, g in enumerate(gl)],
+            *[c for c in s.columns if c.startswith("__swl_")],
+        )
+        scond = None
+        for i, g in enumerate(gl):
+            c = o[g].eqNullSafe(s[f"__swl_g_{i}"])
+            scond = c if scond is None else scond & c
+        o = o.join(s, scond, "full_outer").select(
+            *[
+                F.coalesce(o[g], s[f"__swl_g_{i}"]).alias(g)
+                for i, g in enumerate(gl)
+            ],
+            *[o[f.name] for f in spark.table(name).schema.fields if f.name not in gl],
+            *[s[f"__swl_sum__{a}"] for _, a in avgs],
+            *[s[f"__swl_cnt__{a}"] for _, a in avgs],
+        )
     cond = None
     for g in gl:
         c = o[g].eqNullSafe(d[g])  # NULL group keys are one group
@@ -262,34 +443,80 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     merged_cols = [
         F.coalesce(o[g], d[g]).alias(g) for g in gl
     ]
+    state_cols = []
     for fn, _arg, alias in shape["aggs"]:
-        oc, dc = o[alias], d[alias]
-        if fn == "count":
-            e = F.coalesce(oc, F.lit(0)) + F.coalesce(dc, F.lit(0))
-        elif fn == "sum":
-            e = (
-                F.when(oc.isNull(), dc)
-                .when(dc.isNull(), oc)
-                .otherwise(oc + dc)
+        if fn == "avg":
+            so, sd = o[f"__swl_sum__{alias}"], d[f"__swl_sum__{alias}"]
+            co, cd = o[f"__swl_cnt__{alias}"], d[f"__swl_cnt__{alias}"]
+            sum_t = (
+                F.when(so.isNull(), sd)
+                .when(sd.isNull(), so)
+                .otherwise(so + sd)
             )
-        elif fn == "min":
-            e = (
-                F.when(oc.isNull(), dc)
-                .when(dc.isNull(), oc)
-                .otherwise(F.least(oc, dc))
+            cnt_t = F.coalesce(co, F.lit(0)) + F.coalesce(cd, F.lit(0))
+            # exact sum+count merge, then ONE division rounded into the
+            # view column's type — for decimal/integral args the merged
+            # components are order-independent and exact, so this equals
+            # the full recompute bit-for-bit; guard cnt=0 (ANSI divide)
+            e = F.when(cnt_t == 0, F.lit(None)).otherwise(
+                (sum_t / cnt_t).cast(view_types[alias])
             )
-        else:  # max
-            e = (
-                F.when(oc.isNull(), dc)
-                .when(dc.isNull(), oc)
-                .otherwise(F.greatest(oc, dc))
+            # pin state types across rounds: decimal addition widens
+            # per merge and would otherwise creep toward the precision
+            # cap one digit per refresh
+            state_cols.append(
+                sum_t.cast(state_types[f"__swl_sum__{alias}"]).alias(
+                    f"__swl_sum__{alias}"
+                )
             )
-        merged_cols.append(e.alias(alias))
-    merged = _aligned(
-        spark, name, o.join(d, cond, "full_outer").select(*merged_cols)
-    )
+            state_cols.append(cnt_t.alias(f"__swl_cnt__{alias}"))
+        else:
+            oc, dc = o[alias], d[alias]
+            if fn == "count":
+                e = F.coalesce(oc, F.lit(0)) + F.coalesce(dc, F.lit(0))
+            elif fn == "sum":
+                e = (
+                    F.when(oc.isNull(), dc)
+                    .when(dc.isNull(), oc)
+                    .otherwise(oc + dc)
+                )
+            elif fn == "min":
+                e = (
+                    F.when(oc.isNull(), dc)
+                    .when(dc.isNull(), oc)
+                    .otherwise(F.least(oc, dc))
+                )
+            else:  # max
+                e = (
+                    F.when(oc.isNull(), dc)
+                    .when(dc.isNull(), oc)
+                    .otherwise(F.greatest(oc, dc))
+                )
+        # pin the merged column to the view's exact type: decimal
+        # arithmetic widens (decimal(20,2)+decimal(20,2) →
+        # decimal(21,2)), and the COW publish renames staged files in
+        # VERBATIM — a widened physical type under the narrower table
+        # schema is a parquet read error on the next scan (ANSI cast
+        # errors loudly on true overflow, same as sum itself)
+        merged_cols.append(e.cast(view_types[alias]).alias(alias))
+    joined = o.join(d, cond, "full_outer")
+    merged = _aligned(spark, name, joined.select(*merged_cols))
     n = len(delta_names)
     with dml.table_write_lock(spark, name):
+        # Ordering: both the merged view and the next state read the
+        # OLD view + OLD state files, so (1) write the new state to its
+        # own version-keyed dir first (disturbs nothing it reads), (2)
+        # publish the view, (3) stamp the sidecar, (4) only then sweep
+        # the old state dir — every plan that needed the old files has
+        # executed by then. A crash anywhere leaves either a fully
+        # consistent older publish plus harmless orphans, or (between 2
+        # and 3) the pre-existing stale-sidecar window shared with the
+        # non-avg path.
+        if avgs:
+            new_state = joined.select(
+                *[F.coalesce(o[g], d[g]).alias(g) for g in gl], *state_cols
+            )
+            _publish_state(spark, name, new_state, cur_v, sweep=False)
         dml._overwrite(spark, name, merged, None)
         _write_sidecar(
             spark, name, q, base_table=base, base_version=cur_v
@@ -297,6 +524,8 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         versions.record_version(
             spark, name, "matview_refresh_incremental"
         )
+        if avgs:
+            _sweep_state(spark, name, cur_v)
     return n
 
 
@@ -314,17 +543,34 @@ def create(
     maintainable)."""
     if spark.catalog.tableExists(name):
         raise InvalidArgument(f"table or view {name} already exists")
-    stamp = _base_stamp(spark, query)  # BEFORE the read (no lost appends)
-    df = spark.sql(query)  # analysis errors surface before any DDL
+    stamp = _base_stamp(spark, query)
+    # the materializing read is PINNED to the stamped snapshot: an
+    # append racing this create lands in neither the view nor the
+    # stamp, and the first INCREMENTAL refresh folds it in exactly once
+    df, state, pinned = _materialize(spark, query, stamp)
     writer = df.write.format("parquet").mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     if location:
         writer = writer.option("path", location)
     writer.saveAsTable(name)
-    _write_sidecar(spark, name, query, **stamp)
     from swanlake_spark import versions
 
+    if stamp:
+        _publish_state(spark, name, state, stamp["base_version"])
+    if stamp and not pinned:
+        # unpinnable (db-qualified base): the live reads (view AND
+        # state, just executed) may have seen an append newer than the
+        # stamp — keep the stamp only if no publish landed across the
+        # whole materialization window, else drop it (the next
+        # INCREMENTAL demands a full refresh; never double-count). The
+        # orphaned state dir is harmless — unused without a stamp,
+        # swept at the next stamped publish.
+        if versions.current_version(spark, stamp["base_table"]) != stamp[
+            "base_version"
+        ]:
+            stamp = {}
+    _write_sidecar(spark, name, query, **stamp)
     versions.record_version(spark, name, "matview_create")
     return spark.table(name).count()
 
@@ -378,11 +624,24 @@ def refresh(
     from swanlake_spark.operators import dml
 
     if where is None:
-        stamp = _base_stamp(spark, q)  # BEFORE the read (no lost appends)
-        new_df = _aligned(spark, name, spark.sql(q))
+        stamp = _base_stamp(spark, q)
+        # pinned to the stamped snapshot (see _materialize): the stamp
+        # and the refreshed contents reflect the same base version, so
+        # INCREMENTAL can never double-count a racing append
+        df, state, pinned = _materialize(spark, q, stamp)
+        new_df = _aligned(spark, name, df)
         n = new_df.count()
         with dml.table_write_lock(spark, name):
             dml._overwrite(spark, name, new_df, None)
+            if stamp:
+                _publish_state(spark, name, state, stamp["base_version"])
+            if stamp and not pinned:
+                # unpinnable (db-qualified base): keep the stamp only
+                # if no base publish landed across materialization
+                if versions.current_version(
+                    spark, stamp["base_table"]
+                ) != stamp["base_version"]:
+                    stamp = {}
             # A static INSERT OVERWRITE of a partitioned view clears the
             # table root (sidecar included); re-write it so the
             # definition stays durable across every publish shape.

@@ -58,14 +58,37 @@ from swanlake_spark.errors import InvalidArgument
 # it out and retry instead of failing
 _SWAP_LOCK = threading.Lock()
 _SWAPPING: dict[str, threading.Event] = {}
+# completed-publish times (monotonic) per table: a reader that hit the
+# DROP→CREATE gap but whose exception surfaced AFTER the swap finished
+# finds the table absent from _SWAPPING — this record makes that
+# "swap recently completed for this table" case retryable
+_RECENT_SWAPS: dict[str, float] = {}
 
 
-def swap_in_progress() -> list[threading.Event]:
-    """Events for every schema-rewrite publish currently in flight
-    (engine.query pre-wait + retry hook — ALTERs are rare DDL, so
-    waiting on all of them is simpler and safe)."""
+def swap_in_progress(table: str | None = None) -> list[threading.Event]:
+    """Events for schema-rewrite publishes currently in flight. With
+    ``table``, only that table's publish (engine retry decisions key on
+    the table named in the error — a query on a genuinely nonexistent
+    table must not wait out an unrelated ALTER); without, every
+    in-flight publish (the cheap pre-planning wait — ALTERs are rare
+    DDL, so waiting on all of them before planning is simpler and
+    safe)."""
     with _SWAP_LOCK:
-        return list(_SWAPPING.values())
+        if table is None:
+            return list(_SWAPPING.values())
+        ev = _SWAPPING.get(table.strip('`"').lower())
+        return [ev] if ev is not None else []
+
+
+def recently_swapped(table: str, horizon_s: float = 120.0) -> bool:
+    """True when ``table``'s publish completed within ``horizon_s`` —
+    the window in which an already-failed reader may still surface a
+    stale TABLE_OR_VIEW_NOT_FOUND for it."""
+    import time
+
+    with _SWAP_LOCK:
+        ts = _RECENT_SWAPS.get(table.strip('`"').lower())
+    return ts is not None and (time.monotonic() - ts) <= horizon_s
 
 
 def _guard_dependencies(table: str, column: str, mode: str) -> None:
@@ -231,8 +254,11 @@ def _rewrite_schema(
                 spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")
             spark.catalog.refreshTable(table)
         finally:
+            import time
+
             with _SWAP_LOCK:
                 _SWAPPING.pop(t_norm, None)
+                _RECENT_SWAPS[t_norm] = time.monotonic()
             ev.set()
         if not part_cols:
             versions.note_published_files(table, sorted(news))

@@ -11,7 +11,10 @@ no event allowed by the watermark could still change it.
 Why finality is decidable: progression times only ever DECREASE as
 more events arrive (more step-0 events can only lower t0; a lower
 threshold can only lower the first-at-or-after answer). An arriving
-event carries ``ts >= watermark`` (older rows are dropped), so once
+event carries ``ts >= watermark`` — enforced explicitly at ingest in
+``fn`` (``applyInPandasWithState`` does not auto-drop late rows, so
+the operator drops them itself, mirroring ``retention_stream``) — so
+once
 the watermark passes t_{i-1} (already final) and t_i, no admissible
 event can lower either — t_i is final.
 
@@ -155,8 +158,9 @@ def funnel_stream(
             f, cs, ct = state.get
             finals = list(f)
             cands = list(zip(cs, ct))
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            rows = _advance(state, finals, cands, state.getCurrentWatermarkMs())
+            rows = _advance(state, finals, cands, wm)
             if rows:
                 yield _emit(user_id, rows)
             return
@@ -164,9 +168,16 @@ def funnel_stream(
             ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).tolist()
             types = pdf[type_col].tolist()
             for t, ty in zip(ts_ms, types):
+                # applyInPandasWithState does NOT auto-drop late rows;
+                # enforce the documented drop-late contract here (the
+                # finality proof assumes arriving ts >= watermark — a
+                # below-watermark event admitted into cands could alter
+                # an about-to-finalize step in this same invocation)
+                if t < wm:
+                    continue
                 for i in step_idx.get(ty, ()):
                     cands.append((i, t))
-        rows = _advance(state, finals, cands, state.getCurrentWatermarkMs())
+        rows = _advance(state, finals, cands, wm)
         if rows:
             yield _emit(user_id, rows)
 

@@ -1274,3 +1274,93 @@ class TestShowCreateWithConstraints:
             assert [r.op for r in rows][-2:] == ["insert", "update"]
         finally:
             engine.execute("DROP TABLE IF EXISTS dh_t")
+
+
+class TestSwapSafeRetryGating:
+    """ADVICE r5: the swap-safe retry re-runs the WHOLE script, so it
+    must be gated to side-effect-free scripts — a script whose INSERT
+    committed before a later statement hit a COW race would otherwise
+    be silently re-applied — and the missing-table check must key on
+    the table NAMED in the error, not the global in-flight set."""
+
+    def _raising_run_script(self, engine, monkeypatch, msg, calls):
+        def fake(sql, args=None):
+            calls.append(sql)
+            raise RuntimeError(msg)
+
+        monkeypatch.setattr(engine, "_run_script", fake)
+
+    def test_script_with_dml_never_retried(self, engine, monkeypatch):
+        calls = []
+        self._raising_run_script(
+            engine, monkeypatch, "[FAILED_READ_FILE] moved under us", calls
+        )
+        with pytest.raises(EngineError):
+            engine.query("INSERT INTO audit VALUES (1); SELECT * FROM t")
+        assert len(calls) == 1  # the INSERT must not run twice
+
+    def test_pure_select_script_retries(self, engine, monkeypatch):
+        calls = []
+        self._raising_run_script(
+            engine, monkeypatch, "[FAILED_READ_FILE] moved under us", calls
+        )
+        with pytest.raises(EngineError):
+            engine.query("SELECT 1; SELECT 2")
+        assert len(calls) == 5  # initial + 4 retries (idempotent script)
+
+    def test_missing_table_unrelated_swap_raises_immediately(
+        self, engine, monkeypatch
+    ):
+        import threading
+        import time as _time
+
+        from swanlake_spark.operators import schema_evolution as se
+
+        ev = threading.Event()
+        ev.set()  # pre-wait returns instantly; registry still lists it
+        se._SWAPPING["some_other_table"] = ev
+        try:
+            calls = []
+            self._raising_run_script(
+                engine,
+                monkeypatch,
+                "[TABLE_OR_VIEW_NOT_FOUND] The table or view "
+                "`nope_missing` cannot be found.",
+                calls,
+            )
+            t0 = _time.monotonic()
+            with pytest.raises(EngineError):
+                engine.query("SELECT * FROM nope_missing")
+            # keyed check: an UNRELATED in-flight ALTER must not make a
+            # genuinely nonexistent table loop 4 x 30 s retries
+            assert len(calls) == 1
+            assert _time.monotonic() - t0 < 5.0
+        finally:
+            se._SWAPPING.pop("some_other_table", None)
+
+    def test_missing_table_recently_swapped_retries(
+        self, engine, monkeypatch
+    ):
+        import time as _time
+
+        from swanlake_spark.operators import schema_evolution as se
+
+        with se._SWAP_LOCK:
+            se._RECENT_SWAPS["recent_t"] = _time.monotonic()
+        try:
+            calls = []
+            self._raising_run_script(
+                engine,
+                monkeypatch,
+                "[TABLE_OR_VIEW_NOT_FOUND] The table or view `recent_t` "
+                "cannot be found.",
+                calls,
+            )
+            with pytest.raises(EngineError):
+                engine.query("SELECT * FROM recent_t")
+            # reader that hit the DROP->CREATE gap after the swap
+            # completed: retryable via the recently-swapped record
+            assert len(calls) == 5
+        finally:
+            with se._SWAP_LOCK:
+                se._RECENT_SWAPS.pop("recent_t", None)

@@ -266,17 +266,128 @@ class TestIncrementalRefresh:
         from swanlake_spark.errors import InvalidArgument
 
         eng.execute(
-            "CREATE MATERIALIZED VIEW mv_incavg AS "
-            "SELECT day, avg(amt) AS a FROM mv_src GROUP BY day"
+            "CREATE MATERIALIZED VIEW mv_incdd AS "
+            "SELECT day, count(DISTINCT amt) AS a FROM mv_src GROUP BY day"
         )
         try:
             eng.execute("INSERT INTO mv_src VALUES (11, 1.0, 'd1')")
             with pytest.raises(InvalidArgument, match="maintainable"):
                 eng.execute(
-                    "REFRESH MATERIALIZED VIEW mv_incavg INCREMENTAL"
+                    "REFRESH MATERIALIZED VIEW mv_incdd INCREMENTAL"
                 )
         finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incdd")
+
+    def test_impure_definition_falls_back_to_full(self, spark, eng, src):
+        """A predicate with a subquery or a non-deterministic function
+        would be re-evaluated at refresh time against only the delta —
+        silent divergence from a full recompute — so such definitions
+        must NOT be incrementally maintainable (ADVICE r5)."""
+        from swanlake_spark.errors import InvalidArgument
+        from swanlake_spark.matview import parse_incremental
+
+        assert (
+            parse_incremental(
+                "SELECT day, sum(amt) AS s FROM mv_src "
+                "WHERE id IN (SELECT id FROM allow) GROUP BY day"
+            )
+            is None
+        )
+        assert (
+            parse_incremental(
+                "SELECT day, sum(amt) AS s FROM mv_src "
+                "WHERE created >= current_date() - 7 GROUP BY day"
+            )
+            is None
+        )
+        assert (
+            parse_incremental(
+                "SELECT day, sum(amt * rand()) AS s FROM mv_src GROUP BY day"
+            )
+            is None
+        )
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_incnd AS "
+            "SELECT day, sum(amt + 0 * unix_timestamp()) AS s "
+            "FROM mv_src GROUP BY day"
+        )
+        try:
+            eng.execute("INSERT INTO mv_src VALUES (13, 1.0, 'd1')")
+            with pytest.raises(InvalidArgument, match="maintainable"):
+                eng.execute(
+                    "REFRESH MATERIALIZED VIEW mv_incnd INCREMENTAL"
+                )
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incnd")
+
+    def test_avg_folds_incrementally(self, spark, eng, src):
+        """avg decomposes into sum+count merge state: appends fold in
+        and the result matches a full recompute exactly (decimal/int
+        args: order-independent components, identical rounding)."""
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_incavg AS "
+            "SELECT day, avg(amt) AS a, count(*) AS n, sum(amt) AS s "
+            "FROM mv_src GROUP BY day"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO mv_src VALUES (21, 7.5, 'd1'), "
+                "(22, 2.25, 'd4'), (23, 0.5, 'd4')"
+            )
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incavg INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_incavg").collect()}
+            want = self._full(
+                spark,
+                "SELECT day, avg(amt) AS a, count(*) AS n, sum(amt) AS s "
+                "FROM mv_src GROUP BY day",
+            )
+            assert got == want
+            # second round: state carried forward under the new stamp
+            eng.execute("INSERT INTO mv_src VALUES (24, 100.0, 'd1')")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incavg INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_incavg").collect()}
+            want = self._full(
+                spark,
+                "SELECT day, avg(amt) AS a, count(*) AS n, sum(amt) AS s "
+                "FROM mv_src GROUP BY day",
+            )
+            assert got == want
+        finally:
             eng.execute("DROP MATERIALIZED VIEW mv_incavg")
+
+    def test_avg_nulls_and_new_groups_fold(self, spark, eng):
+        """avg state merges correctly across NULL-arg rows (count(col)
+        skips them), groups new in the delta, and groups absent from
+        the delta."""
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="swl_mvavg_")
+        eng.execute(
+            f"CREATE TABLE mv_avgsrc (k STRING, v INT) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO mv_avgsrc VALUES ('a', 2), ('a', NULL), ('b', 10)"
+            )
+            q = (
+                "SELECT k, avg(v) AS a, count(v) AS c "
+                "FROM mv_avgsrc GROUP BY k"
+            )
+            eng.execute(f"CREATE MATERIALIZED VIEW mv_avgv AS {q}")
+            eng.execute(
+                "INSERT INTO mv_avgsrc VALUES "
+                "('a', 4), ('c', NULL), ('d', 7)"  # b absent; c all-null
+            )
+            eng.execute("REFRESH MATERIALIZED VIEW mv_avgv INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_avgv").collect()}
+            want = {tuple(r) for r in spark.sql(q).collect()}
+            assert got == want
+            # the all-null group's avg is NULL, not a divide error
+            assert ("c", None, 0) in got
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_avgv")
+            eng.execute("DROP TABLE mv_avgsrc")
 
     def test_partial_refresh_clears_stamp(self, spark, eng, src):
         from swanlake_spark.errors import InvalidArgument
@@ -296,6 +407,63 @@ class TestIncrementalRefresh:
                 eng.execute("REFRESH MATERIALIZED VIEW mv_incp INCREMENTAL")
         finally:
             eng.execute("DROP MATERIALIZED VIEW mv_incp")
+
+    def test_decimal_sum_merge_keeps_view_type(self, spark, eng):
+        """Regression: decimal addition widens (decimal(20,2) + same →
+        decimal(21,2)) and the COW publish renames staged files in
+        verbatim — without the merged-column cast the view's next scan
+        failed with a parquet type mismatch on the sum column."""
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="swl_mvdec_")
+        eng.execute(
+            f"CREATE TABLE mv_decsrc (k STRING, amt DECIMAL(10,2)) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO mv_decsrc VALUES ('a', 10.00), ('b', 5.25)"
+            )
+            q = (
+                "SELECT k, sum(amt) AS s, avg(amt) AS a, count(*) AS n "
+                "FROM mv_decsrc GROUP BY k"
+            )
+            eng.execute(f"CREATE MATERIALIZED VIEW mv_decv AS {q}")
+            eng.execute("INSERT INTO mv_decsrc VALUES ('a', 1.50), ('c', 7.77)")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_decv INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_decv").collect()}
+            assert got == {tuple(r) for r in spark.sql(q).collect()}
+            # and again (state + view types stay pinned round over round)
+            eng.execute("INSERT INTO mv_decsrc VALUES ('b', 0.75)")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_decv INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_decv").collect()}
+            assert got == {tuple(r) for r in spark.sql(q).collect()}
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_decv")
+            eng.execute("DROP TABLE mv_decsrc")
+
+    def test_materialize_pinned_to_stamp_excludes_racing_append(
+        self, spark, eng, src
+    ):
+        """ADVICE r5: the base stamp is taken from the manifests BEFORE
+        the materializing read — if that read were live, an append
+        published in between would land in the view while the stamp
+        predates it, and the next INCREMENTAL would fold the same files
+        again (double-count). The read is pinned to the stamped
+        snapshot, so the racing append is in NEITHER (folded exactly
+        once, later)."""
+        from swanlake_spark import matview
+
+        q = "SELECT day, sum(amt) AS total FROM mv_src GROUP BY day"
+        stamp = matview._base_stamp(spark, q)
+        assert stamp  # version-tracked base
+        # the "racing" append: published after the stamp, before the read
+        eng.execute("INSERT INTO mv_src VALUES (30, 1000.0, 'd1')")
+        df, state, pinned = matview._materialize(spark, q, stamp)
+        assert pinned
+        got = {tuple(r) for r in df.collect()}
+        # pinned read reflects the stamped snapshot — no 1000.0
+        assert got == {("d1", 30.0), ("d2", 5.0)}
 
     def test_null_group_keys_merge_as_one_group(self, spark, eng):
         import tempfile as _tf

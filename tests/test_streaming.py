@@ -589,12 +589,15 @@ class TestStreamingFunnel:
                 (m, s) for m in range(8) for s in (0, 30)
             )
         ]
+        # the control user rides in the SAME batch as the bot burst
+        # (delivering it later would make it genuinely too late under
+        # the bot-advanced watermark, and drop-late would discard it)
         real = [
             self._ev(100, "2025-01-01T00:00:00.000Z", 14, "signup"),
             self._ev(101, "2025-01-01T00:00:10.000Z", 14, "view"),
         ]
         sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
-        got = self._run(spark, [bot, real, sentinel])
+        got = self._run(spark, [bot + real, sentinel])
         assert {(u, i) for u, i, _, _ in got} == {(14, 1), (14, 2)}
 
     def test_conversion_window_matches_batch(self, spark):
@@ -602,7 +605,9 @@ class TestStreamingFunnel:
         (late-arriving, earlier) signup must not convert — the moving
         deadline re-evaluates when t0 drops."""
         rows = [
-            # signup lands LATE; its arrival moves the deadline earlier
+            # signup lands LATE (but within the watermark: batch 1's
+            # max ts keeps the watermark below 00:00:00); its arrival
+            # moves the deadline earlier
             self._ev(1, "2025-01-01T00:00:10.000Z", 21, "view"),
             self._ev(2, "2025-01-01T00:05:00.000Z", 21, "view"),
             self._ev(3, "2025-01-01T00:00:00.000Z", 21, "signup"),
@@ -610,13 +615,32 @@ class TestStreamingFunnel:
             self._ev(4, "2025-01-01T00:00:00.000Z", 22, "signup"),
             self._ev(5, "2025-01-01T00:01:00.000Z", 22, "view"),
         ]
-        batches = [rows[:2], rows[2:]]
+        batches = [rows[:1], rows[1:]]
         sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
         got = self._run(spark, batches + [sentinel], within_s=120.0)
         assert got == self._batch_expected(spark, rows, within_s=120.0)
         # user 21 converts via the 00:00:10 view (inside 2 min of
         # 00:00:00); the 00:05:00 one alone would have been outside
         assert (21, 2, "view", "2025-01-01 00:00:10") in got
+
+
+    def test_too_late_event_is_dropped_not_folded(self, spark):
+        """ADVICE r5: applyInPandasWithState does NOT auto-drop late
+        rows — the operator must enforce the documented drop-late
+        contract itself. A purchase arriving BELOW the watermark (after
+        the sentinel pushed it hours past the event time) must not
+        finalize step 3; admitting it would alter pending-step times in
+        the same invocation it arrives."""
+        ontime = [
+            self._ev(1, "2025-01-01T00:00:00.000Z", 31, "signup"),
+            self._ev(2, "2025-01-01T00:00:10.000Z", 31, "view"),
+        ]
+        sentinel = [self._ev(99, "2025-01-01T12:00:00.000Z", 999, "signup")]
+        too_late = [self._ev(3, "2025-01-01T00:00:20.000Z", 31, "purchase")]
+        got = self._run(spark, [ontime, sentinel, too_late, sentinel])
+        # steps 1-2 finalized by the sentinel; the below-watermark
+        # purchase is dropped, so step 3 never emits
+        assert {(u, i) for u, i, _, _ in got} == {(31, 1), (31, 2)}
 
 
 class TestStreamingRetention:
