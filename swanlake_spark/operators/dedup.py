@@ -77,14 +77,25 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingles(text_col: str | Column = "text", n: int = 5) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    The token array is LET-BOUND via a single-element transform before
+    the per-shingle slice: referencing the tokenize chain directly
+    inside the lambda would re-evaluate it for every shingle (Catalyst
+    does no CSE through lambda bodies) — quadratic in document length,
+    measured ~170x slower on a 20k-token document in the analogous
+    span-dedup window pass."""
     t = tokens(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+
+    def _per_doc(arr):
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(arr) - (n - 1), F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
         )
-    )
+
+    return F.array_distinct(F.flatten(F.transform(F.array(t), _per_doc)))
 
 
 # -- MinHash + LSH -----------------------------------------------------------

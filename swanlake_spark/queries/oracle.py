@@ -849,6 +849,56 @@ sql_pair(
     """,
 )
 
+# r6 driver-window fold (VERDICT r5 #1): q43_array_battery +
+# q44_json_regex combine into ONE battery row (uniform tagged schema)
+# so their two slots shrink to one; both singles stay registered for
+# the pytest corpus and direct use.
+sql_pair(
+    "q43_array_json_battery",
+    """
+    SELECT src, k, v1, v2, v3 FROM (
+      SELECT 'arr' AS src, CAST(vec_id AS BIGINT) AS k,
+             CAST(size(embedding) AS DOUBLE) AS v1,
+             round(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS v2,
+             CASE WHEN array_contains(embedding, CAST(0.0 AS FLOAT))
+                  THEN 1.0 ELSE 0.0 END AS v3
+      FROM embeddings ORDER BY vec_id LIMIT 100
+    ) a
+    UNION ALL
+    SELECT 'json' AS src, CAST(0 AS BIGINT) AS k,
+           CAST(j.s AS DOUBLE) AS v1, CAST(j.cnt AS DOUBLE) AS v2,
+           CAST(r.rcnt AS DOUBLE) AS v3 FROM
+      (SELECT CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS cnt
+       FROM events WHERE get_json_object(props, '$.k') IS NOT NULL) j
+      CROSS JOIN
+      (SELECT count(*) AS rcnt FROM part
+       WHERE regexp_like(p_type, '^ECONOMY')) r
+    ORDER BY src, k
+    """,
+    """
+    SELECT src, k, v1, v2, v3 FROM (
+      SELECT 'arr' AS src, CAST(vec_id AS BIGINT) AS k,
+             CAST(len(embedding) AS DOUBLE) AS v1,
+             round(CAST(embedding[1] AS DOUBLE), 4) AS v2,
+             CASE WHEN list_contains(embedding, CAST(0.0 AS FLOAT))
+                  THEN 1.0 ELSE 0.0 END AS v3
+      FROM embeddings ORDER BY vec_id LIMIT 100
+    ) a
+    UNION ALL
+    SELECT 'json' AS src, CAST(0 AS BIGINT) AS k,
+           CAST(j.s AS DOUBLE) AS v1, CAST(j.cnt AS DOUBLE) AS v2,
+           CAST(r.rcnt AS DOUBLE) AS v3 FROM
+      (SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s,
+              count(*) AS cnt
+       FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL) j
+      CROSS JOIN
+      (SELECT count(*) AS rcnt FROM part
+       WHERE regexp_matches(p_type, '^ECONOMY')) r
+    ORDER BY src, k
+    """,
+)
+
 # Extended ranking-window surface (ntile / percent_rank / cume_dist /
 # dense_rank) with a named WINDOW clause — identical spelling in both
 # engines.
@@ -908,6 +958,126 @@ _add(
        GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 )
 
+def _q45b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 driver-window fold (VERDICT r5 #1): the q46 CTAS/view flow,
+    q37 partial INSERT, and q45 UPDATE+DELETE run in ONE battery with a
+    uniform tagged schema, freeing two window slots; the singles stay
+    registered for the pytest corpus."""
+    from swanlake_spark.engine import Engine
+
+    ensure_tables(spark, sf_dir)
+    # q46 arm: view + CTAS
+    spark.sql(
+        """CREATE OR REPLACE TEMP VIEW big_orders_ctas_b AS
+           SELECT * FROM orders WHERE o_totalprice > 200000.0"""
+    )
+    ctas = f"swl_ctas_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"""CREATE TABLE {ctas} USING parquet LOCATION '{_scratch_location()}' AS
+            SELECT o_orderstatus, count(*) AS cnt
+            FROM big_orders_ctas_b GROUP BY o_orderstatus"""
+    )
+    # q37 arm: partial-column INSERT (typed-NULL pad)
+    ins = _make_partial_table(spark)
+    # q45 arm: UPDATE + DELETE through the engine's COW path
+    dml = _make_partial_table(spark)
+    eng = Engine(spark=spark)
+    eng.execute_update(f"UPDATE {dml} SET age = 30 WHERE id = 1")
+    eng.execute_update(f"DELETE FROM {dml} WHERE id = 2")
+    return spark.sql(
+        f"""
+        SELECT src, k, v FROM (
+          SELECT 'ctas' AS src, o_orderstatus AS k, cnt AS v FROM {ctas}
+          UNION ALL
+          SELECT 'ins' AS src, concat(id, ':', name) AS k,
+                 CAST(age AS BIGINT) AS v FROM {ins}
+          UNION ALL
+          SELECT 'dml' AS src, concat(id, ':', name) AS k,
+                 CAST(age AS BIGINT) AS v FROM {dml}
+        ) u ORDER BY src, k
+        """
+    )
+
+
+_add(
+    "q45_ddl_dml_battery",
+    _q45b,
+    """
+    SELECT src, k, v FROM (
+      SELECT 'ctas' AS src, o_orderstatus AS k, count(*) AS v FROM orders
+      WHERE o_totalprice > 200000.0 GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ins' AS src, concat(id, ':', name) AS k, CAST(NULL AS BIGINT) AS v
+      FROM (VALUES (1, 'Alice'), (2, 'Bob')) t(id, name)
+      UNION ALL
+      SELECT 'dml' AS src, '1:Alice' AS k, CAST(30 AS BIGINT) AS v
+    ) u ORDER BY src, k
+    """,
+)
+
+
+def _q47mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh, driver-verifiable: a
+    rollup matview (count/sum/avg — avg exercises the r6 sum+count
+    merge-state path) over a scratch copy of ``orders`` folds an
+    appended delta via REFRESH ... INCREMENTAL; the oracle recomputes
+    the same aggregate over base ∪ delta in DuckDB. Reference
+    behavior: DuckDB has no matviews — SURVEY §2.5 extension surface
+    (matview.py)."""
+    from swanlake_spark.engine import Engine
+
+    ensure_tables(spark, sf_dir)
+    eng = Engine(spark=spark)
+    base = f"swl_mvb_{uuid.uuid4().hex[:8]}"
+    mv = f"swl_mvi_{uuid.uuid4().hex[:8]}"
+    eng.execute(
+        f"CREATE TABLE {base} (o_orderstatus STRING, o_totalprice "
+        f"DECIMAL(15,2)) USING parquet LOCATION '{_scratch_location()}'"
+    )
+    # seed through the engine (records snapshot v1 for the stamp)
+    eng.execute(
+        f"INSERT INTO {base} SELECT o_orderstatus, o_totalprice "
+        f"FROM orders WHERE o_orderkey % 3 = 0"
+    )
+    eng.execute(
+        f"CREATE MATERIALIZED VIEW {mv} AS "
+        f"SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS "
+        f"total, avg(o_totalprice) AS avg_price FROM {base} "
+        f"GROUP BY o_orderstatus"
+    )
+    # the delta: published AFTER the stamped create
+    eng.execute(
+        f"INSERT INTO {base} VALUES ('X', 123.45), ('X', 876.55), "
+        f"('O', 10.00)"
+    )
+    eng.execute(f"REFRESH MATERIALIZED VIEW {mv} INCREMENTAL")
+    return spark.sql(
+        f"""SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total,
+               CAST(floor(CAST(avg_price AS DOUBLE) * 100 + 0.5) / 100.0
+                    AS DOUBLE) AS avg_c
+            FROM {mv} ORDER BY o_orderstatus"""
+    )
+
+
+_add(
+    "q47_matview_incremental",
+    _q47mv,
+    """
+    SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(o_totalprice) AS DOUBLE) AS total,
+           CAST(floor(CAST(avg(o_totalprice) AS DOUBLE) * 100 + 0.5)
+                / 100.0 AS DOUBLE) AS avg_c
+    FROM (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT * FROM (VALUES ('X', CAST(123.45 AS DECIMAL(15,2))),
+                            ('X', CAST(876.55 AS DECIMAL(15,2))),
+                            ('O', CAST(10.00 AS DECIMAL(15,2))))
+             t(o_orderstatus, o_totalprice)
+    ) u GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
@@ -917,11 +1087,14 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # (long-stable since r2, still hash-matched every run by
     # tests/test_oracle_corpus.py); their slots went to the events trio
     # + pipe_bpe_tokenize (pipeline.py DRIVER_PIPELINE_EXCLUDE).
-    "q43_array_battery",
-    "q44_json_regex",
-    "q46_view_ctas",
-    "q37_insert_partial",
-    "q45_dml_update_delete",
+    # r6 folds (VERDICT r5 #1): q43+q44 → q43_array_json_battery and
+    # q46+q37+q45 → q45_ddl_dml_battery; the three freed slots go to
+    # pipe_span_dedup, pipe_quality_classifier and
+    # q47_matview_incremental. The folded singles stay hash-matched in
+    # tests/test_oracle_corpus.py.
+    "q43_array_json_battery",
+    "q45_ddl_dml_battery",
+    "q47_matview_incremental",
     # Exact interpolated quantiles (percentile/quantile_cont): promoted
     # into the window r3 — the slot freed by folding pipeline singles
     # into their batteries (pipeline.py) lands here.

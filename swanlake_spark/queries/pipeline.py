@@ -392,6 +392,44 @@ _add(
 )
 
 
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/quality_model.py, the
+    CCNet/GPT-3-lineage reference-vs-raw classifier): label a trusted
+    positive set and a garbage negative set DETERMINISTICALLY from the
+    rule-based quality score's top/bottom slices, train the hashed
+    bag-of-words logistic regression, and return the keep-set of the
+    whole corpus at threshold 0.5. Deterministic end to end (fixed
+    labels, murmur3 HashingTF — no vocab state, L-BFGS on a fixed tiny
+    dataset; keep/drop flips would need a document within float noise
+    of the 0.5 boundary), so the frozen expected locks it; determinism
+    under repartitioning + separation quality are verified in
+    tests/test_quality_model.py and tests/test_frozen_expected.py."""
+    from swanlake_spark.operators import quality_model as QM
+    from swanlake_spark.operators import text as TX
+
+    docs = _docs(spark, sf_dir)
+    scored = TX.quality_score(docs)
+    pos = scored.filter(F.col("quality") >= 0.80)
+    neg = scored.filter(F.col("quality") <= 0.45)
+    model = QM.train_quality_classifier(pos, neg, n_features=1 << 15)
+    kept = QM.filter_by_quality(model, docs, threshold=0.5)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+_add(
+    "pipe_quality_classifier",
+    _quality_classifier,
+    f"""
+    SELECT doc_id FROM read_parquet('{_frozen("quality_clf_sf0_01")}')
+    WHERE (SELECT sum(length(text)) FROM documents) = 149174
+    UNION ALL
+    SELECT doc_id FROM read_parquet('{_frozen("quality_clf_sf0_001")}')
+    WHERE (SELECT sum(length(text)) FROM documents) = 153156
+    ORDER BY doc_id
+    """,
+)
+
+
 def _sim_ann_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three approximate-nearest-neighbor scale paths — hyperplane
     LSH, IVF probe, PQ/ADC — top-10 for one fixed query vector in one
@@ -1614,10 +1652,10 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # remain hash-matched by tests/test_oracle_corpus.py
     "pipe_dedup_exact",
     "pipe_shuffle",
-    # frozen-oracled exact substring dedup (r5) — corpus-verified
-    # (tests/test_oracle_corpus.py + test_frozen_expected.py), outside
-    # the full 50-slot window
-    "pipe_span_dedup",
+    # r6 rotation (VERDICT r5 #1): pipe_span_dedup and the new
+    # pipe_quality_classifier moved INTO the driver window — the slots
+    # came from folding q43+q44 and q46+q37+q45 into batteries
+    # (oracle.py DRIVER_ORACLE_NAMES).
     # r5 rotation (VERDICT r4 #5): pipe_bpe_tokenize and the events trio
     # (pipe_sessionize / pipe_funnel / pipe_retention) moved INTO the
     # driver window; the four slots came from rotating out the

@@ -170,6 +170,32 @@ class TestStripDuplicateSpans:
             }
             assert out == _ref_strip(docs, 7, keep_first=keep), keep
 
+    def test_worst_case_boilerplate_doc_linear(self, spark):
+        """r5 verdict: a heavily-boilerplate document where ~every
+        window is duplicated is exactly what span dedup exists for —
+        the strip rebuild must be linear there, not O(tokens x starts).
+        Two 50k-token identical-token documents make every window a
+        duplicate (within-doc repeats included): the old per-token
+        `exists` over ~50k raw starts would evaluate ~2.5e9 lambda
+        steps per doc; the complement-slice rebuild finishes in
+        seconds."""
+        import time
+
+        T = 50_000
+        docs = {1: " ".join(["tok"] * T), 2: " ".join(["tok"] * T)}
+        t0 = time.monotonic()
+        out = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in SD.strip_duplicate_spans(_df(spark, docs), 8).collect()
+        }
+        elapsed = time.monotonic() - t0
+        # doc 1: every window start except 0 is a duplicate occurrence
+        # -> merged span [1, T) -> exactly the first token survives;
+        # doc 2: all starts duplicated -> stripped empty
+        assert out[1] == ("tok", T - 1)
+        assert out[2] == ("", T)
+        assert elapsed < 120, f"strip took {elapsed:.1f}s — not linear"
+
     def test_stats_report(self, spark):
         passage = "m n o p q r s t"
         docs = {1: f"{passage} x", 2: f"y {passage}", 3: "z z2 z3"}

@@ -38,6 +38,7 @@ def main() -> None:
             ("pipe_sim_ann_battery", f"sim_ann_{tag}"),
             ("pipe_bpe_tokenize", f"bpe_{tag}"),
             ("pipe_span_dedup", f"span_{tag}"),
+            ("pipe_quality_classifier", f"quality_clf_{tag}"),
         ):
             df = PIPELINE_QUERIES[spec].build(eng.spark, sf_dir)
             tbl = df.toArrow()
