@@ -110,9 +110,15 @@ def funnel_reach(
     bounded per-(user, step) pre-aggregation (keep the earliest K
     times) would NOT be exact: a user whose early step-i events all
     precede their step i-1 time but whose late one qualifies must
-    still convert. All joins/aggs share the user key, so the chain
-    re-uses one hash partitioning; each step joins the step-filtered
-    (small) event slice against the one-row-per-user reach table."""
+    still convert. Every aggregation keys on ``_u`` ALONE — the
+    carried step times are per-group constants (one reached row per
+    user before each join) re-emitted through ``min`` — so each step's
+    groupBy reuses the hash(_u) partitioning the previous step's
+    output already has: the only exchange per step is the step's own
+    (small) filtered event slice. (Keying on the growing
+    ``(_u, _t0..)`` tuple instead re-exchanged the whole chain every
+    step — the r5-verdict finding; the plan shape is pinned by an
+    exchange-count test in test_plan_quality.py.)"""
     if not steps:
         raise ValueError("funnel needs at least one step")
     filtered = df.filter(F.col(type_col).isin(list(steps))).select(
@@ -136,8 +142,13 @@ def funnel_reach(
         carried = [f"_t{j}" for j in range(i)]
         reached = (
             reached.join(ev_i, "_u", "left")
-            .groupBy("_u", *carried)
-            .agg(F.min(F.when(cond, F.col("_x"))).alias(f"_t{i}"))
+            .groupBy("_u")
+            .agg(
+                # exact: each carried _tj is constant within the group
+                # (the pre-join reach table has one row per _u)
+                *[F.min(c).alias(c) for c in carried],
+                F.min(F.when(cond, F.col("_x"))).alias(f"_t{i}"),
+            )
         )
     return reached
 

@@ -427,3 +427,35 @@ class TestEventAnalyticsPlans:
         assert "collect_list" not in plan and "collect_list" not in analyzed
         # the step-type filter reaches the scan as a pushed filter
         assert "PushedFilters: [" in plan and "In(event_type" in plan
+
+    def test_funnel_reuses_user_partitioning_one_exchange_per_step(
+        self, spark, sf_dir
+    ):
+        """r5 verdict #6: every step's join/agg keys on `_u` ALONE (the
+        carried step times are per-group constants), so the chain
+        reuses one hash(_u) partitioning — the only NEW exchange per
+        step is the step's own filtered event slice. For 3 steps that
+        is exactly 3 hashpartitioning exchanges (step 0's aggregation
+        + 2 event slices); keying on the growing (_u, _t0..) tuple
+        planned a fresh exchange for the whole chain each step."""
+        import re as _re
+
+        from swanlake_spark.operators import events as EV
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        steps = ["signup", "view", "purchase"]
+        plan = (
+            EV.funnel_reach(ev, steps)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # at most one NEW exchange per step (each step's own event
+        # slice; broadcastable slices need none at all — at this SF the
+        # whole chain plans ONE exchange, step 0's aggregation)
+        n_ex = len(_re.findall(r"Exchange hashpartitioning", plan))
+        assert 1 <= n_ex <= len(steps), plan[:3000]
+        # and NO exchange keys on the grown (_u, _t0, ...) tuple — the
+        # r5 shape re-exchanged the whole chain on it every step
+        grown = _re.findall(r"Exchange hashpartitioning\(_u#\d+L?, _t", plan)
+        assert not grown, plan[:3000]
