@@ -454,14 +454,13 @@ _tpch(
     ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     # Beyond the static plan, the distinct-agg intermediates here are a
-    # few thousand rows across 3 post-broadcast-join exchanges: ONE
-    # partition removes the remaining scheduling floor AND the ORDER
-    # BY's range-partitioner sampling job (a single-partition sort
-    # plans as SinglePartition — no sampling pass). Sub-second
-    # interactive tuning only; at production scale the per-workload
-    # profile sizes partitions to data volume (SCALE.md), and
-    # correctness runs ignore exec_conf entirely.
-    exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "1"},
+    # few thousand rows across 3 post-broadcast-join exchanges: 4
+    # partitions right-sizes the task count (8 → 4 shaves ~70 ms of
+    # pure scheduling at sf0.1; 1 was MEASURED SLOWER in the bench
+    # harness — the partial-distinct merge over the ~120k post-join
+    # rows serializes onto one core, costing more than the saved
+    # scheduling + range-sort sampling).
+    exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "4"},
 )
 
 # Q17 — small-quantity-order revenue (correlated avg subquery;
