@@ -318,17 +318,99 @@ def _publish_state(
     state: DataFrame | None,
     base_version: int,
     sweep: bool = True,
+    driver_ok: bool = False,
 ) -> None:
     """Write the avg merge state keyed by the base version it reflects
     and (unless deferred — incremental refresh sweeps only after every
     plan reading the OLD state has executed) sweep older state dirs
-    (tiny, view-sized parquet)."""
+    (tiny, view-sized parquet). ``driver_ok`` routes the write through
+    the single-Arrow-collect fast path when the caller has bounded the
+    size."""
     if state is None:
         return
     path = _state_path(spark, name, base_version)
-    state.write.mode("overwrite").parquet(path)
+    if not (driver_ok and _driver_parquet_write(spark, path, state)):
+        state.write.mode("overwrite").parquet(path)
     if sweep:
         _sweep_state(spark, name, base_version)
+
+
+def _total_bytes(spark: SparkSession, paths: list[str]) -> int:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in paths:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        total += int(p.getFileSystem(conf).getFileStatus(p).getLen())
+    return total
+
+
+def _collect_arrow(df):
+    """One-Arrow-collect of a SMALL DataFrame, or None when a type
+    outside the proven Spark→Arrow→parquet round-trip set makes the
+    driver-side path ineligible (callers fall back to the distributed
+    write). Callers bound the size BEFORE calling."""
+    from swanlake_spark.operators.dml import _ARROW_SAFE_TYPES
+
+    if any(
+        not _ARROW_SAFE_TYPES.match(f.dataType.simpleString())
+        for f in df.schema.fields
+    ):
+        return None
+    try:
+        return df.toArrow()
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "driver-side collect fell back to the distributed path",
+            exc_info=True,
+        )
+        return None
+
+
+def _write_arrow_dir(spark: SparkSession, path: str, tbl) -> bool:
+    """Write an Arrow table as one parquet file under a FRESH ``path``
+    dir — no output committer, no task scheduling (the same driver-side
+    fast path point DML uses, ``dml._driver_rewrite``). Local-scheme
+    only (pyarrow writes OS paths)."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    base = path
+    if base.startswith("file:"):
+        base = base[len("file:"):]
+        while base.startswith("//"):
+            base = base[1:]
+    elif "://" in base:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(base):
+            shutil.rmtree(base)
+        os.makedirs(base, exist_ok=True)
+        pq.write_table(
+            tbl,
+            f"{base}/part-00000-{_uuid.uuid4().hex}-c000.snappy.parquet",
+            compression="snappy",
+        )
+        return True
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "driver-side parquet write fell back to the distributed path",
+            exc_info=True,
+        )
+        return False
+
+
+def _driver_parquet_write(spark: SparkSession, path: str, df) -> bool:
+    """Collect + write in one step (see the two halves above)."""
+    tbl = _collect_arrow(df)
+    return tbl is not None and _write_arrow_dir(spark, path, tbl)
 
 
 def _sweep_state(spark: SparkSession, name: str, keep_version: int) -> None:
@@ -388,6 +470,21 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     if not delta_names:
         return 0
     base_loc = dml._table_location(spark, base).rstrip("/")
+    # Fast-publish eligibility, decided up front so the merge joins can
+    # broadcast their (view-sized) sides too: when the CURRENT view +
+    # delta files are within the point-DML driver-rewrite bound, the
+    # merge plans as broadcast joins (no exchanges) and both the view
+    # and the state publish through ONE Arrow collect each instead of
+    # distributed write jobs — a 4-row rollup refresh otherwise rides
+    # ~2 s of job floor (SCALE.md r6 table). Beyond the bound,
+    # everything takes the distributed path unchanged.
+    try:
+        in_paths = list(spark.table(name).inputFiles()) + [
+            f"{base_loc}/{n_}" for n_ in delta_names
+        ]
+        small = _total_bytes(spark, in_paths) <= dml._DRIVER_REWRITE_MAX_BYTES
+    except Exception:
+        small = False
     delta = spark.read.option("basePath", base_loc).schema(
         spark.table(base).schema
     ).parquet(*[f"{base_loc}/{n}" for n in delta_names])
@@ -427,6 +524,8 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         for i, g in enumerate(gl):
             c = o[g].eqNullSafe(s[f"__swl_g_{i}"])
             scond = c if scond is None else scond & c
+        if small:
+            s = F.broadcast(s)
         o = o.join(s, scond, "full_outer").select(
             *[
                 F.coalesce(o[g], s[f"__swl_g_{i}"]).alias(g)
@@ -499,7 +598,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         # schema is a parquet read error on the next scan (ANSI cast
         # errors loudly on true overflow, same as sum itself)
         merged_cols.append(e.cast(view_types[alias]).alias(alias))
-    joined = o.join(d, cond, "full_outer")
+    joined = o.join(F.broadcast(d) if small else d, cond, "full_outer")
     merged = _aligned(spark, name, joined.select(*merged_cols))
     n = len(delta_names)
     with dml.table_write_lock(spark, name):
@@ -512,12 +611,54 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         # consistent older publish plus harmless orphans, or (between 2
         # and 3) the pre-existing stale-sidecar window shared with the
         # non-avg path.
-        if avgs:
+        state_published = False
+        published = False
+        if small and not dml._partition_columns(spark, name):
+            # ONE Arrow collect serves both publishes: the combined
+            # projection carries the view columns AND the state
+            # components, the driver slices it into the two parquet
+            # writes — the merge join plan executes once, not twice
+            staging = dml.staging_dir(spark, name)
+            combined = joined.select(*merged_cols, *state_cols)
+            tbl = _collect_arrow(combined)
+            if tbl is not None:
+                import pyarrow.parquet as _pq  # noqa: F401 (probe)
+
+                view_order = [
+                    f.name for f in spark.table(name).schema.fields
+                ]
+                if avgs:
+                    state_names = gl + [
+                        f"__swl_sum__{a}" for _, a in avgs
+                    ] + [f"__swl_cnt__{a}" for _, a in avgs]
+                    state_published = _write_arrow_dir(
+                        spark,
+                        _state_path(spark, name, cur_v),
+                        tbl.select(state_names),
+                    )
+                if not avgs or state_published:
+                    published = _write_arrow_dir(
+                        spark, staging, tbl.select(view_order)
+                    )
+                    if published:
+                        dml._overwrite(
+                            spark,
+                            name,
+                            spark.read.parquet(staging),
+                            None,
+                            staged=True,
+                            staged_path=staging,
+                        )
+                        dml._rm_path(spark, staging)
+        if avgs and not state_published:
             new_state = joined.select(
                 *[F.coalesce(o[g], d[g]).alias(g) for g in gl], *state_cols
             )
-            _publish_state(spark, name, new_state, cur_v, sweep=False)
-        dml._overwrite(spark, name, merged, None)
+            _publish_state(
+                spark, name, new_state, cur_v, sweep=False, driver_ok=small
+            )
+        if not published:
+            dml._overwrite(spark, name, merged, None)
         _write_sidecar(
             spark, name, q, base_table=base, base_version=cur_v
         )
