@@ -247,14 +247,43 @@ def _materialize(
     like the base shadows the catalog table with
     ``versions.read_version`` of the stamped snapshot, so the stored
     stamp matches the materialized contents exactly. Returns
-    ``(view_df, state_df | None, pinned)``; callers on the unpinned
-    path (no stamp, or a db-qualified base name temp views cannot
-    shadow) must re-validate the stamp after materializing."""
+    ``(view_df, state_df | None, pinned, combined)``; ``combined`` (or
+    None when no avg state is needed) is ONE projection carrying the
+    view columns followed by the state components — view_df and
+    state_df are column slices of it, so the base aggregates once per
+    execution instead of once per output, and a small-refresh publish
+    can serve both writes from a single Arrow collect. Callers on the
+    unpinned path (no stamp, or a db-qualified base name temp views
+    cannot shadow) must re-validate the stamp after materializing."""
     shape = parse_incremental(q) if stamp else None
-    if not stamp or shape is None or "." in stamp["base_table"]:
+
+    def _build(base_name):
         df = spark.sql(q)
-        state = _state_query(spark, shape, shape["base"]) if shape else None
-        return df, state, False
+        if not shape or not _avg_specs(shape):
+            return df, None, None
+        items = [shape["items"]]
+        state_names = []
+        for arg, alias in _avg_specs(shape):
+            items.append(f"sum({arg}) AS `__swl_sum__{alias}`")
+            items.append(f"count({arg}) AS `__swl_cnt__{alias}`")
+            state_names += [f"__swl_sum__{alias}", f"__swl_cnt__{alias}"]
+        sel = f"SELECT {', '.join(items)} FROM {base_name}"
+        if shape["pred"]:
+            sel += f" WHERE {shape['pred']}"
+        sel += f" GROUP BY {shape['groups_raw']}"
+        combined = spark.sql(sel)
+        view_cols = df.columns
+        # qualified group items (t.day) output their bare name
+        bare_groups = [g.split(".")[-1] for g in shape["groups"]]
+        return (
+            combined.select(*view_cols),
+            combined.select(*bare_groups, *state_names),
+            combined,
+        )
+
+    if not stamp or shape is None or "." in stamp["base_table"]:
+        df, state, combined = _build(shape["base"] if shape else None)
+        return df, state, False, combined
     from swanlake_spark import versions
 
     base = stamp["base_table"]
@@ -262,11 +291,10 @@ def _materialize(
     pinned.createOrReplaceTempView(base)
     try:
         # analysis (temp-view resolution) happens eagerly in spark.sql
-        df = spark.sql(q)
-        state = _state_query(spark, shape, base)
+        df, state, combined = _build(base)
     finally:
         spark.catalog.dropTempView(base)
-    return df, state, True
+    return df, state, True, combined
 
 
 # -- hidden avg merge state ---------------------------------------------------
@@ -688,7 +716,7 @@ def create(
     # the materializing read is PINNED to the stamped snapshot: an
     # append racing this create lands in neither the view nor the
     # stamp, and the first INCREMENTAL refresh folds it in exactly once
-    df, state, pinned = _materialize(spark, query, stamp)
+    df, state, pinned, _combined = _materialize(spark, query, stamp)
     writer = df.write.format("parquet").mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -769,13 +797,78 @@ def refresh(
         # pinned to the stamped snapshot (see _materialize): the stamp
         # and the refreshed contents reflect the same base version, so
         # INCREMENTAL can never double-count a racing append
-        df, state, pinned = _materialize(spark, q, stamp)
+        df, state, pinned, combined = _materialize(spark, q, stamp)
         new_df = _aligned(spark, name, df)
-        n = new_df.count()
+        # Small rollup views take the one-Arrow-collect publish (the
+        # base scan inside the collect still runs distributed; only the
+        # result lands on the driver): the CURRENT view's on-disk size
+        # is the stability proxy for the recomputed size — rollup
+        # cardinality doesn't move between refreshes. Saves the
+        # separate count() job and the distributed staging write.
+        try:
+            small = _total_bytes(
+                spark, list(spark.table(name).inputFiles())
+            ) <= dml._DRIVER_REWRITE_MAX_BYTES and not dml._partition_columns(
+                spark, name
+            )
+        except Exception:
+            small = False
+        n = None
         with dml.table_write_lock(spark, name):
-            dml._overwrite(spark, name, new_df, None)
-            if stamp:
-                _publish_state(spark, name, state, stamp["base_version"])
+            published = False
+            state_published = False
+            if small:
+                # ONE collect serves the view AND (when avg state is
+                # maintained) the state write: the base scan inside
+                # the collect still runs distributed, only the rollup
+                # result lands on the driver
+                src_df = combined if (stamp and combined is not None) else new_df
+                tbl = _collect_arrow(src_df)
+                if tbl is not None:
+                    view_order = [
+                        f.name for f in spark.table(name).schema.fields
+                    ]
+                    if stamp and combined is not None:
+                        state_names = [
+                            c for c in src_df.columns
+                            if c.startswith("__swl_")
+                        ]
+                        bare_groups = [
+                            g.split(".")[-1]
+                            for g in parse_incremental(q)["groups"]
+                        ]
+                        state_published = _write_arrow_dir(
+                            spark,
+                            _state_path(
+                                spark, name, stamp["base_version"]
+                            ),
+                            tbl.select(bare_groups + state_names),
+                        )
+                    staging = dml.staging_dir(spark, name)
+                    if _write_arrow_dir(
+                        spark, staging, tbl.select(view_order)
+                    ):
+                        n = tbl.num_rows
+                        dml._overwrite(
+                            spark,
+                            name,
+                            spark.read.parquet(staging),
+                            None,
+                            staged=True,
+                            staged_path=staging,
+                        )
+                        dml._rm_path(spark, staging)
+                        published = True
+            if not published:
+                n = new_df.count()
+                dml._overwrite(spark, name, new_df, None)
+            if stamp and not state_published:
+                _publish_state(
+                    spark, name, state, stamp["base_version"],
+                    driver_ok=small,
+                )
+            elif stamp and state_published:
+                _sweep_state(spark, name, stamp["base_version"])
             if stamp and not pinned:
                 # unpinnable (db-qualified base): keep the stamp only
                 # if no base publish landed across materialization

@@ -459,7 +459,7 @@ class TestIncrementalRefresh:
         assert stamp  # version-tracked base
         # the "racing" append: published after the stamp, before the read
         eng.execute("INSERT INTO mv_src VALUES (30, 1000.0, 'd1')")
-        df, state, pinned = matview._materialize(spark, q, stamp)
+        df, state, pinned, _comb = matview._materialize(spark, q, stamp)
         assert pinned
         got = {tuple(r) for r in df.collect()}
         # pinned read reflects the stamped snapshot — no 1000.0
