@@ -174,7 +174,12 @@ def parse_incremental(query: str) -> dict | None:
     if not m:
         return None
     groups = [g.strip().strip('`"') for g in m.group("groups").split(",")]
-    if not all(_IDENT_RE.match(g) and "(" not in g for g in groups):
+    # bare identifiers only: a qualified group item (t.day) outputs its
+    # bare name, which would desync every by-name path downstream
+    # (state slicing, merge selects) — such definitions refresh fully
+    if not all(
+        _IDENT_RE.match(g) and "(" not in g and "." not in g for g in groups
+    ):
         return None
     pred = (m.group("pred") or "").strip() or None
     if _impure(pred):
@@ -650,8 +655,6 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             combined = joined.select(*merged_cols, *state_cols)
             tbl = _collect_arrow(combined)
             if tbl is not None:
-                import pyarrow.parquet as _pq  # noqa: F401 (probe)
-
                 view_order = [
                     f.name for f in spark.table(name).schema.fields
                 ]
