@@ -1039,11 +1039,15 @@ def _q47mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"INSERT INTO {base} SELECT o_orderstatus, o_totalprice "
         f"FROM orders WHERE o_orderkey % 3 = 0"
     )
-    eng.execute(
-        f"CREATE MATERIALIZED VIEW {mv} AS "
+    from swanlake_spark import matview
+
+    matview.create(
+        spark,
+        mv,
         f"SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS "
         f"total, avg(o_totalprice) AS avg_price FROM {base} "
-        f"GROUP BY o_orderstatus"
+        f"GROUP BY o_orderstatus",
+        location=_scratch_location(),  # scratch, not spark-warehouse
     )
     # the delta: published AFTER the stamped create
     eng.execute(
@@ -1051,12 +1055,19 @@ def _q47mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"('O', 10.00)"
     )
     eng.execute(f"REFRESH MATERIALIZED VIEW {mv} INCREMENTAL")
-    return spark.sql(
+    out = spark.sql(
         f"""SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total,
                CAST(floor(CAST(avg_price AS DOUBLE) * 100 + 0.5) / 100.0
                     AS DOUBLE) AS avg_c
             FROM {mv} ORDER BY o_orderstatus"""
     )
+    # materialize before dropping the scratch objects (the driver
+    # collects AFTER build returns; a lazy plan over a dropped view
+    # would fail) — 4 rows, trivially driver-sized
+    rows, schema = out.collect(), out.schema
+    eng.execute(f"DROP MATERIALIZED VIEW {mv}")
+    eng.execute(f"DROP TABLE {base}")
+    return spark.createDataFrame(rows, schema)
 
 
 _add(
