@@ -63,6 +63,7 @@ def main() -> None:
         ("dedup_exact", "pipe_dedup_exact"),
         ("dedup_minhash_lsh", "pipe_dedup_minhash_lsh"),
         ("text_quality", "pipe_text_quality"),
+        ("select_top_tokens", "pipe_select_top_tokens"),
         ("sim_cosine_topk", "pipe_sim_cosine_topk"),
         ("multimodal_decode", "pipe_multimodal_decode"),
     ]:

@@ -409,3 +409,75 @@ def unigram_logprob(
             F.count("*").cast("long").alias("n_tokens"),
         )
     )
+
+
+def select_top_tokens(
+    df: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: take documents in
+    descending quality order (ties broken by ``id_col``) until the
+    cumulative whitespace-token count would exceed ``token_budget`` —
+    the "keep the best N tokens" step every pretraining data recipe
+    ends with once scores exist. Returns ``(id, n_tokens, cum_tokens)``
+    for the kept documents.
+
+    ``quality_col`` names a precomputed score column; when None the
+    rule-based ``text.quality_score`` is computed inline.
+
+    Scale shape — the naive ``sum(len) OVER (ORDER BY quality DESC)``
+    is a single-partition global sort (one task sorts 100 TB). This is
+    the distributed two-phase prefix sum instead (the
+    ``packing.pack_sequences`` pattern, re-keyed for a SCORE order):
+
+    1. bucket by quality BAND — ``floor((1-q) * buckets)`` — a pure
+       projection (deterministic on any layout; no range sampling), and
+       ordering-compatible: every doc in band k outranks every doc in
+       band k+1, so band-local order + band base offsets reproduce the
+       exact global order;
+    2. per-band windowed cumsum (each band sorts only its slice);
+    3. band base offsets via a cumsum over the *bucket-count* totals
+       (KBs), broadcast back.
+
+    Skew note: a corpus whose scores all collapse into one band
+    degrades to the single-partition sort for that band — real score
+    distributions spread; raise ``buckets`` to narrow bands."""
+    from swanlake_spark.operators import text as _text
+
+    if quality_col is None:
+        df = _text.quality_score(df, text_col)
+        quality_col = "quality"
+    b = df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.col(quality_col).cast("double").alias("_q"),
+    ).withColumn(
+        "_bkt",
+        F.least(
+            F.greatest(
+                F.floor((F.lit(1.0) - F.col("_q")) * buckets), F.lit(0)
+            ),
+            F.lit(buckets - 1),
+        ).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_q").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = b.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
+    totals = b.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_bkt", "_base")
+    return (
+        within.join(F.broadcast(offsets), "_bkt")
+        .withColumn("cum_tokens", F.col("_base") + F.col("_cum_in"))
+        .filter(F.col("cum_tokens") <= F.lit(int(token_budget)))
+        .select(id_col, "n_tokens", "cum_tokens")
+    )

@@ -113,6 +113,7 @@ _add(
     """,
 )
 
+
 # -- quality scoring ---------------------------------------------------------
 
 
@@ -152,6 +153,57 @@ _add(
     WHERE doc_id < 200 ORDER BY doc_id
     """,
 )
+
+# -- token-budget corpus selection -------------------------------------------
+
+
+def _select_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-ranked selection under a token budget
+    (curation.select_top_tokens): the "keep the best N tokens" recipe
+    step, as a distributed two-phase prefix sum over quality bands
+    (never a single-partition global sort). The DuckDB oracle IS the
+    naive single-partition window-SQL form — the two must agree
+    exactly (integer token counts, identical quality doubles, total
+    tie-break order)."""
+    from swanlake_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.select_top_tokens(docs, token_budget=8000).orderBy(
+        "doc_id"
+    )
+
+
+_add(
+    "pipe_select_top_tokens",
+    _select_top_tokens,
+    f"""
+    SELECT doc_id, n_tokens, cum_tokens FROM (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               floor((0.4 * least(n_tokens / 64.0, 1.0)
+                   + 0.3 * alpha_raw
+                   + 0.3 * least(stop_raw * 4, 1.0)) * 10000 + 0.5) / 10000.0
+                 AS quality
+        FROM (
+          SELECT doc_id,
+                 CAST(len(t) AS INT) AS n_tokens,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) AS alpha_raw,
+                 len(list_filter(t, w -> lower(w) IN ({_STOP_EN})))
+                       / CAST(len(t) AS DOUBLE) AS stop_raw
+          FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents)
+        )
+      )
+    ) WHERE cum_tokens <= 8000 ORDER BY doc_id
+    """,
+)
+
 
 # -- language id -------------------------------------------------------------
 
@@ -1643,6 +1695,7 @@ _add("pipe_sample_mix_battery", _sample_mix_battery,
 # spec stays for tests/test_oracle_corpus.py and direct use).
 DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     # corpus-verified, outside the full 50-slot window
+    "pipe_select_top_tokens",
     "pipe_validate",
     "pipe_vocab_topk",
     "pipe_tfidf",

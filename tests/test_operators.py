@@ -1272,3 +1272,93 @@ class TestEventAnalytics:
             ("2024-02", 0, 1),
             ("2024-02", 1, 1),
         }
+
+
+class TestSelectTopTokens:
+    """curation.select_top_tokens: greedy quality-ranked selection
+    under a token budget via the banded distributed prefix sum — must
+    equal the naive global-sort cumulative exactly, on any layout."""
+
+    def _docs(self, spark):
+        rows = [
+            # (id, text) — engineered quality spread: long clean text
+            # ranks high, short/garbage ranks low
+            (1, "the cat sat of the mat and it is that good for all " * 4),
+            (2, "zzz qqq xxx"),
+            (3, "a of the and to in is that it for the quick brown fox " * 3),
+            (4, "!!!! ???? ####"),
+            (5, "the road to the north is long and it winds for days " * 2),
+            (6, "k"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _naive(self, spark, df, budget):
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import text as TX
+        from swanlake_spark.operators.text import tokens
+
+        q = TX.quality_score(df).select(
+            "doc_id",
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+            "quality",
+        ).collect()
+        q.sort(key=lambda r: (-r.quality, r.doc_id))
+        out, cum = {}, 0
+        for r in q:
+            cum += r.n_tokens
+            if cum > budget:
+                break
+            out[r.doc_id] = (r.n_tokens, cum)
+        return out
+
+    def test_matches_naive_and_layout_independent(self, spark):
+        from swanlake_spark.operators import curation
+
+        df = self._docs(spark)
+        for budget in (10, 60, 200, 10_000):
+            want = self._naive(spark, df, budget)
+            got = {
+                r.doc_id: (r.n_tokens, r.cum_tokens)
+                for r in curation.select_top_tokens(
+                    df, budget, buckets=8
+                ).collect()
+            }
+            assert got == want, budget
+            # repartitioned input, different bucket count: same answer
+            got2 = {
+                r.doc_id: (r.n_tokens, r.cum_tokens)
+                for r in curation.select_top_tokens(
+                    df.repartition(5), budget, buckets=3
+                ).collect()
+            }
+            assert got2 == want, budget
+
+    def test_precomputed_score_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import curation
+
+        df = self._docs(spark).withColumn(
+            "myq", (F.col("doc_id") % 3).cast("double") / 2.0
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.cum_tokens)
+            for r in curation.select_top_tokens(
+                df, 120, quality_col="myq"
+            ).collect()
+        }
+        # naive check over the precomputed score (desc, id tiebreak);
+        # boundary scores (0.0, 1.0) must clamp into valid buckets,
+        # not drop rows
+        rows = df.selectExpr(
+            "doc_id", "size(split(trim(text), '\\\\s+')) AS n", "myq"
+        ).collect()
+        rows.sort(key=lambda r: (-r.myq, r.doc_id))
+        want, cum = {}, 0
+        for r in rows:
+            cum += r.n
+            if cum > 120:
+                break
+            want[r.doc_id] = (r.n, cum)
+        assert got == want
