@@ -385,7 +385,11 @@ class Engine:
             )
             if re.search(r"\binformation_schema\s*\.\s*tables\b", stmt, re.IGNORECASE):
                 stmt = self._rewrite_information_schema(stmt)
-            if re.search(r"\bAT\s*\(|\bsnapshots\s*\(", stmt, re.IGNORECASE):
+            if re.search(
+                r"\bAT\s*\(|\bsnapshots\s*\(|\btable_changes\s*\(",
+                stmt,
+                re.IGNORECASE,
+            ):
                 stmt = self._rewrite_time_travel(stmt)
             if kw.startswith("TRUNCATE"):
                 # Spark refuses TRUNCATE on external tables; DELETE-all
@@ -1120,6 +1124,9 @@ class Engine:
     _SNAPSHOTS_RE = re.compile(
         r"\b(?:ducklake_)?snapshots\s*\(([^)]*)\)", re.IGNORECASE
     )
+    _CHANGES_RE = re.compile(
+        r"\btable_changes\s*\(([^)]*)\)", re.IGNORECASE
+    )
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         """DuckLake's time-travel surface on COW tables:
@@ -1128,6 +1135,8 @@ class Engine:
           temp view over that snapshot's exact file list (versions.py).
         - ``FROM snapshots('t')`` (also the ``ducklake_snapshots``
           spelling) → the snapshot history table.
+        - ``FROM table_changes('t', v1, v2)`` → the net row-level
+          change feed between the two snapshots (versions.table_changes).
 
         Matching runs on the literal-masked text (so string contents
         can't trigger a rewrite); argument values are sliced from the
@@ -1178,6 +1187,24 @@ class Engine:
                 )
                 versions.snapshots(self.spark, table) \
                     .createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            m = self._CHANGES_RE.search(masked)
+            if m:
+                raw = out[m.start(1):m.end(1)]
+                cm = re.match(
+                    r"^\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*$", raw
+                )
+                if cm is None:
+                    break  # not table_changes('t', v1, v2); leave as-is
+                table = cm.group(1)
+                view = (
+                    f"_swl_cdc_{table.replace('.', '_')}"
+                    f"_{_uuid.uuid4().hex[:6]}"
+                )
+                versions.table_changes(
+                    self.spark, table, int(cm.group(2)), int(cm.group(3))
+                ).createOrReplaceTempView(view)
                 out = out[: m.start()] + view + out[m.end():]
                 continue
             break

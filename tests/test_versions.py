@@ -396,3 +396,79 @@ class TestNullPartitionDml:
             ) == [(1, "a"), (4, "D")]
         finally:
             spark.sql("DROP TABLE IF EXISTS npt")
+
+
+class TestTableChanges:
+    """Net row-level change feed between snapshots
+    (versions.table_changes; Delta's table_changes TVF shape over the
+    manifest chain the reference's DuckLake catalog implies)."""
+
+    def _engine(self, spark):
+        from swanlake_spark.engine import Engine
+
+        return Engine(spark=spark)
+
+    def _changes(self, spark, t, a, b):
+        return sorted(
+            (r.id, r.v, r._change_type)
+            for r in versions.table_changes(spark, t, a, b).collect()
+        )
+
+    def test_insert_update_delete_feed(self, spark, vtable):
+        eng = self._engine(spark)
+        eng.execute("INSERT INTO vt VALUES (1,'a'), (2,'b'), (3,'c')")
+        v_ins = versions.current_version(spark, "vt")
+        eng.execute("UPDATE vt SET v = 'B' WHERE id = 2")
+        v_upd = versions.current_version(spark, "vt")
+        eng.execute("DELETE FROM vt WHERE id = 1")
+        v_del = versions.current_version(spark, "vt")
+
+        # update = delete+insert pair ONLY; the rewritten file's
+        # unchanged rows cancel in the exceptAll
+        assert self._changes(spark, "vt", v_ins, v_upd) == [
+            (2, "B", "insert"), (2, "b", "delete")
+        ]
+        assert self._changes(spark, "vt", v_upd, v_del) == [
+            (1, "a", "delete")
+        ]
+        # v_from=0 is the empty pre-history state
+        assert self._changes(spark, "vt", 0, v_ins) == [
+            (1, "a", "insert"), (2, "b", "insert"), (3, "c", "insert")
+        ]
+        # multi-commit net diff composes
+        assert self._changes(spark, "vt", v_ins, v_del) == [
+            (1, "a", "delete"), (2, "B", "insert"), (2, "b", "delete")
+        ]
+        # self-diff is empty but keeps the schema
+        empty = versions.table_changes(spark, "vt", v_del, v_del)
+        assert empty.count() == 0
+        assert empty.columns == ["id", "v", "_change_type"]
+
+    def test_sql_surface_and_bad_range(self, spark, vtable):
+        eng = self._engine(spark)
+        eng.execute("INSERT INTO vt VALUES (1,'a'), (2,'b')")
+        v1 = versions.current_version(spark, "vt")
+        eng.execute("DELETE FROM vt WHERE id = 2")
+        v2 = versions.current_version(spark, "vt")
+        rows = eng.query(
+            f"SELECT _change_type, id, v FROM table_changes('vt', {v1}, {v2})"
+            " ORDER BY id"
+        ).df.collect()
+        assert [(r._change_type, r.id, r.v) for r in rows] == [
+            ("delete", 2, "b")
+        ]
+        from swanlake_spark.errors import InvalidArgument
+
+        with pytest.raises(InvalidArgument):
+            versions.table_changes(spark, "vt", v2, v1)
+
+    def test_duplicate_rows_are_multiset_diffed(self, spark, vtable):
+        eng = self._engine(spark)
+        eng.execute("INSERT INTO vt VALUES (7,'x'), (7,'x'), (7,'x')")
+        v1 = versions.current_version(spark, "vt")
+        # delete drops ALL copies; the feed must carry each one
+        eng.execute("DELETE FROM vt WHERE id = 7")
+        v2 = versions.current_version(spark, "vt")
+        assert self._changes(spark, "vt", v1, v2) == [
+            (7, "x", "delete")
+        ] * 3
