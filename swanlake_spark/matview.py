@@ -95,17 +95,20 @@ def _write_sidecar(
 
 # -- incremental maintenance --------------------------------------------------
 #
-# For single-table GROUP BY views over decomposable aggregates, an
-# append to the base table can be folded into the view WITHOUT
-# recomputing it: aggregate just the appended rows (the files added
-# since the view's recorded base snapshot — the version manifests say
-# exactly which those are) and merge per-group into the current view
-# state. At 100 TB this is the difference between a rollup refresh
-# that scans a day's new partition and one that rescans the warehouse.
-# Only sound while the base history is append-only; any rewrite
-# (UPDATE/DELETE/compaction) removes manifest entries, which the delta
-# diff detects, and the refresh demands a full recompute instead of
-# silently double-counting.
+# For single-table GROUP BY views over decomposable aggregates, a base
+# write can be folded into the view WITHOUT recomputing it: the version
+# manifests say exactly which files were added and removed since the
+# view's recorded base snapshot, and only those files are read. At
+# 100 TB this is the difference between a rollup refresh that scans a
+# day's new partition and one that rescans the warehouse. Appends merge
+# per group; deletes/rewrites maintain differentially — added rows
+# weigh +1 and removed rows -1 in one signed aggregation (the counting
+# algorithm, Gupta/Mumick SIGMOD '93), with a hidden per-group state
+# sidecar (_state_specs) carrying group liveness and the sum/count
+# decompositions that make the fold exact, incl. NULL restoration and
+# group retirement. min/max deletion isn't invertible, so the groups
+# that truly lost rows recompute from the current base snapshot while
+# every other group still merges incrementally (refresh_incremental).
 
 _MERGEABLE_AGGS = ("count", "sum", "min", "max", "avg")
 
@@ -264,14 +267,13 @@ def _materialize(
 
     def _build(base_name):
         df = spark.sql(q)
-        if not shape or not _avg_specs(shape):
+        if not shape:
             return df, None, None
         items = [shape["items"]]
         state_names = []
-        for arg, alias in _avg_specs(shape):
-            items.append(f"sum({arg}) AS `__swl_sum__{alias}`")
-            items.append(f"count({arg}) AS `__swl_cnt__{alias}`")
-            state_names += [f"__swl_sum__{alias}", f"__swl_cnt__{alias}"]
+        for expr, alias in _state_specs(shape):
+            items.append(f"{expr} AS `{alias}`")
+            state_names.append(alias)
         sel = f"SELECT {', '.join(items)} FROM {base_name}"
         if shape["pred"]:
             sel += f" WHERE {shape['pred']}"
@@ -327,22 +329,24 @@ def _state_path(spark: SparkSession, name: str, base_version: int) -> str:
     return f"{loc}/{_STATE_DIR}/v{base_version}"
 
 
-def _state_query(
-    spark: SparkSession, shape: dict, base: str
-) -> DataFrame | None:
-    """Per-group sum+count components for every avg aggregate, built
-    from the same (possibly pinned) base relation the view reads."""
-    if not _avg_specs(shape):
-        return None
-    items = [shape["groups_raw"]]
-    for arg, alias in _avg_specs(shape):
-        items.append(f"sum({arg}) AS `__swl_sum__{alias}`")
-        items.append(f"count({arg}) AS `__swl_cnt__{alias}`")
-    sel = f"SELECT {', '.join(items)} FROM {base}"
-    if shape["pred"]:
-        sel += f" WHERE {shape['pred']}"
-    sel += f" GROUP BY {shape['groups_raw']}"
-    return spark.sql(sel)
+def _state_specs(shape: dict) -> list[tuple[str, str]]:
+    """Hidden per-group merge-state components for a maintainable
+    shape: group liveness (``count(*)`` — a group leaves the view
+    exactly when its live-row count reaches zero), the sum+count
+    decomposition for every ``avg``, and the NULL-restoring
+    ``count(arg)`` for every ``sum`` (a sum reverts to NULL when the
+    last non-NULL argument row is deleted) — everything differential
+    (delete-capable) maintenance needs; the counting algorithm of
+    Gupta/Mumick/Subrahmanian, "Maintaining Views Incrementally"
+    (SIGMOD '93)."""
+    specs = [("count(*)", "__swl_rows")]
+    for fn, arg, alias in shape["aggs"]:
+        if fn == "avg":
+            specs.append((f"sum({arg})", f"__swl_sum__{alias}"))
+            specs.append((f"count({arg})", f"__swl_cnt__{alias}"))
+        elif fn == "sum":
+            specs.append((f"count({arg})", f"__swl_cnt__{alias}"))
+    return specs
 
 
 def _publish_state(
@@ -458,15 +462,205 @@ def _sweep_state(spark: SparkSession, name: str, keep_version: int) -> None:
             fs.delete(child, True)
 
 
+def _wsigned(expr: str) -> str:
+    """Sign-adjusted aggregate argument for the weighted delta fold:
+    delta rows carry ``_swl_w`` = +1 (added file) / -1 (removed file).
+    CASE + unary minus rather than ``expr * w``: negation preserves a
+    decimal's exact precision/scale, while decimal×int widens past the
+    38-digit cap and truncates scale."""
+    return f"CASE WHEN _swl_w > 0 THEN ({expr}) ELSE -({expr}) END"
+
+
+def _wcount(arg: str) -> str:
+    """Signed count contribution of one delta row for ``count(arg)``."""
+    a = arg.strip()
+    if a == "*":
+        return "_swl_w"
+    return f"CASE WHEN ({a}) IS NOT NULL THEN _swl_w ELSE 0 END"
+
+
+def _delta_agg(delta, shape: dict, weighted: bool, state_mode: str):
+    """ONE aggregation over the delta rows (map-side combined — the
+    only shuffle the differential path pays on data). ``weighted``
+    folds added and removed rows together with signs, so
+    rewritten-but-unchanged rows cancel algebraically and the merged
+    deltas can be negative; min/max never take the weighted path (their
+    deltas aren't invertible — the hybrid path recomputes affected
+    groups instead)."""
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for fn, arg, alias in shape["aggs"]:
+        if fn == "avg":
+            exprs.append(F.expr(
+                f"sum({_wsigned(arg)})" if weighted else f"sum({arg})"
+            ).alias(f"__swl_sum__{alias}"))
+            exprs.append(F.expr(
+                f"sum({_wcount(arg)})" if weighted else f"count({arg})"
+            ).alias(f"__swl_cnt__{alias}"))
+            continue
+        if fn == "count":
+            e = f"sum({_wcount(arg)})" if weighted else f"count({arg})"
+        elif fn == "sum":
+            e = f"sum({_wsigned(arg)})" if weighted else f"sum({arg})"
+        else:  # min/max — append-only deltas here by construction
+            e = f"{fn}({arg})"
+        exprs.append(F.expr(e).alias(alias))
+        if fn == "sum" and state_mode == "full":
+            exprs.append(F.expr(
+                f"sum({_wcount(arg)})" if weighted else f"count({arg})"
+            ).alias(f"__swl_cnt__{alias}"))
+    if state_mode == "full":
+        exprs.append(F.expr(
+            "sum(_swl_w)" if weighted else "count(*)"
+        ).alias("__swl_rows"))
+    return delta.groupBy(*shape["groups"]).agg(*exprs)
+
+
+def _merge_exprs(
+    o, d, shape: dict, gl: list, dgl: list, view_types: dict,
+    state_types: dict, state_mode: str,
+):
+    """Per-column merge expressions folding a delta aggregate ``d``
+    into the current view+state ``o`` (full-outer joined by the
+    caller). Returns (merged view columns, merged state columns).
+
+    With full state the sum/avg results derive from merged components
+    (``count`` restores NULL when the last non-NULL argument leaves;
+    ``__swl_rows`` reaching zero drops the group — the caller filters).
+    Every merged column casts back to the view/state's exact type:
+    decimal arithmetic widens per merge, and the COW publish renames
+    staged files in verbatim, so a widened physical type under the
+    narrower table schema would break the next scan."""
+    from pyspark.sql import functions as F
+
+    merged = [
+        F.coalesce(o[g], d[dg]).alias(g) for g, dg in zip(gl, dgl)
+    ]
+    state_cols = []
+    for fn, _arg, alias in shape["aggs"]:
+        if fn == "avg":
+            so, sd = o[f"__swl_sum__{alias}"], d[f"__swl_sum__{alias}"]
+            co, cd = o[f"__swl_cnt__{alias}"], d[f"__swl_cnt__{alias}"]
+            sum_t = (
+                F.when(so.isNull(), sd)
+                .when(sd.isNull(), so)
+                .otherwise(so + sd)
+            )
+            cnt_t = F.coalesce(co, F.lit(0)) + F.coalesce(cd, F.lit(0))
+            e = F.when(cnt_t == 0, F.lit(None)).otherwise(
+                (sum_t / cnt_t).cast(view_types[alias])
+            )
+            state_cols.append(
+                sum_t.cast(state_types[f"__swl_sum__{alias}"]).alias(
+                    f"__swl_sum__{alias}"
+                )
+            )
+            state_cols.append(
+                cnt_t.cast("long").alias(f"__swl_cnt__{alias}")
+            )
+        elif fn == "count":
+            e = F.coalesce(o[alias], F.lit(0)) + F.coalesce(d[alias], F.lit(0))
+        elif fn == "sum":
+            oc, dc = o[alias], d[alias]
+            sum_t = (
+                F.when(oc.isNull(), dc)
+                .when(dc.isNull(), oc)
+                .otherwise(oc + dc)
+            )
+            if state_mode == "full":
+                co = o[f"__swl_cnt__{alias}"]
+                cd = d[f"__swl_cnt__{alias}"]
+                cnt_t = F.coalesce(co, F.lit(0)) + F.coalesce(cd, F.lit(0))
+                e = F.when(cnt_t == 0, F.lit(None)).otherwise(sum_t)
+                state_cols.append(
+                    cnt_t.cast("long").alias(f"__swl_cnt__{alias}")
+                )
+            else:
+                e = sum_t
+        else:  # min / max — d only ever aggregates appended rows here
+            oc, dc = o[alias], d[alias]
+            cmb = F.least if fn == "min" else F.greatest
+            e = (
+                F.when(oc.isNull(), dc)
+                .when(dc.isNull(), oc)
+                .otherwise(cmb(oc, dc))
+            )
+        merged.append(e.cast(view_types[alias]).alias(alias))
+    if state_mode == "full":
+        state_cols.append(
+            (
+                F.coalesce(o["__swl_rows"], F.lit(0))
+                + F.coalesce(d["__swl_rows"], F.lit(0))
+            ).cast("long").alias("__swl_rows")
+        )
+    return merged, state_cols
+
+
+def _read_delta(spark: SparkSession, base: str, names, label: str):
+    """Rows of an explicit set of base-table file names (live or
+    retained — retirement mirrors the table-relative path, so
+    partition values survive), in the base's column order."""
+    from swanlake_spark import versions
+
+    files = versions._resolve_names(spark, base, sorted(names), label)
+    df = versions._read_files(spark, base, files)
+    return df.select(*[f.name for f in spark.table(base).schema.fields])
+
+
+def _nullsafe_on(left, right, lcols, rcols=None):
+    cond = None
+    for lg, rg in zip(lcols, rcols or lcols):
+        c = left[lg].eqNullSafe(right[rg])
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def _rename_delta_groups(d, gl):
+    """Alias the delta aggregate's group columns to fresh names (and
+    fresh attribute ids): the delta's scan lineage can also appear
+    inside the other side of the merge join (hybrid path), and a join
+    condition referencing a same-id attribute on both sides is an
+    ambiguous self-join."""
+    from pyspark.sql import functions as F
+
+    dgl = [f"__swl_d_{i}" for i in range(len(gl))]
+    return (
+        d.select(
+            *[F.col(g).alias(a) for g, a in zip(gl, dgl)],
+            *[c for c in d.columns if c not in gl],
+        ),
+        dgl,
+    )
+
+
 def refresh_incremental(spark: SparkSession, name: str) -> int:
-    """REFRESH MATERIALIZED VIEW ... INCREMENTAL: fold base-table
-    APPENDS into the view by aggregating only the files added since
-    the recorded base snapshot and merging per group (see module
-    section comment). Returns the number of appended base files folded
-    in (0 = nothing to do). Raises InvalidArgument — demanding a full
-    REFRESH — when the definition isn't mergeable, the base isn't
-    snapshot-tracked, or the base history isn't append-only since the
-    stamp."""
+    """REFRESH MATERIALIZED VIEW ... INCREMENTAL: fold the base-table
+    file delta since the recorded snapshot into the view without
+    rescanning the base (see module section comment). Returns the
+    number of changed base files folded in (0 = nothing to do).
+
+    Maintenance strategy by delta shape:
+
+    - **Appends only** (files added): aggregate just the added files,
+      merge per group — the r5 path, unchanged semantics.
+    - **Deletes/rewrites, additive aggregates** (count/sum/avg): the
+      counting algorithm — added rows weigh +1, removed rows -1, ONE
+      signed aggregation over only the changed files, merged into the
+      view. Rewritten-but-unchanged rows cancel algebraically (a
+      compaction nets to zero), ``count(arg)`` state restores
+      NULL-when-empty sums/avgs, and ``__swl_rows`` hitting zero
+      retires the group. No base rescan, ever.
+    - **Deletes/rewrites with min/max**: deletion isn't invertible for
+      extrema, so the groups that actually lost rows (net-delete rows
+      after the exceptAll cancellation) recompute from the current base
+      snapshot — a semi-join-pruned scan — while every other group
+      merges its net-added rows incrementally.
+
+    Requires the full merge state (written by every create/refresh
+    since differential support); raises InvalidArgument — demanding a
+    full REFRESH — when the definition isn't mergeable, the base isn't
+    snapshot-tracked, or the state predates differential support."""
     from pyspark.sql import functions as F
 
     from swanlake_spark import versions
@@ -493,147 +687,190 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     cur_v = versions.current_version(spark, base)
     old_names = set(versions.snapshot_file_names(spark, base, base_v))
     cur_names = set(versions.snapshot_file_names(spark, base, cur_v))
-    if old_names - cur_names:
+    removed_names = old_names - cur_names
+    added_names = cur_names - old_names
+    if not removed_names and not added_names:
+        return 0
+    gl = [g for g in shape["groups"]]
+    avgs = _avg_specs(shape)
+    has_minmax = any(fn in ("min", "max") for fn, _, _ in shape["aggs"])
+
+    # merge state for the stamped snapshot (see _state_specs): absent
+    # for views untouched since before state support; avg-components
+    # only ("legacy") for avg views from before differential support
+    try:
+        s = spark.read.parquet(_state_path(spark, name, base_v))
+    except Exception:  # noqa: BLE001 — state dir absent
+        s = None
+    state_mode = "none"
+    if s is not None:
+        state_mode = "full" if "__swl_rows" in s.columns else "legacy"
+    if avgs and s is None:
+        raise InvalidArgument(
+            f"{name} has avg aggregates but no merge state for base "
+            f"snapshot v{base_v} (view predates avg support or state "
+            f"was removed); run a full REFRESH"
+        )
+    if removed_names and state_mode != "full":
         raise InvalidArgument(
             f"base table {base} was rewritten (UPDATE/DELETE/compaction) "
-            f"since the last refresh of {name}; incremental maintenance "
-            f"is append-only — run a full REFRESH"
+            f"since the last refresh of {name}, and the view's merge "
+            f"state predates differential (delete-capable) maintenance; "
+            f"run a full REFRESH once to establish it"
         )
-    delta_names = sorted(cur_names - old_names)
-    if not delta_names:
-        return 0
-    base_loc = dml._table_location(spark, base).rstrip("/")
+
+    ins = _read_delta(spark, base, added_names, f"v{cur_v}")
+    if shape["pred"]:
+        ins = ins.filter(F.expr(shape["pred"]))
+    dl = None
+    if removed_names:
+        dl = _read_delta(spark, base, removed_names, f"v{base_v}")
+        if shape["pred"]:
+            dl = dl.filter(F.expr(shape["pred"]))
+
     # Fast-publish eligibility, decided up front so the merge joins can
     # broadcast their (view-sized) sides too: when the CURRENT view +
-    # delta files are within the point-DML driver-rewrite bound, the
-    # merge plans as broadcast joins (no exchanges) and both the view
-    # and the state publish through ONE Arrow collect each instead of
-    # distributed write jobs — a 4-row rollup refresh otherwise rides
-    # ~2 s of job floor (SCALE.md r6 table). Beyond the bound,
-    # everything takes the distributed path unchanged.
+    # changed files are within the point-DML driver-rewrite bound, the
+    # merge plans as broadcast joins (no exchanges) and the view and
+    # state publish through ONE Arrow collect instead of distributed
+    # write jobs — a 4-row rollup refresh otherwise rides ~2 s of job
+    # floor (SCALE.md r6 table). Beyond the bound, everything takes the
+    # distributed path unchanged.
     try:
-        in_paths = list(spark.table(name).inputFiles()) + [
-            f"{base_loc}/{n_}" for n_ in delta_names
-        ]
+        in_paths = list(spark.table(name).inputFiles())
+        in_paths += versions._resolve_names(
+            spark, base, sorted(added_names), f"v{cur_v}"
+        )
+        in_paths += versions._resolve_names(
+            spark, base, sorted(removed_names), f"v{base_v}"
+        )
         small = _total_bytes(spark, in_paths) <= dml._DRIVER_REWRITE_MAX_BYTES
     except Exception:
         small = False
-    delta = spark.read.option("basePath", base_loc).schema(
-        spark.table(base).schema
-    ).parquet(*[f"{base_loc}/{n}" for n in delta_names])
-    if shape["pred"]:
-        delta = delta.filter(F.expr(shape["pred"]))
-    avgs = _avg_specs(shape)
-    agg_exprs = []
-    for fn, arg, alias in shape["aggs"]:
-        if fn == "avg":
-            # decomposed: the quotient is derived from merged
-            # components, never merged itself
-            agg_exprs.append(F.expr(f"sum({arg})").alias(f"__swl_sum__{alias}"))
-            agg_exprs.append(F.expr(f"count({arg})").alias(f"__swl_cnt__{alias}"))
-        else:
-            agg_exprs.append(F.expr(f"{fn}({arg})").alias(alias))
-    d = delta.groupBy(*shape["groups"]).agg(*agg_exprs)
+
     o = spark.table(name)
-    gl = [g for g in shape["groups"]]
-    view_types = {f.name: f.dataType for f in o.schema.fields}
-    if avgs:
-        # fold the hidden sum/count state (written by the stamped
-        # create/refresh that produced base_v) into the "old" side
-        try:
-            s = spark.read.parquet(_state_path(spark, name, base_v))
-        except Exception as e:  # noqa: BLE001 — state dir absent/corrupt
-            raise InvalidArgument(
-                f"{name} has avg aggregates but no merge state for base "
-                f"snapshot v{base_v} (view predates avg support or state "
-                f"was removed); run a full REFRESH"
-            ) from e
-        state_types = {f.name: f.dataType for f in s.schema.fields}
-        s = s.select(
+    view_fields = spark.table(name).schema.fields
+    view_types = {f.name: f.dataType for f in view_fields}
+    state_types = (
+        {f.name: f.dataType for f in s.schema.fields} if s is not None else {}
+    )
+    if s is not None:
+        # fold the hidden state (written by the stamped publish that
+        # produced base_v) into the "old" side of the merge
+        comp_names = [c for c in s.columns if c.startswith("__swl_")]
+        sj = s.select(
             *[F.col(g).alias(f"__swl_g_{i}") for i, g in enumerate(gl)],
-            *[c for c in s.columns if c.startswith("__swl_")],
+            *comp_names,
         )
         scond = None
         for i, g in enumerate(gl):
-            c = o[g].eqNullSafe(s[f"__swl_g_{i}"])
+            c = o[g].eqNullSafe(sj[f"__swl_g_{i}"])
             scond = c if scond is None else scond & c
         if small:
-            s = F.broadcast(s)
-        o = o.join(s, scond, "full_outer").select(
+            sj = F.broadcast(sj)
+        o = o.join(sj, scond, "full_outer").select(
             *[
-                F.coalesce(o[g], s[f"__swl_g_{i}"]).alias(g)
+                F.coalesce(o[g], sj[f"__swl_g_{i}"]).alias(g)
                 for i, g in enumerate(gl)
             ],
-            *[o[f.name] for f in spark.table(name).schema.fields if f.name not in gl],
-            *[s[f"__swl_sum__{a}"] for _, a in avgs],
-            *[s[f"__swl_cnt__{a}"] for _, a in avgs],
+            *[o[f.name] for f in view_fields if f.name not in gl],
+            *comp_names,
         )
-    cond = None
-    for g in gl:
-        c = o[g].eqNullSafe(d[g])  # NULL group keys are one group
-        cond = c if cond is None else cond & c
-    merged_cols = [
-        F.coalesce(o[g], d[g]).alias(g) for g in gl
-    ]
-    state_cols = []
-    for fn, _arg, alias in shape["aggs"]:
-        if fn == "avg":
-            so, sd = o[f"__swl_sum__{alias}"], d[f"__swl_sum__{alias}"]
-            co, cd = o[f"__swl_cnt__{alias}"], d[f"__swl_cnt__{alias}"]
-            sum_t = (
-                F.when(so.isNull(), sd)
-                .when(sd.isNull(), so)
-                .otherwise(so + sd)
+
+    if has_minmax and removed_names:
+        # Hybrid: net out the rewrite noise first, so "affected" means
+        # groups that truly lost rows — a point delete inside a
+        # million-row file affects one group, not every group the
+        # rewritten file touches.
+        net_ins = ins.exceptAll(dl)
+        net_del = dl.exceptAll(ins)
+        # group keys renamed + dataset-aliased joins: affected shares
+        # scan lineage with net_ins and the current base, and a join
+        # referencing same-named attributes of two such datasets is an
+        # ambiguous self-join — string-qualified references through
+        # explicit dataset aliases resolve per side
+        aff_names = [f"__swl_a_{i}" for i in range(len(gl))]
+        affected = net_del.select(
+            *[F.col(g).alias(a) for g, a in zip(gl, aff_names)]
+        ).distinct()
+
+        def _aff_join(df, how):
+            left = df.alias("__swl_l")
+            right = affected.alias("__swl_r")
+            cond = None
+            for g, a in zip(gl, aff_names):
+                c = F.col(f"__swl_l.{g}").eqNullSafe(F.col(f"__swl_r.{a}"))
+                cond = c if cond is None else cond & c
+            return left.join(right, cond, how)
+
+        cur_base = versions.read_version(spark, base, cur_v)
+        if shape["pred"]:
+            cur_base = cur_base.filter(F.expr(shape["pred"]))
+        rec_aggs = [
+            F.expr(f"{fn}({arg})").alias(alias)
+            for fn, arg, alias in shape["aggs"]
+        ]
+        rec_state = [
+            F.expr(expr).alias(alias) for expr, alias in _state_specs(shape)
+        ]
+        rec = (
+            _aff_join(cur_base, "left_semi")
+            .groupBy(*gl)
+            .agg(*rec_aggs, *rec_state)
+        )
+        rec_combined = rec.select(
+            *[
+                F.col(f.name).cast(view_types[f.name]).alias(f.name)
+                for f in view_fields
+            ],
+            *[
+                F.col(a).cast(state_types.get(a, "long")).alias(a)
+                for _, a in _state_specs(shape)
+            ],
+        )
+        o_u = _aff_join(o, "left_anti")
+        ins_u = _aff_join(net_ins, "left_anti")
+        d, dgl = _rename_delta_groups(
+            _delta_agg(ins_u, shape, weighted=False, state_mode="full"), gl
+        )
+        joined = o_u.join(
+            F.broadcast(d) if small else d,
+            _nullsafe_on(o_u, d, gl, dgl),
+            "full_outer",
+        )
+        merged_cols, state_cols = _merge_exprs(
+            o_u, d, shape, gl, dgl, view_types, state_types, "full"
+        )
+        combined = joined.select(*merged_cols, *state_cols).unionByName(
+            rec_combined
+        )
+    else:
+        weighted = bool(removed_names)
+        delta_src = ins.withColumn("_swl_w", F.lit(1))
+        if dl is not None:
+            delta_src = delta_src.unionByName(
+                dl.withColumn("_swl_w", F.lit(-1))
             )
-            cnt_t = F.coalesce(co, F.lit(0)) + F.coalesce(cd, F.lit(0))
-            # exact sum+count merge, then ONE division rounded into the
-            # view column's type — for decimal/integral args the merged
-            # components are order-independent and exact, so this equals
-            # the full recompute bit-for-bit; guard cnt=0 (ANSI divide)
-            e = F.when(cnt_t == 0, F.lit(None)).otherwise(
-                (sum_t / cnt_t).cast(view_types[alias])
-            )
-            # pin state types across rounds: decimal addition widens
-            # per merge and would otherwise creep toward the precision
-            # cap one digit per refresh
-            state_cols.append(
-                sum_t.cast(state_types[f"__swl_sum__{alias}"]).alias(
-                    f"__swl_sum__{alias}"
-                )
-            )
-            state_cols.append(cnt_t.alias(f"__swl_cnt__{alias}"))
-        else:
-            oc, dc = o[alias], d[alias]
-            if fn == "count":
-                e = F.coalesce(oc, F.lit(0)) + F.coalesce(dc, F.lit(0))
-            elif fn == "sum":
-                e = (
-                    F.when(oc.isNull(), dc)
-                    .when(dc.isNull(), oc)
-                    .otherwise(oc + dc)
-                )
-            elif fn == "min":
-                e = (
-                    F.when(oc.isNull(), dc)
-                    .when(dc.isNull(), oc)
-                    .otherwise(F.least(oc, dc))
-                )
-            else:  # max
-                e = (
-                    F.when(oc.isNull(), dc)
-                    .when(dc.isNull(), oc)
-                    .otherwise(F.greatest(oc, dc))
-                )
-        # pin the merged column to the view's exact type: decimal
-        # arithmetic widens (decimal(20,2)+decimal(20,2) →
-        # decimal(21,2)), and the COW publish renames staged files in
-        # VERBATIM — a widened physical type under the narrower table
-        # schema is a parquet read error on the next scan (ANSI cast
-        # errors loudly on true overflow, same as sum itself)
-        merged_cols.append(e.cast(view_types[alias]).alias(alias))
-    joined = o.join(F.broadcast(d) if small else d, cond, "full_outer")
-    merged = _aligned(spark, name, joined.select(*merged_cols))
-    n = len(delta_names)
+        elif not weighted:
+            delta_src = ins  # plain exprs never reference _swl_w
+        d, dgl = _rename_delta_groups(
+            _delta_agg(delta_src, shape, weighted, state_mode), gl
+        )
+        joined = o.join(
+            F.broadcast(d) if small else d,
+            _nullsafe_on(o, d, gl, dgl),
+            "full_outer",
+        )
+        merged_cols, state_cols = _merge_exprs(
+            o, d, shape, gl, dgl, view_types, state_types, state_mode
+        )
+        combined = joined.select(*merged_cols, *state_cols)
+    if state_mode == "full":
+        combined = combined.filter(F.col("__swl_rows") > 0)
+
+    state_names = gl + [c for c in combined.columns if c.startswith("__swl_")]
+    view_order = [f.name for f in view_fields]
+    n = len(added_names) + len(removed_names)
     with dml.table_write_lock(spark, name):
         # Ordering: both the merged view and the next state read the
         # OLD view + OLD state files, so (1) write the new state to its
@@ -643,31 +880,25 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         # executed by then. A crash anywhere leaves either a fully
         # consistent older publish plus harmless orphans, or (between 2
         # and 3) the pre-existing stale-sidecar window shared with the
-        # non-avg path.
+        # non-state path.
         state_published = False
         published = False
+        maintain_state = state_mode != "none"
         if small and not dml._partition_columns(spark, name):
             # ONE Arrow collect serves both publishes: the combined
             # projection carries the view columns AND the state
             # components, the driver slices it into the two parquet
-            # writes — the merge join plan executes once, not twice
+            # writes — the merge plan executes once, not twice
             staging = dml.staging_dir(spark, name)
-            combined = joined.select(*merged_cols, *state_cols)
             tbl = _collect_arrow(combined)
             if tbl is not None:
-                view_order = [
-                    f.name for f in spark.table(name).schema.fields
-                ]
-                if avgs:
-                    state_names = gl + [
-                        f"__swl_sum__{a}" for _, a in avgs
-                    ] + [f"__swl_cnt__{a}" for _, a in avgs]
+                if maintain_state:
                     state_published = _write_arrow_dir(
                         spark,
                         _state_path(spark, name, cur_v),
                         tbl.select(state_names),
                     )
-                if not avgs or state_published:
+                if not maintain_state or state_published:
                     published = _write_arrow_dir(
                         spark, staging, tbl.select(view_order)
                     )
@@ -681,24 +912,29 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                             staged_path=staging,
                         )
                         dml._rm_path(spark, staging)
-        if avgs and not state_published:
-            new_state = joined.select(
-                *[F.coalesce(o[g], d[g]).alias(g) for g in gl], *state_cols
-            )
+        if maintain_state and not state_published:
             _publish_state(
-                spark, name, new_state, cur_v, sweep=False, driver_ok=small
+                spark,
+                name,
+                combined.select(*state_names),
+                cur_v,
+                sweep=False,
+                driver_ok=small,
             )
         if not published:
-            dml._overwrite(spark, name, merged, None)
+            dml._overwrite(
+                spark, name, _aligned(spark, name, combined), None
+            )
         _write_sidecar(
             spark, name, q, base_table=base, base_version=cur_v
         )
         versions.record_version(
             spark, name, "matview_refresh_incremental"
         )
-        if avgs:
+        if maintain_state:
             _sweep_state(spark, name, cur_v)
     return n
+
 
 
 def create(

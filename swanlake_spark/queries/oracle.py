@@ -1018,10 +1018,12 @@ _add(
 
 def _q47mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view refresh, driver-verifiable: a
-    rollup matview (count/sum/avg — avg exercises the r6 sum+count
+    rollup matview (count/sum/avg/min/max — avg exercises the sum+count
     merge-state path) over a scratch copy of ``orders`` folds an
-    appended delta via REFRESH ... INCREMENTAL; the oracle recomputes
-    the same aggregate over base ∪ delta in DuckDB. Reference
+    appended delta, then a DELETE (whole-group retirement) + UPDATE
+    through the r6 differential path (min/max present → net-affected
+    groups recompute, the rest merge); the oracle recomputes the same
+    aggregate over the final row multiset in DuckDB. Reference
     behavior: DuckDB has no matviews — SURVEY §2.5 extension surface
     (matview.py)."""
     from swanlake_spark.engine import Engine
@@ -1045,20 +1047,31 @@ def _q47mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         mv,
         f"SELECT o_orderstatus, count(*) AS cnt, sum(o_totalprice) AS "
-        f"total, avg(o_totalprice) AS avg_price FROM {base} "
+        f"total, avg(o_totalprice) AS avg_price, "
+        f"min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM {base} "
         f"GROUP BY o_orderstatus",
         location=_scratch_location(),  # scratch, not spark-warehouse
     )
-    # the delta: published AFTER the stamped create
+    # round 1 — append delta, published AFTER the stamped create
     eng.execute(
         f"INSERT INTO {base} VALUES ('X', 123.45), ('X', 876.55), "
-        f"('O', 10.00)"
+        f"('O', -10.00)"
+    )
+    eng.execute(f"REFRESH MATERIALIZED VIEW {mv} INCREMENTAL")
+    # round 2 — differential: retire group X entirely, rewrite the
+    # sentinel row (-10.00 can't occur in TPC-H totalprice); min/max
+    # present → the net-affected groups recompute, the rest merge
+    eng.execute(f"DELETE FROM {base} WHERE o_orderstatus = 'X'")
+    eng.execute(
+        f"UPDATE {base} SET o_totalprice = -11.00 "
+        f"WHERE o_totalprice = -10.00"
     )
     eng.execute(f"REFRESH MATERIALIZED VIEW {mv} INCREMENTAL")
     out = spark.sql(
         f"""SELECT o_orderstatus, cnt, CAST(total AS DOUBLE) AS total,
                CAST(floor(CAST(avg_price AS DOUBLE) * 100 + 0.5) / 100.0
-                    AS DOUBLE) AS avg_c
+                    AS DOUBLE) AS avg_c,
+               CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
             FROM {mv} ORDER BY o_orderstatus"""
     )
     # materialize before dropping the scratch objects (the driver
@@ -1077,13 +1090,13 @@ _add(
     SELECT o_orderstatus, count(*) AS cnt,
            CAST(sum(o_totalprice) AS DOUBLE) AS total,
            CAST(floor(CAST(avg(o_totalprice) AS DOUBLE) * 100 + 0.5)
-                / 100.0 AS DOUBLE) AS avg_c
+                / 100.0 AS DOUBLE) AS avg_c,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
     FROM (
       SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
       UNION ALL
-      SELECT * FROM (VALUES ('X', CAST(123.45 AS DECIMAL(15,2))),
-                            ('X', CAST(876.55 AS DECIMAL(15,2))),
-                            ('O', CAST(10.00 AS DECIMAL(15,2))))
+      SELECT * FROM (VALUES ('O', CAST(-11.00 AS DECIMAL(15,2))))
              t(o_orderstatus, o_totalprice)
     ) u GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,

@@ -240,27 +240,65 @@ class TestIncrementalRefresh:
         finally:
             eng.execute("DROP MATERIALIZED VIEW mv_incw")
 
-    def test_base_rewrite_demands_full_refresh(self, spark, eng, src):
-        from swanlake_spark.errors import InvalidArgument
-
+    def test_base_rewrite_maintained_differentially(self, spark, eng, src):
         eng.execute(
             "CREATE MATERIALIZED VIEW mv_incr AS "
-            "SELECT day, count(*) AS n FROM mv_src GROUP BY day"
+            "SELECT day, count(*) AS n, sum(amt) AS total "
+            "FROM mv_src GROUP BY day"
         )
         try:
+            # UPDATE rewrites a file; the signed delta fold nets the
+            # unchanged rows away and applies only the real change
             eng.execute("UPDATE mv_src SET amt = amt + 1 WHERE id = 1")
-            with pytest.raises(InvalidArgument, match="append-only"):
-                eng.execute("REFRESH MATERIALIZED VIEW mv_incr INCREMENTAL")
-            # full refresh recovers and re-stamps; incremental works again
-            eng.execute("REFRESH MATERIALIZED VIEW mv_incr")
+            assert eng.query(
+                "REFRESH MATERIALIZED VIEW mv_incr INCREMENTAL"
+            ).affected_rows > 0
+            q = ("SELECT day, count(*) AS n, sum(amt) AS total "
+                 "FROM mv_src GROUP BY day")
+            got = {tuple(r) for r in spark.table("mv_incr").collect()}
+            assert got == self._full(spark, q)
+            # ... and appends still merge on top of the rewritten state
             eng.execute("INSERT INTO mv_src VALUES (10, 9.0, 'd4')")
             eng.execute("REFRESH MATERIALIZED VIEW mv_incr INCREMENTAL")
             got = {tuple(r) for r in spark.table("mv_incr").collect()}
+            assert got == self._full(spark, q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_incr")
+
+    def test_rewrite_without_full_state_demands_full_refresh(
+        self, spark, eng, src
+    ):
+        import shutil
+
+        from swanlake_spark import matview
+        from swanlake_spark.errors import InvalidArgument
+
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_incl AS "
+            "SELECT day, count(*) AS n FROM mv_src GROUP BY day"
+        )
+        try:
+            # simulate a view whose state predates differential
+            # support: drop the state sidecar dir entirely
+            state_root = matview._state_path(spark, "mv_incl", 0).rsplit(
+                "/", 1
+            )[0]
+            if state_root.startswith("file:"):
+                state_root = state_root[len("file:"):]
+            shutil.rmtree(state_root, ignore_errors=True)
+            eng.execute("UPDATE mv_src SET amt = amt + 1 WHERE id = 1")
+            with pytest.raises(InvalidArgument, match="full REFRESH"):
+                eng.execute("REFRESH MATERIALIZED VIEW mv_incl INCREMENTAL")
+            # full refresh re-establishes the state; differential works
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incl")
+            eng.execute("DELETE FROM mv_src WHERE id = 2")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_incl INCREMENTAL")
+            got = {tuple(r) for r in spark.table("mv_incl").collect()}
             assert got == self._full(
                 spark, "SELECT day, count(*) AS n FROM mv_src GROUP BY day"
             )
         finally:
-            eng.execute("DROP MATERIALIZED VIEW mv_incr")
+            eng.execute("DROP MATERIALIZED VIEW mv_incl")
 
     def test_unmergeable_definition_rejected(self, spark, eng, src):
         from swanlake_spark.errors import InvalidArgument
@@ -484,3 +522,156 @@ class TestIncrementalRefresh:
         finally:
             eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv_ngv")
             eng.execute("DROP TABLE IF EXISTS mv_ng")
+
+
+class TestDifferentialRefresh:
+    """Delete/rewrite-capable incremental maintenance (matview.py r6):
+    the signed delta fold for additive aggregates, affected-group
+    recompute for min/max, group retirement, NULL restoration. Every
+    result compares against a full recompute of the defining query."""
+
+    def _full(self, spark, q):
+        return {tuple(r) for r in spark.sql(q).collect()}
+
+    @pytest.fixture()
+    def dsrc(self, spark, eng):
+        loc = tempfile.mkdtemp(prefix="swl_mvd_")
+        spark.sql(
+            f"CREATE TABLE mv_d (id INT, amt DOUBLE, qty INT, day STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        eng.execute(
+            "INSERT INTO mv_d VALUES "
+            "(1, 10.0, 1, 'd1'), (2, 20.0, 2, 'd1'), (3, NULL, 3, 'd1'), "
+            "(4, 5.0, 4, 'd2'), (5, 7.0, NULL, 'd2'), "
+            "(6, 100.0, 6, 'd3')"
+        )
+        yield "mv_d"
+        spark.sql("DROP TABLE IF EXISTS mv_d")
+
+    def _check(self, spark, eng, name, q):
+        eng.execute(f"REFRESH MATERIALIZED VIEW {name} INCREMENTAL")
+        assert {
+            tuple(r) for r in spark.table(name).collect()
+        } == self._full(spark, q)
+
+    def test_deletes_fold_additively(self, spark, eng, dsrc):
+        q = ("SELECT day, count(*) AS n, count(qty) AS nq, "
+             "sum(amt) AS total, avg(amt) AS mean "
+             "FROM mv_d GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_dv AS {q}")
+        try:
+            eng.execute("DELETE FROM mv_d WHERE id = 2")
+            self._check(spark, eng, "mv_dv", q)
+            # delete + insert in one delta window
+            eng.execute("DELETE FROM mv_d WHERE id = 4")
+            eng.execute("INSERT INTO mv_d VALUES (7, 3.0, 7, 'd2')")
+            self._check(spark, eng, "mv_dv", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_dv")
+
+    def test_group_retires_when_last_row_leaves(self, spark, eng, dsrc):
+        q = "SELECT day, count(*) AS n, sum(amt) AS t FROM mv_d GROUP BY day"
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_dg AS {q}")
+        try:
+            eng.execute("DELETE FROM mv_d WHERE day = 'd3'")
+            self._check(spark, eng, "mv_dg", q)
+            assert "d3" not in {
+                r.day for r in spark.table("mv_dg").collect()
+            }
+            # the group returns when rows come back
+            eng.execute("INSERT INTO mv_d VALUES (8, 1.5, 8, 'd3')")
+            self._check(spark, eng, "mv_dg", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_dg")
+
+    def test_sum_and_avg_restore_null_when_args_leave(self, spark, eng, dsrc):
+        q = ("SELECT day, count(*) AS n, sum(amt) AS t, avg(amt) AS m "
+             "FROM mv_d GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_dn AS {q}")
+        try:
+            # d1 keeps its NULL-amt row only: sum/avg must become NULL,
+            # not 0 — exactly what the count(arg) state restores
+            eng.execute("DELETE FROM mv_d WHERE id IN (1, 2)")
+            self._check(spark, eng, "mv_dn", q)
+            row = {
+                r.day: (r.n, r.t, r.m)
+                for r in spark.table("mv_dn").collect()
+            }["d1"]
+            assert row == (1, None, None)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_dn")
+
+    def test_minmax_hybrid_recomputes_affected_groups(self, spark, eng, dsrc):
+        q = ("SELECT day, count(*) AS n, min(amt) AS lo, max(amt) AS hi "
+             "FROM mv_d GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_dm AS {q}")
+        try:
+            # delete d1's max row — only a recompute can find the new max
+            eng.execute("DELETE FROM mv_d WHERE id = 2")
+            self._check(spark, eng, "mv_dm", q)
+            # unaffected groups merged incrementally in the same round
+            eng.execute("DELETE FROM mv_d WHERE id = 4")
+            eng.execute("INSERT INTO mv_d VALUES (9, 200.0, 9, 'd3')")
+            self._check(spark, eng, "mv_dm", q)
+            # retire a whole group through the hybrid path too
+            eng.execute("DELETE FROM mv_d WHERE day = 'd3'")
+            self._check(spark, eng, "mv_dm", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_dm")
+
+    def test_update_nets_to_its_real_change(self, spark, eng, dsrc):
+        q = ("SELECT day, sum(amt) AS t, avg(qty) AS mq "
+             "FROM mv_d GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_du AS {q}")
+        try:
+            # rewrites the whole d1/d2-bearing file; unchanged rows must
+            # cancel in the signed fold
+            eng.execute("UPDATE mv_d SET amt = amt * 2 WHERE id = 1")
+            self._check(spark, eng, "mv_du", q)
+            eng.execute("UPDATE mv_d SET qty = NULL WHERE id = 4")
+            self._check(spark, eng, "mv_du", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_du")
+
+    def test_decimal_sums_stay_exact_under_deletes(self, spark, eng):
+        loc = tempfile.mkdtemp(prefix="swl_mvdec_")
+        eng.execute(
+            f"CREATE TABLE mv_dec (id INT, amt DECIMAL(20,2), g STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO mv_dec VALUES (1, 0.10, 'a'), (2, 0.20, 'a'), "
+                "(3, 123456789012345.67, 'b'), (4, 0.01, 'b')"
+            )
+            q = ("SELECT g, sum(amt) AS t, avg(amt) AS m "
+                 "FROM mv_dec GROUP BY g")
+            eng.execute(f"CREATE MATERIALIZED VIEW mv_decv AS {q}")
+            eng.execute("DELETE FROM mv_dec WHERE id = 1")
+            eng.execute("DELETE FROM mv_dec WHERE id = 4")
+            self._check(spark, eng, "mv_decv", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv_decv")
+            eng.execute("DROP TABLE IF EXISTS mv_dec")
+
+    def test_null_group_key_deletes(self, spark, eng):
+        loc = tempfile.mkdtemp(prefix="swl_mvng2_")
+        eng.execute(
+            f"CREATE TABLE mv_ng2 (k STRING, v INT) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        try:
+            eng.execute(
+                "INSERT INTO mv_ng2 VALUES (NULL, 1), (NULL, 2), ('a', 3)"
+            )
+            q = "SELECT k, count(*) AS n, sum(v) AS s FROM mv_ng2 GROUP BY k"
+            eng.execute(f"CREATE MATERIALIZED VIEW mv_ngv2 AS {q}")
+            eng.execute("DELETE FROM mv_ng2 WHERE v = 1")
+            self._check(spark, eng, "mv_ngv2", q)
+            assert {
+                tuple(r) for r in spark.table("mv_ngv2").collect()
+            } == {(None, 1, 2), ("a", 1, 3)}
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv_ngv2")
+            eng.execute("DROP TABLE IF EXISTS mv_ng2")
