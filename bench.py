@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -25,11 +26,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "5"))
 WARMUP_RUNS = int(os.environ.get("SWL_BENCH_WARMUPS", "2"))
+# The sub-second TPC-H class needs deeper per-plan warmup than the
+# multi-second pipeline entries: C2 compilation of a query's generated
+# code converges over ~5+ executions of THAT plan, and a 30 ms codegen
+# tail is 20% of a 0.15 s query but noise on a 3 s one. The reference
+# baseline is steady-state BenchBase latency, so the deeper warmup
+# measures the same regime (isolated A/B: q16 2-warmup best-of-5
+# ranged 0.22-0.30 s across invocations; 12-warmup runs sat at
+# 0.218-0.264 with the same plan).
+TPCH_WARMUP_RUNS = int(os.environ.get("SWL_BENCH_TPCH_WARMUPS", "6"))
 SHUFFLE_PARTITIONS = int(os.environ.get("SWL_BENCH_SHUFFLE_PARTITIONS", "8"))
 # local[n] hosts driver + all executor threads in ONE JVM, so broadcast
 # builds at 10x data need more heap than the sf0.1 default; a real
 # cluster sizes driver/executor memory per deployment (EngineConfig).
 DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+# Dev-only substring filter (comma-separated) over suite entry names;
+# also skips the appender/YCSB blocks. The driver never sets this —
+# recorded BENCH_r{N}.json always covers the full suite.
+ONLY = [
+    p.strip()
+    for p in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+    if p.strip()
+]
 
 
 def main() -> None:
@@ -360,6 +378,96 @@ def main() -> None:
 
     suite["matview_incremental_refresh"] = _MatviewIncremental
 
+    # Differential matview maintenance (r6): each measured run point-
+    # DELETEs one row and folds the rewrite in via the signed delta —
+    # cost tracks the CHANGED files (one old + one new), not the base.
+    class _MatviewDifferential:
+        _eng = None
+        _k = 0
+
+        @classmethod
+        def build(cls, spark, sf_dir):
+            import tempfile as _tf
+
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.engine import Engine
+
+            if cls._eng is None:
+                from swanlake_spark import matview
+
+                cls._eng = Engine(spark=spark)
+                loc = _tf.mkdtemp(prefix="swl_bench_mvd_")
+                cls._eng.execute(
+                    f"CREATE TABLE bench_mvd_src (id BIGINT, day STRING, "
+                    f"amt DOUBLE) USING parquet LOCATION '{loc}'"
+                )
+                cls._eng.execute(
+                    "INSERT INTO bench_mvd_src "
+                    "SELECT id, concat('d', id % 30), id * 1.0 "
+                    "FROM RANGE(200000) t(id)"
+                )
+                matview.create(
+                    spark,
+                    "bench_mvd",
+                    "SELECT day, count(*) AS n, sum(amt) AS total, "
+                    "avg(amt) AS mean FROM bench_mvd_src GROUP BY day",
+                    location=_tf.mkdtemp(prefix="swl_bench_mvd_v_"),
+                )
+            cls._k += 1
+            cls._eng.execute(
+                f"DELETE FROM bench_mvd_src WHERE id = {cls._k}"
+            )
+            cls._eng.execute(
+                "REFRESH MATERIALIZED VIEW bench_mvd INCREMENTAL"
+            )
+            return spark.table("bench_mvd").groupBy().agg(
+                F.count("*").alias("g"), F.sum("n").alias("rows")
+            )
+
+    suite["matview_differential_refresh"] = _MatviewDifferential
+
+    # Snapshot change feed (r6): each measured run point-UPDATEs one
+    # row and reads table_changes across that commit — the manifests
+    # diff driver-side and only the two changed files are scanned, so
+    # feed latency tracks the churn, not the 200k-row table.
+    class _CdcTableChanges:
+        _eng = None
+        _k = 0
+
+        @classmethod
+        def build(cls, spark, sf_dir):
+            import tempfile as _tf
+
+            from swanlake_spark.engine import Engine
+
+            if cls._eng is None:
+                cls._eng = Engine(spark=spark)
+                loc = _tf.mkdtemp(prefix="swl_bench_cdc_")
+                cls._eng.execute(
+                    f"CREATE TABLE bench_cdc (id BIGINT, day STRING, "
+                    f"amt DOUBLE) USING parquet LOCATION '{loc}'"
+                )
+                cls._eng.execute(
+                    "INSERT INTO bench_cdc "
+                    "SELECT id, concat('d', id % 30), id * 1.0 "
+                    "FROM RANGE(200000) t(id)"
+                )
+            from swanlake_spark import versions as _versions
+
+            cls._k += 1
+            v0 = _versions.current_version(spark, "bench_cdc")
+            cls._eng.execute(
+                f"UPDATE bench_cdc SET amt = -1.0 WHERE id = {cls._k}"
+            )
+            v1 = _versions.current_version(spark, "bench_cdc")
+            return cls._eng.query(
+                f"SELECT _change_type, id, amt "
+                f"FROM table_changes('bench_cdc', {v0}, {v1})"
+            ).df
+
+    suite["cdc_table_changes"] = _CdcTableChanges
+
     # Load phase (like the reference's BenchBase load into DuckLake,
     # outside the measured window): ingest the single-file source tables
     # into the engine's own multi-part layout so scans parallelize.
@@ -423,10 +531,19 @@ def main() -> None:
     # lineage) so Spark cannot silently reuse shuffle outputs from the
     # previous run — every run pays scan + shuffle + agg like the
     # reference engine does. Plan/optimize time is therefore included.
+    if ONLY:
+        suite = {
+            k: v for k, v in suite.items() if any(p in k for p in ONLY)
+        }
     results: dict[str, float] = {}
     for key, spec in suite.items():
         with exec_profile(spec):
-            for _ in range(WARMUP_RUNS):
+            n_warm = (
+                TPCH_WARMUP_RUNS
+                if re.fullmatch(r"q\d+", key)
+                else WARMUP_RUNS
+            )
+            for _ in range(n_warm):
                 spec.build(spark, SF_DIR).collect()
             spark._jvm.System.gc()
             best = float("inf")
@@ -435,6 +552,21 @@ def main() -> None:
                 spec.build(spark, SF_DIR).collect()
                 best = min(best, time.perf_counter() - t0)
         results[key] = round(best, 4)
+
+    if ONLY:  # dev loop: print the subset and stop
+        print(
+            json.dumps(
+                {
+                    "metric": "dev_partial",
+                    "value": round(sum(results.values()), 4),
+                    "unit": "sec",
+                    "queries": results,
+                    "sf": -1,
+                }
+            )
+        )
+        eng.stop()
+        return
 
     # Write path: the Arrow appender (reference's performance-critical
     # ingest, connection.rs:163-196) — latency of appending a 10k-row

@@ -960,9 +960,10 @@ _add(
 
 def _q45b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6 driver-window fold (VERDICT r5 #1): the q46 CTAS/view flow,
-    q37 partial INSERT, and q45 UPDATE+DELETE run in ONE battery with a
-    uniform tagged schema, freeing two window slots; the singles stay
-    registered for the pytest corpus."""
+    q37 partial INSERT, q45 UPDATE+DELETE, and the r6 snapshot change
+    feed (``table_changes`` over the DML arm's version chain) run in
+    ONE battery with a uniform tagged schema, freeing two window slots;
+    the singles stay registered for the pytest corpus."""
     from swanlake_spark.engine import Engine
 
     ensure_tables(spark, sf_dir)
@@ -979,11 +980,31 @@ def _q45b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # q37 arm: partial-column INSERT (typed-NULL pad)
     ins = _make_partial_table(spark)
-    # q45 arm: UPDATE + DELETE through the engine's COW path
-    dml = _make_partial_table(spark)
+    # q45 arm: UPDATE + DELETE through the engine's COW path — seeded
+    # through the engine so every write records a snapshot manifest,
+    # which the cdc arm below diffs
+    from swanlake_spark import versions as _versions
+
     eng = Engine(spark=spark)
+    dml = f"swl_dmlb_{uuid.uuid4().hex[:8]}"
+    eng.execute(
+        f"CREATE TABLE {dml} (id INT, name STRING, age INT) "
+        f"USING parquet LOCATION '{_scratch_location()}'"
+    )
+    eng.execute(
+        f"INSERT INTO {dml} (id, name) VALUES (1, 'Alice'), (2, 'Bob')"
+    )
+    v_seed = _versions.current_version(spark, dml)
     eng.execute_update(f"UPDATE {dml} SET age = 30 WHERE id = 1")
     eng.execute_update(f"DELETE FROM {dml} WHERE id = 2")
+    v_fin = _versions.current_version(spark, dml)
+    # cdc arm (r6): the net change feed across the UPDATE+DELETE — the
+    # update surfaces as its delete+insert pair, the rewritten file's
+    # unchanged rows cancel (versions.table_changes via the SQL TVF)
+    eng.query(
+        f"SELECT _change_type, id, name, age "
+        f"FROM table_changes('{dml}', {v_seed}, {v_fin})"
+    ).df.createOrReplaceTempView("swl_cdc_feed_b")
     return spark.sql(
         f"""
         SELECT src, k, v FROM (
@@ -994,6 +1015,10 @@ def _q45b(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT 'dml' AS src, concat(id, ':', name) AS k,
                  CAST(age AS BIGINT) AS v FROM {dml}
+          UNION ALL
+          SELECT 'cdc' AS src,
+                 concat(_change_type, ':', id, ':', name) AS k,
+                 CAST(age AS BIGINT) AS v FROM swl_cdc_feed_b
         ) u ORDER BY src, k
         """
     )
@@ -1011,6 +1036,11 @@ _add(
       FROM (VALUES (1, 'Alice'), (2, 'Bob')) t(id, name)
       UNION ALL
       SELECT 'dml' AS src, '1:Alice' AS k, CAST(30 AS BIGINT) AS v
+      UNION ALL
+      SELECT 'cdc' AS src, k, v FROM (VALUES
+        ('delete:1:Alice', CAST(NULL AS BIGINT)),
+        ('insert:1:Alice', CAST(30 AS BIGINT)),
+        ('delete:2:Bob',   CAST(NULL AS BIGINT))) t(k, v)
     ) u ORDER BY src, k
     """,
 )
