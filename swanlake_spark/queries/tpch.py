@@ -43,17 +43,62 @@ _DIM_BROADCAST = {
 }
 
 
+def _strip_trailing_order(sql: str) -> str:
+    """Drop a TRAILING ``ORDER BY`` clause (final_sort replaces it).
+
+    Only the last clause of the statement qualifies — if anything after
+    the last ``ORDER BY`` closes a parenthesis it belongs to a subquery
+    and stripping would change semantics, so that is a hard error.
+    """
+    s = sql.rstrip()
+    i = s.upper().rfind("ORDER BY")
+    if i == -1:
+        return s
+    assert ")" not in s[i:], f"trailing ORDER BY not last clause: {s[i:]}"
+    return s[:i]
+
+
 def _tpch(
     n: int,
     spark_sql: str,
     duck_sql: str | None = None,
     exec_conf: dict[str, str] | None = None,
+    final_sort: list[str] | None = None,
 ) -> None:
-    name = f"tpch_q{n}"
+    """Register a TPC-H query.
 
-    def build(spark: SparkSession, sf_dir: str, _sql=spark_sql) -> DataFrame:
+    ``final_sort`` (column names, ``-`` prefix = DESC) replaces the
+    query's trailing ORDER BY with ``coalesce(1).sortWithinPartitions``:
+    the Spark SQL omits the ORDER BY, and the total order is produced by
+    merging the final-aggregate partitions into ONE task and sorting
+    there. A global ORDER BY plans a RangePartitioning exchange, which
+    costs a separate SAMPLING pass over the input plus one more shuffle
+    stage — two scheduling round-trips to order a result that is
+    ANSWER-sized (these queries end in a group-by whose group count is
+    bounded by dim cardinality, not data volume). Sorting the answer in
+    one task is O(answer) at any scale factor — the same finish a 100 TB
+    run wants — while the saved stages are ~40 % of the wall time of a
+    0.2 s interactive query. The DuckDB oracle keeps the ORDER BY form.
+    """
+    name = f"tpch_q{n}"
+    if final_sort:
+        duck_sql = duck_sql or spark_sql
+        spark_sql = _strip_trailing_order(spark_sql)
+
+    def build(
+        spark: SparkSession, sf_dir: str, _sql=spark_sql, _fs=final_sort
+    ) -> DataFrame:
         ensure_tables(spark, sf_dir)
-        return spark.sql(_sql)
+        df = spark.sql(_sql)
+        if _fs:
+            from pyspark.sql import functions as F
+
+            cols = [
+                F.col(c[1:]).desc() if c.startswith("-") else F.col(c)
+                for c in _fs
+            ]
+            df = df.coalesce(1).sortWithinPartitions(*cols)
+        return df
 
     TPCH_QUERIES[name] = QuerySpec(
         name, build, duck_sql or spark_sql, exec_conf=exec_conf
@@ -80,6 +125,7 @@ _tpch(
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
+    final_sort=["l_returnflag", "l_linestatus"],
 )
 
 # Q2 — min-cost supplier (correlated subquery + 5-way join + top-N);
@@ -180,6 +226,7 @@ _tpch(
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "4"},
+    final_sort=["o_orderpriority"],
 )
 
 # Q5 — local supplier volume (6-way join + region filter)
@@ -199,6 +246,7 @@ _tpch(
     GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
     exec_conf=_DIM_BROADCAST,
+    final_sort=["-revenue", "n_name"],
 )
 
 # Q6 — forecasting revenue change (pure scan + filter + agg)
@@ -236,6 +284,7 @@ _tpch(
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
+    final_sort=["supp_nation", "cust_nation", "l_year"],
 )
 
 # Q8 — national market share (8-way join + CASE ratio of decimal sums)
@@ -263,6 +312,7 @@ _tpch(
     ) all_nations
     GROUP BY o_year ORDER BY o_year
     """,
+    final_sort=["o_year"],
 )
 
 # Q9 — product type profit (6-way join + LIKE + groupBy nation/year);
@@ -285,6 +335,7 @@ _tpch(
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
+    final_sort=["nation", "-o_year"],
 )
 
 # Q10 — returned item reporting (4-way join + top-20)
@@ -350,6 +401,7 @@ _tpch(
     ORDER BY val DESC, l_partkey
     """,
     exec_conf=_INTERACTIVE,
+    final_sort=["-val", "l_partkey"],
 )
 
 # Q12 — shipping mode / priority classes (join + conditional agg);
@@ -369,6 +421,7 @@ _tpch(
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
+    final_sort=["l_linestatus"],
 )
 
 # Q13 — customer distribution (left outer join + double groupBy).
@@ -381,15 +434,21 @@ _tpch(
 # is the structurally better shape — the original form shuffles the full
 # customer⋈orders product on c_custkey. DuckDB oracle keeps the
 # canonical LEFT JOIN form as cross-check.
+# The aggregated side is customer-count-sized (one row per ordering
+# customer), so it BROADCASTS: the probe over customer then runs join +
+# partial c_count aggregation in one stage with no customer shuffle —
+# at 100 TB the per-customer order counts are still dim-scale next to
+# the orders fact, and where they outgrow broadcast the hint degrades
+# to the shuffle join Catalyst would pick anyway.
 _tpch(
     13,
     """
-    SELECT c_count, count(*) AS custdist FROM (
+    SELECT /*+ BROADCAST(oc) */ c_count, count(*) AS custdist FROM (
       SELECT coalesce(oc.cnt, 0) AS c_count
       FROM customer LEFT JOIN (
         SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
       ) oc ON c_custkey = o_custkey
-    ) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    ) c_orders GROUP BY c_count
     """,
     """
     SELECT c_count, count(*) AS custdist FROM (
@@ -398,7 +457,8 @@ _tpch(
       GROUP BY c_custkey
     ) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
     """,
-    exec_conf=_INTERACTIVE,
+    exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "4"},
+    final_sort=["-custdist", "-c_count"],
 )
 
 # Q14 — promotion effect (join + CASE ratio)
@@ -429,6 +489,7 @@ _tpch(
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s_suppkey
     """,
+    final_sort=["s_suppkey"],
 )
 
 # Q16 — parts/supplier relationship (NOT IN subquery + count distinct).
@@ -458,7 +519,6 @@ _tpch(
       AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
       AND l_suppkey IS NOT NULL
     GROUP BY p_brand, p_type, p_size
-    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     """
     SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
@@ -475,8 +535,11 @@ _tpch(
     # pure scheduling at sf0.1; 1 was MEASURED SLOWER in the bench
     # harness — the partial-distinct merge over the ~120k post-join
     # rows serializes onto one core, costing more than the saved
-    # scheduling + range-sort sampling).
+    # scheduling + range-sort sampling). final_sort then removes the
+    # range-sort sampling pass + exchange entirely: the answer is
+    # group-count-sized (~hundreds of rows at any SF).
     exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "4"},
+    final_sort=["-supplier_cnt", "p_brand", "p_type", "p_size"],
 )
 
 # Q17 — small-quantity-order revenue (correlated avg subquery;
@@ -562,6 +625,7 @@ _tpch(
       AND n_name = 'NATION_5'
     ORDER BY s_suppkey
     """,
+    final_sort=["s_suppkey"],
 )
 
 # Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self joins);
@@ -606,4 +670,5 @@ _tpch(
     GROUP BY cntrycode ORDER BY cntrycode
     """,
     exec_conf=_DIM_BROADCAST,
+    final_sort=["cntrycode"],
 )
