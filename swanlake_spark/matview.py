@@ -322,11 +322,17 @@ def _avg_specs(shape: dict) -> list[tuple[str, str]]:
     return [(arg, a) for fn, arg, a in shape["aggs"] if fn == "avg"]
 
 
-def _state_path(spark: SparkSession, name: str, base_version: int) -> str:
-    from swanlake_spark.operators.dml import _table_location
+def _state_path(
+    spark: SparkSession,
+    name: str,
+    base_version: int,
+    loc: str | None = None,
+) -> str:
+    if loc is None:
+        from swanlake_spark.operators.dml import _table_location
 
-    loc = _table_location(spark, name).rstrip("/")
-    return f"{loc}/{_STATE_DIR}/v{base_version}"
+        loc = _table_location(spark, name)
+    return f"{loc.rstrip('/')}/{_STATE_DIR}/v{base_version}"
 
 
 def _state_specs(shape: dict) -> list[tuple[str, str]]:
@@ -356,6 +362,7 @@ def _publish_state(
     base_version: int,
     sweep: bool = True,
     driver_ok: bool = False,
+    loc: str | None = None,
 ) -> None:
     """Write the avg merge state keyed by the base version it reflects
     and (unless deferred — incremental refresh sweeps only after every
@@ -365,18 +372,26 @@ def _publish_state(
     size."""
     if state is None:
         return
-    path = _state_path(spark, name, base_version)
+    path = _state_path(spark, name, base_version, loc)
     if not (driver_ok and _driver_parquet_write(spark, path, state)):
         state.write.mode("overwrite").parquet(path)
     if sweep:
-        _sweep_state(spark, name, base_version)
+        _sweep_state(spark, name, base_version, loc)
 
 
 def _total_bytes(spark: SparkSession, paths: list[str]) -> int:
+    import os as _os
+
+    from swanlake_spark.operators.dml import _local_os_path
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     total = 0
     for f in paths:
+        osp = _local_os_path(f)
+        if osp is not None:
+            total += _os.stat(osp).st_size  # one syscall vs ~2 ms Py4J
+            continue
         p = jvm.org.apache.hadoop.fs.Path(f)
         total += int(p.getFileSystem(conf).getFileStatus(p).getLen())
     return total
@@ -450,8 +465,13 @@ def _driver_parquet_write(spark: SparkSession, path: str, df) -> bool:
     return tbl is not None and _write_arrow_dir(spark, path, tbl)
 
 
-def _sweep_state(spark: SparkSession, name: str, keep_version: int) -> None:
-    path = _state_path(spark, name, keep_version)
+def _sweep_state(
+    spark: SparkSession,
+    name: str,
+    keep_version: int,
+    loc: str | None = None,
+) -> None:
+    path = _state_path(spark, name, keep_version, loc)
     jvm, fs, _ = _fs(spark, path)
     parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
     if not fs.exists(parent):
@@ -597,14 +617,16 @@ def _merge_exprs(
     return merged, state_cols
 
 
-def _read_delta(spark: SparkSession, base: str, names, label: str):
+def _read_delta(
+    spark: SparkSession, base: str, names, label: str, loc: str | None = None
+):
     """Rows of an explicit set of base-table file names (live or
     retained — retirement mirrors the table-relative path, so
     partition values survive), in the base's column order."""
     from swanlake_spark import versions
 
-    files = versions._resolve_names(spark, base, sorted(names), label)
-    df = versions._read_files(spark, base, files)
+    files = versions._resolve_names(spark, base, sorted(names), label, loc)
+    df = versions._read_files(spark, base, files, loc)
     return df.select(*[f.name for f in spark.table(base).schema.fields])
 
 
@@ -684,9 +706,19 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             f"{name} has no recorded base snapshot (base table was not "
             f"snapshot-tracked at the last refresh); run a full REFRESH"
         )
-    cur_v = versions.current_version(spark, base)
-    old_names = set(versions.snapshot_file_names(spark, base, base_v))
-    cur_names = set(versions.snapshot_file_names(spark, base, cur_v))
+    # one DESCRIBE per table for the whole refresh: every versions/
+    # state helper below takes the threaded location (the metadata tax
+    # otherwise dominates a small refresh — measured ~0.7 s of DESCRIBE
+    # + repeat resolution on a 30-group rollup)
+    base_loc = dml._table_location(spark, base)
+    view_loc = dml._table_location(spark, name)
+    cur_v = versions.current_version(spark, base, base_loc)
+    old_names = set(
+        versions.snapshot_file_names(spark, base, base_v, base_loc)
+    )
+    cur_names = set(
+        versions.snapshot_file_names(spark, base, cur_v, base_loc)
+    )
     removed_names = old_names - cur_names
     added_names = cur_names - old_names
     if not removed_names and not added_names:
@@ -699,7 +731,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     # for views untouched since before state support; avg-components
     # only ("legacy") for avg views from before differential support
     try:
-        s = spark.read.parquet(_state_path(spark, name, base_v))
+        s = spark.read.parquet(_state_path(spark, name, base_v, view_loc))
     except Exception:  # noqa: BLE001 — state dir absent
         s = None
     state_mode = "none"
@@ -719,12 +751,12 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             f"run a full REFRESH once to establish it"
         )
 
-    ins = _read_delta(spark, base, added_names, f"v{cur_v}")
+    ins = _read_delta(spark, base, added_names, f"v{cur_v}", base_loc)
     if shape["pred"]:
         ins = ins.filter(F.expr(shape["pred"]))
     dl = None
     if removed_names:
-        dl = _read_delta(spark, base, removed_names, f"v{base_v}")
+        dl = _read_delta(spark, base, removed_names, f"v{base_v}", base_loc)
         if shape["pred"]:
             dl = dl.filter(F.expr(shape["pred"]))
 
@@ -739,10 +771,10 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     try:
         in_paths = list(spark.table(name).inputFiles())
         in_paths += versions._resolve_names(
-            spark, base, sorted(added_names), f"v{cur_v}"
+            spark, base, sorted(added_names), f"v{cur_v}", base_loc
         )
         in_paths += versions._resolve_names(
-            spark, base, sorted(removed_names), f"v{base_v}"
+            spark, base, sorted(removed_names), f"v{base_v}", base_loc
         )
         small = _total_bytes(spark, in_paths) <= dml._DRIVER_REWRITE_MAX_BYTES
     except Exception:
@@ -803,7 +835,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 cond = c if cond is None else cond & c
             return left.join(right, cond, how)
 
-        cur_base = versions.read_version(spark, base, cur_v)
+        cur_base = versions.read_version(spark, base, cur_v, base_loc)
         if shape["pred"]:
             cur_base = cur_base.filter(F.expr(shape["pred"]))
         rec_aggs = [
@@ -871,7 +903,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     state_names = gl + [c for c in combined.columns if c.startswith("__swl_")]
     view_order = [f.name for f in view_fields]
     n = len(added_names) + len(removed_names)
-    with dml.table_write_lock(spark, name):
+    with dml.table_write_lock(spark, name, loc=view_loc):
         # Ordering: both the merged view and the next state read the
         # OLD view + OLD state files, so (1) write the new state to its
         # own version-keyed dir first (disturbs nothing it reads), (2)
@@ -889,13 +921,13 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             # projection carries the view columns AND the state
             # components, the driver slices it into the two parquet
             # writes — the merge plan executes once, not twice
-            staging = dml.staging_dir(spark, name)
+            staging = dml.staging_dir(spark, name, loc=view_loc)
             tbl = _collect_arrow(combined)
             if tbl is not None:
                 if maintain_state:
                     state_published = _write_arrow_dir(
                         spark,
-                        _state_path(spark, name, cur_v),
+                        _state_path(spark, name, cur_v, view_loc),
                         tbl.select(state_names),
                     )
                 if not maintain_state or state_published:
@@ -910,6 +942,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                             None,
                             staged=True,
                             staged_path=staging,
+                            loc=view_loc,
                         )
                         dml._rm_path(spark, staging)
         if maintain_state and not state_published:
@@ -920,19 +953,24 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 cur_v,
                 sweep=False,
                 driver_ok=small,
+                loc=view_loc,
             )
         if not published:
             dml._overwrite(
-                spark, name, _aligned(spark, name, combined), None
+                spark,
+                name,
+                _aligned(spark, name, combined),
+                None,
+                loc=view_loc,
             )
         _write_sidecar(
             spark, name, q, base_table=base, base_version=cur_v
         )
         versions.record_version(
-            spark, name, "matview_refresh_incremental"
+            spark, name, "matview_refresh_incremental", loc=view_loc
         )
         if maintain_state:
-            _sweep_state(spark, name, cur_v)
+            _sweep_state(spark, name, cur_v, view_loc)
     return n
 
 

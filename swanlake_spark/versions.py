@@ -132,6 +132,14 @@ def _list_data_files(spark: SparkSession, loc: str) -> list[tuple[str, int]]:
 
 
 def _read_json(spark: SparkSession, path: str) -> dict:
+    from swanlake_spark.operators.dml import _local_os_path
+
+    osp = _local_os_path(path)
+    if osp is not None:
+        # local scheme: read directly — a Py4J open/toByteArray pair
+        # costs ~50 ms and manifest reads sit on every snapshot probe
+        with open(osp, "rb") as f:
+            return json.loads(f.read().decode("utf-8"))
     jvm, fs, p = _fs(spark, path)
     stream = fs.open(p)
     try:
@@ -153,7 +161,27 @@ def _write_json(spark: SparkSession, path: str, payload: dict) -> None:
 
 
 def _manifest_paths(spark: SparkSession, root: str) -> list[tuple[int, str]]:
-    jvm, fs, mdir = _fs(spark, _manifest_dir(root))
+    mdir_str = _manifest_dir(root)
+    from swanlake_spark.operators.dml import _local_os_path
+
+    osp = _local_os_path(mdir_str)
+    if osp is not None:
+        # local scheme: one scandir vs a Py4J listStatus plus ~3 Java
+        # round-trips per manifest — version probes run on every
+        # snapshot-aware statement
+        try:
+            entries = os.listdir(osp)
+        except OSError:
+            return []
+        out = []
+        for name in entries:
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append((int(name[1:-5]), f"{mdir_str}/{name}"))
+                except ValueError:
+                    continue
+        return sorted(out)
+    jvm, fs, mdir = _fs(spark, mdir_str)
     if not fs.exists(mdir):
         return []
     out = []
@@ -360,12 +388,12 @@ def snapshots(spark: SparkSession, table: str) -> DataFrame:
 
 
 def snapshot_file_names(
-    spark: SparkSession, table: str, version: int
+    spark: SparkSession, table: str, version: int, loc: str | None = None
 ) -> list[str]:
     """Table-relative data-file names recorded in snapshot
     ``version``'s manifest (metadata only — no existence resolution;
     delta computations diff these sets across versions)."""
-    root = versions_root(spark, table)
+    root = versions_root(spark, table, loc)
     if root is None:
         raise InvalidArgument(f"table {table} has no resolvable location")
     ms = dict(_manifest_paths(spark, root))
@@ -374,7 +402,9 @@ def snapshot_file_names(
     return [f["name"] for f in _read_json(spark, ms[version])["files"]]
 
 
-def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
+def resolve_files(
+    spark: SparkSession, table: str, version: int, loc: str | None = None
+) -> list[str]:
     """Absolute paths backing snapshot ``version``. The RETAINED copy is
     preferred when it exists: retired files are immutable until
     expire/VACUUM, whereas a live file can be retired (renamed away) by
@@ -383,7 +413,7 @@ def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
     and such a reader fails LOUDLY (FILE_NOT_EXIST) and re-resolves;
     partial or duplicated rows are never observable (optimistic
     snapshot reads, the MVCC retry discipline)."""
-    root = versions_root(spark, table)
+    root = versions_root(spark, table, loc)
     if root is None:
         raise InvalidArgument(f"table {table} has no resolvable location")
     ms = dict(_manifest_paths(spark, root))
@@ -391,24 +421,59 @@ def resolve_files(spark: SparkSession, table: str, version: int) -> list[str]:
         raise NotFound(f"no snapshot v{version} for {table}")
     m = _read_json(spark, ms[version])
     return _resolve_names(
-        spark, table, [f["name"] for f in m["files"]], f"v{version}"
+        spark, table, [f["name"] for f in m["files"]], f"v{version}", loc
     )
 
 
 def _resolve_names(
-    spark: SparkSession, table: str, names: list[str], label: str
+    spark: SparkSession,
+    table: str,
+    names: list[str],
+    label: str,
+    loc: str | None = None,
 ) -> list[str]:
     """Resolve table-relative file names to absolute live-or-retained
     paths (the resolve_files discipline, over an explicit name subset —
-    delta readers resolve only the files two manifests disagree on)."""
-    root = versions_root(spark, table)
-    from swanlake_spark.operators.dml import _table_location
+    delta readers resolve only the files two manifests disagree on).
+    ``loc`` threads a pre-resolved table location (DESCRIBE FORMATTED
+    costs a Catalyst round-trip per call — the metadata tax dominates
+    small incremental refreshes otherwise)."""
+    if loc is None:
+        from swanlake_spark.operators.dml import _table_location
 
-    loc = _table_location(spark, table).rstrip("/")
+        loc = _table_location(spark, table)
+    root = versions_root(spark, table, loc)
+    loc = loc.rstrip("/")
+    rdir = _retained_dir(root)
+
+    def _missing(name: str):
+        return SnapshotUnavailable(
+            f"{table} snapshot {label}: file {name} was removed "
+            "by a non-retaining write path or reclaimed by expire/VACUUM"
+        )
+
+    from swanlake_spark.operators.dml import _local_os_path
+
+    rd_os, loc_os = _local_os_path(rdir), _local_os_path(loc)
+    if rd_os is not None and loc_os is not None:
+        # local scheme: existence is one C syscall per file; a Py4J
+        # fs.exists costs ~2 ms each, and delta resolves routinely
+        # touch tens of files (a 32-core INSERT writes 32)
+        import os as _os
+
+        out = []
+        for name in names:
+            if _os.path.exists(f"{rd_os}/{name}"):
+                out.append(f"{rdir}/{name}")
+            elif _os.path.exists(f"{loc_os}/{name}"):
+                out.append(f"{loc}/{name}")
+            else:
+                raise _missing(name)
+        return out
     jvm, fs, _ = _fs(spark, loc)
     out = []
     for name in names:
-        kept = f"{_retained_dir(root)}/{name}"
+        kept = f"{rdir}/{name}"
         if fs.exists(jvm.org.apache.hadoop.fs.Path(kept)):
             out.append(kept)
             continue
@@ -416,10 +481,7 @@ def _resolve_names(
         if fs.exists(jvm.org.apache.hadoop.fs.Path(live)):
             out.append(live)
             continue
-        raise SnapshotUnavailable(
-            f"{table} snapshot {label}: file {name} was removed "
-            "by a non-retaining write path or reclaimed by expire/VACUUM"
-        )
+        raise _missing(name)
     return out
 
 
@@ -437,17 +499,22 @@ def version_at_timestamp(spark: SparkSession, table: str, ts: float) -> int:
     return best
 
 
-def read_version(spark: SparkSession, table: str, version: int) -> DataFrame:
+def read_version(
+    spark: SparkSession, table: str, version: int, loc: str | None = None
+) -> DataFrame:
     """Scan exactly the snapshot's file list. Files are read under
     their tree's basePath (table dir or the mirrored retained dir) so
     directory-encoded partition values are recovered on partitioned
     tables; a snapshot spanning both trees unions the two scans."""
-    files = resolve_files(spark, table, version)
-    return _read_files(spark, table, files)
+    files = resolve_files(spark, table, version, loc)
+    return _read_files(spark, table, files, loc)
 
 
 def _read_files(
-    spark: SparkSession, table: str, files: list[str]
+    spark: SparkSession,
+    table: str,
+    files: list[str],
+    loc: str | None = None,
 ) -> DataFrame:
     """Scan an explicit resolved file list of ``table``. Files are read
     under their tree's basePath (table dir or the mirrored retained
@@ -456,9 +523,11 @@ def _read_files(
     scans."""
     if not files:
         return spark.table(table).limit(0)
-    from swanlake_spark.operators.dml import _table_location
+    if loc is None:
+        from swanlake_spark.operators.dml import _table_location
 
-    loc = _table_location(spark, table).rstrip("/")
+        loc = _table_location(spark, table)
+    loc = loc.rstrip("/")
     root = versions_root(spark, table, loc)
     rdir = _retained_dir(root)
     live = [f for f in files if f.startswith(loc + "/")]
