@@ -84,6 +84,7 @@ def main() -> None:
         ("select_top_tokens", "pipe_select_top_tokens"),
         ("sim_cosine_topk", "pipe_sim_cosine_topk"),
         ("multimodal_decode", "pipe_multimodal_decode"),
+        ("sketch_heavy_hitters", "pipe_heavy_hitters"),
     ]:
         suite[key] = PIPELINE_QUERIES[pname]
 

@@ -20,6 +20,7 @@ from swanlake_spark.operators import (
     packing,
     sampling,
     similarity,
+    sketch,
     text,
 )
 from swanlake_spark.queries.oracle import QuerySpec, ensure_tables
@@ -1519,6 +1520,34 @@ _add(
 # hash-match instead of a pytest-only one.
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent tokens via the count-min pre-filter + exact
+    verify (operators/sketch.py): EXACT (value, cnt) of every token
+    appearing >= 50 times. The sketch bounds the heavy-key shuffle by
+    d*w, not token cardinality — the 100 TB shape — while count-min's
+    no-underestimate guarantee keeps the final set exact, so the oracle
+    is a plain GROUP BY ... HAVING."""
+    df = _docs(spark, sf_dir)
+    tok = df.select(F.explode(text.tokens("text")).alias("tk"))
+    return (
+        sketch.heavy_hitters(tok, "tk", threshold=50)
+        .orderBy("value")
+    )
+
+
+_add(
+    "pipe_heavy_hitters",
+    _heavy_hitters,
+    r"""
+    SELECT tk AS value, count(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tk
+          FROM documents) t
+    GROUP BY tk HAVING count(*) >= 50
+    ORDER BY value
+    """,
+)
+
+
 def _text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint + token counts + quality + lang-id + repetition,
     normalized to one (op, doc_id, i1, i2, d1..d4, s1) frame."""
@@ -1555,9 +1584,14 @@ def _text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uniq_2gram_ratio").alias("d2"),
         F.col("uniq_3gram_ratio").alias("d3"),
         F.col("top_token_frac").alias("d4"), s.alias("s1"))
+    hh = _heavy_hitters(spark, sf_dir).select(
+        F.lit("hh").alias("op"), b.alias("doc_id"),
+        F.col("cnt").cast("long").alias("i1"), b.alias("i2"),
+        d.alias("d1"), d.alias("d2"), d.alias("d3"), d.alias("d4"),
+        F.col("value").alias("s1"))
     return (
         fp.unionAll(tok).unionAll(qual).unionAll(lang).unionAll(rep)
-        .orderBy("op", "doc_id")
+        .unionAll(hh).orderBy("op", "doc_id", "s1")
     )
 
 
@@ -1582,7 +1616,14 @@ def _text_battery_oracle() -> str:
         wrap("rep", q["pipe_repetition"].oracle, d1="uniq_1gram_ratio",
              d2="uniq_2gram_ratio", d3="uniq_3gram_ratio",
              d4="top_token_frac"),
-    ]) + " ORDER BY op, doc_id"
+        """
+        SELECT 'hh' AS op, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(cnt AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
+               CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+               CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4,
+               CAST(value AS VARCHAR) AS s1
+        FROM ({hh}) t_hh""".format(hh=q["pipe_heavy_hitters"].oracle),
+    ]) + " ORDER BY op, doc_id, s1"
 
 
 _add("pipe_text_battery", _text_battery, _text_battery_oracle())
@@ -1724,6 +1765,7 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_text_quality",
     "pipe_lang_id",
     "pipe_repetition",
+    "pipe_heavy_hitters",
     # folded into pipe_sim_battery
     "pipe_sim_cosine_topk",
     "pipe_sim_cosine_pairs",

@@ -1362,3 +1362,96 @@ class TestSelectTopTokens:
                 break
             want[r.doc_id] = (r.n, cum)
         assert got == want
+
+
+class TestHeavyHitters:
+    """Count-min + exact-verify heavy hitters (operators/sketch.py).
+
+    The load-bearing property is count-min's no-underestimate
+    guarantee: the filter pass can only ADD false positives, never
+    drop a true heavy hitter, so the exact-verify output must equal
+    the plain GROUP BY ... HAVING answer for EVERY sketch geometry —
+    including pathologically small ones where almost everything
+    collides."""
+
+    def _exact(self, df, col, t):
+        return sorted(
+            (r[col], r["count"])
+            for r in df.groupBy(col).count().where(F.col("count") >= t).collect()
+        )
+
+    def test_exact_result_normal_geometry(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(5000).select(
+            F.concat(F.lit("k"), (F.col("id") % 37).cast("string")).alias("x")
+        )
+        got = sorted(
+            (r["value"], r["cnt"])
+            for r in sketch.heavy_hitters(df, "x", 100).collect()
+        )
+        assert got == self._exact(df, "x", 100)
+
+    def test_exact_under_collision_stress(self, spark):
+        from swanlake_spark.operators import sketch
+
+        # 1000 distinct values into d=2, w=8: ~every bucket collides;
+        # the verify pass must still return the exact heavy set
+        df = spark.range(20000).select(
+            F.concat(
+                F.lit("v"), (F.pmod(F.xxhash64("id"), F.lit(1000))).cast("string")
+            ).alias("x")
+        )
+        t = 30
+        got = sorted(
+            (r["value"], r["cnt"])
+            for r in sketch.heavy_hitters(df, "x", t, d=2, w=8).collect()
+        )
+        assert got == self._exact(df, "x", t)
+
+    def test_estimate_never_underestimates(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(3000).select(
+            F.concat(F.lit("w"), (F.col("id") % 61).cast("string")).alias("x")
+        )
+        cms = F.broadcast(sketch.count_min(df, "x", d=3, w=32))
+        joined = (
+            df.groupBy("x").count()
+            .crossJoin(cms)
+            .select(
+                "x",
+                "count",
+                sketch.cm_estimate(F.col("cms"), F.col("x"), 3, 32).alias("est"),
+            )
+        )
+        bad = joined.where(F.col("est") < F.col("count")).count()
+        assert bad == 0
+
+    def test_deterministic_under_repartition(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(8000).select(
+            F.concat(F.lit("r"), (F.col("id") % 23).cast("string")).alias("x")
+        )
+        a = sorted(
+            (r["value"], r["cnt"])
+            for r in sketch.heavy_hitters(df, "x", 200).collect()
+        )
+        b = sorted(
+            (r["value"], r["cnt"])
+            for r in sketch.heavy_hitters(df.repartition(17), "x", 200).collect()
+        )
+        assert a == b and a
+
+    def test_nulls_ignored(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("a",)] * 5 + [(None,)] * 10 + [("b",)] * 2, ["x"]
+        )
+        got = sorted(
+            (r["value"], r["cnt"])
+            for r in sketch.heavy_hitters(df, "x", 2).collect()
+        )
+        assert got == [("a", 5), ("b", 2)]
