@@ -8,6 +8,7 @@ sinks, with exactly-once checkpointing.
 """
 
 from swanlake_spark.streaming.funnel import funnel_stream
+from swanlake_spark.streaming.matview import maintain_matview_stream
 from swanlake_spark.streaming.retention import retention_stream
 from swanlake_spark.streaming.ingest import (
     sessionize,
@@ -19,6 +20,7 @@ from swanlake_spark.streaming.ingest import (
 
 __all__ = [
     "funnel_stream",
+    "maintain_matview_stream",
     "retention_stream",
     "sessionize",
     "stream_events_from_directory",

@@ -751,3 +751,122 @@ class TestStreamingRetention:
 
         counts = Counter((c, o) for _, c, o, _ in got)
         assert dict(counts) == self._batch_counts(spark, rows, "week")
+
+
+class TestStreamingMatview:
+    """maintain_matview_stream: per-micro-batch append + incremental
+    fold. Parity target = a full recompute over the final base; the
+    crash test exercises the manifest-diff self-healing (a refresh
+    skipped for one batch is folded by the next)."""
+
+    def _setup(self, spark, engine, tag):
+        import tempfile
+
+        from swanlake_spark import matview
+
+        base = f"smv_base_{tag}"
+        view = f"smv_view_{tag}"
+        loc = tempfile.mkdtemp(prefix="swl_smv_")
+        spark.sql(
+            f"CREATE TABLE {base} (event_id BIGINT, ts TIMESTAMP, "
+            f"user_id BIGINT, event_type STRING, value DOUBLE, "
+            f"props STRING) USING parquet LOCATION '{loc}'"
+        )
+        engine.execute(
+            f"INSERT INTO {base} VALUES "
+            f"(1000000, TIMESTAMP '2025-01-01 00:00:00', 1, 'click', 1.0, '{{}}')"
+        )
+        matview.create(
+            spark,
+            view,
+            f"SELECT event_type, count(*) AS n, sum(value) AS total, "
+            f"avg(value) AS mean FROM {base} GROUP BY event_type",
+            location=tempfile.mkdtemp(prefix="swl_smv_v_"),
+        )
+        return base, view
+
+    def _recompute(self, spark, base):
+        spark.catalog.refreshTable(base)  # appends from the stream's clone
+        return {
+            (r.event_type, r.n, round(r.total, 6), round(r.mean, 6))
+            for r in spark.sql(
+                f"SELECT event_type, count(*) AS n, sum(value) AS total, "
+                f"avg(value) AS mean FROM {base} GROUP BY event_type"
+            ).collect()
+        }
+
+    def _view_rows(self, spark, view):
+        # the stream's foreachBatch publishes from a CLONED session, so
+        # this session's cached file listing for the view is stale after
+        # the COW publish; reads go through the engine front door (its
+        # FAILED_READ_FILE re-resolve), as an interactive user's would —
+        # here the plain-session equivalent:
+        spark.catalog.refreshTable(view)
+        return {
+            (r.event_type, r.n, round(r.total, 6), round(r.mean, 6))
+            for r in spark.table(view).collect()
+        }
+
+    def test_multi_batch_parity(self, spark, engine, event_dir):
+        import tempfile
+
+        from swanlake_spark.streaming import maintain_matview_stream
+
+        base, view = self._setup(spark, engine, "par")
+        try:
+            # several waves -> several micro-batches (1 file per trigger)
+            _write_events(event_dir, "wave2.json", range(200, 260))
+            _write_events(event_dir, "wave3.json", range(300, 330))
+            events = stream_events_from_directory(
+                spark, event_dir, max_files_per_trigger=1
+            )
+            q = maintain_matview_stream(
+                events, base, view, tempfile.mkdtemp(prefix="swl_smv_ck_")
+            )
+            assert q.awaitTermination(180)
+            assert self._view_rows(spark, view) == self._recompute(
+                spark, base
+            )
+            # the view is stamped at the base's current version: one
+            # more refresh is a no-op fold of an empty delta
+            from swanlake_spark import matview
+
+            assert matview.refresh_incremental(spark, view) == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+    def test_skipped_refresh_self_heals(self, spark, engine, event_dir):
+        import tempfile
+
+        from swanlake_spark.streaming import (
+            maintain_matview_stream,
+            streaming_append_to_table,
+        )
+
+        base, view = self._setup(spark, engine, "heal")
+        try:
+            # wave 1 appends WITHOUT view maintenance (simulates a crash
+            # after insertInto, before refresh)
+            events = stream_events_from_directory(
+                spark, event_dir, max_files_per_trigger=1
+            )
+            q = streaming_append_to_table(
+                events, base, tempfile.mkdtemp(prefix="swl_smv_ck1_")
+            )
+            assert q.awaitTermination(120)
+            stale = self._view_rows(spark, view)
+            assert stale != self._recompute(spark, base)
+            # wave 2 runs maintained: its first fold spans BOTH deltas
+            _write_events(event_dir, "heal2.json", range(400, 440))
+            events2 = stream_events_from_directory(
+                spark, event_dir, max_files_per_trigger=4
+            )
+            q2 = maintain_matview_stream(
+                events2, base, view, tempfile.mkdtemp(prefix="swl_smv_ck2_")
+            )
+            assert q2.awaitTermination(180)
+            assert self._view_rows(spark, view) == self._recompute(
+                spark, base
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {base}")
