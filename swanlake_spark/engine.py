@@ -386,7 +386,8 @@ class Engine:
             if re.search(r"\binformation_schema\s*\.\s*tables\b", stmt, re.IGNORECASE):
                 stmt = self._rewrite_information_schema(stmt)
             if re.search(
-                r"\bAT\s*\(|\bsnapshots\s*\(|\btable_changes\s*\(",
+                r"\bAT\s*\(|\bsnapshots\s*\(|\btable_changes\s*\("
+                r"|\bheavy_hitters\s*\(",
                 stmt,
                 re.IGNORECASE,
             ):
@@ -1127,6 +1128,9 @@ class Engine:
     _CHANGES_RE = re.compile(
         r"\btable_changes\s*\(([^)]*)\)", re.IGNORECASE
     )
+    _HH_RE = re.compile(
+        r"\bheavy_hitters\s*\(([^)]*)\)", re.IGNORECASE
+    )
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         """DuckLake's time-travel surface on COW tables:
@@ -1137,6 +1141,9 @@ class Engine:
           spelling) → the snapshot history table.
         - ``FROM table_changes('t', v1, v2)`` → the net row-level
           change feed between the two snapshots (versions.table_changes).
+        - ``FROM heavy_hitters('t', 'col', threshold)`` → exact
+          (value, cnt) of the column's values with count ≥ threshold
+          via the count-min pre-filter (operators/sketch.py).
 
         Matching runs on the literal-masked text (so string contents
         can't trigger a rewrite); argument values are sliced from the
@@ -1204,6 +1211,26 @@ class Engine:
                 )
                 versions.table_changes(
                     self.spark, table, int(cm.group(2)), int(cm.group(3))
+                ).createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            m = self._HH_RE.search(masked)
+            if m:
+                raw = out[m.start(1):m.end(1)]
+                hm = re.match(
+                    r"^\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*$", raw
+                )
+                if hm is None:
+                    break  # not heavy_hitters('t', 'col', n); leave as-is
+                from swanlake_spark.operators import sketch
+
+                table, col = hm.group(1), hm.group(2)
+                view = (
+                    f"_swl_hh_{table.replace('.', '_')}"
+                    f"_{_uuid.uuid4().hex[:6]}"
+                )
+                sketch.heavy_hitters(
+                    self.spark.table(table), col, int(hm.group(3))
                 ).createOrReplaceTempView(view)
                 out = out[: m.start()] + view + out[m.end():]
                 continue
