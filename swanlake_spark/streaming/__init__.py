@@ -9,6 +9,10 @@ sinks, with exactly-once checkpointing.
 
 from swanlake_spark.streaming.funnel import funnel_stream
 from swanlake_spark.streaming.matview import maintain_matview_stream
+from swanlake_spark.streaming.sketch import (
+    heavy_hitters_stream,
+    read_candidates,
+)
 from swanlake_spark.streaming.retention import retention_stream
 from swanlake_spark.streaming.ingest import (
     sessionize,
@@ -20,7 +24,9 @@ from swanlake_spark.streaming.ingest import (
 
 __all__ = [
     "funnel_stream",
+    "heavy_hitters_stream",
     "maintain_matview_stream",
+    "read_candidates",
     "retention_stream",
     "sessionize",
     "stream_events_from_directory",

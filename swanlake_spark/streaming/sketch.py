@@ -1,0 +1,188 @@
+"""Streaming heavy hitters: a count-min sketch maintained across
+micro-batches.
+
+The batch operator (``operators/sketch.py``) can exact-verify because
+it can rescan its input; a stream cannot, so the streaming twin keeps
+the classic bounded-state contract instead:
+
+- **State** = the d×w cell table plus the current candidate set —
+  independent of how many distinct values the stream has carried.
+- **Guarantee** = no false negatives for truly heavy values. A value's
+  true count only grows when it APPEARS, so at the batch of its T-th
+  appearance it is in that batch's distinct set and its running
+  estimate is ≥ its true count = T — it enters the candidate set right
+  there. Candidates are re-estimated every batch and pruned when their
+  estimate falls below T (possible only for collision-inflated false
+  positives; a true heavy value's estimate never drops below its true
+  count). Reported counts are count-min UPPER BOUNDS, not exact.
+- **Replay** (foreachBatch is at-least-once on crash) double-counts a
+  batch's cells, which INFLATES estimates — the no-false-negative
+  guarantee survives replays; only precision degrades.
+
+State publishes are crash-safe via versioned subdirectories: each
+batch writes ``v<batch_id>`` (Spark's ``_SUCCESS`` marks completion),
+readers take the highest complete version, older versions are swept
+after the new one lands — a torn write is simply ignored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _complete_versions(spark: SparkSession, root: str) -> list[tuple[int, str]]:
+    from swanlake_spark.operators.dml import _local_os_path
+
+    import os
+
+    osp = _local_os_path(root)
+    out = []
+    if osp is not None:
+        if not os.path.isdir(osp):
+            return []
+        for name in os.listdir(osp):
+            if name.startswith("v") and os.path.exists(
+                f"{osp}/{name}/_SUCCESS"
+            ):
+                try:
+                    out.append((int(name[1:]), f"{root}/{name}"))
+                except ValueError:
+                    continue
+        return sorted(out)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        ok = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{name}/_SUCCESS"))
+        if name.startswith("v") and ok:
+            try:
+                out.append((int(name[1:]), f"{root}/{name}"))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_latest(spark: SparkSession, root: str) -> DataFrame | None:
+    vs = _complete_versions(spark, root)
+    return spark.read.parquet(vs[-1][1]) if vs else None
+
+
+def _publish(spark: SparkSession, root: str, df: DataFrame, batch_id: int):
+    df.coalesce(1).write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+    # sweep strictly-older complete versions (the new one is live)
+    from swanlake_spark.operators.dml import _local_os_path, _rm_path
+
+    import os
+    import shutil
+
+    for n, path in _complete_versions(spark, root):
+        if n < batch_id:
+            osp = _local_os_path(path)
+            if osp is not None:
+                shutil.rmtree(osp, ignore_errors=True)
+            else:
+                _rm_path(spark, path)
+
+
+def heavy_hitters_stream(
+    rows: DataFrame,
+    col: str,
+    threshold: int,
+    state_dir: str,
+    checkpoint_dir: str,
+    d: int = 4,
+    w: int = 4096,
+    trigger_available_now: bool = True,
+):
+    """Maintain streaming heavy-hitter candidates for ``rows[col]``.
+
+    After each batch, ``<state_dir>/candidates/v<latest>`` holds
+    ``(value, est)`` — a SUPERSET of the values whose true stream count
+    is ≥ threshold, with ``est`` the count-min upper bound (read it
+    with ``read_candidates``). Returns the StreamingQuery."""
+    from swanlake_spark.operators import sketch
+
+    cells_root = f"{state_dir}/cells"
+    cand_root = f"{state_dir}/candidates"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        item = F.col(col).cast("string")
+        pair = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        sketch._bucket(item, i, w).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p")
+        bcells = (
+            batch_df.where(item.isNotNull())
+            .select(pair)
+            .groupBy("p.i", "p.b")
+            .agg(F.count("*").alias("cnt"))
+        )
+        old = _read_latest(spark, cells_root)
+        cells = (
+            bcells
+            if old is None
+            else old.unionByName(bcells)
+            .groupBy("i", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        # cells feed BOTH the publish and the candidate re-estimate;
+        # collect once (d×w-bounded) so the union lineage runs once
+        rows_c = cells.collect()
+        cells_df = spark.createDataFrame(rows_c, schema="i int, b int, cnt long")
+        _publish(spark, cells_root, cells_df, batch_id)
+
+        arrays: dict[int, list[int]] = {
+            i: [0] * w for i in range(d)
+        }
+        for r in rows_c:
+            arrays[r["i"]][r["b"]] = r["cnt"]
+        cms_row = spark.createDataFrame(
+            [(dict(arrays),)], schema="cms map<int, array<long>>"
+        )
+        prev = _read_latest(spark, cand_root)
+        cand_vals = batch_df.where(item.isNotNull()).select(
+            item.alias("value")
+        ).distinct()
+        if prev is not None:
+            cand_vals = cand_vals.unionByName(
+                prev.select("value")
+            ).distinct()
+        cands = (
+            cand_vals.crossJoin(F.broadcast(cms_row))
+            .select(
+                "value",
+                sketch.cm_estimate(F.col("cms"), F.col("value"), d, w).alias(
+                    "est"
+                ),
+            )
+            .where(F.col("est") >= threshold)
+        )
+        _publish(spark, cand_root, cands, batch_id)
+
+    writer = rows.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_candidates(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current candidate set ``(value, est)`` — empty frame if the
+    stream has not completed a batch yet."""
+    df = _read_latest(spark, f"{state_dir}/candidates")
+    if df is None:
+        return spark.createDataFrame([], schema="value string, est long")
+    return df

@@ -870,3 +870,82 @@ class TestStreamingMatview:
             )
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {base}")
+
+
+class TestStreamingHeavyHitters:
+    """heavy_hitters_stream: cross-batch count-min candidates. The
+    contract is no-false-negatives (candidates is a superset of the
+    true heavy set) with upper-bound estimates; at sane geometry the
+    candidate VALUES equal the exact heavy set."""
+
+    def _docs_stream(self, spark, d, files):
+        import json as _json
+        import os
+
+        for fname, vals in files.items():
+            with open(os.path.join(d, fname), "w") as f:
+                for i, v in enumerate(vals):
+                    f.write(_json.dumps({
+                        "event_id": i, "ts": "2025-01-01T00:00:00.000Z",
+                        "user_id": 0, "event_type": v, "value": 0.0,
+                        "props": "{}",
+                    }) + "\n")
+        return stream_events_from_directory(
+            spark, d, max_files_per_trigger=1
+        )
+
+    def test_cross_batch_accumulation(self, spark):
+        import tempfile
+
+        from swanlake_spark.streaming import (
+            heavy_hitters_stream,
+            read_candidates,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_hhs_src_")
+        # 'hot' is NOT heavy in any single batch (20+20+20) but is
+        # across the stream; 'cold*' values never reach the threshold
+        files = {
+            "b1.json": ["hot"] * 20 + [f"cold{i}" for i in range(30)],
+            "b2.json": ["hot"] * 20 + ["warm"] * 45,
+            "b3.json": ["hot"] * 20 + ["warm"] * 5,
+        }
+        state = tempfile.mkdtemp(prefix="swl_hhs_state_")
+        q = heavy_hitters_stream(
+            self._docs_stream(spark, d, files), "event_type", 50,
+            state, tempfile.mkdtemp(prefix="swl_hhs_ck_"),
+        )
+        assert q.awaitTermination(180)
+        got = {
+            r["value"]: r["est"]
+            for r in read_candidates(spark, state).collect()
+        }
+        assert set(got) == {"hot", "warm"}
+        # upper bounds: est >= true
+        assert got["hot"] >= 60 and got["warm"] >= 50
+
+    def test_no_false_negatives_under_collisions(self, spark):
+        import tempfile
+
+        from swanlake_spark.streaming import (
+            heavy_hitters_stream,
+            read_candidates,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_hhs2_src_")
+        files = {
+            "b1.json": [f"v{i % 40}" for i in range(400)],
+            "b2.json": [f"v{i % 40}" for i in range(400)],
+        }
+        state = tempfile.mkdtemp(prefix="swl_hhs2_state_")
+        q = heavy_hitters_stream(
+            self._docs_stream(spark, d, files), "event_type", 20,
+            state, tempfile.mkdtemp(prefix="swl_hhs2_ck_"),
+            d=2, w=8,  # nearly everything collides
+        )
+        assert q.awaitTermination(180)
+        cands = {
+            r["value"] for r in read_candidates(spark, state).collect()
+        }
+        # every one of the 40 values hits 20 across the stream
+        assert cands >= {f"v{i}" for i in range(40)}
