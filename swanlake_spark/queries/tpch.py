@@ -435,15 +435,19 @@ _tpch(
 # customer⋈orders product on c_custkey. DuckDB oracle keeps the
 # canonical LEFT JOIN form as cross-check.
 # The aggregated side is customer-count-sized (one row per ordering
-# customer), so it BROADCASTS: the probe over customer then runs join +
-# partial c_count aggregation in one stage with no customer shuffle —
-# at 100 TB the per-customer order counts are still dim-scale next to
-# the orders fact, and where they outgrow broadcast the hint degrades
-# to the shuffle join Catalyst would pick anyway.
+# customer): at bench SF that's broadcastable, so the interactive
+# profile raises the broadcast threshold and the probe over customer
+# runs join + partial c_count aggregation in one stage with no
+# customer shuffle. Deliberately NOT a BROADCAST hint: a hint forces
+# the build at ANY scale, and at sf1 the 1M-row aggregated side
+# measured 1.5 s broadcast vs 0.9 s shuffled — at 100 TB it would be
+# a driver OOM. Profiles are ignored at sf >= 1 (bench policy), so
+# the default threshold lets Catalyst shuffle-join exactly when the
+# side outgrows broadcast.
 _tpch(
     13,
     """
-    SELECT /*+ BROADCAST(oc) */ c_count, count(*) AS custdist FROM (
+    SELECT c_count, count(*) AS custdist FROM (
       SELECT coalesce(oc.cnt, 0) AS c_count
       FROM customer LEFT JOIN (
         SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
@@ -457,7 +461,13 @@ _tpch(
       GROUP BY c_custkey
     ) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
     """,
-    exec_conf={**_INTERACTIVE, "spark.sql.shuffle.partitions": "4"},
+    exec_conf={
+        **_INTERACTIVE,
+        "spark.sql.shuffle.partitions": "4",
+        # lets Catalyst's own size estimate broadcast the aggregated
+        # orders side at bench SF; OFF at sf >= 1 with all profiles
+        "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
+    },
     final_sort=["-custdist", "-c_count"],
 )
 
