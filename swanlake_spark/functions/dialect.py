@@ -54,6 +54,14 @@ _NAME_MAP = {
     "list_element": "element_at",
     "array_extract": "element_at",
     "datepart": "date_part",
+    # quantiles: DuckDB quantile_cont == Spark percentile (linear
+    # interpolation; exact agreement on DOUBLE inputs — decimal inputs
+    # follow each engine's typed interpolation and are not mapped as
+    # hash-matchable). approx_quantile -> approx_percentile is
+    # approximate on BOTH sides (t-digest vs GK): tolerance-check only,
+    # never hash-match (same policy as approx_count_distinct).
+    "quantile_cont": "percentile",
+    "approx_quantile": "approx_percentile",
 }
 
 # Known UNMAPPED divergences (documented, not silently rewritten):
