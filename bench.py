@@ -365,10 +365,12 @@ def main() -> None:
                     location=_tf.mkdtemp(prefix="swl_bench_mvi_v_"),
                 )
             cls._k += 1
+            # one part-file per delta (a 5k-row drip as 32 task files
+            # is neither realistic nor stable to time)
             cls._eng.execute(
                 f"INSERT INTO bench_mvi_src "
-                f"SELECT concat('d', id % 30), {cls._k}.0 "
-                f"FROM RANGE(5000) t(id)"
+                f"SELECT /*+ REPARTITION(1) */ concat('d', id % 30), "
+                f"{cls._k}.0 FROM RANGE(5000) t(id)"
             )
             cls._eng.execute(
                 "REFRESH MATERIALIZED VIEW bench_mvi INCREMENTAL"
