@@ -184,39 +184,18 @@ def duplicate_spans(
     )
 
 
-def strip_duplicate_spans(
+def _strip_starts(
     df: DataFrame,
-    min_tokens: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    keep_first: bool = True,
+    starts: DataFrame,
+    min_tokens: int,
+    id_col: str,
+    text_col: str,
 ) -> DataFrame:
-    """Remove duplicated spans, returning ``(id_col, text,
-    n_tokens_removed)`` with the covered tokens stripped.
-
-    ``keep_first=True`` (the Lee et al. setting) preserves the
-    corpus-wide FIRST occurrence of every duplicated window —
-    deterministically min (doc, pos) per window hash — so exactly one
-    copy of each repeated passage survives; ``False`` strips every
-    occurrence. Document identity is preserved (empty-text documents
-    remain as rows — dropping them is the caller's policy)."""
-    w = _windows(df, min_tokens, id_col, text_col)
-    occ = w.groupBy("_wh").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct("_id", "_pos")).alias("_first"),
-    ).filter(F.col("_n") > 1)
-    dup_w = w.join(occ.select("_wh", "_first"), "_wh")
-    if keep_first:
-        dup_w = dup_w.filter(
-            ~(
-                (F.col("_id") == F.col("_first._id"))
-                & (F.col("_pos") == F.col("_first._pos"))
-            )
-        )
-    starts = (
-        dup_w.groupBy("_id")
-        .agg(F.sort_array(F.collect_set("_pos")).alias("_ss"))
-    )
+    """Shared strip-rebuild: given ``starts`` = (_id, _ss sorted window
+    starts), merge the starts into maximal spans and reassemble each
+    document's kept text as a flatten of COMPLEMENT-interval slices —
+    O(tokens + spans) per document (the linear rebuild; see the r5→r6
+    history in strip_duplicate_spans)."""
     from swanlake_spark.operators.dedup import _spread
 
     toks = tokens(text_col)
@@ -226,14 +205,7 @@ def strip_duplicate_spans(
         toks.alias("_toks"),
     )
     joined = base.join(starts, "_id", "left")
-    # LINEAR rebuild (r5 verdict: the per-token `exists` over raw
-    # duplicate-window starts was O(tokens x starts) per document —
-    # ~O(T^2) on exactly the boilerplate-heavy documents span dedup
-    # exists for; Spark's `exists` is a full array scan, no sorted
-    # short-circuit). Instead: merge the starts into maximal spans
-    # (same fold duplicate_spans uses — one pass over the starts),
-    # take the COMPLEMENT intervals [0,s1), [e1,s2), ..., [eK,T), and
-    # reassemble the kept text as a flatten of slices — O(T + spans).
+
     def _rebuild(spans):
         # ``spans`` is let-bound (see _windows) so the merge fold runs
         # once per doc even though two expressions below reference it
@@ -272,6 +244,118 @@ def strip_duplicate_spans(
         F.array_join(kept, " ").alias(text_col),
         (F.size("_toks") - F.size(kept)).alias("n_tokens_removed"),
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Remove duplicated spans, returning ``(id_col, text,
+    n_tokens_removed)`` with the covered tokens stripped.
+
+    ``keep_first=True`` (the Lee et al. setting) preserves the
+    corpus-wide FIRST occurrence of every duplicated window —
+    deterministically min (doc, pos) per window hash — so exactly one
+    copy of each repeated passage survives; ``False`` strips every
+    occurrence. Document identity is preserved (empty-text documents
+    remain as rows — dropping them is the caller's policy)."""
+    w = _windows(df, min_tokens, id_col, text_col)
+    occ = w.groupBy("_wh").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_id", "_pos")).alias("_first"),
+    ).filter(F.col("_n") > 1)
+    dup_w = w.join(occ.select("_wh", "_first"), "_wh")
+    if keep_first:
+        dup_w = dup_w.filter(
+            ~(
+                (F.col("_id") == F.col("_first._id"))
+                & (F.col("_pos") == F.col("_first._pos"))
+            )
+        )
+    starts = (
+        dup_w.groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_pos")).alias("_ss"))
+    )
+    # LINEAR rebuild (r5 verdict: the per-token `exists` over raw
+    # duplicate-window starts was O(tokens x starts) per document —
+    # ~O(T^2) on exactly the boilerplate-heavy documents span dedup
+    # exists for; Spark's `exists` is a full array scan, no sorted
+    # short-circuit). Instead: merge the starts into maximal spans
+    # (same fold duplicate_spans uses — one pass over the starts),
+    # take the COMPLEMENT intervals [0,s1), [e1,s2), ..., [eK,T), and
+    # reassemble the kept text as a flatten of slices — O(T + spans);
+    # shared with the cross-corpus strip (_strip_starts).
+    return _strip_starts(df, starts, min_tokens, id_col, text_col)
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    reference: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus duplicate spans: maximal runs of corpus tokens
+    covered by ``min_tokens``-windows that occur ANYWHERE in
+    ``reference`` — the span-level view of train/eval contamination
+    (the doc-level n-gram test in ``curation.decontaminate`` answers
+    "is this document tainted?"; this answers "WHICH tokens?").
+    Returns ``(id_col, span_start, span_end, n_tokens)``.
+
+    Shape: reference windows reduce to a distinct-hash set (one
+    map-side-combined aggregation, reference-sized); corpus windows
+    semi-join against it — no occurrence lists, no cross product. At
+    100 TB corpus / GB-scale eval suites the hash set is dim-sized and
+    the join broadcasts."""
+    ref_w = _windows(reference, min_tokens, ref_id_col, ref_text_col)
+    ref_hashes = ref_w.select("_wh").distinct()
+    w = _windows(corpus, min_tokens, id_col, text_col)
+    hit = w.join(ref_hashes, "_wh", "left_semi")
+    starts = hit.groupBy("_id").agg(
+        F.sort_array(F.collect_set("_pos")).alias("_ss")
+    )
+    spans = starts.select(
+        "_id", _merged_spans(F.col("_ss"), min_tokens).alias("_spans")
+    )
+    return (
+        spans.select("_id", F.explode("_spans").alias("_sp"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_sp.s").alias("span_start"),
+            F.col("_sp.e").alias("span_end"),
+            (F.col("_sp.e") - F.col("_sp.s")).alias("n_tokens"),
+        )
+    )
+
+
+def strip_contaminated_spans(
+    corpus: DataFrame,
+    reference: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Remove every reference-overlapping span from the corpus (no
+    keep-first — the reference is an EVAL set, so every overlapping
+    occurrence goes), returning ``(id_col, text, n_tokens_removed)``.
+    Document identity is preserved; a fully-contaminated document
+    survives as an empty-text row (dropping is the caller's policy,
+    same contract as strip_duplicate_spans)."""
+    ref_w = _windows(reference, min_tokens, ref_id_col, ref_text_col)
+    ref_hashes = ref_w.select("_wh").distinct()
+    w = _windows(corpus, min_tokens, id_col, text_col)
+    hit = w.join(ref_hashes, "_wh", "left_semi")
+    starts = hit.groupBy("_id").agg(
+        F.sort_array(F.collect_set("_pos")).alias("_ss")
+    )
+    return _strip_starts(corpus, starts, min_tokens, id_col, text_col)
 
 
 def span_dedup_stats(

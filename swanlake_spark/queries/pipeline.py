@@ -21,6 +21,7 @@ from swanlake_spark.operators import (
     sampling,
     similarity,
     sketch,
+    span_dedup,
     text,
 )
 from swanlake_spark.queries.oracle import QuerySpec, ensure_tables
@@ -1293,6 +1294,97 @@ _add(
 )
 
 
+def _span_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus span decontamination (span_dedup.py): strip every
+    corpus token covered by an 8-token window occurring anywhere in
+    the benchmark slice (doc_id % 7 == 0 — the same split the
+    doc-level pipe_decontaminate uses). Text is md5'd to keep the
+    compare row narrow; removal semantics = union of matched windows,
+    which the DuckDB oracle reproduces without the span-merge fold."""
+    df = _docs(spark, sf_dir)
+    bench = df.filter(F.col("doc_id") % 7 == 0)
+    corpus = df.filter(F.col("doc_id") % 7 != 0)
+    out = span_dedup.strip_contaminated_spans(
+        corpus, bench, min_tokens=8
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("red_fp"),
+        F.col("n_tokens_removed").cast("long").alias("n_removed"),
+    ).orderBy("doc_id")
+
+
+_SPAN_DECON_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    refw AS (
+      SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS w
+      FROM (SELECT t, unnest(range(1, greatest(len(t) - 6, 1))) AS i
+            FROM toks WHERE doc_id % 7 = 0) rw),
+    cw AS (
+      SELECT doc_id, i
+      FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 6, 1))) AS i
+            FROM toks WHERE doc_id % 7 <> 0) c
+      WHERE array_to_string(t[i:i+7], ' ') IN (SELECT w FROM refw)),
+    rem AS (
+      SELECT DISTINCT doc_id, i + k AS j
+      FROM cw, (SELECT unnest(range(0, 8)) AS k) ks),
+    tok_rows AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS j, t
+      FROM toks WHERE doc_id % 7 <> 0),
+    kept AS (
+      SELECT tr.doc_id, tr.j, tr.t[tr.j] AS tok,
+             rem.j IS NULL AS keep
+      FROM tok_rows tr
+      LEFT JOIN rem ON rem.doc_id = tr.doc_id AND rem.j = tr.j)
+    SELECT doc_id,
+           md5(coalesce(string_agg(CASE WHEN keep THEN tok END,
+                                   ' ' ORDER BY j), '')) AS red_fp,
+           CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+             AS n_removed
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """
+
+_add("pipe_span_decontaminate", _span_decon, _SPAN_DECON_ORACLE)
+
+
+def _strip_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup + cross-corpus span decontamination in
+    one (op, doc_id, i1, i2, s1) frame — the two text-STRIPPING
+    transforms share a driver slot."""
+    b = F.lit(None).cast("bigint")
+    line = _line_dedup(spark, sf_dir).select(
+        F.lit("line").alias("op"), F.col("doc_id").cast("long"),
+        F.col("n_kept").cast("long").alias("i1"),
+        F.col("n_dropped").cast("long").alias("i2"),
+        F.md5("text").alias("s1"))
+    span = _span_decon(spark, sf_dir).select(
+        F.lit("span").alias("op"), F.col("doc_id").cast("long"),
+        F.col("n_removed").cast("long").alias("i1"), b.alias("i2"),
+        F.col("red_fp").alias("s1"))
+    return line.unionAll(span).orderBy("op", "doc_id")
+
+
+def _strip_battery_oracle() -> str:
+    q = PIPELINE_QUERIES
+    return f"""
+    SELECT 'line' AS op, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_kept AS BIGINT) AS i1, CAST(n_dropped AS BIGINT) AS i2,
+           md5(text) AS s1
+    FROM ({q['pipe_line_dedup'].oracle}) t_line
+    UNION ALL
+    SELECT 'span' AS op, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_removed AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
+           red_fp AS s1
+    FROM ({q['pipe_span_decontaminate'].oracle}) t_span
+    ORDER BY op, doc_id
+    """
+
+
+_add("pipe_strip_battery", _strip_battery, _strip_battery_oracle())
+
+
 def _chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: 48-token windows advancing by 40 (8
     tokens of overlap)."""
@@ -1759,6 +1851,9 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",
     "pipe_multimodal_features",
+    # folded into pipe_strip_battery
+    "pipe_line_dedup",
+    "pipe_span_decontaminate",
     # folded into pipe_text_battery
     "pipe_fingerprint",
     "pipe_token_count",

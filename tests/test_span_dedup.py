@@ -202,3 +202,119 @@ class TestStripDuplicateSpans:
         r = SD.span_dedup_stats(_df(spark, docs), 6).collect()[0]
         assert r.docs_affected == 2 and r.dup_spans == 2
         assert r.dup_tokens == 16 and len(r.examples) == 2
+
+
+def _ref_contam_strip(corpus: dict[int, str], reference: dict[int, str], L: int):
+    """Pure-Python cross-corpus strip: doc_id -> (text, n_removed)."""
+    ref_windows = set()
+    for t in reference.values():
+        ts = t.split()
+        for i in range(len(ts) - L + 1):
+            ref_windows.add(" ".join(ts[i:i + L]))
+    out = {}
+    for d, t in corpus.items():
+        ts = t.split()
+        bad: set[int] = set()
+        for i in range(len(ts) - L + 1):
+            if " ".join(ts[i:i + L]) in ref_windows:
+                bad.update(range(i, i + L))
+        kept = [tok for j, tok in enumerate(ts) if j not in bad]
+        out[d] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+class TestContaminatedSpans:
+    """Cross-corpus span decontamination: every corpus token covered by
+    a window occurring in the reference (eval) set is stripped —
+    span-level, not document-level."""
+
+    def test_planted_eval_sentence_removed_exactly(self, spark):
+        from swanlake_spark.operators import span_dedup
+
+        eval_sent = "the quick brown fox jumps over the lazy dog"
+        corpus = {
+            1: f"alpha beta gamma {eval_sent} delta epsilon zeta eta theta",
+            2: "iota kappa lambda mu nu xi omicron pi rho sigma tau",
+        }
+        reference = {100: eval_sent}
+        got = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in span_dedup.strip_contaminated_spans(
+                _df(spark, corpus), _df(spark, reference), min_tokens=9
+            ).collect()
+        }
+        assert got[1] == (
+            "alpha beta gamma delta epsilon zeta eta theta", 9
+        )
+        assert got[2] == (corpus[2], 0)  # untouched
+
+    def test_fully_contaminated_doc_survives_empty(self, spark):
+        from swanlake_spark.operators import span_dedup
+
+        text = "one two three four five six seven eight"
+        got = {
+            r.doc_id: (r.text, r.n_tokens_removed)
+            for r in span_dedup.strip_contaminated_spans(
+                _df(spark, {1: text}), _df(spark, {9: text}), min_tokens=8
+            ).collect()
+        }
+        assert got[1] == ("", 8)
+
+    def test_spans_reported(self, spark):
+        from swanlake_spark.operators import span_dedup
+
+        eval_sent = "a b c d e f g h"
+        corpus = {1: f"x y z {eval_sent} p q r {eval_sent} s t"}
+        spans = sorted(
+            (r.span_start, r.span_end)
+            for r in span_dedup.contaminated_spans(
+                _df(spark, corpus), _df(spark, {5: eval_sent}), min_tokens=8
+            ).collect()
+        )
+        assert spans == [(3, 11), (14, 22)]
+
+    def test_randomized_matches_pure_python(self, spark):
+        import random
+
+        from swanlake_spark.operators import span_dedup
+
+        rng = random.Random(20260815)
+        vocab = [f"w{i}" for i in range(25)]
+        for trial in range(3):
+            reference = {
+                100 + r: " ".join(rng.choices(vocab, k=rng.randint(8, 30)))
+                for r in range(4)
+            }
+            corpus = {}
+            for d in range(8):
+                body = rng.choices(vocab, k=rng.randint(5, 40))
+                if rng.random() < 0.6:
+                    ref_t = reference[100 + rng.randrange(4)].split()
+                    pos = rng.randint(0, len(body))
+                    body = body[:pos] + ref_t + body[pos:]
+                corpus[d] = " ".join(body)
+            want = _ref_contam_strip(corpus, reference, 8)
+            got = {
+                r.doc_id: (r.text, r.n_tokens_removed)
+                for r in span_dedup.strip_contaminated_spans(
+                    _df(spark, corpus), _df(spark, reference), min_tokens=8
+                ).collect()
+            }
+            assert got == want, f"trial {trial}"
+
+    def test_corpus_internal_dup_not_stripped(self, spark):
+        # duplication WITHIN the corpus is span_dedup's job, not the
+        # contamination check's: only reference-overlap strips
+        from swanlake_spark.operators import span_dedup
+
+        shared = "p q r s t u v w"
+        corpus = {1: f"a b {shared}", 2: f"c d {shared}"}
+        got = {
+            r.doc_id: r.n_tokens_removed
+            for r in span_dedup.strip_contaminated_spans(
+                _df(spark, corpus),
+                _df(spark, {9: "zz yy xx ww vv uu tt ss"}),
+                min_tokens=8,
+            ).collect()
+        }
+        assert got == {1: 0, 2: 0}
