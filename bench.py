@@ -85,6 +85,7 @@ def main() -> None:
         ("sim_cosine_topk", "pipe_sim_cosine_topk"),
         ("multimodal_decode", "pipe_multimodal_decode"),
         ("sketch_heavy_hitters", "pipe_heavy_hitters"),
+        ("span_decontaminate", "pipe_span_decontaminate"),
     ]:
         suite[key] = PIPELINE_QUERIES[pname]
 
