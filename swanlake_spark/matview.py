@@ -713,9 +713,20 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     base_loc = dml._table_location(spark, base)
     view_loc = dml._table_location(spark, name)
     cur_v = versions.current_version(spark, base, base_loc)
-    old_names = set(
-        versions.snapshot_file_names(spark, base, base_v, base_loc)
-    )
+    try:
+        old_names = set(
+            versions.snapshot_file_names(spark, base, base_v, base_loc)
+        )
+    except NotFound as exc:
+        # the stamped snapshot was reclaimed by expire/VACUUM RETAIN:
+        # the delta baseline is gone, so incremental can't proceed —
+        # say exactly that instead of a bare missing-manifest error
+        raise InvalidArgument(
+            f"{name}'s recorded base snapshot v{base_v} of {base} has "
+            f"been expired (snapshot retention ran since the last "
+            f"refresh); run REFRESH MATERIALIZED VIEW {name} to "
+            f"re-baseline"
+        ) from exc
     cur_names = set(
         versions.snapshot_file_names(spark, base, cur_v, base_loc)
     )

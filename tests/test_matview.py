@@ -675,3 +675,38 @@ class TestDifferentialRefresh:
         finally:
             eng.execute("DROP MATERIALIZED VIEW IF EXISTS mv_ngv2")
             eng.execute("DROP TABLE IF EXISTS mv_ng2")
+
+
+class TestIncrementalAfterExpire:
+    def test_expired_base_snapshot_demands_full_refresh(self, spark, eng, src):
+        import time
+
+        from swanlake_spark import matview, versions
+        from swanlake_spark.errors import InvalidArgument
+
+        import tempfile
+
+        matview.create(
+            spark,
+            "mv_exp",
+            "SELECT day, count(*) AS n, sum(amt) AS total "
+            "FROM mv_src GROUP BY day",
+            location=tempfile.mkdtemp(prefix="swl_mv_exp_"),
+        )
+        try:
+            eng.execute("INSERT INTO mv_src VALUES (7, 2.0, 'd3')")
+            eng.execute("INSERT INTO mv_src VALUES (8, 3.0, 'd3')")
+            # retention drops everything but the newest base manifest,
+            # including the view's stamped baseline
+            versions.expire(spark, "mv_src", keep_last=1, min_age_s=0.0)
+            with pytest.raises(InvalidArgument, match="expired|re-baseline"):
+                matview.refresh_incremental(spark, "mv_exp")
+            # the advertised recovery works and lands on the truth
+            eng.execute("REFRESH MATERIALIZED VIEW mv_exp")
+            got = {
+                (r.day, r.n, r.total)
+                for r in spark.table("mv_exp").collect()
+            }
+            assert got == {("d1", 2, 30.0), ("d2", 1, 5.0), ("d3", 2, 5.0)}
+        finally:
+            matview.drop(spark, "mv_exp")
