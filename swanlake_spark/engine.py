@@ -387,7 +387,7 @@ class Engine:
                 stmt = self._rewrite_information_schema(stmt)
             if re.search(
                 r"\bAT\s*\(|\bsnapshots\s*\(|\btable_changes\s*\("
-                r"|\bheavy_hitters\s*\(",
+                r"|\bheavy_hitters\s*\(|\bstrip_contaminated_spans\s*\(",
                 stmt,
                 re.IGNORECASE,
             ):
@@ -1131,6 +1131,9 @@ class Engine:
     _HH_RE = re.compile(
         r"\bheavy_hitters\s*\(([^)]*)\)", re.IGNORECASE
     )
+    _STRIP_RE = re.compile(
+        r"\bstrip_contaminated_spans\s*\(([^)]*)\)", re.IGNORECASE
+    )
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         """DuckLake's time-travel surface on COW tables:
@@ -1144,6 +1147,10 @@ class Engine:
         - ``FROM heavy_hitters('t', 'col', threshold)`` → exact
           (value, cnt) of the column's values with count ≥ threshold
           via the count-min pre-filter (operators/sketch.py).
+        - ``FROM strip_contaminated_spans('corpus', 'reference',
+          min_tokens)`` → the corpus with every reference-overlapping
+          token span stripped (operators/span_dedup.py; tables must
+          carry ``doc_id``/``text`` columns).
 
         Matching runs on the literal-masked text (so string contents
         can't trigger a rewrite); argument values are sliced from the
@@ -1231,6 +1238,28 @@ class Engine:
                 )
                 sketch.heavy_hitters(
                     self.spark.table(table), col, int(hm.group(3))
+                ).createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            m = self._STRIP_RE.search(masked)
+            if m:
+                raw = out[m.start(1):m.end(1)]
+                sm = re.match(
+                    r"^\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*$", raw
+                )
+                if sm is None:
+                    break  # not ('corpus', 'ref', n); leave as-is
+                from swanlake_spark.operators import span_dedup
+
+                corpus, ref = sm.group(1), sm.group(2)
+                view = (
+                    f"_swl_strip_{corpus.replace('.', '_')}"
+                    f"_{_uuid.uuid4().hex[:6]}"
+                )
+                span_dedup.strip_contaminated_spans(
+                    self.spark.table(corpus),
+                    self.spark.table(ref),
+                    min_tokens=int(sm.group(3)),
                 ).createOrReplaceTempView(view)
                 out = out[: m.start()] + view + out[m.end():]
                 continue

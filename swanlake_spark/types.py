@@ -126,15 +126,49 @@ def translate_ddl_types(sql: str) -> str:
         "TIMESTAMPTZ": "TIMESTAMP",
         "LOGICAL": "BOOLEAN",
     }
+    def _in_type_position(text: str, start: int) -> bool:
+        # A type-name TOKEN is only a type when something type-like
+        # precedes it: an identifier (the column being defined, or AS
+        # in a cast) or a generic/struct-field opener (< or :). After
+        # '(' or ',' the token is a COLUMN NAME — "CREATE TABLE t
+        # (text STRING)" must not become "(STRING STRING)"; users
+        # really do name columns text/json/uuid.
+        j = start - 1
+        while j >= 0 and text[j].isspace():
+            j -= 1
+        if j < 0:
+            return False
+        c = text[j]
+        if c in "<:":
+            return True
+        if c in "(,":
+            return False
+        return c.isalnum() or c in '_`"'
+
+    def _guarded(repl: str):
+        def f(m: "re.Match[str]") -> str:
+            return repl if _in_type_position(m.string, m.start()) else m.group(0)
+
+        return f
+
     out = sql
     for duck, spark in replacements.items():
-        out = re.sub(rf"\b{duck}\b", spark, out, flags=re.IGNORECASE)
+        out = re.sub(
+            rf"\b{duck}\b", _guarded(spark), out, flags=re.IGNORECASE
+        )
     # VARCHAR/CHAR with or without a length → STRING: DuckDB ignores the
     # length (tpch-ddl char(25) unenforced, SURVEY §1.2) and Spark rejects
     # bare VARCHAR, so dropping it matches both.
+    def _char_repl(m: "re.Match[str]") -> str:
+        return (
+            "STRING"
+            if _in_type_position(m.string, m.start())
+            else m.group(0)
+        )
+
     out = re.sub(
         r"\b(?:VARCHAR|BPCHAR|CHARACTER\s+VARYING|CHAR|CHARACTER)\b(\s*\(\s*\d+\s*\))?",
-        "STRING",
+        _char_repl,
         out,
         flags=re.IGNORECASE,
     )
