@@ -1037,12 +1037,23 @@ class Engine:
             and "HEADER" in opts
         delim = opts.get("DELIMITER") or opts.get("DELIM")
 
+        is_s3 = path.startswith(("s3://", "s3a://", "s3n://"))
+        if is_s3 and fmt != "parquet":
+            raise InvalidArgument(
+                "object-store COPY supports parquet only "
+                "(driver-mediated path; sources/object_store.py)"
+            )
+
         if m.group("dir").upper() == "TO":
             df = (
                 self.spark.sql(m.group("q"))
                 if m.group("q")
                 else self.spark.table(m.group("table").strip('`"'))
             )
+            if is_s3:
+                from swanlake_spark.sources import object_store
+
+                return object_store.write_parquet(df, path)
             writer = df.write.mode("overwrite").format(fmt)
             if fmt == "csv":
                 writer = writer.option("header", str(header).lower())
@@ -1058,6 +1069,11 @@ class Engine:
         table = m.group("table").strip('`"')
         if m.group("q"):
             raise InvalidArgument("COPY (query) FROM is not meaningful")
+        if is_s3:
+            from swanlake_spark.sources import object_store
+
+            src = object_store.read_parquet(self.spark, path)
+            return self._copy_append(table, src, positional_names=None)
         reader = self.spark.read.format(fmt)
         if fmt == "csv":
             reader = reader.option("header", str(header).lower()).option(
@@ -1066,14 +1082,23 @@ class Engine:
             if delim:
                 reader = reader.option("sep", delim)
         src = reader.load(path)
+        # headerless CSV arrives as _c0.._cN → positional mapping
+        positional = fmt == "csv" and not header
+        schema = self.spark.table(table).schema
+        return self._copy_append(
+            table,
+            src,
+            [f.name for f in schema.fields] if positional else None,
+        )
+
+    def _copy_append(self, table, src, positional_names) -> int:
+        """COPY FROM tail shared by the filesystem and object-store
+        paths: align to the table schema, enforce constraints, append
+        under the write lock, record the snapshot."""
         from swanlake_spark.operators.ingest import align_to_schema
 
         schema = self.spark.table(table).schema
-        # headerless CSV arrives as _c0.._cN → positional mapping
-        positional = fmt == "csv" and not header
-        aligned = align_to_schema(
-            src, schema, [f.name for f in schema.fields] if positional else None
-        )
+        aligned = align_to_schema(src, schema, positional_names)
         constraints.check_insert_batch(self.spark, table, aligned)
         n = aligned.count()
         from swanlake_spark.operators.dml import table_write_lock
