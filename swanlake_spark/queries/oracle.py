@@ -1124,7 +1124,11 @@ _add(
            CAST(min(o_totalprice) AS DOUBLE) AS lo,
            CAST(max(o_totalprice) AS DOUBLE) AS hi
     FROM (
-      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+      -- cast BEFORE aggregating: the engine-side table is DECIMAL(15,2),
+      -- so Spark sums exact decimals; summing the parquet's raw DOUBLEs
+      -- here diverges in the last ulp (order-dependent float accumulation)
+      SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
       UNION ALL
       SELECT * FROM (VALUES ('O', CAST(-11.00 AS DECIMAL(15,2))))
              t(o_orderstatus, o_totalprice)
