@@ -53,13 +53,54 @@ def s3_client():
     )
 
 
+# Pre-flight bound for the driver-mediated path: Catalyst's optimized-plan
+# size estimate (sum of surviving scan file bytes for table/file sources,
+# actual data size for local relations) must stay under this cap, else the
+# collect would materialize a bulk table on the driver. Overridable per
+# deployment; 0/negative disables the guard (explicit opt-out).
+DEFAULT_MAX_COPY_BYTES = 256 * 1024 * 1024
+
+
+def estimated_plan_bytes(df: DataFrame) -> int:
+    """Catalyst's ``optimizedPlan().stats().sizeInBytes`` for *df* —
+    the same estimate broadcast-join planning trusts. For parquet scans
+    this is the (pruned) file byte sum, a sound upper bound on what the
+    driver collect will hold."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def check_driver_bound(df: DataFrame, uri: str) -> None:
+    """Refuse a driver-mediated transfer whose input-size estimate
+    exceeds the cap — a 100 GB ``COPY t TO 's3://…'`` must fail loudly,
+    not OOM the driver (this path is for metadata-scale objects)."""
+    cap = int(
+        os.environ.get("SWL_S3_COPY_MAX_BYTES", DEFAULT_MAX_COPY_BYTES)
+    )
+    if cap <= 0:
+        return
+    est = estimated_plan_bytes(df)
+    if est > cap:
+        from swanlake_spark.errors import InvalidArgument
+
+        raise InvalidArgument(
+            f"COPY to {uri!r} would move an estimated {est:,} bytes "
+            f"through the driver (cap {cap:,}); the driver-mediated "
+            "s3:// path is for metadata-scale objects only. For bulk "
+            "table I/O use an s3a:// path with the hadoop-aws jars on "
+            "the classpath (executor-parallel; see config.py), or "
+            "raise SWL_S3_COPY_MAX_BYTES explicitly."
+        )
+
+
 def write_parquet(df: DataFrame, uri: str) -> int:
     """Write a DataFrame to ``s3://bucket/key`` as ONE parquet object
     via a driver Arrow collect. Returns the row count. Driver-RAM
-    bounded by design (module docstring)."""
+    bounded by design (module docstring) and enforced by a pre-flight
+    plan-size check."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    check_driver_bound(df, uri)
     bucket, key = parse_s3_uri(uri)
     tbl = df.toArrow()
     sink = pa.BufferOutputStream()

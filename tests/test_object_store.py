@@ -134,3 +134,40 @@ def test_s3_csv_rejected(engine, s3_env):
         engine.execute_update(
             "COPY nothing TO 's3://swl-test/x.csv' (FORMAT csv)"
         )
+
+
+def test_s3_copy_size_guard(spark, engine, s3_env, tmp_path, monkeypatch):
+    """A COPY whose input-size estimate exceeds the cap must fail
+    loudly BEFORE any driver collect (the guard is what stands between
+    'COPY bigtable TO s3://' and a driver OOM), and the error must
+    point at the s3a:// bulk path."""
+    from swanlake_spark.errors import InvalidArgument
+
+    loc = str(tmp_path / "os_big")
+    engine.execute(
+        f"CREATE TABLE os_big USING parquet LOCATION '{loc}' AS "
+        "SELECT id, repeat('x', 100) AS pad FROM range(20000)"
+    )
+    try:
+        monkeypatch.setenv("SWL_S3_COPY_MAX_BYTES", "4096")
+        with pytest.raises(InvalidArgument, match="s3a://"):
+            engine.execute_update(
+                "COPY os_big TO 's3://swl-test/exports/too_big.parquet'"
+            )
+        # raising the cap (or the default) lets the same COPY through
+        monkeypatch.setenv("SWL_S3_COPY_MAX_BYTES", str(1 << 30))
+        n = engine.execute_update(
+            "COPY os_big TO 's3://swl-test/exports/too_big.parquet'"
+        )
+        assert n == 20000
+    finally:
+        engine.execute("DROP TABLE IF EXISTS os_big")
+
+
+def test_s3_copy_guard_disabled_by_zero_cap(spark, s3_env, monkeypatch):
+    from swanlake_spark.sources import object_store
+
+    monkeypatch.setenv("SWL_S3_COPY_MAX_BYTES", "0")
+    df = spark.range(10).selectExpr("id", "repeat('y', 50) AS pad")
+    # guard disabled → even a 'large-looking' estimate passes through
+    object_store.check_driver_bound(df, "s3://swl-test/any.parquet")
