@@ -459,3 +459,48 @@ class TestEventAnalyticsPlans:
         # r5 shape re-exchanged the whole chain on it every step
         grown = _re.findall(r"Exchange hashpartitioning\(_u#\d+L?, _t", plan)
         assert not grown, plan[:3000]
+
+
+class TestFinalSortGating:
+    """final_sort's single-task answer-sort finish is only legal where
+    output cardinality is provably SF-independent (r6 verdict #3: q20's
+    output is ~400×SF suppliers — linear — so one task sorting it at
+    extreme scale is the wrong plan). These tests pin the per-query
+    decision so an unbounded query can't silently adopt the finish."""
+
+    # the exact set of queries allowed the coalesce(1) finish, each with
+    # a documented bound in FINAL_SORT_BOUNDS (fixed attribute domain,
+    # bounded domain product, or self-bounding predicate)
+    BOUNDED = {
+        "tpch_q1", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8",
+        "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15",
+        "tpch_q16", "tpch_q22",
+    }
+
+    def test_every_final_sort_query_has_a_documented_bound(self):
+        from swanlake_spark.queries.tpch import FINAL_SORT_BOUNDS
+
+        assert set(FINAL_SORT_BOUNDS) == self.BOUNDED
+        for name, bound in FINAL_SORT_BOUNDS.items():
+            assert bound and len(bound) > 20, (name, bound)
+
+    def test_q20_keeps_the_scaling_range_sort(self, warehouse, sf_dir):
+        # q20 (SF-linear output) must plan a global Sort via
+        # RangePartitioning — the finish that scales out — not a
+        # single-task coalesce
+        from swanlake_spark.queries.tpch import TPCH_QUERIES
+
+        df = TPCH_QUERIES["tpch_q20"].build(warehouse.spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "rangepartitioning" in plan.lower(), plan[:2000]
+        assert "Coalesce" not in plan, plan[:2000]
+
+    def test_bounded_query_takes_single_task_finish(self, warehouse, sf_dir):
+        # q1 (<=6 groups, fixed domain) takes the answer-sized finish:
+        # no range exchange, one coalesced sorted partition
+        from swanlake_spark.queries.tpch import TPCH_QUERIES
+
+        df = TPCH_QUERIES["tpch_q1"].build(warehouse.spark, sf_dir)
+        plan = _formatted_plan(df)
+        assert "rangepartitioning" not in plan.lower(), plan[:2000]
+        assert "Coalesce" in plan, plan[:2000]
