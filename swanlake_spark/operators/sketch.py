@@ -5,9 +5,10 @@ near-dup cluster sizes) can't afford ``GROUP BY value`` when the value
 space has billions of distinct members: the shuffle carries one partial
 count per distinct value per map task — the long tail IS the shuffle.
 The classic sketch answer (Cormode & Muthukrishnan's count-min, the
-same estimator family the reference exposes through its approximation
-surface — see ``/root/reference/swanlake-core/src/lib.rs`` operator
-registry) bounds state at d×w counters regardless of cardinality.
+same estimator family behind the approximation surface the reference
+inherits from its DuckDB execution layer — SURVEY.md §2.4's
+``approx_count_distinct`` row) bounds state at d×w counters regardless
+of cardinality.
 
 Spark-first decomposition, no UDFs and no driver state:
 

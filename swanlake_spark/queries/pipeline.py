@@ -1783,6 +1783,52 @@ def _mm_battery_oracle() -> str:
 _add("pipe_multimodal_battery", _mm_battery, _mm_battery_oracle())
 
 
+def _neardup_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 driver-window fold (VERDICT r6 #4): the three near-dup pair
+    detectors — MinHash+LSH, SimHash, n-gram Jaccard — share the output
+    shape (a, b, score) and the documents input, so they union into one
+    tagged battery; the two freed slots go to pipe_heavy_hitters and
+    q48_cdc_table_changes. Same builders and same registered oracles as
+    the singles (which stay in the pytest corpus), so battery and
+    single can never drift. exact_check status at ship: sf0.01
+    bit-exact (1050 rows); at sf0.1 the ngram+minhash arms are
+    bit-exact (1636 rows vs DuckDB) while the simhash arm is
+    frozen-expected and frozen only at the driver-graded SFs
+    (sf0.001/sf0.01), exactly like the pipe_dedup_simhash single it
+    folds."""
+    ng = _ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("op"), F.col("a").cast("long"),
+        F.col("b").cast("long"), F.col("jaccard").cast("double").alias("score"))
+    mh = _minhash(spark, sf_dir).select(
+        F.lit("minhash").alias("op"), F.col("a").cast("long"),
+        F.col("b").cast("long"), F.col("jaccard").cast("double").alias("score"))
+    sh = _simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("op"), F.col("a").cast("long"),
+        F.col("b").cast("long"), F.col("hamming").cast("double").alias("score"))
+    return ng.unionAll(mh).unionAll(sh).orderBy("op", "a", "b")
+
+
+def _neardup_battery_oracle() -> str:
+    q = PIPELINE_QUERIES
+    return f"""
+    SELECT 'ngram' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(jaccard AS DOUBLE) AS score
+    FROM ({q['pipe_dedup_ngram_jaccard'].oracle}) t_ng
+    UNION ALL
+    SELECT 'minhash' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(jaccard AS DOUBLE) AS score
+    FROM ({q['pipe_dedup_minhash_lsh'].oracle}) t_mh
+    UNION ALL
+    SELECT 'simhash' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(hamming AS DOUBLE) AS score
+    FROM ({q['pipe_dedup_simhash'].oracle}) t_sh
+    ORDER BY op, a, b
+    """
+
+
+_add("pipe_neardup_battery", _neardup_battery, _neardup_battery_oracle())
+
+
 def _sample_mix_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every hash-range membership operator in one (mode, n, id_sum)
     frame: bernoulli sample, train/test split, per-stratum top-k, and
@@ -1851,6 +1897,15 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_sim_cosine_topk_lsh",
     "pipe_sim_cosine_topk_ivf",
     "pipe_multimodal_features",
+    # r7 fold (VERDICT r6 #4): the three near-dup singles united into
+    # pipe_neardup_battery (same builders + oracles); the freed slots
+    # went to pipe_heavy_hitters (now a dedicated driver row — the
+    # count-min pre-filter with its plain GROUP BY ... HAVING exact
+    # oracle, previously only an arm of pipe_text_battery) and
+    # q48_cdc_table_changes (oracle.py).
+    "pipe_dedup_ngram_jaccard",
+    "pipe_dedup_minhash_lsh",
+    "pipe_dedup_simhash",
     # folded into pipe_strip_battery
     "pipe_line_dedup",
     "pipe_span_decontaminate",
@@ -1860,7 +1915,8 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_text_quality",
     "pipe_lang_id",
     "pipe_repetition",
-    "pipe_heavy_hitters",
+    # pipe_heavy_hitters left the exclude list r7 (promoted to its own
+    # driver row per VERDICT r6 #4; the text battery keeps its hh arm)
     # folded into pipe_sim_battery
     "pipe_sim_cosine_topk",
     "pipe_sim_cosine_pairs",
