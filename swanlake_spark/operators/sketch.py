@@ -76,6 +76,15 @@ def count_min(
         .groupBy("p.i", "p.b")
         .agg(F.count("*").alias("cnt"))
     )
+    return densify(cells, w)
+
+
+def densify(cells: DataFrame, w: int) -> DataFrame:
+    """Sparse ``(i, b, cnt)`` cells → the ONE-ROW ``cms`` frame
+    (map<row-index, dense bucket array>). Fully distributed (two
+    bounded aggregations over ≤ d×w cells) — shared by the batch build
+    above and the streaming sink (streaming/sketch.py), whose
+    cross-batch merged cells densify without any driver collect."""
     dense = cells.groupBy("i").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("b", "cnt")))

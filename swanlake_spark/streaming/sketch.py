@@ -137,20 +137,20 @@ def heavy_hitters_stream(
             .groupBy("i", "b")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        # cells feed BOTH the publish and the candidate re-estimate;
-        # collect once (d×w-bounded) so the union lineage runs once
-        rows_c = cells.collect()
-        cells_df = spark.createDataFrame(rows_c, schema="i int, b int, cnt long")
-        _publish(spark, cells_root, cells_df, batch_id)
-
-        arrays: dict[int, list[int]] = {
-            i: [0] * w for i in range(d)
-        }
-        for r in rows_c:
-            arrays[r["i"]][r["b"]] = r["cnt"]
-        cms_row = spark.createDataFrame(
-            [(dict(arrays),)], schema="cms map<int, array<long>>"
+        # counters are linear, so the previous cells parquet and the
+        # batch cells fold in ONE aggregation (the groupBy above IS the
+        # merge) and publish directly — no driver materialization
+        # anywhere in the sink, so w can scale past driver-comfortable
+        # sizes. The candidate re-estimate densifies the PUBLISHED
+        # parquet (bounded ≤ d×w cells), not the union lineage, so the
+        # merge computation runs exactly once.
+        _publish(spark, cells_root, cells, batch_id)
+        cells_pub = spark.read.parquet(f"{cells_root}/v{batch_id}").select(
+            F.col("i").cast("int"),
+            F.col("b").cast("int"),
+            F.col("cnt").cast("long"),
         )
+        cms_row = sketch.densify(cells_pub, w)
         prev = _read_latest(spark, cand_root)
         cand_vals = batch_df.where(item.isNotNull()).select(
             item.alias("value")
