@@ -118,6 +118,21 @@ _INC_VIEW_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Two-table equi-join shape (r7): SELECT <items> FROM A JOIN B ON x = y
+# [WHERE p] GROUP BY <cols>. Maintained via the classic bilinear delta
+# (Griffin/Libkin; Gupta/Mumick): A2⋈B2 − A1⋈B1 = ΔA⋈B2 + A1⋈ΔB, so
+# the signed join delta feeds the SAME counting-algorithm aggregation
+# the single-table path uses. ON columns must be bare identifiers and
+# the two tables' column sets must be disjoint (checked at stamp time —
+# ambiguous definitions fall back to full refresh).
+_INC_JOIN_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[\w.`\"]+)\s+"
+    r"(?:INNER\s+)?JOIN\s+(?P<table2>[\w.`\"]+)\s+ON\s+"
+    r"(?P<lon>[\w`\"]+)\s*=\s*(?P<ron>[\w`\"]+)\s*"
+    r"(?:WHERE\s+(?P<pred>.+?)\s*)?GROUP\s+BY\s+(?P<groups>[\w.`\",\s]+?)"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _AGG_ITEM_RE = re.compile(
     r"^\s*(?P<fn>count|sum|min|max|avg)\s*\((?P<arg>.+)\)\s+AS\s+"
     r"(?P<alias>[\w`\"]+)\s*$",
@@ -164,16 +179,21 @@ def _split_depth0(body: str) -> list[str]:
 
 def parse_incremental(query: str) -> dict | None:
     """Decompose a defining query into the shape incremental refresh
-    can maintain: single-table ``SELECT <group cols + mergeable aggs>
-    FROM t [WHERE p] GROUP BY <cols>``, aggs in count/sum/min/max/avg
-    (avg decomposes into a sum+count merge carried in the hidden state
-    sidecar), every agg aliased, group items bare identifiers, and the
-    predicate + agg arguments pure row functions (no subqueries, no
-    non-deterministic functions — see ``_impure``). Returns
-    ``{base, pred, groups, aggs: [(fn, arg, alias)], items, groups_raw}``
-    or None when the query is outside the supported shape (caller falls
-    back loudly to full refresh)."""
+    can maintain: ``SELECT <group cols + mergeable aggs> FROM t [WHERE
+    p] GROUP BY <cols>`` — single-table, or (r7) a two-table equi-join
+    ``FROM a JOIN b ON x = y`` with bare unqualified ON columns — aggs
+    in count/sum/min/max/avg (avg decomposes into a sum+count merge
+    carried in the hidden state sidecar), every agg aliased, group
+    items bare identifiers, and the predicate + agg arguments pure row
+    functions (no subqueries, no non-deterministic functions — see
+    ``_impure``). Returns ``{base, pred, groups, aggs: [(fn, arg,
+    alias)], items, groups_raw}`` (+ ``base2``/``on_l``/``on_r``/
+    ``from_sql`` for the join shape) or None when the query is outside
+    the supported shape (caller falls back loudly to full refresh)."""
     m = _INC_VIEW_RE.match(query)
+    mj = None if m else _INC_JOIN_RE.match(query)
+    if mj is not None:
+        m = mj
     if not m:
         return None
     groups = [g.strip().strip('`"') for g in m.group("groups").split(",")]
@@ -213,7 +233,7 @@ def parse_incremental(query: str) -> dict | None:
             return None  # count(DISTINCT ...) is not mergeable
         if _impure(arg):
             return None
-    return {
+    out = {
         "base": m.group("table").strip('`"'),
         "pred": pred,
         "groups": groups,
@@ -223,12 +243,34 @@ def parse_incremental(query: str) -> dict | None:
         "items": m.group("items"),
         "groups_raw": m.group("groups").strip(),
     }
+    if mj is not None:
+        on_l = mj.group("lon").strip('`"')
+        on_r = mj.group("ron").strip('`"')
+        # bare identifiers only, same rationale as group items: the
+        # delta evaluation joins two plain DataFrames whose column
+        # namespaces are flat
+        if not all(
+            _IDENT_RE.match(c) and "." not in c for c in (on_l, on_r)
+        ):
+            return None
+        out["base2"] = mj.group("table2").strip('`"')
+        out["on_l"], out["on_r"] = on_l, on_r
+        out["from_sql"] = (
+            f'{mj.group("table")} JOIN {mj.group("table2")} '
+            f'ON {mj.group("lon")} = {mj.group("ron")}'
+        )
+    return out
 
 
 def _base_stamp(spark: SparkSession, query: str) -> dict:
-    """Sidecar fields recording the base snapshot the view's contents
-    reflect — only for incrementally-maintainable definitions over a
-    version-tracked base."""
+    """Sidecar fields recording the base snapshot(s) the view's
+    contents reflect — only for incrementally-maintainable definitions
+    over version-tracked bases. Join definitions stamp BOTH tables and
+    additionally require disjoint column sets (a shared column name
+    would make the flat post-join namespace of the delta evaluation
+    ambiguous) and ON columns that resolve one-per-side; anything else
+    returns no stamp, which routes every later refresh through the
+    full-recompute path."""
     from swanlake_spark import versions
 
     shape = parse_incremental(query)
@@ -237,7 +279,54 @@ def _base_stamp(spark: SparkSession, query: str) -> dict:
     v = versions.current_version(spark, shape["base"])
     if v == 0:
         return {}  # base not snapshot-tracked: no delta identity
-    return {"base_table": shape["base"], "base_version": v}
+    if not shape.get("base2"):
+        return {"base_table": shape["base"], "base_version": v}
+    v2 = versions.current_version(spark, shape["base2"])
+    if v2 == 0:
+        return {}
+    try:
+        c1 = {f.name.lower() for f in spark.table(shape["base"]).schema.fields}
+        c2 = {
+            f.name.lower() for f in spark.table(shape["base2"]).schema.fields
+        }
+    except Exception:  # noqa: BLE001 — unresolvable base: no stamp
+        return {}
+    if c1 & c2:
+        return {}
+    lon, ron = shape["on_l"].lower(), shape["on_r"].lower()
+    if not ((lon in c1 and ron in c2) or (lon in c2 and ron in c1)):
+        return {}
+    return {
+        "base_table": shape["base"],
+        "base_version": v,
+        "base2_table": shape["base2"],
+        "base2_version": v2,
+    }
+
+
+def _stamp_still_current(spark: SparkSession, stamp: dict) -> bool:
+    """True when every stamped base is still at its stamped version —
+    the unpinned-materialization race check, per base."""
+    from swanlake_spark import versions
+
+    if versions.current_version(spark, stamp["base_table"]) != stamp[
+        "base_version"
+    ]:
+        return False
+    if stamp.get("base2_table") and versions.current_version(
+        spark, stamp["base2_table"]
+    ) != stamp["base2_version"]:
+        return False
+    return True
+
+
+def _stamp_state_key(stamp: dict):
+    """State-directory key for a stamp: the base version, or the
+    ``<v1>_<v2>`` composite for join views (both snapshots identify
+    the state)."""
+    if "base2_version" in stamp:
+        return f'{stamp["base_version"]}_{stamp["base2_version"]}'
+    return stamp["base_version"]
 
 
 def _materialize(
@@ -274,7 +363,8 @@ def _materialize(
         for expr, alias in _state_specs(shape):
             items.append(f"{expr} AS `{alias}`")
             state_names.append(alias)
-        sel = f"SELECT {', '.join(items)} FROM {base_name}"
+        from_txt = shape.get("from_sql") or base_name
+        sel = f"SELECT {', '.join(items)} FROM {from_txt}"
         if shape["pred"]:
             sel += f" WHERE {shape['pred']}"
         sel += f" GROUP BY {shape['groups_raw']}"
@@ -288,19 +378,29 @@ def _materialize(
             combined,
         )
 
-    if not stamp or shape is None or "." in stamp["base_table"]:
+    unpinnable = (
+        not stamp
+        or shape is None
+        or "." in stamp["base_table"]
+        or "." in stamp.get("base2_table", "")
+    )
+    if unpinnable:
         df, state, combined = _build(shape["base"] if shape else None)
         return df, state, False, combined
     from swanlake_spark import versions
 
     base = stamp["base_table"]
-    pinned = versions.read_version(spark, base, stamp["base_version"])
-    pinned.createOrReplaceTempView(base)
+    pins = [(base, stamp["base_version"])]
+    if stamp.get("base2_table"):
+        pins.append((stamp["base2_table"], stamp["base2_version"]))
+    for t, v in pins:
+        versions.read_version(spark, t, v).createOrReplaceTempView(t)
     try:
         # analysis (temp-view resolution) happens eagerly in spark.sql
         df, state, combined = _build(base)
     finally:
-        spark.catalog.dropTempView(base)
+        for t, _v in pins:
+            spark.catalog.dropTempView(t)
     return df, state, True, combined
 
 
@@ -316,6 +416,12 @@ def _materialize(
 # leaves the OLD sidecar pointing at the OLD state, still consistent.
 
 _STATE_DIR = "_swl_matview_state"
+
+# A join-delta side at or under this many file bytes ships as an
+# explicit broadcast in the bilinear join delta (refresh_incremental):
+# the common fact-append refresh then joins the appended files against
+# the dim snapshot with no shuffle at all.
+_JOIN_DELTA_BROADCAST_MAX = 64 * 1024 * 1024
 
 
 def _avg_specs(shape: dict) -> list[tuple[str, str]]:
@@ -696,8 +802,9 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     if shape is None:
         raise InvalidArgument(
             f"{name} is not incrementally maintainable (supported: "
-            f"single-table GROUP BY with count/sum/min/max/avg "
-            f"aggregates over deterministic, subquery-free arguments); "
+            f"single-table or two-table-equi-join GROUP BY with "
+            f"count/sum/min/max/avg aggregates over deterministic, "
+            f"subquery-free arguments); "
             f"run REFRESH MATERIALIZED VIEW {name}"
         )
     base, base_v = meta.get("base_table"), meta.get("base_version")
@@ -706,34 +813,55 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             f"{name} has no recorded base snapshot (base table was not "
             f"snapshot-tracked at the last refresh); run a full REFRESH"
         )
+    is_join = bool(shape.get("base2"))
+    base2, base2_v = meta.get("base2_table"), meta.get("base2_version")
+    if is_join and (base2 is None or base2_v is None):
+        raise InvalidArgument(
+            f"{name} is a join view without a recorded snapshot for "
+            f"both bases (created before join maintenance support, or "
+            f"the stamp was dropped — ambiguous columns / untracked "
+            f"base); run a full REFRESH to establish it"
+        )
     # one DESCRIBE per table for the whole refresh: every versions/
     # state helper below takes the threaded location (the metadata tax
     # otherwise dominates a small refresh — measured ~0.7 s of DESCRIBE
     # + repeat resolution on a 30-group rollup)
     base_loc = dml._table_location(spark, base)
     view_loc = dml._table_location(spark, name)
-    cur_v = versions.current_version(spark, base, base_loc)
-    try:
-        old_names = set(
-            versions.snapshot_file_names(spark, base, base_v, base_loc)
-        )
-    except NotFound as exc:
-        # the stamped snapshot was reclaimed by expire/VACUUM RETAIN:
-        # the delta baseline is gone, so incremental can't proceed —
-        # say exactly that instead of a bare missing-manifest error
-        raise InvalidArgument(
-            f"{name}'s recorded base snapshot v{base_v} of {base} has "
-            f"been expired (snapshot retention ran since the last "
-            f"refresh); run REFRESH MATERIALIZED VIEW {name} to "
-            f"re-baseline"
-        ) from exc
-    cur_names = set(
-        versions.snapshot_file_names(spark, base, cur_v, base_loc)
+
+    def _snap_diff(tbl, stamped_v, loc):
+        cur = versions.current_version(spark, tbl, loc)
+        try:
+            old_n = set(
+                versions.snapshot_file_names(spark, tbl, stamped_v, loc)
+            )
+        except NotFound as exc:
+            # the stamped snapshot was reclaimed by expire/VACUUM
+            # RETAIN: the delta baseline is gone, so incremental can't
+            # proceed — say exactly that instead of a bare
+            # missing-manifest error
+            raise InvalidArgument(
+                f"{name}'s recorded base snapshot v{stamped_v} of "
+                f"{tbl} has been expired (snapshot retention ran since "
+                f"the last refresh); run REFRESH MATERIALIZED VIEW "
+                f"{name} to re-baseline"
+            ) from exc
+        cur_n = set(versions.snapshot_file_names(spark, tbl, cur, loc))
+        return cur, old_n, old_n - cur_n, cur_n - old_n
+
+    cur_v, old_names, removed_names, added_names = _snap_diff(
+        base, base_v, base_loc
     )
-    removed_names = old_names - cur_names
-    added_names = cur_names - old_names
-    if not removed_names and not added_names:
+    b2_loc = cur_v2 = removed2 = added2 = None
+    if is_join:
+        b2_loc = dml._table_location(spark, base2)
+        cur_v2, _old2, removed2, added2 = _snap_diff(base2, base2_v, b2_loc)
+    removed2, added2 = removed2 or set(), added2 or set()
+    if not (removed_names or added_names or removed2 or added2):
         return 0
+    removed_any = bool(removed_names or removed2)
+    key_old = f"{base_v}_{base2_v}" if is_join else base_v
+    key_new = f"{cur_v}_{cur_v2}" if is_join else cur_v
     gl = [g for g in shape["groups"]]
     avgs = _avg_specs(shape)
     has_minmax = any(fn in ("min", "max") for fn, _, _ in shape["aggs"])
@@ -742,7 +870,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     # for views untouched since before state support; avg-components
     # only ("legacy") for avg views from before differential support
     try:
-        s = spark.read.parquet(_state_path(spark, name, base_v, view_loc))
+        s = spark.read.parquet(_state_path(spark, name, key_old, view_loc))
     except Exception:  # noqa: BLE001 — state dir absent
         s = None
     state_mode = "none"
@@ -751,24 +879,87 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     if avgs and s is None:
         raise InvalidArgument(
             f"{name} has avg aggregates but no merge state for base "
-            f"snapshot v{base_v} (view predates avg support or state "
+            f"snapshot v{key_old} (view predates avg support or state "
             f"was removed); run a full REFRESH"
         )
-    if removed_names and state_mode != "full":
+    if removed_any and state_mode != "full":
         raise InvalidArgument(
-            f"base table {base} was rewritten (UPDATE/DELETE/compaction) "
-            f"since the last refresh of {name}, and the view's merge "
+            f"a base table of {name} was rewritten (UPDATE/DELETE/"
+            f"compaction) since the last refresh, and the view's merge "
             f"state predates differential (delete-capable) maintenance; "
             f"run a full REFRESH once to establish it"
         )
 
-    ins = _read_delta(spark, base, added_names, f"v{cur_v}", base_loc)
+    if is_join:
+        # Bilinear join delta (module section comment): with anchors
+        # B@v2 and A@v1, A2⋈B2 − A1⋈B1 = ΔA⋈B2 + A1⋈ΔB exactly — the
+        # cross term ΔA⋈ΔB rides inside ΔA⋈B2. Signs distribute, so
+        # the inserted side of the view's join input is
+        # ΔA⁺⋈B2 ∪ A1⋈ΔB⁺ and the deleted side ΔA⁻⋈B2 ∪ A1⋈ΔB⁻;
+        # rewritten-but-unchanged rows cancel downstream the same way
+        # single-table deltas do (weighted agg / exceptAll netting).
+        # Cost model: an A-delta scans B@v2 once (fact-append over a
+        # dim join = dim-scan per refresh) and a B-delta scans A@v1
+        # once (dim rewrite pays a fact scan — the classic IVM
+        # asymmetry; still delta-driven, never A2⋈B2). Delta sides
+        # under the broadcast bound ship as broadcasts.
+        cols1 = {f.name.lower() for f in spark.table(base).schema.fields}
+        onl, onr = shape["on_l"], shape["on_r"]
+        if onl.lower() not in cols1:
+            onl, onr = onr, onl
+        b_cur = versions.read_version(spark, base2, cur_v2, b2_loc)
+        a_old = versions.read_version(spark, base, base_v, base_loc)
+
+        def _dside(tbl, names, label, loc):
+            df = _read_delta(spark, tbl, names, label, loc)
+            try:
+                small_delta = _total_bytes(
+                    spark,
+                    versions._resolve_names(
+                        spark, tbl, sorted(names), label, loc
+                    ),
+                ) <= _JOIN_DELTA_BROADCAST_MAX
+            except Exception:  # noqa: BLE001 — size unknown: no hint
+                small_delta = False
+            return F.broadcast(df) if small_delta else df
+
+        ins_parts, dl_parts = [], []
+        if added_names:
+            da = _dside(base, added_names, f"v{cur_v}", base_loc)
+            ins_parts.append(da.join(b_cur, da[onl] == b_cur[onr]))
+        if removed_names:
+            dr = _dside(base, removed_names, f"v{base_v}", base_loc)
+            dl_parts.append(dr.join(b_cur, dr[onl] == b_cur[onr]))
+        if added2:
+            bi = _dside(base2, added2, f"v{cur_v2}", b2_loc)
+            ins_parts.append(a_old.join(bi, a_old[onl] == bi[onr]))
+        if removed2:
+            br = _dside(base2, removed2, f"v{base2_v}", b2_loc)
+            dl_parts.append(a_old.join(br, a_old[onl] == br[onr]))
+
+        def _union(parts):
+            out = parts[0]
+            for pce in parts[1:]:
+                out = out.unionByName(pce)
+            return out
+
+        if ins_parts:
+            ins = _union(ins_parts)
+        else:
+            # pure-removal delta: an empty, schema-correct insert side
+            # (a local relation — never schedules the anchor scans)
+            ins = spark.createDataFrame([], schema=dl_parts[0].schema)
+        dl = _union(dl_parts) if dl_parts else None
+    else:
+        ins = _read_delta(spark, base, added_names, f"v{cur_v}", base_loc)
+        dl = None
+        if removed_names:
+            dl = _read_delta(
+                spark, base, removed_names, f"v{base_v}", base_loc
+            )
     if shape["pred"]:
         ins = ins.filter(F.expr(shape["pred"]))
-    dl = None
-    if removed_names:
-        dl = _read_delta(spark, base, removed_names, f"v{base_v}", base_loc)
-        if shape["pred"]:
+        if dl is not None:
             dl = dl.filter(F.expr(shape["pred"]))
 
     # Fast-publish eligibility, decided up front so the merge joins can
@@ -787,6 +978,32 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         in_paths += versions._resolve_names(
             spark, base, sorted(removed_names), f"v{base_v}", base_loc
         )
+        if is_join:
+            # the join delta also scans its anchors: B@v2 when A
+            # changed, A@v1 when B changed — count them toward the
+            # driver-collect bound
+            in_paths += versions._resolve_names(
+                spark, base2, sorted(added2), f"v{cur_v2}", b2_loc
+            )
+            in_paths += versions._resolve_names(
+                spark, base2, sorted(removed2), f"v{base2_v}", b2_loc
+            )
+            if added_names or removed_names:
+                in_paths += versions._resolve_names(
+                    spark,
+                    base2,
+                    sorted(
+                        versions.snapshot_file_names(
+                            spark, base2, cur_v2, b2_loc
+                        )
+                    ),
+                    f"v{cur_v2}",
+                    b2_loc,
+                )
+            if added2 or removed2:
+                in_paths += versions._resolve_names(
+                    spark, base, sorted(old_names), f"v{base_v}", base_loc
+                )
         small = _total_bytes(spark, in_paths) <= dml._DRIVER_REWRITE_MAX_BYTES
     except Exception:
         small = False
@@ -820,7 +1037,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             *comp_names,
         )
 
-    if has_minmax and removed_names:
+    if has_minmax and removed_any:
         # Hybrid: net out the rewrite noise first, so "affected" means
         # groups that truly lost rows — a point delete inside a
         # million-row file affects one group, not every group the
@@ -846,7 +1063,11 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 cond = c if cond is None else cond & c
             return left.join(right, cond, how)
 
-        cur_base = versions.read_version(spark, base, cur_v, base_loc)
+        if is_join:
+            a_cur = versions.read_version(spark, base, cur_v, base_loc)
+            cur_base = a_cur.join(b_cur, a_cur[onl] == b_cur[onr])
+        else:
+            cur_base = versions.read_version(spark, base, cur_v, base_loc)
         if shape["pred"]:
             cur_base = cur_base.filter(F.expr(shape["pred"]))
         rec_aggs = [
@@ -888,7 +1109,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             rec_combined
         )
     else:
-        weighted = bool(removed_names)
+        weighted = removed_any
         delta_src = ins.withColumn("_swl_w", F.lit(1))
         if dl is not None:
             delta_src = delta_src.unionByName(
@@ -913,7 +1134,9 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
 
     state_names = gl + [c for c in combined.columns if c.startswith("__swl_")]
     view_order = [f.name for f in view_fields]
-    n = len(added_names) + len(removed_names)
+    n = (
+        len(added_names) + len(removed_names) + len(added2) + len(removed2)
+    )
     with dml.table_write_lock(spark, name, loc=view_loc):
         # Ordering: both the merged view and the next state read the
         # OLD view + OLD state files, so (1) write the new state to its
@@ -938,7 +1161,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 if maintain_state:
                     state_published = _write_arrow_dir(
                         spark,
-                        _state_path(spark, name, cur_v, view_loc),
+                        _state_path(spark, name, key_new, view_loc),
                         tbl.select(state_names),
                     )
                 if not maintain_state or state_published:
@@ -961,7 +1184,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 spark,
                 name,
                 combined.select(*state_names),
-                cur_v,
+                key_new,
                 sweep=False,
                 driver_ok=small,
                 loc=view_loc,
@@ -974,14 +1197,20 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 None,
                 loc=view_loc,
             )
+        stamp_extra = (
+            {"base2_table": base2, "base2_version": cur_v2}
+            if is_join
+            else {}
+        )
         _write_sidecar(
-            spark, name, q, base_table=base, base_version=cur_v
+            spark, name, q, base_table=base, base_version=cur_v,
+            **stamp_extra,
         )
         versions.record_version(
             spark, name, "matview_refresh_incremental", loc=view_loc
         )
         if maintain_state:
-            _sweep_state(spark, name, cur_v, view_loc)
+            _sweep_state(spark, name, key_new, view_loc)
     return n
 
 
@@ -1014,7 +1243,7 @@ def create(
     from swanlake_spark import versions
 
     if stamp:
-        _publish_state(spark, name, state, stamp["base_version"])
+        _publish_state(spark, name, state, _stamp_state_key(stamp))
     if stamp and not pinned:
         # unpinnable (db-qualified base): the live reads (view AND
         # state, just executed) may have seen an append newer than the
@@ -1023,9 +1252,7 @@ def create(
         # INCREMENTAL demands a full refresh; never double-count). The
         # orphaned state dir is harmless — unused without a stamp,
         # swept at the next stamped publish.
-        if versions.current_version(spark, stamp["base_table"]) != stamp[
-            "base_version"
-        ]:
+        if not _stamp_still_current(spark, stamp):
             stamp = {}
     _write_sidecar(spark, name, query, **stamp)
     versions.record_version(spark, name, "matview_create")
@@ -1128,7 +1355,7 @@ def refresh(
                         state_published = _write_arrow_dir(
                             spark,
                             _state_path(
-                                spark, name, stamp["base_version"]
+                                spark, name, _stamp_state_key(stamp)
                             ),
                             tbl.select(bare_groups + state_names),
                         )
@@ -1152,17 +1379,15 @@ def refresh(
                 dml._overwrite(spark, name, new_df, None)
             if stamp and not state_published:
                 _publish_state(
-                    spark, name, state, stamp["base_version"],
+                    spark, name, state, _stamp_state_key(stamp),
                     driver_ok=small,
                 )
             elif stamp and state_published:
-                _sweep_state(spark, name, stamp["base_version"])
+                _sweep_state(spark, name, _stamp_state_key(stamp))
             if stamp and not pinned:
                 # unpinnable (db-qualified base): keep the stamp only
                 # if no base publish landed across materialization
-                if versions.current_version(
-                    spark, stamp["base_table"]
-                ) != stamp["base_version"]:
+                if not _stamp_still_current(spark, stamp):
                     stamp = {}
             # A static INSERT OVERWRITE of a partitioned view clears the
             # table root (sidecar included); re-write it so the

@@ -710,3 +710,174 @@ class TestIncrementalAfterExpire:
             assert got == {("d1", 2, 30.0), ("d2", 1, 5.0), ("d3", 2, 5.0)}
         finally:
             matview.drop(spark, "mv_exp")
+
+
+class TestMatviewJoinIncremental:
+    """r7: incremental maintenance for two-table equi-join views via
+    the bilinear delta A2⋈B2 − A1⋈B1 = ΔA⋈B2 + A1⋈ΔB (matview.py
+    _INC_JOIN_RE section). Every result is compared against a full
+    recompute of the defining query."""
+
+    def _full(self, spark, q):
+        return {tuple(r) for r in spark.sql(q).collect()}
+
+    def _check(self, spark, eng, name, q):
+        eng.execute(f"REFRESH MATERIALIZED VIEW {name} INCREMENTAL")
+        assert {
+            tuple(r) for r in spark.table(name).collect()
+        } == self._full(spark, q)
+
+    @pytest.fixture()
+    def jsrc(self, spark, eng):
+        floc = tempfile.mkdtemp(prefix="swl_mvjf_")
+        dloc = tempfile.mkdtemp(prefix="swl_mvjd_")
+        spark.sql(
+            f"CREATE TABLE mv_jf (fid INT, amt DOUBLE, fdk INT) "
+            f"USING parquet LOCATION '{floc}'"
+        )
+        spark.sql(
+            f"CREATE TABLE mv_jd (dk INT, dname STRING) "
+            f"USING parquet LOCATION '{dloc}'"
+        )
+        eng.execute(
+            "INSERT INTO mv_jf VALUES (1, 10.0, 1), (2, 20.0, 1), "
+            "(3, 5.0, 2), (4, 7.0, 3)"  # fdk=3 dangling until dim grows
+        )
+        eng.execute("INSERT INTO mv_jd VALUES (1, 'alpha'), (2, 'beta')")
+        yield
+        spark.sql("DROP TABLE IF EXISTS mv_jf")
+        spark.sql("DROP TABLE IF EXISTS mv_jd")
+
+    Q = ("SELECT dname, count(*) AS n, sum(amt) AS total, "
+         "avg(amt) AS mean FROM mv_jf JOIN mv_jd ON fdk = dk "
+         "GROUP BY dname")
+
+    def test_fact_appends_fold(self, spark, eng, jsrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j1 AS {self.Q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_jf VALUES (5, 40.0, 2), (6, 1.0, 1)"
+            )
+            n = eng.query(
+                "REFRESH MATERIALIZED VIEW mv_j1 INCREMENTAL"
+            ).affected_rows
+            assert n >= 1
+            assert {
+                tuple(r) for r in spark.table("mv_j1").collect()
+            } == self._full(spark, self.Q)
+            # second append round, then a no-op round
+            eng.execute("INSERT INTO mv_jf VALUES (7, 2.5, 1)")
+            self._check(spark, eng, "mv_j1", self.Q)
+            assert eng.query(
+                "REFRESH MATERIALIZED VIEW mv_j1 INCREMENTAL"
+            ).affected_rows == 0
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j1")
+
+    def test_dim_append_matches_dangling_facts(self, spark, eng, jsrc):
+        # fdk=3 rows join nothing until the dim gains dk=3 — the
+        # A1⋈ΔB term must surface them
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j2 AS {self.Q}")
+        try:
+            eng.execute("INSERT INTO mv_jd VALUES (3, 'gamma')")
+            self._check(spark, eng, "mv_j2", self.Q)
+            assert ("gamma", 1, 7.0, 7.0) in {
+                tuple(r) for r in spark.table("mv_j2").collect()
+            }
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j2")
+
+    def test_both_sides_change_in_one_refresh(self, spark, eng, jsrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j3 AS {self.Q}")
+        try:
+            eng.execute("INSERT INTO mv_jf VALUES (8, 9.0, 3)")
+            eng.execute("INSERT INTO mv_jd VALUES (3, 'gamma')")
+            # ΔA⋈B2 counts the new fact against the new dim row (the
+            # cross term), A1⋈ΔB picks up the old dangling fdk=3 fact
+            self._check(spark, eng, "mv_j3", self.Q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j3")
+
+    def test_fact_update_delete_differential(self, spark, eng, jsrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j4 AS {self.Q}")
+        try:
+            eng.execute_update("UPDATE mv_jf SET amt = 11.0 WHERE fid = 1")
+            self._check(spark, eng, "mv_j4", self.Q)
+            eng.execute_update("DELETE FROM mv_jf WHERE fid = 3")
+            # beta's last member leaves: the group must retire
+            self._check(spark, eng, "mv_j4", self.Q)
+            assert "beta" not in {
+                r["dname"] for r in spark.table("mv_j4").collect()
+            }
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j4")
+
+    def test_dim_rewrite_moves_groups(self, spark, eng, jsrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j5 AS {self.Q}")
+        try:
+            # rename a dim value: every alpha row must migrate to the
+            # renamed group via delete(old pair) + insert(new pair)
+            eng.execute_update(
+                "UPDATE mv_jd SET dname = 'alpha2' WHERE dk = 1"
+            )
+            self._check(spark, eng, "mv_j5", self.Q)
+            names = {r["dname"] for r in spark.table("mv_j5").collect()}
+            assert "alpha2" in names and "alpha" not in names
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j5")
+
+    def test_minmax_join_hybrid(self, spark, eng, jsrc):
+        q = ("SELECT dname, count(*) AS n, min(amt) AS lo, "
+             "max(amt) AS hi FROM mv_jf JOIN mv_jd ON fdk = dk "
+             "GROUP BY dname")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j6 AS {q}")
+        try:
+            eng.execute("INSERT INTO mv_jf VALUES (9, 50.0, 1)")
+            self._check(spark, eng, "mv_j6", q)
+            # delete the max of alpha: only a recompute can lower hi
+            eng.execute_update("DELETE FROM mv_jf WHERE fid = 9")
+            self._check(spark, eng, "mv_j6", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j6")
+
+    def test_where_pred_applies_to_join_delta(self, spark, eng, jsrc):
+        q = ("SELECT dname, sum(amt) AS total FROM mv_jf "
+             "JOIN mv_jd ON fdk = dk WHERE amt > 4.0 GROUP BY dname")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_j7 AS {q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_jf VALUES (10, 3.0, 1), (11, 30.0, 1)"
+            )
+            self._check(spark, eng, "mv_j7", q)  # 3.0 filtered from delta
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j7")
+
+    def test_ambiguous_columns_fall_back_to_full(self, spark, eng):
+        floc = tempfile.mkdtemp(prefix="swl_mvja_")
+        dloc = tempfile.mkdtemp(prefix="swl_mvjb_")
+        spark.sql(
+            f"CREATE TABLE mv_amb_a (k INT, v DOUBLE) "
+            f"USING parquet LOCATION '{floc}'"
+        )
+        spark.sql(
+            f"CREATE TABLE mv_amb_b (k2 INT, v STRING) "  # shared 'v'
+            f"USING parquet LOCATION '{dloc}'"
+        )
+        eng.execute("INSERT INTO mv_amb_a VALUES (1, 2.0)")
+        eng.execute("INSERT INTO mv_amb_b VALUES (1, 'x')")
+        eng.execute(
+            "CREATE MATERIALIZED VIEW mv_j8 AS "
+            "SELECT k, count(*) AS n FROM mv_amb_a "
+            "JOIN mv_amb_b ON k = k2 GROUP BY k"
+        )
+        try:
+            from swanlake_spark.errors import InvalidArgument
+
+            with pytest.raises(InvalidArgument, match="full REFRESH"):
+                eng.execute("REFRESH MATERIALIZED VIEW mv_j8 INCREMENTAL")
+            # the full path still works
+            eng.execute("REFRESH MATERIALIZED VIEW mv_j8")
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_j8")
+            spark.sql("DROP TABLE IF EXISTS mv_amb_a")
+            spark.sql("DROP TABLE IF EXISTS mv_amb_b")
