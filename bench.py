@@ -431,6 +431,67 @@ def main() -> None:
 
     suite["matview_differential_refresh"] = _MatviewDifferential
 
+    # Join matview maintenance (r7): each measured run appends a fact
+    # batch and folds it via the bilinear delta ΔA⋈B2 — the appended
+    # files broadcast-join the dim snapshot, so refresh cost tracks the
+    # delta + dim, never the 200k-row fact base.
+    class _MatviewJoinIncremental:
+        _eng = None
+        _k = 0
+
+        @classmethod
+        def build(cls, spark, sf_dir):
+            import tempfile as _tf
+
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.engine import Engine
+
+            if cls._eng is None:
+                from swanlake_spark import matview
+
+                cls._eng = Engine(spark=spark)
+                cls._eng.execute(
+                    f"CREATE TABLE bench_mvj_f (fk BIGINT, amt DOUBLE, "
+                    f"dk BIGINT) USING parquet LOCATION "
+                    f"'{_tf.mkdtemp(prefix='swl_bench_mvjf_')}'"
+                )
+                cls._eng.execute(
+                    f"CREATE TABLE bench_mvj_d (dkey BIGINT, grp STRING) "
+                    f"USING parquet LOCATION "
+                    f"'{_tf.mkdtemp(prefix='swl_bench_mvjd_')}'"
+                )
+                cls._eng.execute(
+                    "INSERT INTO bench_mvj_f "
+                    "SELECT id, id * 1.0, id % 1000 FROM RANGE(200000) t(id)"
+                )
+                cls._eng.execute(
+                    "INSERT INTO bench_mvj_d "
+                    "SELECT id, concat('g', id % 30) FROM RANGE(1000) t(id)"
+                )
+                matview.create(
+                    spark,
+                    "bench_mvj",
+                    "SELECT grp, count(*) AS n, sum(amt) AS total "
+                    "FROM bench_mvj_f JOIN bench_mvj_d ON dk = dkey "
+                    "GROUP BY grp",
+                    location=_tf.mkdtemp(prefix="swl_bench_mvj_v_"),
+                )
+            cls._k += 1
+            cls._eng.execute(
+                f"INSERT INTO bench_mvj_f "
+                f"SELECT /*+ REPARTITION(1) */ id, {cls._k}.0, id % 1000 "
+                f"FROM RANGE(5000) t(id)"
+            )
+            cls._eng.execute(
+                "REFRESH MATERIALIZED VIEW bench_mvj INCREMENTAL"
+            )
+            return spark.table("bench_mvj").groupBy().agg(
+                F.count("*").alias("g"), F.sum("n").alias("rows")
+            )
+
+    suite["matview_join_incremental"] = _MatviewJoinIncremental
+
     # Snapshot change feed (r6): each measured run point-UPDATEs one
     # row and reads table_changes across that commit — the manifests
     # diff driver-side and only the two changed files are scanned, so

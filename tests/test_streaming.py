@@ -835,6 +835,72 @@ class TestStreamingMatview:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {base}")
 
+    def test_join_view_streamed_maintenance(self, spark, engine, event_dir):
+        # r7: refresh_incremental handles two-table equi-join views, so
+        # the streamed maintainer gets fact-stream⋈dim rollups for free
+        # — each batch's appended files broadcast-join the dim snapshot
+        # (the ΔA⋈B2 term; the dim is static here, so A1⋈ΔB never runs)
+        import tempfile
+
+        from swanlake_spark import matview
+        from swanlake_spark.streaming import maintain_matview_stream
+
+        base = "smv_base_join"
+        view = "smv_view_join"
+        loc = tempfile.mkdtemp(prefix="swl_smvj_")
+        dloc = tempfile.mkdtemp(prefix="swl_smvj_d_")
+        spark.sql(
+            f"CREATE TABLE {base} (event_id BIGINT, ts TIMESTAMP, "
+            f"user_id BIGINT, event_type STRING, value DOUBLE, "
+            f"props STRING) USING parquet LOCATION '{loc}'"
+        )
+        spark.sql(
+            f"CREATE TABLE smv_dim_join (et STRING, category STRING) "
+            f"USING parquet LOCATION '{dloc}'"
+        )
+        engine.execute(
+            "INSERT INTO smv_dim_join VALUES ('click', 'engage'), "
+            "('view', 'engage'), ('purchase', 'convert')"
+        )
+        engine.execute(
+            f"INSERT INTO {base} VALUES "
+            f"(1000001, TIMESTAMP '2025-01-01 00:00:00', 1, 'click', "
+            f"1.0, '{{}}')"
+        )
+        q_def = (
+            f"SELECT category, count(*) AS n, sum(value) AS total "
+            f"FROM {base} JOIN smv_dim_join ON event_type = et "
+            f"GROUP BY category"
+        )
+        matview.create(
+            spark, view, q_def,
+            location=tempfile.mkdtemp(prefix="swl_smvj_v_"),
+        )
+        try:
+            _write_events(event_dir, "jwave2.json", range(500, 560))
+            _write_events(event_dir, "jwave3.json", range(600, 630))
+            events = stream_events_from_directory(
+                spark, event_dir, max_files_per_trigger=1
+            )
+            q = maintain_matview_stream(
+                events, base, view, tempfile.mkdtemp(prefix="swl_smvj_ck_")
+            )
+            assert q.awaitTermination(180)
+            spark.catalog.refreshTable(base)
+            spark.catalog.refreshTable(view)
+            got = {
+                (r.category, r.n, round(r.total, 6))
+                for r in spark.table(view).collect()
+            }
+            assert got == {
+                (r.category, r.n, round(r.total, 6))
+                for r in spark.sql(q_def).collect()
+            }
+            assert matview.refresh_incremental(spark, view) == 0
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {base}")
+            spark.sql("DROP TABLE IF EXISTS smv_dim_join")
+
     def test_skipped_refresh_self_heals(self, spark, engine, event_dir):
         import tempfile
 
