@@ -1210,6 +1210,44 @@ _add(
     """,
 )
 
+def _q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT relational surface (r7): the SQL-standard bracketed form
+    ``FROM t PIVOT (agg FOR col IN (...))`` parses identically in Spark
+    and DuckDB with identical output column naming, so the statement
+    passes through the engine untranslated — a dialect row verified by
+    equality, not a shim. Reference: DuckDB PIVOT (the reference
+    delegates its relational surface to DuckDB; SURVEY §2.3)."""
+    ensure_tables(spark, sf_dir)
+    return spark.sql(_PIVOT_SQL)
+
+
+_PIVOT_SQL = """
+    SELECT * FROM (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+    ) PIVOT (count(*) FOR st IN ('F' AS f_cnt, 'O' AS o_cnt, 'P' AS p_cnt))
+    ORDER BY pri
+"""
+
+_add("q51_pivot", _q51_pivot, _PIVOT_SQL)
+
+
+def _q52_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT relational surface (r7): ``UNPIVOT (val FOR name IN
+    (cols))`` — same dialect-common pass-through as q51_pivot."""
+    ensure_tables(spark, sf_dir)
+    return spark.sql(_UNPIVOT_SQL)
+
+
+_UNPIVOT_SQL = """
+    SELECT k, metric, val FROM (
+      SELECT l_linestatus AS k, round(sum(l_quantity), 2) AS qty,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM lineitem GROUP BY l_linestatus
+    ) UNPIVOT (val FOR metric IN (qty, cnt)) ORDER BY k, metric
+"""
+
+_add("q52_unpivot", _q52_unpivot, _UNPIVOT_SQL)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
