@@ -110,7 +110,7 @@ def _write_sidecar(
 # that truly lost rows recompute from the current base snapshot while
 # every other group still merges incrementally (refresh_incremental).
 
-_MERGEABLE_AGGS = ("count", "sum", "min", "max", "avg")
+_MERGEABLE_AGGS = ("count", "sum", "min", "max", "avg", "approx_count_distinct")
 
 _INC_VIEW_RE = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[\w.`\"]+)\s*"
@@ -134,7 +134,8 @@ _INC_JOIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _AGG_ITEM_RE = re.compile(
-    r"^\s*(?P<fn>count|sum|min|max|avg)\s*\((?P<arg>.+)\)\s+AS\s+"
+    r"^\s*(?P<fn>approx_count_distinct|count|sum|min|max|avg)\s*"
+    r"\((?P<arg>.+)\)\s+AS\s+"
     r"(?P<alias>[\w`\"]+)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -358,7 +359,11 @@ def _materialize(
         df = spark.sql(q)
         if not shape:
             return df, None, None
-        items = [shape["items"]]
+        items = [
+            _rewrite_acd_items(shape)
+            if _acd_specs(shape)
+            else shape["items"]
+        ]
         state_names = []
         for expr, alias in _state_specs(shape):
             items.append(f"{expr} AS `{alias}`")
@@ -428,6 +433,51 @@ def _avg_specs(shape: dict) -> list[tuple[str, str]]:
     return [(arg, a) for fn, arg, a in shape["aggs"] if fn == "avg"]
 
 
+def _acd_specs(shape: dict) -> list[tuple[str, str]]:
+    """approx_count_distinct aggregates (r7): maintained through a
+    mergeable DataSketches HLL state column. HLL registers are
+    per-item maxima, so sketch union is exactly order- and
+    partition-independent: estimate(union of delta sketches) is
+    BIT-IDENTICAL to estimate(sketch of the full base) — incremental
+    and full refresh can never drift (verified by the parity tests).
+    The defining query's ``approx_count_distinct`` is translated to
+    ``hll_sketch_estimate(hll_sketch_agg(...))`` at materialize time so
+    the ESTIMATOR is the same on every path (Spark's native
+    approx_count_distinct is a different HLL++ implementation whose
+    estimates differ from DataSketches')."""
+    return [
+        (arg, a)
+        for fn, arg, a in shape["aggs"]
+        if fn == "approx_count_distinct"
+    ]
+
+
+def _acd_view_expr(arg: str) -> str:
+    """The view-column expression for an approx_count_distinct item —
+    coalesce keeps the SQL convention that a group with only NULL
+    arguments counts 0 distinct values (a NULL sketch estimates
+    NULL)."""
+    return (
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({arg})), 0)"
+    )
+
+
+def _rewrite_acd_items(shape: dict) -> str:
+    """The defining query's item list with every approx_count_distinct
+    replaced by its DataSketches twin (column order preserved)."""
+    out = []
+    for item in _split_depth0(shape["items"]):
+        am = _AGG_ITEM_RE.match(item)
+        if am and am.group("fn").lower() == "approx_count_distinct":
+            out.append(
+                f'{_acd_view_expr(am.group("arg").strip())} '
+                f'AS {am.group("alias")}'
+            )
+        else:
+            out.append(item.strip())
+    return ", ".join(out)
+
+
 def _state_path(
     spark: SparkSession,
     name: str,
@@ -458,6 +508,10 @@ def _state_specs(shape: dict) -> list[tuple[str, str]]:
             specs.append((f"count({arg})", f"__swl_cnt__{alias}"))
         elif fn == "sum":
             specs.append((f"count({arg})", f"__swl_cnt__{alias}"))
+        elif fn == "approx_count_distinct":
+            specs.append(
+                (f"hll_sketch_agg({arg})", f"__swl_hll__{alias}")
+            )
     return specs
 
 
@@ -625,6 +679,16 @@ def _delta_agg(delta, shape: dict, weighted: bool, state_mode: str):
                 f"sum({_wcount(arg)})" if weighted else f"count({arg})"
             ).alias(f"__swl_cnt__{alias}"))
             continue
+        if fn == "approx_count_distinct":
+            # append-only by construction (removals route through the
+            # recompute path — HLL can't subtract); the delta is just
+            # the mergeable sketch, the estimate derives at merge time
+            exprs.append(
+                F.expr(f"hll_sketch_agg({arg})").alias(
+                    f"__swl_hll__{alias}"
+                )
+            )
+            continue
         if fn == "count":
             e = f"sum({_wcount(arg)})" if weighted else f"count({arg})"
         elif fn == "sum":
@@ -685,6 +749,15 @@ def _merge_exprs(
             state_cols.append(
                 cnt_t.cast("long").alias(f"__swl_cnt__{alias}")
             )
+        elif fn == "approx_count_distinct":
+            ho, hd = o[f"__swl_hll__{alias}"], d[f"__swl_hll__{alias}"]
+            sk = (
+                F.when(ho.isNull(), hd)
+                .when(hd.isNull(), ho)
+                .otherwise(F.hll_union(ho, hd))
+            )
+            e = F.coalesce(F.hll_sketch_estimate(sk), F.lit(0))
+            state_cols.append(sk.alias(f"__swl_hll__{alias}"))
         elif fn == "count":
             e = F.coalesce(o[alias], F.lit(0)) + F.coalesce(d[alias], F.lit(0))
         elif fn == "sum":
@@ -864,7 +937,14 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     key_new = f"{cur_v}_{cur_v2}" if is_join else cur_v
     gl = [g for g in shape["groups"]]
     avgs = _avg_specs(shape)
-    has_minmax = any(fn in ("min", "max") for fn, _, _ in shape["aggs"])
+    acds = _acd_specs(shape)
+    # aggregates whose deletes aren't invertible: min/max (no inverse
+    # for extrema) and approx_count_distinct (HLL registers are maxima
+    # — no subtraction); removals route their affected groups through
+    # the recompute path
+    has_minmax = bool(acds) or any(
+        fn in ("min", "max") for fn, _, _ in shape["aggs"]
+    )
 
     # merge state for the stamped snapshot (see _state_specs): absent
     # for views untouched since before state support; avg-components
@@ -876,11 +956,11 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     state_mode = "none"
     if s is not None:
         state_mode = "full" if "__swl_rows" in s.columns else "legacy"
-    if avgs and s is None:
+    if (avgs or acds) and s is None:
         raise InvalidArgument(
-            f"{name} has avg aggregates but no merge state for base "
-            f"snapshot v{key_old} (view predates avg support or state "
-            f"was removed); run a full REFRESH"
+            f"{name} has avg/approx_count_distinct aggregates but no "
+            f"merge state for base snapshot v{key_old} (view predates "
+            f"state support or state was removed); run a full REFRESH"
         )
     if removed_any and state_mode != "full":
         raise InvalidArgument(
@@ -1071,7 +1151,11 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         if shape["pred"]:
             cur_base = cur_base.filter(F.expr(shape["pred"]))
         rec_aggs = [
-            F.expr(f"{fn}({arg})").alias(alias)
+            F.expr(
+                _acd_view_expr(arg)
+                if fn == "approx_count_distinct"
+                else f"{fn}({arg})"
+            ).alias(alias)
             for fn, arg, alias in shape["aggs"]
         ]
         rec_state = [

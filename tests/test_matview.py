@@ -881,3 +881,143 @@ class TestMatviewJoinIncremental:
             eng.execute("DROP MATERIALIZED VIEW mv_j8")
             spark.sql("DROP TABLE IF EXISTS mv_amb_a")
             spark.sql("DROP TABLE IF EXISTS mv_amb_b")
+
+
+class TestMatviewApproxCountDistinct:
+    """r7: approx_count_distinct maintained through a mergeable
+    DataSketches HLL state column (matview._acd_specs). HLL registers
+    are per-item maxima, so union is exactly partition/order
+    independent — incremental and full refresh produce bit-identical
+    estimates. At the small cardinalities here the sketch is exact, so
+    parity against a plain recompute also holds; the large-cardinality
+    test pins incremental == translated-full instead."""
+
+    def _full(self, spark, q):
+        return {tuple(r) for r in spark.sql(q).collect()}
+
+    def _check(self, spark, eng, name, q):
+        eng.execute(f"REFRESH MATERIALIZED VIEW {name} INCREMENTAL")
+        assert {
+            tuple(r) for r in spark.table(name).collect()
+        } == self._full(spark, q)
+
+    def test_acd_appends_fold(self, spark, eng, src):
+        q = ("SELECT day, approx_count_distinct(id) AS u, "
+             "count(*) AS n FROM mv_src GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_acd AS {q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_src VALUES (4, 40.0, 'd1'), "
+                "(4, 41.0, 'd1'), (5, 1.0, 'd3')"  # dup id in d1
+            )
+            self._check(spark, eng, "mv_acd", q)
+            eng.execute("INSERT INTO mv_src VALUES (6, 2.0, 'd3')")
+            self._check(spark, eng, "mv_acd", q)
+            assert eng.query(
+                "REFRESH MATERIALIZED VIEW mv_acd INCREMENTAL"
+            ).affected_rows == 0
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_acd")
+
+    def test_acd_deletes_route_through_recompute(self, spark, eng, src):
+        q = ("SELECT day, approx_count_distinct(id) AS u "
+             "FROM mv_src GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_acdd AS {q}")
+        try:
+            eng.execute("INSERT INTO mv_src VALUES (9, 9.0, 'd1')")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_acdd INCREMENTAL")
+            # removing a distinct member must LOWER the estimate — only
+            # the recompute path can do that for a sketch
+            eng.execute_update("DELETE FROM mv_src WHERE id = 9")
+            self._check(spark, eng, "mv_acdd", q)
+            # retire a whole group
+            eng.execute_update("DELETE FROM mv_src WHERE day = 'd2'")
+            self._check(spark, eng, "mv_acdd", q)
+            assert "d2" not in {
+                r["day"] for r in spark.table("mv_acdd").collect()
+            }
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_acdd")
+
+    def test_acd_composes_with_avg_and_minmax(self, spark, eng, src):
+        q = ("SELECT day, approx_count_distinct(id) AS u, "
+             "avg(amt) AS mean, max(amt) AS hi FROM mv_src GROUP BY day")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_acdc AS {q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_src VALUES (7, 70.0, 'd2'), (8, 0.5, 'd2')"
+            )
+            self._check(spark, eng, "mv_acdc", q)
+            eng.execute_update("UPDATE mv_src SET amt = 7.5 WHERE id = 7")
+            self._check(spark, eng, "mv_acdc", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_acdc")
+
+    def test_acd_on_join_view(self, spark, eng):
+        import tempfile as _tf
+
+        floc = _tf.mkdtemp(prefix="swl_mvaf_")
+        dloc = _tf.mkdtemp(prefix="swl_mvad_")
+        spark.sql(
+            f"CREATE TABLE mv_acd_f (uid INT, dk INT) "
+            f"USING parquet LOCATION '{floc}'"
+        )
+        spark.sql(
+            f"CREATE TABLE mv_acd_d (dkey INT, grp STRING) "
+            f"USING parquet LOCATION '{dloc}'"
+        )
+        eng.execute(
+            "INSERT INTO mv_acd_f VALUES (1, 1), (2, 1), (2, 2), (3, 2)"
+        )
+        eng.execute("INSERT INTO mv_acd_d VALUES (1, 'g1'), (2, 'g2')")
+        q = ("SELECT grp, approx_count_distinct(uid) AS u "
+             "FROM mv_acd_f JOIN mv_acd_d ON dk = dkey GROUP BY grp")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_acdj AS {q}")
+        try:
+            eng.execute("INSERT INTO mv_acd_f VALUES (4, 1), (2, 1)")
+            self._check(spark, eng, "mv_acdj", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_acdj")
+            spark.sql("DROP TABLE IF EXISTS mv_acd_f")
+            spark.sql("DROP TABLE IF EXISTS mv_acd_d")
+
+    def test_acd_large_cardinality_incremental_equals_full(
+        self, spark, eng
+    ):
+        # beyond sketch exactness (~100k distinct): the incremental
+        # fold must equal the TRANSLATED full recompute bit-for-bit
+        # (union of register maxima == registers of the full scan)
+        import tempfile as _tf
+
+        loc = _tf.mkdtemp(prefix="swl_mval_")
+        spark.sql(
+            f"CREATE TABLE mv_acd_big (k STRING, v BIGINT) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        eng.execute(
+            "INSERT INTO mv_acd_big "
+            "SELECT concat('k', id % 3), id FROM RANGE(100000) t(id)"
+        )
+        q = ("SELECT k, approx_count_distinct(v) AS u "
+             "FROM mv_acd_big GROUP BY k")
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_acdl AS {q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_acd_big "
+                "SELECT concat('k', id % 3), id "
+                "FROM RANGE(50000, 130000) t(id)"
+            )
+            eng.execute("REFRESH MATERIALIZED VIEW mv_acdl INCREMENTAL")
+            translated = {
+                tuple(r)
+                for r in spark.sql(
+                    "SELECT k, coalesce(hll_sketch_estimate("
+                    "hll_sketch_agg(v)), 0) AS u "
+                    "FROM mv_acd_big GROUP BY k"
+                ).collect()
+            }
+            got = {tuple(r) for r in spark.table("mv_acdl").collect()}
+            assert got == translated
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_acdl")
+            spark.sql("DROP TABLE IF EXISTS mv_acd_big")
