@@ -118,20 +118,33 @@ _INC_VIEW_RE = re.compile(
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-# Two-table equi-join shape (r7): SELECT <items> FROM A JOIN B ON x = y
-# [WHERE p] GROUP BY <cols>. Maintained via the classic bilinear delta
-# (Griffin/Libkin; Gupta/Mumick): A2⋈B2 − A1⋈B1 = ΔA⋈B2 + A1⋈ΔB, so
-# the signed join delta feeds the SAME counting-algorithm aggregation
-# the single-table path uses. ON columns must be bare identifiers and
-# the two tables' column sets must be disjoint (checked at stamp time —
-# ambiguous definitions fall back to full refresh).
+# Equi-join chain shape (r7): SELECT <items> FROM T0 JOIN T1 ON x = y
+# [JOIN T2 ON ...]* [WHERE p] GROUP BY <cols>. Maintained via the
+# multilinear telescoping delta (Griffin/Libkin; Gupta/Mumick),
+# generalizing the two-table bilinear identity A2⋈B2 − A1⋈B1 =
+# ΔA⋈B2 + A1⋈ΔB to n tables:
+#
+#   V2 − V1 = Σ_i  T0@old ⋈ … ⋈ T(i-1)@old ⋈ ΔTi ⋈ T(i+1)@new ⋈ … ⋈ Tn@new
+#
+# (each cross term between two deltas rides exactly once inside the
+# earlier-indexed term). The signed join delta feeds the SAME
+# counting-algorithm aggregation the single-table path uses. ON columns
+# must be bare identifiers, every ON must link the joined table to some
+# earlier table in the chain, and all tables' column sets must be
+# pairwise disjoint (checked at stamp time — ambiguous definitions fall
+# back to full refresh).
 _INC_JOIN_RE = re.compile(
-    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[\w.`\"]+)\s+"
-    r"(?:INNER\s+)?JOIN\s+(?P<table2>[\w.`\"]+)\s+ON\s+"
-    r"(?P<lon>[\w`\"]+)\s*=\s*(?P<ron>[\w`\"]+)\s*"
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<from>[\w.`\"]+"
+    r"(?:\s+(?:INNER\s+)?JOIN\s+[\w.`\"]+\s+ON\s+"
+    r"[\w`\"]+\s*=\s*[\w`\"]+)+)\s+"
     r"(?:WHERE\s+(?P<pred>.+?)\s*)?GROUP\s+BY\s+(?P<groups>[\w.`\",\s]+?)"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_JOIN_SEG_RE = re.compile(
+    r"\s+(?:INNER\s+)?JOIN\s+(?P<table>[\w.`\"]+)\s+ON\s+"
+    r"(?P<lon>[\w`\"]+)\s*=\s*(?P<ron>[\w`\"]+)",
+    re.IGNORECASE,
 )
 _AGG_ITEM_RE = re.compile(
     r"^\s*(?P<fn>approx_count_distinct|count|sum|min|max|avg)\s*"
@@ -181,16 +194,18 @@ def _split_depth0(body: str) -> list[str]:
 def parse_incremental(query: str) -> dict | None:
     """Decompose a defining query into the shape incremental refresh
     can maintain: ``SELECT <group cols + mergeable aggs> FROM t [WHERE
-    p] GROUP BY <cols>`` — single-table, or (r7) a two-table equi-join
-    ``FROM a JOIN b ON x = y`` with bare unqualified ON columns — aggs
-    in count/sum/min/max/avg (avg decomposes into a sum+count merge
-    carried in the hidden state sidecar), every agg aliased, group
-    items bare identifiers, and the predicate + agg arguments pure row
-    functions (no subqueries, no non-deterministic functions — see
-    ``_impure``). Returns ``{base, pred, groups, aggs: [(fn, arg,
-    alias)], items, groups_raw}`` (+ ``base2``/``on_l``/``on_r``/
-    ``from_sql`` for the join shape) or None when the query is outside
-    the supported shape (caller falls back loudly to full refresh)."""
+    p] GROUP BY <cols>`` — single-table, or (r7) an equi-join chain
+    ``FROM t0 JOIN t1 ON x = y [JOIN t2 ON ...]*`` with bare
+    unqualified ON columns — aggs in count/sum/min/max/avg (avg
+    decomposes into a sum+count merge carried in the hidden state
+    sidecar), every agg aliased, group items bare identifiers, and the
+    predicate + agg arguments pure row functions (no subqueries, no
+    non-deterministic functions — see ``_impure``). Returns ``{base,
+    pred, groups, aggs: [(fn, arg, alias)], items, groups_raw}`` (+
+    ``joins: [{table, on_l, on_r}]``/``from_sql`` for join shapes, and
+    legacy ``base2``/``on_l``/``on_r`` when the chain is exactly two
+    tables) or None when the query is outside the supported shape
+    (caller falls back loudly to full refresh)."""
     m = _INC_VIEW_RE.match(query)
     mj = None if m else _INC_JOIN_RE.match(query)
     if mj is not None:
@@ -235,7 +250,6 @@ def parse_incremental(query: str) -> dict | None:
         if _impure(arg):
             return None
     out = {
-        "base": m.group("table").strip('`"'),
         "pred": pred,
         "groups": groups,
         "aggs": aggs,
@@ -244,22 +258,36 @@ def parse_incremental(query: str) -> dict | None:
         "items": m.group("items"),
         "groups_raw": m.group("groups").strip(),
     }
-    if mj is not None:
-        on_l = mj.group("lon").strip('`"')
-        on_r = mj.group("ron").strip('`"')
+    if mj is None:
+        out["base"] = m.group("table").strip('`"')
+        return out
+    from_txt = mj.group("from")
+    head = re.match(r"^\s*([\w.`\"]+)", from_txt).group(1)
+    out["base"] = head.strip('`"')
+    joins = []
+    for seg in _JOIN_SEG_RE.finditer(from_txt):
+        on_l = seg.group("lon").strip('`"')
+        on_r = seg.group("ron").strip('`"')
         # bare identifiers only, same rationale as group items: the
-        # delta evaluation joins two plain DataFrames whose column
+        # delta evaluation joins plain DataFrames whose column
         # namespaces are flat
         if not all(
             _IDENT_RE.match(c) and "." not in c for c in (on_l, on_r)
         ):
             return None
-        out["base2"] = mj.group("table2").strip('`"')
-        out["on_l"], out["on_r"] = on_l, on_r
-        out["from_sql"] = (
-            f'{mj.group("table")} JOIN {mj.group("table2")} '
-            f'ON {mj.group("lon")} = {mj.group("ron")}'
+        joins.append(
+            {
+                "table": seg.group("table").strip('`"'),
+                "on_l": on_l,
+                "on_r": on_r,
+            }
         )
+    out["joins"] = joins
+    out["from_sql"] = from_txt.strip()
+    if len(joins) == 1:
+        # legacy two-table fields (pre-n-ary sidecars / callers)
+        out["base2"] = joins[0]["table"]
+        out["on_l"], out["on_r"] = joins[0]["on_l"], joins[0]["on_r"]
     return out
 
 
@@ -280,29 +308,57 @@ def _base_stamp(spark: SparkSession, query: str) -> dict:
     v = versions.current_version(spark, shape["base"])
     if v == 0:
         return {}  # base not snapshot-tracked: no delta identity
-    if not shape.get("base2"):
+    if not shape.get("joins"):
         return {"base_table": shape["base"], "base_version": v}
-    v2 = versions.current_version(spark, shape["base2"])
-    if v2 == 0:
-        return {}
-    try:
-        c1 = {f.name.lower() for f in spark.table(shape["base"]).schema.fields}
-        c2 = {
-            f.name.lower() for f in spark.table(shape["base2"]).schema.fields
-        }
-    except Exception:  # noqa: BLE001 — unresolvable base: no stamp
-        return {}
-    if c1 & c2:
-        return {}
-    lon, ron = shape["on_l"].lower(), shape["on_r"].lower()
-    if not ((lon in c1 and ron in c2) or (lon in c2 and ron in c1)):
-        return {}
-    return {
-        "base_table": shape["base"],
-        "base_version": v,
-        "base2_table": shape["base2"],
-        "base2_version": v2,
+    tables = [shape["base"]] + [j["table"] for j in shape["joins"]]
+    vers = [v]
+    for t in tables[1:]:
+        tv = versions.current_version(spark, t)
+        if tv == 0:
+            return {}
+        vers.append(tv)
+    colsets: list[set[str]] = []
+    for t in tables:
+        try:
+            cols = {f.name.lower() for f in spark.table(t).schema.fields}
+        except Exception:  # noqa: BLE001 — unresolvable base: no stamp
+            return {}
+        if any(cols & prev for prev in colsets):
+            return {}  # shared column name: flat delta namespace ambiguous
+        colsets.append(cols)
+    # every ON must resolve one side in the joined table and the other
+    # in SOME earlier table of the chain (star schemas link each dim to
+    # the fact; snowflakes link dim-to-dim — both are chains here)
+    seen = set(colsets[0])
+    for i, j in enumerate(shape["joins"]):
+        lon, ron = j["on_l"].lower(), j["on_r"].lower()
+        tc = colsets[i + 1]
+        if not ((lon in seen and ron in tc) or (lon in tc and ron in seen)):
+            return {}
+        seen |= tc
+    stamp = {
+        "base_table": tables[0],
+        "base_version": vers[0],
+        "bases": [
+            {"table": t, "version": tv} for t, tv in zip(tables, vers)
+        ],
     }
+    if len(tables) == 2:  # legacy two-table fields for older readers
+        stamp["base2_table"] = tables[1]
+        stamp["base2_version"] = vers[1]
+    return stamp
+
+
+def _meta_bases(meta: dict) -> list[tuple[str, int]]:
+    """The (table, version) base list a sidecar/stamp records —
+    ``bases`` when present (n-ary join views), else reconstructed from
+    the legacy single/two-table fields."""
+    if meta.get("bases"):
+        return [(b["table"], b["version"]) for b in meta["bases"]]
+    out = [(meta["base_table"], meta["base_version"])]
+    if meta.get("base2_table"):
+        out.append((meta["base2_table"], meta["base2_version"]))
+    return out
 
 
 def _stamp_still_current(spark: SparkSession, stamp: dict) -> bool:
@@ -310,24 +366,20 @@ def _stamp_still_current(spark: SparkSession, stamp: dict) -> bool:
     the unpinned-materialization race check, per base."""
     from swanlake_spark import versions
 
-    if versions.current_version(spark, stamp["base_table"]) != stamp[
-        "base_version"
-    ]:
-        return False
-    if stamp.get("base2_table") and versions.current_version(
-        spark, stamp["base2_table"]
-    ) != stamp["base2_version"]:
-        return False
-    return True
+    return all(
+        versions.current_version(spark, t) == v
+        for t, v in _meta_bases(stamp)
+    )
 
 
 def _stamp_state_key(stamp: dict):
     """State-directory key for a stamp: the base version, or the
-    ``<v1>_<v2>`` composite for join views (both snapshots identify
-    the state)."""
-    if "base2_version" in stamp:
-        return f'{stamp["base_version"]}_{stamp["base2_version"]}'
-    return stamp["base_version"]
+    ``<v1>_<v2>[_<v3>...]`` composite for join views (every base
+    snapshot identifies the state)."""
+    bases = _meta_bases(stamp)
+    if len(bases) == 1:
+        return bases[0][1]
+    return "_".join(str(v) for _t, v in bases)
 
 
 def _materialize(
@@ -386,8 +438,7 @@ def _materialize(
     unpinnable = (
         not stamp
         or shape is None
-        or "." in stamp["base_table"]
-        or "." in stamp.get("base2_table", "")
+        or any("." in t for t, _v in _meta_bases(stamp))
     )
     if unpinnable:
         df, state, combined = _build(shape["base"] if shape else None)
@@ -395,9 +446,7 @@ def _materialize(
     from swanlake_spark import versions
 
     base = stamp["base_table"]
-    pins = [(base, stamp["base_version"])]
-    if stamp.get("base2_table"):
-        pins.append((stamp["base2_table"], stamp["base2_version"]))
+    pins = _meta_bases(stamp)
     for t, v in pins:
         versions.read_version(spark, t, v).createOrReplaceTempView(t)
     try:
@@ -886,12 +935,12 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             f"{name} has no recorded base snapshot (base table was not "
             f"snapshot-tracked at the last refresh); run a full REFRESH"
         )
-    is_join = bool(shape.get("base2"))
-    base2, base2_v = meta.get("base2_table"), meta.get("base2_version")
-    if is_join and (base2 is None or base2_v is None):
+    is_join = bool(shape.get("joins"))
+    stamped = _meta_bases(meta)
+    if is_join and len(stamped) != 1 + len(shape["joins"]):
         raise InvalidArgument(
             f"{name} is a join view without a recorded snapshot for "
-            f"both bases (created before join maintenance support, or "
+            f"every base (created before join maintenance support, or "
             f"the stamp was dropped — ambiguous columns / untracked "
             f"base); run a full REFRESH to establish it"
         )
@@ -899,7 +948,6 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     # state helper below takes the threaded location (the metadata tax
     # otherwise dominates a small refresh — measured ~0.7 s of DESCRIBE
     # + repeat resolution on a 30-group rollup)
-    base_loc = dml._table_location(spark, base)
     view_loc = dml._table_location(spark, name)
 
     def _snap_diff(tbl, stamped_v, loc):
@@ -922,19 +970,30 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         cur_n = set(versions.snapshot_file_names(spark, tbl, cur, loc))
         return cur, old_n, old_n - cur_n, cur_n - old_n
 
-    cur_v, old_names, removed_names, added_names = _snap_diff(
-        base, base_v, base_loc
-    )
-    b2_loc = cur_v2 = removed2 = added2 = None
-    if is_join:
-        b2_loc = dml._table_location(spark, base2)
-        cur_v2, _old2, removed2, added2 = _snap_diff(base2, base2_v, b2_loc)
-    removed2, added2 = removed2 or set(), added2 or set()
-    if not (removed_names or added_names or removed2 or added2):
+    # per-base snapshot state for the whole refresh: stamped version,
+    # current version, resolved location, old-snapshot names, and the
+    # removed/added file-name delta
+    tinfo: list[dict] = []
+    for tbl, sv in stamped:
+        loc = dml._table_location(spark, tbl)
+        cur, old_n, rem, add = _snap_diff(tbl, sv, loc)
+        tinfo.append(
+            dict(tbl=tbl, sv=sv, cur=cur, loc=loc, old=old_n,
+                 rem=rem, add=add)
+        )
+    t0 = tinfo[0]
+    base_loc = t0["loc"]
+    cur_v, old_names = t0["cur"], t0["old"]
+    removed_names, added_names = t0["rem"], t0["add"]
+    if not any(t["rem"] or t["add"] for t in tinfo):
         return 0
-    removed_any = bool(removed_names or removed2)
-    key_old = f"{base_v}_{base2_v}" if is_join else base_v
-    key_new = f"{cur_v}_{cur_v2}" if is_join else cur_v
+    removed_any = any(t["rem"] for t in tinfo)
+    key_old = (
+        "_".join(str(t["sv"]) for t in tinfo) if is_join else base_v
+    )
+    key_new = (
+        "_".join(str(t["cur"]) for t in tinfo) if is_join else cur_v
+    )
     gl = [g for g in shape["groups"]]
     avgs = _avg_specs(shape)
     acds = _acd_specs(shape)
@@ -971,24 +1030,46 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         )
 
     if is_join:
-        # Bilinear join delta (module section comment): with anchors
-        # B@v2 and A@v1, A2⋈B2 − A1⋈B1 = ΔA⋈B2 + A1⋈ΔB exactly — the
-        # cross term ΔA⋈ΔB rides inside ΔA⋈B2. Signs distribute, so
-        # the inserted side of the view's join input is
-        # ΔA⁺⋈B2 ∪ A1⋈ΔB⁺ and the deleted side ΔA⁻⋈B2 ∪ A1⋈ΔB⁻;
-        # rewritten-but-unchanged rows cancel downstream the same way
-        # single-table deltas do (weighted agg / exceptAll netting).
-        # Cost model: an A-delta scans B@v2 once (fact-append over a
-        # dim join = dim-scan per refresh) and a B-delta scans A@v1
-        # once (dim rewrite pays a fact scan — the classic IVM
-        # asymmetry; still delta-driven, never A2⋈B2). Delta sides
-        # under the broadcast bound ship as broadcasts.
-        cols1 = {f.name.lower() for f in spark.table(base).schema.fields}
-        onl, onr = shape["on_l"], shape["on_r"]
-        if onl.lower() not in cols1:
-            onl, onr = onr, onl
-        b_cur = versions.read_version(spark, base2, cur_v2, b2_loc)
-        a_old = versions.read_version(spark, base, base_v, base_loc)
+        # Multilinear join delta (module section comment): the
+        # telescoping sum over tables i anchors every earlier table at
+        # its OLD snapshot and every later table at its NEW snapshot,
+        # so each cross term between two deltas rides exactly once
+        # (inside the earlier-indexed term). Signs distribute: the
+        # inserted side of the view's join input unions the ΔTi⁺ terms,
+        # the deleted side the ΔTi⁻ terms; rewritten-but-unchanged rows
+        # cancel downstream the same way single-table deltas do
+        # (weighted agg / exceptAll netting). Cost model: a fact-side
+        # delta scans the dim anchors once per refresh (dim-scan per
+        # refresh); a dim-side delta scans the fact anchor once (the
+        # classic IVM asymmetry; still delta-driven, never a full
+        # re-join of current snapshots). Delta sides under the
+        # broadcast bound ship as broadcasts.
+        ntab = len(tinfo)
+        colsets = [
+            {f.name.lower() for f in spark.table(t["tbl"]).schema.fields}
+            for t in tinfo
+        ]
+        # normalize each ON so lcol lives in the earlier chain prefix
+        # and rcol in the joined table (stamp time validated this)
+        conds: list[tuple[str, str]] = []
+        seen: set[str] = set(colsets[0])
+        for i, j in enumerate(shape["joins"]):
+            lon, ron = j["on_l"], j["on_r"]
+            if lon.lower() not in seen:
+                lon, ron = ron, lon
+            conds.append((lon, ron))
+            seen |= colsets[i + 1]
+
+        _anchors: dict[tuple[int, str], DataFrame] = {}
+
+        def _anchor(j: int, which: str) -> DataFrame:
+            if (j, which) not in _anchors:
+                t = tinfo[j]
+                v = t["sv"] if which == "old" else t["cur"]
+                _anchors[(j, which)] = versions.read_version(
+                    spark, t["tbl"], v, t["loc"]
+                )
+            return _anchors[(j, which)]
 
         def _dside(tbl, names, label, loc):
             df = _read_delta(spark, tbl, names, label, loc)
@@ -1003,19 +1084,31 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 small_delta = False
             return F.broadcast(df) if small_delta else df
 
+        def _fold(frames: list[DataFrame]) -> DataFrame:
+            acc = frames[0]
+            for j in range(1, len(frames)):
+                lcol, rcol = conds[j - 1]
+                acc = acc.join(frames[j], acc[lcol] == frames[j][rcol])
+            return acc
+
+        def _term(i: int, delta_df: DataFrame) -> DataFrame:
+            return _fold(
+                [
+                    _anchor(j, "old")
+                    if j < i
+                    else (delta_df if j == i else _anchor(j, "new"))
+                    for j in range(ntab)
+                ]
+            )
+
         ins_parts, dl_parts = [], []
-        if added_names:
-            da = _dside(base, added_names, f"v{cur_v}", base_loc)
-            ins_parts.append(da.join(b_cur, da[onl] == b_cur[onr]))
-        if removed_names:
-            dr = _dside(base, removed_names, f"v{base_v}", base_loc)
-            dl_parts.append(dr.join(b_cur, dr[onl] == b_cur[onr]))
-        if added2:
-            bi = _dside(base2, added2, f"v{cur_v2}", b2_loc)
-            ins_parts.append(a_old.join(bi, a_old[onl] == bi[onr]))
-        if removed2:
-            br = _dside(base2, removed2, f"v{base2_v}", b2_loc)
-            dl_parts.append(a_old.join(br, a_old[onl] == br[onr]))
+        for i, t in enumerate(tinfo):
+            if t["add"]:
+                d = _dside(t["tbl"], t["add"], f'v{t["cur"]}', t["loc"])
+                ins_parts.append(_term(i, d))
+            if t["rem"]:
+                d = _dside(t["tbl"], t["rem"], f'v{t["sv"]}', t["loc"])
+                dl_parts.append(_term(i, d))
 
         def _union(parts):
             out = parts[0]
@@ -1051,40 +1144,56 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     # floor (SCALE.md r6 table). Beyond the bound, everything takes the
     # distributed path unchanged.
     try:
-        in_paths = list(spark.table(name).inputFiles())
-        in_paths += versions._resolve_names(
-            spark, base, sorted(added_names), f"v{cur_v}", base_loc
-        )
-        in_paths += versions._resolve_names(
-            spark, base, sorted(removed_names), f"v{base_v}", base_loc
-        )
+        in_paths = set(spark.table(name).inputFiles())
+        for t in tinfo:
+            if t["add"]:
+                in_paths.update(
+                    versions._resolve_names(
+                        spark, t["tbl"], sorted(t["add"]),
+                        f'v{t["cur"]}', t["loc"],
+                    )
+                )
+            if t["rem"]:
+                in_paths.update(
+                    versions._resolve_names(
+                        spark, t["tbl"], sorted(t["rem"]),
+                        f'v{t["sv"]}', t["loc"],
+                    )
+                )
         if is_join:
-            # the join delta also scans its anchors: B@v2 when A
-            # changed, A@v1 when B changed — count them toward the
-            # driver-collect bound
-            in_paths += versions._resolve_names(
-                spark, base2, sorted(added2), f"v{cur_v2}", b2_loc
-            )
-            in_paths += versions._resolve_names(
-                spark, base2, sorted(removed2), f"v{base2_v}", b2_loc
-            )
-            if added_names or removed_names:
-                in_paths += versions._resolve_names(
+            # each table-i delta term also scans its anchors: every
+            # earlier table at its OLD snapshot and every later table
+            # at its NEW snapshot — count them toward the
+            # driver-collect bound (a fact-only append therefore counts
+            # the dim snapshots but never the fact's own old snapshot)
+            def _snap_paths(j: int, which: str) -> list[str]:
+                t = tinfo[j]
+                v = t["sv"] if which == "old" else t["cur"]
+                return versions._resolve_names(
                     spark,
-                    base2,
+                    t["tbl"],
                     sorted(
-                        versions.snapshot_file_names(
-                            spark, base2, cur_v2, b2_loc
+                        t["old"]
+                        if which == "old"
+                        else versions.snapshot_file_names(
+                            spark, t["tbl"], v, t["loc"]
                         )
                     ),
-                    f"v{cur_v2}",
-                    b2_loc,
+                    f"v{v}",
+                    t["loc"],
                 )
-            if added2 or removed2:
-                in_paths += versions._resolve_names(
-                    spark, base, sorted(old_names), f"v{base_v}", base_loc
-                )
-        small = _total_bytes(spark, in_paths) <= dml._DRIVER_REWRITE_MAX_BYTES
+
+            for i, t in enumerate(tinfo):
+                if not (t["add"] or t["rem"]):
+                    continue
+                for j in range(len(tinfo)):
+                    if j != i:
+                        in_paths.update(
+                            _snap_paths(j, "old" if j < i else "new")
+                        )
+        small = _total_bytes(
+            spark, sorted(in_paths)
+        ) <= dml._DRIVER_REWRITE_MAX_BYTES
     except Exception:
         small = False
 
@@ -1144,8 +1253,9 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             return left.join(right, cond, how)
 
         if is_join:
-            a_cur = versions.read_version(spark, base, cur_v, base_loc)
-            cur_base = a_cur.join(b_cur, a_cur[onl] == b_cur[onr])
+            cur_base = _fold(
+                [_anchor(j, "new") for j in range(len(tinfo))]
+            )
         else:
             cur_base = versions.read_version(spark, base, cur_v, base_loc)
         if shape["pred"]:
@@ -1218,9 +1328,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
 
     state_names = gl + [c for c in combined.columns if c.startswith("__swl_")]
     view_order = [f.name for f in view_fields]
-    n = (
-        len(added_names) + len(removed_names) + len(added2) + len(removed2)
-    )
+    n = sum(len(t["add"]) + len(t["rem"]) for t in tinfo)
     with dml.table_write_lock(spark, name, loc=view_loc):
         # Ordering: both the merged view and the next state read the
         # OLD view + OLD state files, so (1) write the new state to its
@@ -1281,11 +1389,14 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 None,
                 loc=view_loc,
             )
-        stamp_extra = (
-            {"base2_table": base2, "base2_version": cur_v2}
-            if is_join
-            else {}
-        )
+        stamp_extra = {}
+        if is_join:
+            stamp_extra["bases"] = [
+                {"table": t["tbl"], "version": t["cur"]} for t in tinfo
+            ]
+            if len(tinfo) == 2:  # legacy fields for older readers
+                stamp_extra["base2_table"] = tinfo[1]["tbl"]
+                stamp_extra["base2_version"] = tinfo[1]["cur"]
         _write_sidecar(
             spark, name, q, base_table=base, base_version=cur_v,
             **stamp_extra,

@@ -883,6 +883,190 @@ class TestMatviewJoinIncremental:
             spark.sql("DROP TABLE IF EXISTS mv_amb_b")
 
 
+class TestMatviewStarIncremental:
+    """r7: n-ary join views via the multilinear telescoping delta
+    (matview.py _INC_JOIN_RE section) — each table-i term anchors
+    earlier tables at their OLD snapshots and later tables at NEW, so
+    cross terms between deltas count exactly once. Star schema: fact
+    mv_sf joins dims mv_sd1 and mv_sd2; every result is compared
+    against a full recompute of the defining query."""
+
+    def _full(self, spark, q):
+        return {tuple(r) for r in spark.sql(q).collect()}
+
+    def _check(self, spark, eng, name, q):
+        eng.execute(f"REFRESH MATERIALIZED VIEW {name} INCREMENTAL")
+        assert {
+            tuple(r) for r in spark.table(name).collect()
+        } == self._full(spark, q)
+
+    @pytest.fixture()
+    def ssrc(self, spark, eng):
+        locs = [tempfile.mkdtemp(prefix="swl_mvst_") for _ in range(3)]
+        spark.sql(
+            f"CREATE TABLE mv_sf (fid INT, amt DOUBLE, fdk1 INT, "
+            f"fdk2 INT) USING parquet LOCATION '{locs[0]}'"
+        )
+        spark.sql(
+            f"CREATE TABLE mv_sd1 (d1k INT, region STRING) "
+            f"USING parquet LOCATION '{locs[1]}'"
+        )
+        spark.sql(
+            f"CREATE TABLE mv_sd2 (d2k INT, product STRING) "
+            f"USING parquet LOCATION '{locs[2]}'"
+        )
+        eng.execute(
+            "INSERT INTO mv_sf VALUES (1, 10.0, 1, 1), (2, 20.0, 1, 2), "
+            "(3, 5.0, 2, 1), (4, 7.0, 3, 9)"  # fdk1=3 / fdk2=9 dangling
+        )
+        eng.execute("INSERT INTO mv_sd1 VALUES (1, 'east'), (2, 'west')")
+        eng.execute("INSERT INTO mv_sd2 VALUES (1, 'ore'), (2, 'gas')")
+        yield
+        spark.sql("DROP TABLE IF EXISTS mv_sf")
+        spark.sql("DROP TABLE IF EXISTS mv_sd1")
+        spark.sql("DROP TABLE IF EXISTS mv_sd2")
+
+    Q = (
+        "SELECT region, product, count(*) AS n, sum(amt) AS total, "
+        "avg(amt) AS mean FROM mv_sf JOIN mv_sd1 ON fdk1 = d1k "
+        "JOIN mv_sd2 ON fdk2 = d2k GROUP BY region, product"
+    )
+    QMM = (
+        "SELECT region, product, count(*) AS n, min(amt) AS lo, "
+        "max(amt) AS hi FROM mv_sf JOIN mv_sd1 ON fdk1 = d1k "
+        "JOIN mv_sd2 ON fdk2 = d2k GROUP BY region, product"
+    )
+
+    def test_fact_appends_fold(self, spark, eng, ssrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s1 AS {self.Q}")
+        try:
+            eng.execute(
+                "INSERT INTO mv_sf VALUES (5, 40.0, 2, 2), (6, 1.0, 1, 1)"
+            )
+            n = eng.query(
+                "REFRESH MATERIALIZED VIEW mv_s1 INCREMENTAL"
+            ).affected_rows
+            assert n >= 1
+            assert {
+                tuple(r) for r in spark.table("mv_s1").collect()
+            } == self._full(spark, self.Q)
+            assert eng.query(
+                "REFRESH MATERIALIZED VIEW mv_s1 INCREMENTAL"
+            ).affected_rows == 0
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s1")
+
+    def test_each_dim_append_surfaces_dangling_facts(
+        self, spark, eng, ssrc
+    ):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s2 AS {self.Q}")
+        try:
+            # dim1 gains dk=3: fact (4, 7.0, 3, 9) still dangles on d2
+            eng.execute("INSERT INTO mv_sd1 VALUES (3, 'north')")
+            self._check(spark, eng, "mv_s2", self.Q)
+            # dim2 gains dk=9: the fdk2=9 fact finally joins through
+            eng.execute("INSERT INTO mv_sd2 VALUES (9, 'ice')")
+            self._check(spark, eng, "mv_s2", self.Q)
+            assert ("north", "ice", 1, 7.0, 7.0) in {
+                tuple(r) for r in spark.table("mv_s2").collect()
+            }
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s2")
+
+    def test_all_three_tables_change_in_one_refresh(self, spark, eng, ssrc):
+        # exercises the old-prefix/new-suffix anchoring: the fact delta
+        # must see BOTH new dim rows, the dim1 delta the OLD fact and
+        # NEW dim2, the dim2 delta the OLD fact and OLD dim1 — any
+        # other anchoring double- or under-counts the cross terms
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s3 AS {self.Q}")
+        try:
+            eng.execute("INSERT INTO mv_sf VALUES (7, 9.0, 3, 9)")
+            eng.execute("INSERT INTO mv_sd1 VALUES (3, 'north')")
+            eng.execute("INSERT INTO mv_sd2 VALUES (9, 'ice')")
+            self._check(spark, eng, "mv_s3", self.Q)
+            # ('north','ice') counts the OLD dangling fact AND the new
+            # one exactly once each
+            assert ("north", "ice", 2, 16.0, 8.0) in {
+                tuple(r) for r in spark.table("mv_s3").collect()
+            }
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s3")
+
+    def test_fact_differential_and_dim_rewrite(self, spark, eng, ssrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s4 AS {self.Q}")
+        try:
+            eng.execute("DELETE FROM mv_sf WHERE fid = 2")
+            self._check(spark, eng, "mv_s4", self.Q)
+            # dim rewrite migrates every east row to a renamed group
+            eng.execute(
+                "UPDATE mv_sd1 SET region = 'euro' WHERE d1k = 1"
+            )
+            self._check(spark, eng, "mv_s4", self.Q)
+            groups = {
+                r["region"] for r in spark.table("mv_s4").collect()
+            }
+            assert "euro" in groups and "east" not in groups
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s4")
+
+    def test_minmax_hybrid_on_star(self, spark, eng, ssrc):
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s5 AS {self.QMM}")
+        try:
+            eng.execute("INSERT INTO mv_sf VALUES (8, 99.0, 1, 1)")
+            self._check(spark, eng, "mv_s5", self.QMM)
+            # delete the max: its group must recompute from the base
+            eng.execute("DELETE FROM mv_sf WHERE fid = 8")
+            self._check(spark, eng, "mv_s5", self.QMM)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s5")
+
+    def test_snowflake_chain_link(self, spark, eng, ssrc):
+        # dim2 links to dim1 (not the fact): chain validation accepts
+        # any earlier table as the ON's left side
+        loc = tempfile.mkdtemp(prefix="swl_mvsn_")
+        spark.sql(
+            f"CREATE TABLE mv_sd1x (d1xk INT, zone STRING) "
+            f"USING parquet LOCATION '{loc}'"
+        )
+        eng.execute("INSERT INTO mv_sd1x VALUES (1, 'z-a'), (2, 'z-b')")
+        q = (
+            "SELECT zone, count(*) AS n, sum(amt) AS total FROM mv_sf "
+            "JOIN mv_sd1 ON fdk1 = d1k JOIN mv_sd1x ON d1k = d1xk "
+            "GROUP BY zone"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s6 AS {q}")
+        try:
+            eng.execute("INSERT INTO mv_sf VALUES (9, 3.0, 2, 1)")
+            eng.execute("INSERT INTO mv_sd1x VALUES (3, 'z-c')")
+            self._check(spark, eng, "mv_s6", q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s6")
+            spark.sql("DROP TABLE IF EXISTS mv_sd1x")
+
+    def test_shared_column_any_pair_falls_back(self, spark, eng, ssrc):
+        loc = tempfile.mkdtemp(prefix="swl_mvsh_")
+        spark.sql(
+            f"CREATE TABLE mv_sd2x (d2xk INT, product STRING) "  # clash
+            f"USING parquet LOCATION '{loc}'"
+        )
+        eng.execute("INSERT INTO mv_sd2x VALUES (1, 'dup')")
+        q = (
+            "SELECT region, count(*) AS n FROM mv_sf "
+            "JOIN mv_sd1 ON fdk1 = d1k JOIN mv_sd2 ON fdk2 = d2k "
+            "JOIN mv_sd2x ON fdk2 = d2xk GROUP BY region"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s7 AS {q}")
+        try:
+            from swanlake_spark.errors import InvalidArgument
+
+            with pytest.raises(InvalidArgument, match="full REFRESH"):
+                eng.execute("REFRESH MATERIALIZED VIEW mv_s7 INCREMENTAL")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_s7")
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s7")
+            spark.sql("DROP TABLE IF EXISTS mv_sd2x")
+
+
 class TestMatviewApproxCountDistinct:
     """r7: approx_count_distinct maintained through a mergeable
     DataSketches HLL state column (matview._acd_specs). HLL registers
