@@ -431,10 +431,11 @@ def main() -> None:
 
     suite["matview_differential_refresh"] = _MatviewDifferential
 
-    # Join matview maintenance (r7): each measured run appends a fact
-    # batch and folds it via the bilinear delta ΔA⋈B2 — the appended
-    # files broadcast-join the dim snapshot, so refresh cost tracks the
-    # delta + dim, never the 200k-row fact base.
+    # Join matview maintenance (r7): a 3-table star rollup — each
+    # measured run appends a fact batch and folds it via the
+    # multilinear telescoping delta (the appended files broadcast-join
+    # BOTH dim snapshots), so refresh cost tracks the delta + dims,
+    # never the 200k-row fact base.
     class _MatviewJoinIncremental:
         _eng = None
         _k = 0
@@ -453,7 +454,7 @@ def main() -> None:
                 cls._eng = Engine(spark=spark)
                 cls._eng.execute(
                     f"CREATE TABLE bench_mvj_f (fk BIGINT, amt DOUBLE, "
-                    f"dk BIGINT) USING parquet LOCATION "
+                    f"dk BIGINT, dk2 BIGINT) USING parquet LOCATION "
                     f"'{_tf.mkdtemp(prefix='swl_bench_mvjf_')}'"
                 )
                 cls._eng.execute(
@@ -462,26 +463,37 @@ def main() -> None:
                     f"'{_tf.mkdtemp(prefix='swl_bench_mvjd_')}'"
                 )
                 cls._eng.execute(
+                    f"CREATE TABLE bench_mvj_d2 (d2key BIGINT, "
+                    f"seg STRING) USING parquet LOCATION "
+                    f"'{_tf.mkdtemp(prefix='swl_bench_mvjd2_')}'"
+                )
+                cls._eng.execute(
                     "INSERT INTO bench_mvj_f "
-                    "SELECT id, id * 1.0, id % 1000 FROM RANGE(200000) t(id)"
+                    "SELECT id, id * 1.0, id % 1000, id % 500 "
+                    "FROM RANGE(200000) t(id)"
                 )
                 cls._eng.execute(
                     "INSERT INTO bench_mvj_d "
                     "SELECT id, concat('g', id % 30) FROM RANGE(1000) t(id)"
                 )
+                cls._eng.execute(
+                    "INSERT INTO bench_mvj_d2 "
+                    "SELECT id, concat('s', id % 8) FROM RANGE(500) t(id)"
+                )
                 matview.create(
                     spark,
                     "bench_mvj",
-                    "SELECT grp, count(*) AS n, sum(amt) AS total "
+                    "SELECT grp, seg, count(*) AS n, sum(amt) AS total "
                     "FROM bench_mvj_f JOIN bench_mvj_d ON dk = dkey "
-                    "GROUP BY grp",
+                    "JOIN bench_mvj_d2 ON dk2 = d2key "
+                    "GROUP BY grp, seg",
                     location=_tf.mkdtemp(prefix="swl_bench_mvj_v_"),
                 )
             cls._k += 1
             cls._eng.execute(
                 f"INSERT INTO bench_mvj_f "
-                f"SELECT /*+ REPARTITION(1) */ id, {cls._k}.0, id % 1000 "
-                f"FROM RANGE(5000) t(id)"
+                f"SELECT /*+ REPARTITION(1) */ id, {cls._k}.0, id % 1000, "
+                f"id % 500 FROM RANGE(5000) t(id)"
             )
             cls._eng.execute(
                 "REFRESH MATERIALIZED VIEW bench_mvj INCREMENTAL"
