@@ -104,6 +104,40 @@ def main() -> None:
 
     suite["dedup_embedding_lsh"] = _EmbDedupLsh
 
+    # KMV theta sketch in its estimation regime: token-vocabulary
+    # overlap between the two corpus halves — two bounded-shuffle
+    # sketch builds (O(k·groups) shuffle regardless of vocabulary
+    # size) + one O(k) set-algebra row.
+    class _KmvOverlap:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import sketch, text
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            docs = spark.table("documents")
+            tok = docs.select(
+                (F.col("doc_id") % 2).alias("half"),
+                F.explode(text.tokens("text")).alias("tk"),
+            )
+            k = 1024
+            # ONE grouped build covers both halves (2 source scans
+            # total: estimate pass + survivor pass)
+            sk = sketch.kmv_sketch(tok, "tk", k=k, by=["half"])
+            a = sk.where(F.col("half") == 0).select(
+                F.col("kmv").alias("ka")
+            )
+            b = sk.where(F.col("half") == 1).select(
+                F.col("kmv").alias("kb")
+            )
+            return a.crossJoin(b).select(
+                sketch.kmv_set_ops(F.col("ka"), F.col("kb"), k).alias("o")
+            ).select("o.intersect_est", "o.union_est", "o.jaccard")
+
+    suite["sketch_kmv_overlap"] = _KmvOverlap
+
     # Curation ops over the FULL documents table (the oracle entries are
     # bounded correctness demos; these are the scale-path timings).
     class _Decontaminate:

@@ -146,3 +146,173 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= threshold)
     )
+
+
+# -- KMV theta sketch ---------------------------------------------------------
+#
+# Distinct counting with SET ALGEBRA: ``GROUP BY`` + count(DISTINCT)
+# answers one distinct count, but audience-overlap questions — how many
+# documents appear in BOTH crawls, how many users in segment A but not
+# B — need |A∩B| / |A∪B| over value spaces too large to join exactly.
+# The K-Minimum-Values synopsis (Bar-Yossef et al. RANDOM '02; Beyer et
+# al. SIGMOD '07 for the multiset-operation estimators; the same
+# construction behind Apache DataSketches' theta sketch) keeps the k
+# smallest uniform hashes of each set: below k distinct values the
+# sketch IS the set (estimates are exact); above, the k-th smallest
+# hash θ estimates the density — distinct ≈ (k−1)/θ, and any
+# intersection/union/difference restricted to hashes < min(θA, θB) is
+# a uniform sample of the true operation with the same estimator.
+# Sketches merge by keeping the k smallest of the union — associative
+# and order-independent, so partition-parallel builds and cross-batch
+# streaming folds are exact merges, the same linearity argument as the
+# count-min cells above.
+#
+# Scale-sound build, no UDFs and no unbounded per-group state: hashes
+# are uniform in [0,1), so a group with n̂ distinct values has its k-th
+# smallest hash near k/n̂ — a pre-filter at _KMV_PREFILTER_SLACK·k/n̂
+# (n̂ from one approx_count_distinct pass) bounds the per-group sort to
+# O(k) rows REGARDLESS of group cardinality, which keeps the window
+# sort from serializing a billion-distinct group into one task. The
+# slack makes missing a true k-minimum vanishingly unlikely; the
+# build still VERIFIES (survivors < k while n̂ says ≥ k possible) and
+# routes affected groups through the unfiltered path — correct even if
+# the tail probability fires.
+
+_KMV_PREFILTER_SLACK = 4.0
+
+
+def _kmv_hash(col: Column) -> Column:
+    """xxhash64 mapped to a uniform double in [0, 1): the signed long
+    shifts into unsigned position, then scales by 2^-64. 53-bit double
+    spacing is far below any k-th-order-statistic gap at practical k."""
+    return (F.xxhash64(col.cast("string")) / F.lit(float(2**64))) + F.lit(0.5)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str | Column,
+    k: int = 1024,
+    by: list[str] | None = None,
+    _prefilter_slack: float = _KMV_PREFILTER_SLACK,
+) -> DataFrame:
+    """Per-group KMV sketch of ``col``: the group columns plus ``kmv``,
+    a sorted ascending array<double> of the k smallest distinct value
+    hashes (module section comment). ``by=None`` builds one global
+    sketch (a single-row DataFrame).
+
+    Deterministic under any partitioning: hashes are content-only and
+    the k-minimum set is order-independent.
+
+    The pre-filter applies BEFORE the distinct (filtering by hash
+    commutes with dedup), so the distinct shuffle carries ~slack·k
+    surviving hashes per group instead of every distinct value — the
+    whole build shuffles O(k · groups), never O(distinct). The
+    estimate pass is one extra scan with map-side-bounded HLL partials;
+    the window's top-k is additionally rank-limit-pushed map-side
+    (WindowGroupLimit), so no stage holds more than k·partitions rows
+    of any group."""
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    item = F.col(col) if isinstance(col, str) else col
+    raw = df.where(item.isNotNull()).select(
+        *by, _kmv_hash(item).alias("__h")
+    )
+    est = raw.groupBy(*by).agg(
+        F.approx_count_distinct("__h").alias("__n")
+    )
+    pre = raw.join(est, on=by) if by else raw.crossJoin(F.broadcast(est))
+    cut = F.least(
+        F.lit(1.0), F.lit(_prefilter_slack) * F.lit(k) / F.col("__n")
+    )
+    surv = pre.where(F.col("__h") < cut).drop("__n").distinct()
+    w = Window.partitionBy(*by).orderBy("__h")
+    topk = (
+        surv.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    sk = topk.groupBy(*by).agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+    # verify the tail bound: a group can only have LOST a true
+    # k-minimum if the pre-filter actually cut (cut < 1 ⇔ n̂ > slack·k)
+    # yet fewer than k survivors came back — recompute those groups
+    # (semi-join pruned) without the filter. With slack 4 this path is
+    # probability ~exp(-k) noise; it exists so correctness never rests
+    # on a tail bound. Groups where cut == 1 filtered nothing, so their
+    # sketch is complete by construction (the exact regime).
+    risky = (
+        sk.join(est, on=by)
+        if by
+        else sk.crossJoin(F.broadcast(est))
+    ).where(
+        (F.size("kmv") < F.lit(k))
+        & (F.col("__n") > F.lit(_prefilter_slack) * F.lit(k))
+    )
+    if len(risky.take(1)) == 0:
+        return sk
+    hashed = raw.distinct()
+    if by:
+        safe = sk.join(risky.select(*by), on=by, how="left_anti")
+        redo_src = hashed.join(
+            F.broadcast(risky.select(*by).distinct()), on=by, how="left_semi"
+        )
+        redo = (
+            redo_src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+            .groupBy(*by)
+            .agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+        )
+        return safe.unionByName(redo)
+    redo = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+    )
+    return redo
+
+
+def kmv_theta(sk: Column, k: int) -> Column:
+    """The sketch's sampling threshold θ: 1.0 in the exact regime
+    (fewer than k entries — the sketch holds every hash), else the k-th
+    smallest hash."""
+    return F.when(
+        F.size(sk) < F.lit(k), F.lit(1.0)
+    ).otherwise(F.element_at(sk, F.lit(k)))
+
+
+def kmv_distinct(sk: Column, k: int) -> Column:
+    """Distinct-count estimate: exact size below k, else the unbiased
+    (k−1)/θ order-statistic estimator (Beyer et al. '07)."""
+    return F.when(
+        F.size(sk) < F.lit(k), F.size(sk).cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.element_at(sk, F.lit(k)))
+
+
+def kmv_union(a: Column, b: Column, k: int) -> Column:
+    """Merged sketch: k smallest of the union — the exact sketch of the
+    unioned input (associative, commutative, idempotent)."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_set_ops(a: Column, b: Column, k: int) -> Column:
+    """Struct of multiset estimates for two sketches: ``union_est``,
+    ``intersect_est``, ``jaccard`` (+ the observed sample sizes).
+    Every hash < θ = min(θA, θB) is a uniform θ-sample of A∪B, so
+    |{common hashes < θ}|/θ estimates |A∩B| with the SAME estimator
+    the distinct count uses — exact when both sketches are exact."""
+    theta = F.least(kmv_theta(a, k), kmv_theta(b, k))
+    below = lambda s: F.filter(s, lambda x: x < theta)  # noqa: E731
+    inter_n = F.size(F.array_intersect(below(a), below(b)))
+    union_n = F.size(F.array_union(below(a), below(b)))
+    return F.struct(
+        (union_n / theta).alias("union_est"),
+        (inter_n / theta).alias("intersect_est"),
+        F.when(union_n > 0, inter_n / union_n)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+        inter_n.alias("intersect_sample"),
+        union_n.alias("union_sample"),
+    )

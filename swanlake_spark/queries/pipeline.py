@@ -1681,9 +1681,48 @@ def _text_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("i1"), b.alias("i2"),
         d.alias("d1"), d.alias("d2"), d.alias("d3"), d.alias("d4"),
         F.col("value").alias("s1"))
+    # KMV theta sketch (operators/sketch.py KMV section), exercised in
+    # its EXACT regime (value domain % 1024 < k=4096 at every SF) so
+    # the oracle is plain COUNT(DISTINCT) / set algebra: per-lang
+    # distinct estimate, plus intersect/union/jaccard between the
+    # even- and odd-doc_id halves of the corpus.
+    docs = _docs(spark, sf_dir)
+    vals = docs.select(
+        "doc_id", "lang", F.pmod(F.col("n_chars"), F.lit(1024)).alias("v")
+    )
+    kmv = (
+        sketch.kmv_sketch(vals, "v", k=4096, by=["lang"])
+        .select(
+            F.lit("kmv").alias("op"), b.alias("doc_id"),
+            sketch.kmv_distinct(F.col("kmv"), 4096)
+            .cast("long").alias("i1"),
+            b.alias("i2"), d.alias("d1"), d.alias("d2"), d.alias("d3"),
+            d.alias("d4"), F.col("lang").alias("s1"),
+        )
+    )
+    ska = sketch.kmv_sketch(
+        vals.where(F.col("doc_id") % 2 == 0), "v", k=4096
+    ).select(F.col("kmv").alias("ka"))
+    skb = sketch.kmv_sketch(
+        vals.where(F.col("doc_id") % 2 == 1), "v", k=4096
+    ).select(F.col("kmv").alias("kb"))
+    kmvop = (
+        ska.crossJoin(skb)
+        .select(
+            sketch.kmv_set_ops(F.col("ka"), F.col("kb"), 4096).alias("o")
+        )
+        .select(
+            F.lit("kmvop").alias("op"), b.alias("doc_id"),
+            F.col("o.intersect_est").cast("long").alias("i1"),
+            F.col("o.union_est").cast("long").alias("i2"),
+            F.col("o.jaccard").alias("d1"), d.alias("d2"), d.alias("d3"),
+            d.alias("d4"), s.alias("s1"),
+        )
+    )
     return (
         fp.unionAll(tok).unionAll(qual).unionAll(lang).unionAll(rep)
-        .unionAll(hh).orderBy("op", "doc_id", "s1")
+        .unionAll(hh).unionAll(kmv).unionAll(kmvop)
+        .orderBy("op", "doc_id", "s1")
     )
 
 
@@ -1715,6 +1754,29 @@ def _text_battery_oracle() -> str:
                CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4,
                CAST(value AS VARCHAR) AS s1
         FROM ({hh}) t_hh""".format(hh=q["pipe_heavy_hitters"].oracle),
+        """
+        SELECT 'kmv' AS op, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(count(DISTINCT n_chars % 1024) AS BIGINT) AS i1,
+               CAST(NULL AS BIGINT) AS i2,
+               CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2,
+               CAST(NULL AS DOUBLE) AS d3, CAST(NULL AS DOUBLE) AS d4,
+               CAST(lang AS VARCHAR) AS s1
+        FROM documents GROUP BY lang""",
+        """
+        SELECT 'kmvop' AS op, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(i AS BIGINT) AS i1, CAST(u AS BIGINT) AS i2,
+               CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS d1,
+               CAST(NULL AS DOUBLE) AS d2, CAST(NULL AS DOUBLE) AS d3,
+               CAST(NULL AS DOUBLE) AS d4, CAST(NULL AS VARCHAR) AS s1
+        FROM (
+          WITH ha AS (SELECT DISTINCT n_chars % 1024 AS v FROM documents
+                      WHERE doc_id % 2 = 0),
+               hb AS (SELECT DISTINCT n_chars % 1024 AS v FROM documents
+                      WHERE doc_id % 2 = 1)
+          SELECT (SELECT count(*) FROM ha JOIN hb USING (v)) AS i,
+                 (SELECT count(*) FROM (SELECT v FROM ha
+                                        UNION SELECT v FROM hb) hu) AS u
+        ) t_kmvop""",
     ]) + " ORDER BY op, doc_id, s1"
 
 

@@ -1455,3 +1455,150 @@ class TestHeavyHitters:
             for r in sketch.heavy_hitters(df, "x", 2).collect()
         )
         assert got == [("a", 5), ("b", 2)]
+
+
+class TestKmvSketch:
+    """KMV theta sketch (operators/sketch.py KMV section): exact below
+    k, (k−1)/θ above, exact merges, and the Beyer et al. multiset
+    estimators for intersection/union/jaccard."""
+
+    def test_exact_regime_equals_exact_distinct(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(10000).select(
+            F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("g"),
+            (F.col("id") % 400).cast("string").alias("v"),
+        )
+        sk = sketch.kmv_sketch(df, "v", k=1024, by=["g"])
+        got = {
+            r["g"]: r["est"]
+            for r in sk.select(
+                "g", sketch.kmv_distinct(F.col("kmv"), 1024).alias("est")
+            ).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.countDistinct("v").alias("n"))
+            .collect()
+        }
+        assert {g: int(e) for g, e in got.items()} == exact
+
+    def test_estimation_regime_within_tolerance(self, spark):
+        from swanlake_spark.operators import sketch
+
+        k = 256
+        n = 50000
+        df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+        sk = sketch.kmv_sketch(df, "v", k=k)
+        est = sk.select(
+            sketch.kmv_distinct(F.col("kmv"), k).alias("e")
+        ).collect()[0]["e"]
+        # RSE ≈ 1/sqrt(k−2) ≈ 6.3%; 4σ gate
+        assert abs(est - n) / n < 0.25
+
+    def test_union_merge_is_exact_sketch_of_union(self, spark):
+        from swanlake_spark.operators import sketch
+
+        k = 64
+        a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+        b = spark.range(1500, 5000).select(
+            F.col("id").cast("string").alias("v")
+        )
+        ska = sketch.kmv_sketch(a, "v", k=k).select(
+            F.col("kmv").alias("ka")
+        )
+        skb = sketch.kmv_sketch(b, "v", k=k).select(
+            F.col("kmv").alias("kb")
+        )
+        merged = ska.crossJoin(skb).select(
+            sketch.kmv_union(F.col("ka"), F.col("kb"), k).alias("kmv")
+        )
+        direct = sketch.kmv_sketch(a.unionByName(b), "v", k=k)
+        assert (
+            merged.collect()[0]["kmv"] == direct.collect()[0]["kmv"]
+        )
+
+    def test_partition_parallel_build_merges_exactly(self, spark):
+        from swanlake_spark.operators import sketch
+
+        k = 128
+        df = spark.range(20000).select(
+            (F.col("id") % 7000).cast("string").alias("v")
+        )
+        h1 = df.where(F.col("id") % 2 == 0)
+        h2 = df.where(F.col("id") % 2 == 1)
+        s1 = sketch.kmv_sketch(h1, "v", k=k).select(F.col("kmv").alias("a"))
+        s2 = sketch.kmv_sketch(h2, "v", k=k).select(F.col("kmv").alias("b"))
+        merged = s1.crossJoin(s2).select(
+            sketch.kmv_union(F.col("a"), F.col("b"), k).alias("kmv")
+        )
+        whole = sketch.kmv_sketch(df, "v", k=k)
+        assert merged.collect()[0]["kmv"] == whole.collect()[0]["kmv"]
+
+    def test_set_ops_exact_regime(self, spark):
+        from swanlake_spark.operators import sketch
+
+        k = 1024  # both sets far below k: estimates must be EXACT
+        a = spark.range(0, 300).select(F.col("id").cast("string").alias("v"))
+        b = spark.range(200, 500).select(
+            F.col("id").cast("string").alias("v")
+        )
+        ska = sketch.kmv_sketch(a, "v", k=k).select(F.col("kmv").alias("ka"))
+        skb = sketch.kmv_sketch(b, "v", k=k).select(F.col("kmv").alias("kb"))
+        ops = ska.crossJoin(skb).select(
+            sketch.kmv_set_ops(F.col("ka"), F.col("kb"), k).alias("o")
+        ).collect()[0]["o"]
+        assert int(ops["intersect_est"]) == 100
+        assert int(ops["union_est"]) == 500
+        assert abs(ops["jaccard"] - 100 / 500) < 1e-12
+
+    def test_set_ops_estimation_regime(self, spark):
+        from swanlake_spark.operators import sketch
+
+        k = 512
+        # |A|=40k, |B|=40k, overlap 20k → union 60k, jaccard 1/3
+        a = spark.range(0, 40000).select(
+            F.col("id").cast("string").alias("v")
+        )
+        b = spark.range(20000, 60000).select(
+            F.col("id").cast("string").alias("v")
+        )
+        ska = sketch.kmv_sketch(a, "v", k=k).select(F.col("kmv").alias("ka"))
+        skb = sketch.kmv_sketch(b, "v", k=k).select(F.col("kmv").alias("kb"))
+        ops = ska.crossJoin(skb).select(
+            sketch.kmv_set_ops(F.col("ka"), F.col("kb"), k).alias("o")
+        ).collect()[0]["o"]
+        assert abs(ops["union_est"] - 60000) / 60000 < 0.2
+        assert abs(ops["intersect_est"] - 20000) / 20000 < 0.35
+        assert abs(ops["jaccard"] - 1 / 3) < 0.12
+
+    def test_prefilter_fallback_path_still_correct(self, spark):
+        from swanlake_spark.operators import sketch
+
+        # slack ~0 forces the pre-filter to cut below k survivors, so
+        # the detect-and-recompute path must produce the true k-minima
+        k = 32
+        df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+        forced = sketch.kmv_sketch(df, "v", k=k, _prefilter_slack=0.05)
+        normal = sketch.kmv_sketch(df, "v", k=k)
+        assert forced.collect()[0]["kmv"] == normal.collect()[0]["kmv"]
+
+    def test_deterministic_under_repartition(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(9000).select(
+            (F.col("id") % 31).cast("string").alias("g"),
+            (F.col("id") % 2000).cast("string").alias("v"),
+        )
+        a = {
+            r["g"]: r["kmv"]
+            for r in sketch.kmv_sketch(df, "v", k=64, by=["g"]).collect()
+        }
+        b = {
+            r["g"]: r["kmv"]
+            for r in sketch.kmv_sketch(
+                df.repartition(13), "v", k=64, by=["g"]
+            ).collect()
+        }
+        assert a == b and a
