@@ -11,7 +11,9 @@ from swanlake_spark.streaming.funnel import funnel_stream
 from swanlake_spark.streaming.matview import maintain_matview_stream
 from swanlake_spark.streaming.sketch import (
     heavy_hitters_stream,
+    kmv_distinct_stream,
     read_candidates,
+    read_kmv,
 )
 from swanlake_spark.streaming.retention import retention_stream
 from swanlake_spark.streaming.ingest import (
@@ -25,8 +27,10 @@ from swanlake_spark.streaming.ingest import (
 __all__ = [
     "funnel_stream",
     "heavy_hitters_stream",
+    "kmv_distinct_stream",
     "maintain_matview_stream",
     "read_candidates",
+    "read_kmv",
     "retention_stream",
     "sessionize",
     "stream_events_from_directory",

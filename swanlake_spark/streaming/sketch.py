@@ -186,3 +186,80 @@ def read_candidates(spark: SparkSession, state_dir: str) -> DataFrame:
     if df is None:
         return spark.createDataFrame([], schema="value string, est long")
     return df
+
+
+def kmv_distinct_stream(
+    rows: DataFrame,
+    col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 1024,
+    by: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming distinct counting: a per-group KMV theta sketch
+    (operators/sketch.py KMV section) maintained across micro-batches.
+
+    State = one k-doubles array per group, independent of how many
+    distinct values the stream has carried. The cross-batch fold is a
+    SET union of hash minima (``kmv_union`` generalized over the
+    previous state row and the batch sketch), which is not just linear
+    but IDEMPOTENT — a crash-replayed batch (foreachBatch is
+    at-least-once) re-unions the same hashes and changes nothing, so
+    estimates survive replays EXACTLY, a strictly stronger contract
+    than the count-min cells above (which only bound the error under
+    replay). Publishes ride the same versioned-subdirectory protocol.
+
+    Read the live estimate with ``read_kmv``."""
+    from swanlake_spark.operators import sketch
+
+    by = list(by or [])
+    root = f"{state_dir}/kmv"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bsk = sketch.kmv_sketch(batch_df, col, k=k, by=by)
+        old = _read_latest(spark, root)
+        if old is None:
+            merged = bsk
+        else:
+            # per group: ≤ 2 arrays of ≤ k hashes — flatten, dedup,
+            # keep the k smallest (the n-way kmv_union)
+            merged = (
+                old.unionByName(bsk)
+                .groupBy(*by)
+                .agg(
+                    F.slice(
+                        F.array_sort(
+                            F.array_distinct(F.flatten(F.collect_list("kmv")))
+                        ),
+                        1,
+                        k,
+                    ).alias("kmv")
+                )
+            )
+        _publish(spark, root, merged, batch_id)
+
+    writer = rows.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_kmv(
+    spark: SparkSession, state_dir: str, k: int = 1024
+) -> DataFrame:
+    """Current per-group sketch state plus ``distinct_est`` — empty
+    (group-less) frame if the stream has not completed a batch yet."""
+    from swanlake_spark.operators import sketch
+
+    df = _read_latest(spark, f"{state_dir}/kmv")
+    if df is None:
+        return spark.createDataFrame(
+            [], schema="kmv array<double>, distinct_est double"
+        )
+    return df.withColumn(
+        "distinct_est", sketch.kmv_distinct(F.col("kmv"), k)
+    )
