@@ -308,9 +308,118 @@ def _rewrite_qualify(sql: str) -> str:
     )
 
 
+def _split_top(body: str) -> list[str]:
+    """Split on depth-0 commas (argument/select-item lists)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """DuckDB ``SELECT DISTINCT ON (keys) items FROM rest [ORDER BY
+    ord] [tail]`` → one row per distinct ``keys``, chosen by ``ord``:
+
+    ``SELECT items FROM (SELECT *, row_number() OVER (PARTITION BY
+    keys ORDER BY ord|keys) AS _swl_don FROM rest) _swl_d WHERE
+    _swl_don = 1 ORDER BY ord [tail]``
+
+    The inner select keeps ``*`` so the window's ORDER BY can reference
+    any input column (DuckDB allows ordering by non-selected columns);
+    without an ORDER BY the keys themselves order the window (DuckDB
+    leaves the survivor arbitrary — this pins a deterministic one).
+    Known limit: ``ord`` referencing a select-list ALIAS from ``items``
+    stays unresolved inside the window (DuckDB allows it; rare with
+    DISTINCT ON) — such queries fail loudly at analysis rather than
+    silently mis-binding."""
+    # recurse into paren groups (subqueries, CTE bodies)
+    spans = _mask_spans(sql)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "(" and not _in_span(i, spans):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if _in_span(j, spans):
+                    j += 1
+                    continue
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            out.append("(" + _rewrite_distinct_on(sql[i + 1 : j - 1]) + ")")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    sql = "".join(out)
+
+    m = re.search(
+        r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, flags=re.IGNORECASE
+    )
+    if not m:
+        return sql
+    spans = _mask_spans(sql)
+    if _in_span(m.start(), spans):
+        return sql
+    # keys = the parenthesized list after ON
+    kopen = sql.index("(", m.end() - 1)
+    depth, j = 1, kopen + 1
+    while j < len(sql) and depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    keys = sql[kopen + 1 : j - 1].strip()
+    frm = _depth0_keyword(sql, "FROM", j)
+    if frm < 0:
+        return sql
+    items = sql[j:frm].strip()
+    ordk = _depth0_keyword(sql, "ORDER", frm)
+    end = len(sql)
+    for kw in ("LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"):
+        k = _depth0_keyword(sql, kw, frm)
+        if k >= 0:
+            end = min(end, k)
+    if 0 <= ordk < end:
+        rest = sql[frm + 4 : ordk].strip()
+        ord_txt = sql[ordk:end].strip()
+        win_ord = re.sub(
+            r"^ORDER\s+BY\s+", "", ord_txt, flags=re.IGNORECASE
+        )
+        outer_order = " " + ord_txt
+    else:
+        rest = sql[frm + 4 : end].strip()
+        win_ord = keys
+        outer_order = ""
+    tail = sql[end:]
+    if items == "*":
+        items = "* EXCEPT (_swl_don)"  # don't leak the helper column
+    return (
+        sql[: m.start()]
+        + f"SELECT {items} FROM (SELECT *, row_number() OVER "
+        + f"(PARTITION BY {keys} ORDER BY {win_ord}) AS _swl_don "
+        + f"FROM {rest}) _swl_d WHERE _swl_don = 1"
+        + outer_order
+        + " "
+        + tail
+    )
+
+
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_distinct_on(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)
@@ -382,6 +491,35 @@ def transpile_duckdb(sql: str) -> str:
     out = re.sub(r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", out, flags=re.IGNORECASE)
     out = re.sub(
         r"(\*\s*)EXCLUDE\s+(\w+)", r"\1EXCEPT (\2)", out, flags=re.IGNORECASE
+    )
+
+    # 7b) star-REPLACE → star-EXCEPT + appended expressions. DOCUMENTED
+    #     DIVERGENCE: DuckDB keeps each replaced column at its original
+    #     position; Spark has no in-place star modifier, so the
+    #     rewritten columns move to the END of the select list (names,
+    #     types, and values are identical — only position differs; see
+    #     tests/sql/dialect_functions.test).
+    def star_replace(m: re.Match) -> str:
+        body = m.group(1)
+        cols = []
+        for item in _split_top(body):
+            am = re.match(
+                r"^\s*(.+?)\s+AS\s+([\w`\"]+)\s*$",
+                item,
+                flags=re.IGNORECASE | re.DOTALL,
+            )
+            if am is None:
+                return m.group(0)  # not the REPLACE shape: leave as-is
+            cols.append(am.group(2).strip('`"'))
+        return (
+            "* EXCEPT (" + ", ".join(cols) + "), " + body.strip()
+        )
+
+    out = re.sub(
+        r"\*\s*REPLACE\s*\(((?:[^()]|\([^()]*\))*)\)",
+        star_replace,
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
     )
 
     # 8) integer division: DuckDB `a // b` → Spark `a div b`

@@ -278,6 +278,44 @@ class TestDialect:
         ).collect()[0]
         assert row.s == "list_contains(x)"
 
+    def test_distinct_on_rewrite_text(self):
+        from swanlake_spark.functions import transpile_duckdb
+
+        out = transpile_duckdb(
+            "SELECT DISTINCT ON (k) k, s FROM t ORDER BY k, s"
+        )
+        assert "row_number() OVER (PARTITION BY k ORDER BY k, s)" in out
+        assert "_swl_don = 1" in out
+        assert out.rstrip().endswith("ORDER BY k, s")
+        # bare star must not leak the helper column
+        star = transpile_duckdb("SELECT DISTINCT ON (k) * FROM t")
+        assert "* EXCEPT (_swl_don)" in star
+        # inside a string literal: untouched
+        lit = transpile_duckdb("SELECT 'DISTINCT ON (k)' AS s FROM t")
+        assert lit == "SELECT 'DISTINCT ON (k)' AS s FROM t"
+
+    def test_star_replace_rewrite_text(self):
+        from swanlake_spark.functions import transpile_duckdb
+
+        out = transpile_duckdb(
+            "SELECT * REPLACE (v*2 AS v, upper(s) AS s) FROM t"
+        )
+        assert out == (
+            "SELECT * EXCEPT (v, s), v*2 AS v, upper(s) AS s FROM t"
+        )
+        # non-REPLACE shapes (no AS) stay untouched
+        keep = transpile_duckdb("SELECT a * REPLACE (b) FROM t")
+        assert "EXCEPT" not in keep
+
+    def test_distinct_on_end_to_end(self, engine):
+        rows = engine.query(
+            "SELECT DISTINCT ON (g) g, v FROM (SELECT 'a' AS g, 10 AS v "
+            "UNION ALL SELECT 'a', 20 UNION ALL SELECT 'b', 5) t "
+            "ORDER BY g, v DESC",
+            dialect="duckdb",
+        ).collect()
+        assert [(r.g, r.v) for r in rows] == [("a", 20), ("b", 5)]
+
 
 class TestMetrics:
     def test_counters(self, engine):
