@@ -616,7 +616,10 @@ _tpch(
 # aggregate. Equivalent because o_orderkey is the orders PK and each
 # order joins exactly one customer, so the per-order lineitem sum IS the
 # original HAVING-IN filter. 2.2× baseline in BENCH_r01 as written.
-# DuckDB oracle keeps the IN-subquery form as cross-check.
+# r7: the interactive profile (AQE off) shaves the per-stage re-plan
+# latency like the other sub-second entries — measured 0.53 → 0.44 s
+# in-harness; shuffle partitions 16 vs 32 was noise, so the default
+# stays. DuckDB oracle keeps the IN-subquery form as cross-check.
 _Q18_DUCK = """
     SELECT c_name, c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
@@ -646,6 +649,7 @@ _tpch(
     LIMIT 100
     """,
     _Q18_DUCK,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q19 — discounted revenue (OR-of-conjunctions join predicate)
