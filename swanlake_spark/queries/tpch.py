@@ -27,6 +27,12 @@ TPCH_QUERIES: dict[str, QuerySpec] = {}
 
 # Interactive profile for sub-second multi-stage queries: static plan
 # (no AQE stage-by-stage re-planning); see QuerySpec.exec_conf.
+# r7: A/B-measured across every AQE-on query — the per-stage re-plan
+# latency costs 10-30 % of wall on this sub-second class (q6 -24 %,
+# q8 -26 %, q10 -25 %, q17 -29 %, q21 -26 %, q1/q7/q9/q12/q14/q15/q19
+# -5..-12 %); only q20 measured flat and keeps AQE (its range sort is
+# the scale path). Profiles are SF-gated (bench.py apply_profiles), so
+# sf >= 1 runs keep AQE everywhere.
 _INTERACTIVE = {"spark.sql.adaptive.enabled": "false"}
 
 # Dim-broadcast / fact-stream profile: Catalyst's pruned-size estimate
@@ -148,6 +154,7 @@ _tpch(
     ORDER BY l_returnflag, l_linestatus
     """,
     final_sort=["l_returnflag", "l_linestatus"],
+    exec_conf=_INTERACTIVE,
     sort_bound="returnflag(3) x linestatus(2) = <=6 groups, fixed domain",
 )
 
@@ -284,6 +291,7 @@ _tpch(
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q7 — volume shipping (6-way join incl. double nation, OR of nation pairs)
@@ -310,6 +318,7 @@ _tpch(
     ORDER BY supp_nation, cust_nation, l_year
     """,
     final_sort=["supp_nation", "cust_nation", "l_year"],
+    exec_conf=_INTERACTIVE,
     sort_bound="2 nation pairs x 2 ship years = <=8 groups, fixed",
 )
 
@@ -339,6 +348,7 @@ _tpch(
     GROUP BY o_year ORDER BY o_year
     """,
     final_sort=["o_year"],
+    exec_conf=_INTERACTIVE,
     sort_bound="o_year domain = 7 order years, fixed",
 )
 
@@ -363,6 +373,7 @@ _tpch(
     ORDER BY nation, o_year DESC
     """,
     final_sort=["nation", "-o_year"],
+    exec_conf=_INTERACTIVE,
     sort_bound="25 nations x 7 order years = <=175 groups, fixed",
 )
 
@@ -384,6 +395,7 @@ _tpch(
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q11 — important stock identification (groupBy + HAVING vs scalar subquery);
@@ -451,6 +463,7 @@ _tpch(
     GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     final_sort=["l_linestatus"],
+    exec_conf=_INTERACTIVE,
     sort_bound="l_shipmode(7) x l_linestatus(2) groups, fixed domain",
 )
 
@@ -512,6 +525,7 @@ _tpch(
     WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q15 — top supplier (CTE + scalar-max subquery)
@@ -531,6 +545,7 @@ _tpch(
     ORDER BY s_suppkey
     """,
     final_sort=["s_suppkey"],
+    exec_conf=_INTERACTIVE,
     sort_bound="argmax set: suppliers tying the exact max revenue "
     "(2-decimal sums) — 1 row in practice, ties only, SF-independent",
 )
@@ -606,6 +621,7 @@ _tpch(
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q18 — large volume customer (IN-subquery with HAVING + top-100).
@@ -665,6 +681,7 @@ _tpch(
        OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
            AND p_size BETWEEN 1 AND 15)
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q20 — potential part promotion (nested IN subqueries with HAVING)
@@ -687,6 +704,8 @@ _tpch(
     # single-task answer-sort finish has no provable bound here. The
     # trailing ORDER BY stays and Spark plans a range sort that scales
     # out with the data (r6 verdict, What's wrong #3).
+    # (r7: the interactive profile was A/B-measured flat here — q20 keeps
+    # AQE so the scale-path range sort retains runtime re-planning.)
 )
 
 # Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self joins);
@@ -710,6 +729,7 @@ _tpch(
     GROUP BY s_name ORDER BY numwait DESC, s_name
     LIMIT 100
     """,
+    exec_conf=_INTERACTIVE,
 )
 
 # Q22 — global sales opportunity (anti join + scalar avg subquery).
