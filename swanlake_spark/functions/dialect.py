@@ -522,6 +522,35 @@ def transpile_duckdb(sql: str) -> str:
         flags=re.IGNORECASE | re.DOTALL,
     )
 
+    # 7c) DuckDB sampling clause → Spark TABLESAMPLE. `USING SAMPLE
+    #     10%` / `10 PERCENT (bernoulli)` → `TABLESAMPLE (10 PERCENT)`;
+    #     `USING SAMPLE 50 [ROWS] (reservoir)` → `TABLESAMPLE (50
+    #     ROWS)`. Method names are dropped: Spark's PERCENT is
+    #     Bernoulli row sampling (DuckDB's system/bernoulli distinction
+    #     is a block-vs-row granularity choice) and ROWS is an exact
+    #     count like reservoir.
+    sample_spans = _mask_spans(out)
+
+    def _masked_sub(pattern: str, repl_fmt: str, s: str) -> str:
+        def rep(m: re.Match) -> str:
+            if _in_span(m.start(), sample_spans):
+                return m.group(0)
+            return repl_fmt.format(m.group(1))
+
+        return re.sub(pattern, rep, s, flags=re.IGNORECASE)
+
+    out = _masked_sub(
+        r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*"
+        r"(?:\(\s*\w+\s*\))?",
+        "TABLESAMPLE ({} PERCENT)",
+        out,
+    )
+    out = _masked_sub(
+        r"\bUSING\s+SAMPLE\s+(\d+)\s*(?:ROWS?)?\s*(?:\(\s*\w+\s*\))?",
+        "TABLESAMPLE ({} ROWS)",
+        out,
+    )
+
     # 8) integer division: DuckDB `a // b` → Spark `a div b`
     spans2 = _mask_spans(out)
     chunks = []

@@ -307,6 +307,25 @@ class TestDialect:
         keep = transpile_duckdb("SELECT a * REPLACE (b) FROM t")
         assert "EXCEPT" not in keep
 
+    def test_using_sample_rewrite(self, engine):
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb(
+            "SELECT * FROM t USING SAMPLE 10%"
+        ) == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+        assert transpile_duckdb(
+            "SELECT * FROM t USING SAMPLE 50 (reservoir)"
+        ) == "SELECT * FROM t TABLESAMPLE (50 ROWS)"
+        lit = "SELECT 'USING SAMPLE 10%' AS s FROM t"
+        assert transpile_duckdb(lit) == lit
+        # end-to-end: ROWS is an exact count in both engines
+        n = engine.query(
+            "SELECT count(*) AS n FROM (SELECT explode(sequence(1, 200)))"
+            " USING SAMPLE 50 ROWS",
+            dialect="duckdb",
+        ).collect()[0].n
+        assert n == 50
+
     def test_distinct_on_end_to_end(self, engine):
         rows = engine.query(
             "SELECT DISTINCT ON (g) g, v FROM (SELECT 'a' AS g, 10 AS v "
