@@ -17,6 +17,7 @@ from swanlake_spark.streaming.sketch import (
 )
 from swanlake_spark.streaming.retention import retention_stream
 from swanlake_spark.streaming.ingest import (
+    session_stats_stream,
     sessionize,
     stream_events_from_directory,
     streaming_append_to_table,
@@ -32,6 +33,7 @@ __all__ = [
     "read_candidates",
     "read_kmv",
     "retention_stream",
+    "session_stats_stream",
     "sessionize",
     "stream_events_from_directory",
     "streaming_append_to_table",

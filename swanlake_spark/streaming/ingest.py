@@ -271,3 +271,44 @@ def streaming_append_to_table(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_stats_stream(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE session windows
+    (``F.session_window`` — JVM-side merging-window state, no Python in
+    the loop): one ``(user_id, session_start, session_end, n_events,
+    sum_value)`` row per closed session, append-mode, emitted when the
+    watermark passes the session's end + gap.
+
+    This is the built-in twin of ``sessionize`` above: identical
+    gap-session semantics (the batch oracle is
+    ``operators/events.session_stats``), but the state machine lives in
+    Tungsten rows and merges sessions engine-side — the path to prefer
+    whenever per-session AGGREGATES are enough. ``sessionize`` remains
+    for semantics the native operator can't express (per-event session
+    ids, custom emission rules). One caveat inherited from Spark's
+    session windows: ``session_window``'s end is ``last_event + gap``,
+    so ``session_end`` here is trimmed back to the observed
+    ``max(ts)`` to match the batch operator's (start, end, duration)
+    convention exactly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+            F.min("ts").alias("first_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("first_ts").alias("session_start"),
+            F.col("last_ts").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1103,3 +1103,90 @@ class TestStreamingKmvDistinct:
             for r in read_kmv(spark, state, 1024).collect()
         }
         assert got == {"a": 13, "b": 5}
+
+
+class TestNativeSessionWindows:
+    """session_stats_stream: Spark's built-in F.session_window path.
+    Must produce the same closed sessions as the applyInPandasWithState
+    sessionizer AND the batch session_stats operator — one gap
+    semantics, three implementations."""
+
+    _BASE = [
+        {"event_id": 1, "ts": "2025-01-01T00:00:00.000Z", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2025-01-01T00:02:00.000Z", "user_id": 1,
+         "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 3, "ts": "2025-01-01T00:12:30.000Z", "user_id": 1,
+         "event_type": "click", "value": 4.0, "props": "{}"},
+        {"event_id": 4, "ts": "2025-01-01T00:01:00.000Z", "user_id": 2,
+         "event_type": "click", "value": 5.0, "props": "{}"},
+        {"event_id": 5, "ts": "2025-01-01T00:04:00.000Z", "user_id": 2,
+         "event_type": "view", "value": 6.0, "props": "{}"},
+        {"event_id": 6, "ts": "2025-01-01T00:05:30.000Z", "user_id": 2,
+         "event_type": "view", "value": 7.0, "props": "{}"},
+    ]
+
+    def test_matches_batch_session_stats(self, spark):
+        import json
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import events as EV
+        from swanlake_spark.streaming.ingest import (
+            session_stats_stream,
+            stream_events_from_directory,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_nsess_")
+        with open(os.path.join(d, "b1.json"), "w") as f:
+            for r in self._BASE:
+                f.write(json.dumps(r) + "\n")
+        # sentinel closes every real session
+        with open(os.path.join(d, "b2.json"), "w") as f:
+            f.write(json.dumps(
+                {"event_id": 99, "ts": "2025-01-01T12:00:00.000Z",
+                 "user_id": 9, "event_type": "click", "value": 0.0,
+                 "props": "{}"}
+            ) + "\n")
+        events = stream_events_from_directory(
+            spark, d, max_files_per_trigger=1
+        )
+        out = session_stats_stream(
+            events, gap="5 minutes", watermark="1 minute"
+        )
+        name = "nsess_out"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        got = {
+            (r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events, r.sum_value)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+            if r.user_id in (1, 2)
+        }
+        bdf = spark.createDataFrame(
+            [(r["user_id"], r["ts"], r["value"]) for r in self._BASE],
+            "user_id long, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        # batch oracle: session_stats for the frame, sessionize_batch
+        # for the per-session value sums
+        want = {
+            (r["user_id"], str(r["start"]), str(r["end"]),
+             r["n_events"], r["sum_v"])
+            for r in EV.session_stats(bdf, gap_minutes=5.0)
+            .join(
+                EV.sessionize_batch(bdf, gap_minutes=5.0)
+                .groupBy("user_id", "session_id")
+                .agg(F.sum("value").alias("sum_v")),
+                ["user_id", "session_id"],
+            )
+            .collect()
+        }
+        assert got == want and len(got) == 3
