@@ -70,18 +70,70 @@ def stratified_sample(
     k: int,
     id_col: str = "doc_id",
     salt: str = "",
+    auto_prefilter: bool = False,
+    _prefilter_slack: float = 4.0,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, chosen uniformly and
     deterministically by the md5 ranking key (id tiebreak makes the pick
-    total even under md5-prefix collisions)."""
+    total even under md5-prefix collisions).
+
+    ``auto_prefilter=True`` adds the density pre-filter the module
+    docstring previously left manual (same construction as the KMV
+    sketch build, operators/sketch.py): ranking keys are uniform, so a
+    stratum with n̂ rows (one approx count pass) has its k-th smallest
+    key near k/n̂ — filtering at ``slack·k/n̂`` BEFORE the window cuts
+    the per-stratum sort to O(k) rows regardless of stratum size, at
+    the cost of a second scan. The result is IDENTICAL to the
+    unfiltered pick: the filter can only drop rows ranked beyond k
+    except with ~exp(-k) tail probability, and strata whose filtered
+    pick came back short while the estimate says more rows exist
+    recompute unfiltered (semi-join pruned) — correctness never rests
+    on the tail bound."""
     w = Window.partitionBy(*strata_cols).orderBy(
         sample_key(id_col, salt), F.col(id_col)
     )
-    return (
-        df.withColumn("_srk", F.row_number().over(w))
-        .filter(F.col("_srk") <= k)
-        .drop("_srk")
+
+    def _pick(src: DataFrame) -> DataFrame:
+        return (
+            src.withColumn("_srk", F.row_number().over(w))
+            .filter(F.col("_srk") <= k)
+            .drop("_srk")
+        )
+
+    if not auto_prefilter:
+        return _pick(df)
+    est = df.groupBy(*strata_cols).agg(
+        F.count("*").alias("__swl_n")
     )
+    keyed = df.join(est, on=strata_cols)
+    # numeric key space: the 8-hex-char md5 prefix as a bigint
+    keynum = F.conv(sample_key(id_col, salt), 16, 10).cast("bigint")
+    cut = F.least(
+        F.lit(float(_KEY_SPACE)),
+        F.lit(_prefilter_slack * k) * F.lit(float(_KEY_SPACE))
+        / F.col("__swl_n"),
+    )
+    surv = keyed.filter(keynum < cut).drop("__swl_n")
+    picked = _pick(surv)
+    # detect from est's side: a stratum whose filtered pick came back
+    # EMPTY never appears in picked at all, and must still recompute
+    got = picked.groupBy(*strata_cols).agg(F.count("*").alias("__swl_got"))
+    short = (
+        est.join(got, on=strata_cols, how="left")
+        .withColumn("__swl_got", F.coalesce(F.col("__swl_got"), F.lit(0)))
+        .filter(
+            (F.col("__swl_got") < F.lit(k))
+            & (F.col("__swl_n") > F.col("__swl_got"))
+        )
+        .select(*strata_cols)
+    )
+    if len(short.take(1)) == 0:
+        return picked
+    ok = picked.join(short, on=strata_cols, how="left_anti")
+    redo = _pick(
+        df.join(F.broadcast(short.distinct()), on=strata_cols, how="left_semi")
+    )
+    return ok.unionByName(redo)
 
 
 def train_test_split(

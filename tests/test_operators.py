@@ -533,6 +533,46 @@ class TestSampling:
         tiny = spark.createDataFrame([(1, "zh"), (2, "zh")], ["doc_id", "lang"])
         assert len(sampling.stratified_sample(tiny, ["lang"], k=7).collect()) == 2
 
+    def test_stratified_auto_prefilter_identical_pick(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(4000)], ["doc_id", "lang"]
+        )
+        plain = {
+            (r.lang, r.doc_id)
+            for r in sampling.stratified_sample(df, ["lang"], k=25).collect()
+        }
+        fast = {
+            (r.lang, r.doc_id)
+            for r in sampling.stratified_sample(
+                df, ["lang"], k=25, auto_prefilter=True
+            ).collect()
+        }
+        assert fast == plain and len(fast) == 100
+
+    def test_stratified_prefilter_fallback_still_exact(self, spark):
+        from swanlake_spark.operators import sampling
+
+        # slack ~0 forces the pre-filter to cut below k survivors in
+        # every stratum: the detect-and-recompute path must still
+        # produce the true top-k picks
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(900)], ["doc_id", "lang"]
+        )
+        plain = {
+            (r.lang, r.doc_id)
+            for r in sampling.stratified_sample(df, ["lang"], k=10).collect()
+        }
+        forced = {
+            (r.lang, r.doc_id)
+            for r in sampling.stratified_sample(
+                df, ["lang"], k=10, auto_prefilter=True,
+                _prefilter_slack=0.01,
+            ).collect()
+        }
+        assert forced == plain
+
     def test_split_disjoint_exhaustive(self, spark):
         from swanlake_spark.operators import sampling
 
