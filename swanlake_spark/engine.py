@@ -387,7 +387,8 @@ class Engine:
                 stmt = self._rewrite_information_schema(stmt)
             if re.search(
                 r"\bAT\s*\(|\bsnapshots\s*\(|\btable_changes\s*\("
-                r"|\bheavy_hitters\s*\(|\bstrip_contaminated_spans\s*\(",
+                r"|\bheavy_hitters\s*\(|\bstrip_contaminated_spans\s*\("
+                r"|\bkmv_distinct\s*\(|\bkmv_overlap\s*\(",
                 stmt,
                 re.IGNORECASE,
             ):
@@ -1159,6 +1160,12 @@ class Engine:
     _STRIP_RE = re.compile(
         r"\bstrip_contaminated_spans\s*\(([^)]*)\)", re.IGNORECASE
     )
+    _KMV_RE = re.compile(
+        r"\bkmv_distinct\s*\(([^)]*)\)", re.IGNORECASE
+    )
+    _KMVOP_RE = re.compile(
+        r"\bkmv_overlap\s*\(([^)]*)\)", re.IGNORECASE
+    )
 
     def _rewrite_time_travel(self, stmt: str) -> str:
         """DuckLake's time-travel surface on COW tables:
@@ -1176,6 +1183,12 @@ class Engine:
           min_tokens)`` → the corpus with every reference-overlapping
           token span stripped (operators/span_dedup.py; tables must
           carry ``doc_id``/``text`` columns).
+        - ``FROM kmv_distinct('t', 'col', k[, 'group_col'])`` → KMV
+          distinct-count estimate (exact below k) — one ``(est)`` row,
+          or ``(group_col, est)`` per group (operators/sketch.py).
+        - ``FROM kmv_overlap('t1', 'c1', 't2', 'c2', k)`` → one
+          ``(union_est, intersect_est, jaccard)`` row of the two
+          columns' value-set overlap via the min-θ sample.
 
         Matching runs on the literal-masked text (so string contents
         can't trigger a rewrite); argument values are sliced from the
@@ -1264,6 +1277,66 @@ class Engine:
                 sketch.heavy_hitters(
                     self.spark.table(table), col, int(hm.group(3))
                 ).createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            m = self._KMV_RE.search(masked)
+            if m:
+                raw = out[m.start(1):m.end(1)]
+                km = re.match(
+                    r"^\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*(\d+)"
+                    r"(?:\s*,\s*'([^']+)')?\s*$",
+                    raw,
+                )
+                if km is None:
+                    break  # not kmv_distinct('t','col',k[,'grp']); leave
+                from pyspark.sql import functions as F
+
+                from swanlake_spark.operators import sketch
+
+                table, col, k = km.group(1), km.group(2), int(km.group(3))
+                by = [km.group(4)] if km.group(4) else []
+                sk = sketch.kmv_sketch(
+                    self.spark.table(table), col, k=k, by=by
+                )
+                est = sk.select(
+                    *by,
+                    sketch.kmv_distinct(F.col("kmv"), k).alias("est"),
+                )
+                view = (
+                    f"_swl_kmv_{table.replace('.', '_')}"
+                    f"_{_uuid.uuid4().hex[:6]}"
+                )
+                est.createOrReplaceTempView(view)
+                out = out[: m.start()] + view + out[m.end():]
+                continue
+            m = self._KMVOP_RE.search(masked)
+            if m:
+                raw = out[m.start(1):m.end(1)]
+                km = re.match(
+                    r"^\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*'([^']+)'"
+                    r"\s*,\s*'([^']+)'\s*,\s*(\d+)\s*$",
+                    raw,
+                )
+                if km is None:
+                    break  # not kmv_overlap('t1','c1','t2','c2',k)
+                from pyspark.sql import functions as F
+
+                from swanlake_spark.operators import sketch
+
+                k = int(km.group(5))
+                a = sketch.kmv_sketch(
+                    self.spark.table(km.group(1)), km.group(2), k=k
+                ).select(F.col("kmv").alias("__ka"))
+                b = sketch.kmv_sketch(
+                    self.spark.table(km.group(3)), km.group(4), k=k
+                ).select(F.col("kmv").alias("__kb"))
+                ops = a.crossJoin(b).select(
+                    sketch.kmv_set_ops(
+                        F.col("__ka"), F.col("__kb"), k
+                    ).alias("o")
+                ).select("o.union_est", "o.intersect_est", "o.jaccard")
+                view = f"_swl_kmvop_{_uuid.uuid4().hex[:6]}"
+                ops.createOrReplaceTempView(view)
                 out = out[: m.start()] + view + out[m.end():]
                 continue
             m = self._STRIP_RE.search(masked)
