@@ -836,10 +836,11 @@ class TestStreamingMatview:
             spark.sql(f"DROP TABLE IF EXISTS {base}")
 
     def test_join_view_streamed_maintenance(self, spark, engine, event_dir):
-        # r7: refresh_incremental handles two-table equi-join views, so
-        # the streamed maintainer gets fact-stream⋈dim rollups for free
-        # — each batch's appended files broadcast-join the dim snapshot
-        # (the ΔA⋈B2 term; the dim is static here, so A1⋈ΔB never runs)
+        # r7: refresh_incremental handles n-ary equi-join views, so the
+        # streamed maintainer gets fact-stream⋈dim⋈dim STAR rollups for
+        # free — each batch's appended files broadcast-join both dim
+        # snapshots (the ΔT0 term; the dims are static here, so the
+        # dim-delta terms never run)
         import tempfile
 
         from swanlake_spark import matview
@@ -849,6 +850,7 @@ class TestStreamingMatview:
         view = "smv_view_join"
         loc = tempfile.mkdtemp(prefix="swl_smvj_")
         dloc = tempfile.mkdtemp(prefix="swl_smvj_d_")
+        d2loc = tempfile.mkdtemp(prefix="swl_smvj_d2_")
         spark.sql(
             f"CREATE TABLE {base} (event_id BIGINT, ts TIMESTAMP, "
             f"user_id BIGINT, event_type STRING, value DOUBLE, "
@@ -858,9 +860,18 @@ class TestStreamingMatview:
             f"CREATE TABLE smv_dim_join (et STRING, category STRING) "
             f"USING parquet LOCATION '{dloc}'"
         )
+        spark.sql(
+            f"CREATE TABLE smv_dim_join2 (uk BIGINT, cohort STRING) "
+            f"USING parquet LOCATION '{d2loc}'"
+        )
         engine.execute(
             "INSERT INTO smv_dim_join VALUES ('click', 'engage'), "
             "('view', 'engage'), ('purchase', 'convert')"
+        )
+        engine.execute(
+            "INSERT INTO smv_dim_join2 SELECT id, "
+            "CASE WHEN id < 3 THEN 'early' ELSE 'late' END "
+            "FROM RANGE(5) t(id)"
         )
         engine.execute(
             f"INSERT INTO {base} VALUES "
@@ -868,9 +879,10 @@ class TestStreamingMatview:
             f"1.0, '{{}}')"
         )
         q_def = (
-            f"SELECT category, count(*) AS n, sum(value) AS total "
+            f"SELECT category, cohort, count(*) AS n, sum(value) AS total "
             f"FROM {base} JOIN smv_dim_join ON event_type = et "
-            f"GROUP BY category"
+            f"JOIN smv_dim_join2 ON user_id = uk "
+            f"GROUP BY category, cohort"
         )
         matview.create(
             spark, view, q_def,
@@ -889,17 +901,18 @@ class TestStreamingMatview:
             spark.catalog.refreshTable(base)
             spark.catalog.refreshTable(view)
             got = {
-                (r.category, r.n, round(r.total, 6))
+                (r.category, r.cohort, r.n, round(r.total, 6))
                 for r in spark.table(view).collect()
             }
             assert got == {
-                (r.category, r.n, round(r.total, 6))
+                (r.category, r.cohort, r.n, round(r.total, 6))
                 for r in spark.sql(q_def).collect()
             }
             assert matview.refresh_incremental(spark, view) == 0
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {base}")
             spark.sql("DROP TABLE IF EXISTS smv_dim_join")
+            spark.sql("DROP TABLE IF EXISTS smv_dim_join2")
 
     def test_skipped_refresh_self_heals(self, spark, engine, event_dir):
         import tempfile
