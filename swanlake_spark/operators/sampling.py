@@ -16,10 +16,13 @@ here oracle-checkable by hash):
   md5 ranking within each stratum. One shuffle on the strata key;
   per-stratum state is a top-k heap (``row_number`` + filter collapses
   to a windowed rank Spark evaluates streaming per group after the
-  sort). A pathologically hot stratum concentrates one group's sort on
-  one executor — for billions-per-stratum inputs, pre-filter with
-  ``bernoulli_sample`` at a few × k/|stratum| first (documented, not
-  automatic).
+  sort, with map-side WindowGroupLimit bounding every partition's
+  contribution to k rows). For billions-per-stratum inputs,
+  ``auto_prefilter=True`` (r7) bounds the per-stratum sort to O(k)
+  rows with an exact detect-and-recompute fallback.
+- ``weighted_sample_k``: exactly ``k`` rows per stratum with inclusion
+  probability ∝ a weight column — the Efraimidis–Spirakis exp-race,
+  same determinism/merge contract.
 - ``train_test_split``: labels every row 'train'/'test' by hash range —
   disjoint, exhaustive, stable under re-runs and re-partitioning.
 
@@ -154,4 +157,47 @@ def train_test_split(
             sample_key(id_col, salt) < F.lit(_threshold_hex(test_fraction)),
             F.lit("test"),
         ).otherwise(F.lit("train")),
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |positive-weight rows|) rows per stratum with
+    inclusion probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis weighted reservoir (A-ES): each row draws a
+    deterministic uniform u from its id hash and races with key
+    ``-ln(u)/w`` (an Exponential(w) arrival); the k SMALLEST keys win,
+    which is exactly weighted sampling without replacement. Training
+    use: sample documents proportional to token count, domains
+    proportional to mixture weight, clusters proportional to size.
+
+    Deterministic and layout-independent like every operator here (u
+    is content-derived, not RNG); mergeable (the winners of two halves'
+    winners are the winners of the union — same race keys); the
+    per-stratum pick is a rank-limit window Spark bounds map-side
+    (WindowGroupLimit). Rows with weight ≤ 0 or NULL never win
+    (they race at +infinity). The salt decorrelates repeat draws."""
+    strata_cols = list(strata_cols or [])
+    # u in (0, 1]: (key+1) / 16^8 over the md5-prefix space — never 0,
+    # so ln(u) is finite; u = 1 races at 0/w, still weight-ordered
+    u = (
+        F.conv(sample_key(id_col, salt), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(float(_KEY_SPACE))
+    wcol = F.col(weight_col).cast("double")
+    race = F.when(
+        wcol > 0, -F.log(u) / wcol
+    ).otherwise(F.lit(float("inf")))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        race.asc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_swr", F.row_number().over(w))
+        .filter((F.col("_swr") <= k) & (wcol > 0))
+        .drop("_swr")
     )

@@ -1642,3 +1642,83 @@ class TestKmvSketch:
             ).collect()
         }
         assert a == b and a
+
+
+class TestWeightedSampleK:
+    """Efraimidis–Spirakis weighted reservoir (operators/sampling.py):
+    deterministic exp-race keys, so the checks are exact-size,
+    layout-independence, merge closure, and a 4-sigma inclusion-rate
+    gate over many independent strata."""
+
+    def test_size_and_determinism(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 5}", float(1 + i % 7)) for i in range(1000)],
+            ["doc_id", "grp", "wt"],
+        )
+        a = {
+            (r.grp, r.doc_id)
+            for r in sampling.weighted_sample_k(
+                df, 10, "wt", ["grp"]
+            ).collect()
+        }
+        b = {
+            (r.grp, r.doc_id)
+            for r in sampling.weighted_sample_k(
+                df.repartition(17), 10, "wt", ["grp"]
+            ).collect()
+        }
+        assert a == b and len(a) == 50
+
+    def test_zero_and_null_weights_never_win(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, None), (4, -2.0), (5, 1.0)],
+            ["doc_id", "wt"],
+        )
+        got = {
+            r.doc_id
+            for r in sampling.weighted_sample_k(df, 10, "wt").collect()
+        }
+        assert got == {1, 5}
+
+    def test_inclusion_rate_tracks_weights(self, spark):
+        from swanlake_spark.operators import sampling
+
+        # 500 independent strata, each holding A (weight 9) and B
+        # (weight 1), k=1: P(pick A) = 0.9; 4-sigma gate ~ +-5.4pp
+        rows = []
+        for g in range(500):
+            rows.append((2 * g, g, "A", 9.0))
+            rows.append((2 * g + 1, g, "B", 1.0))
+        df = spark.createDataFrame(rows, ["doc_id", "grp", "item", "wt"])
+        picked = sampling.weighted_sample_k(df, 1, "wt", ["grp"]).collect()
+        frac_a = sum(1 for r in picked if r.item == "A") / 500
+        assert abs(frac_a - 0.9) < 0.054, frac_a
+
+    def test_merge_closure(self, spark):
+        from swanlake_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 11)) for i in range(2000)],
+            ["doc_id", "wt"],
+        )
+        whole = {
+            r.doc_id
+            for r in sampling.weighted_sample_k(df, 25, "wt").collect()
+        }
+        h1 = sampling.weighted_sample_k(
+            df.where(F.col("doc_id") % 2 == 0), 25, "wt"
+        )
+        h2 = sampling.weighted_sample_k(
+            df.where(F.col("doc_id") % 2 == 1), 25, "wt"
+        )
+        merged = {
+            r.doc_id
+            for r in sampling.weighted_sample_k(
+                h1.unionByName(h2), 25, "wt"
+            ).collect()
+        }
+        assert merged == whole
