@@ -1906,7 +1906,22 @@ def _sample_mix_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = _domain_mix(spark, sf_dir).select(
         F.concat(F.lit("mix_"), F.col("source")).alias("mode"),
         F.col("n"), F.col("id_sum"))
-    return base.unionAll(strat).unionAll(mix).orderBy("mode")
+    # weighted reservoir (r7): inclusion ∝ n_chars, per-lang top-5 —
+    # the exp-race key -ln(u)/w is pure arithmetic on the same md5
+    # uniforms, so DuckDB reproduces the pick row-for-row
+    wsamp = (
+        sampling.weighted_sample_k(
+            _docs(spark, sf_dir).where(F.col("n_chars") > 0),
+            5, "n_chars", ["lang"],
+        )
+        .groupBy(F.concat(F.lit("wsamp_"), F.col("lang")).alias("mode"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum("doc_id").cast("long").alias("id_sum"))
+    )
+    return (
+        base.unionAll(strat).unionAll(mix).unionAll(wsamp)
+        .orderBy("mode")
+    )
 
 
 def _sample_mix_battery_oracle() -> str:
@@ -1920,6 +1935,20 @@ def _sample_mix_battery_oracle() -> str:
     UNION ALL
     SELECT 'mix_' || source AS mode, n, id_sum
     FROM ({q['pipe_domain_mix'].oracle}) t_mix
+    UNION ALL
+    SELECT 'wsamp_' || lang AS mode, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY -ln((CAST(concat('0x',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    + 1.0) / 4294967296.0) / n_chars,
+                 doc_id
+             ) AS rk
+      FROM documents WHERE n_chars > 0) t_ws
+    WHERE rk <= 5 GROUP BY lang
     ORDER BY mode
     """
 
