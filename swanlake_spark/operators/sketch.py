@@ -299,17 +299,22 @@ def kmv_union(a: Column, b: Column, k: int) -> Column:
 
 def kmv_set_ops(a: Column, b: Column, k: int) -> Column:
     """Struct of multiset estimates for two sketches: ``union_est``,
-    ``intersect_est``, ``jaccard`` (+ the observed sample sizes).
+    ``intersect_est``, ``a_minus_b_est``/``b_minus_a_est`` (set
+    differences), ``jaccard`` (+ the observed sample sizes).
     Every hash < θ = min(θA, θB) is a uniform θ-sample of A∪B, so
     |{common hashes < θ}|/θ estimates |A∩B| with the SAME estimator
     the distinct count uses — exact when both sketches are exact."""
     theta = F.least(kmv_theta(a, k), kmv_theta(b, k))
     below = lambda s: F.filter(s, lambda x: x < theta)  # noqa: E731
+    a_n = F.size(below(a))
+    b_n = F.size(below(b))
     inter_n = F.size(F.array_intersect(below(a), below(b)))
     union_n = F.size(F.array_union(below(a), below(b)))
     return F.struct(
         (union_n / theta).alias("union_est"),
         (inter_n / theta).alias("intersect_est"),
+        ((a_n - inter_n) / theta).alias("a_minus_b_est"),
+        ((b_n - inter_n) / theta).alias("b_minus_a_est"),
         F.when(union_n > 0, inter_n / union_n)
         .otherwise(F.lit(0.0))
         .alias("jaccard"),

@@ -1591,6 +1591,8 @@ class TestKmvSketch:
         ).collect()[0]["o"]
         assert int(ops["intersect_est"]) == 100
         assert int(ops["union_est"]) == 500
+        assert int(ops["a_minus_b_est"]) == 200
+        assert int(ops["b_minus_a_est"]) == 200
         assert abs(ops["jaccard"] - 100 / 500) < 1e-12
 
     def test_set_ops_estimation_regime(self, spark):
