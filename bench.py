@@ -138,6 +138,35 @@ def main() -> None:
 
     suite["sketch_kmv_overlap"] = _KmvOverlap
 
+    # Histogram quantile sketch: per-returnflag price quantiles over
+    # the 600k-row lineitem — one scan + one bins-by-groups
+    # aggregation, quantile walk over the 1024-cell arrays.
+    class _HistQuantile:
+        @staticmethod
+        def build(spark, sf_dir):
+            from pyspark.sql import functions as F
+
+            from swanlake_spark.operators import sketch
+            from swanlake_spark.queries.oracle import ensure_tables
+
+            ensure_tables(spark, sf_dir)
+            li = spark.table("lineitem")
+            sk = sketch.histogram_sketch(
+                li, "l_extendedprice", bins=1024,
+                lo=900.0, hi=105000.0, by=["l_returnflag"],
+            )
+            return sk.select(
+                "l_returnflag",
+                *[
+                    sketch.hist_quantile(
+                        F.col("counts"), F.col("lo"), F.col("hi"), q
+                    ).alias(f"q{int(q * 100)}")
+                    for q in (0.5, 0.9, 0.99)
+                ],
+            )
+
+    suite["sketch_hist_quantile"] = _HistQuantile
+
     # Curation ops over the FULL documents table (the oracle entries are
     # bounded correctness demos; these are the scale-path timings).
     class _Decontaminate:

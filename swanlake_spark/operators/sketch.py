@@ -321,3 +321,127 @@ def kmv_set_ops(a: Column, b: Column, k: int) -> Column:
         inter_n.alias("intersect_sample"),
         union_n.alias("union_sample"),
     )
+
+
+# -- fixed-bin histogram quantile sketch --------------------------------------
+#
+# Quantiles with MERGEABLE state: Spark's percentile_approx state isn't
+# exposed for SQL-level merging, so rollups and streams can't fold it.
+# A fixed-bin equi-width histogram (the classic DB optimizer synopsis)
+# is: bin counters are linear — partition-parallel builds, cross-shard
+# rollups, and cross-batch streaming folds are all ONE elementwise add
+# — at the cost of a value-error bound of one bin width (hi−lo)/B
+# instead of percentile_approx's rank-relative bound. Pick B for the
+# precision the question needs; 4096 doubles per group is still tiny.
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str | Column,
+    bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram of ``col``: group columns plus ``counts``
+    (array<long>, length ``bins``) and the shared ``lo``/``hi`` range.
+
+    The range is GLOBAL (one min/max pass when not supplied) so every
+    group's sketch shares bin boundaries — the precondition for
+    merging sketches across groups, shards, or stream batches with
+    ``hist_merge``. Values outside [lo, hi) clamp into the edge bins.
+    Build cost: one scan + one ≤ bins·groups aggregation; no UDFs."""
+    by = list(by or [])
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    if lo is None or hi is None:
+        r = df.agg(F.min(c).alias("l"), F.max(c).alias("h")).collect()[0]
+        lo = float(r["l"]) if lo is None else lo
+        hi = float(r["h"]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width))),
+    ).cast("int")
+    cells = (
+        df.where(c.isNotNull())
+        .groupBy(*by, b.alias("__b"))
+        .agg(F.count("*").alias("__n"))
+    )
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("__b"), F.col("__n")))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(F.try_element_at(m, i), F.lit(0).cast("long")),
+    )
+    return cells.groupBy(*by).agg(
+        dense.alias("counts"),
+        F.lit(float(lo)).alias("lo"),
+        F.lit(float(hi)).alias("hi"),
+    )
+
+
+def hist_merge(a: Column, b: Column) -> Column:
+    """Elementwise sum of two count arrays — the entire merge (bins
+    must share lo/hi/length, which ``histogram_sketch`` guarantees by
+    construction for one build and the caller for cross-build folds)."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def hist_quantile(
+    counts: Column, lo: Column | float, hi: Column | float, q: float
+) -> Column:
+    """Quantile estimate from a histogram sketch: walk the CDF to the
+    q·total rank, interpolate linearly inside the crossing bin. Value
+    error ≤ one bin width by construction. ``q`` in [0, 1].
+
+    Implementation note: the rank target is let-bound via a 1-element
+    ``transform`` so the CDF walk computes it once — Catalyst does no
+    CSE through lambda bodies (an inlined aggregate would re-sum the
+    array per step, an O(B²) trap)."""
+    lo = F.lit(lo) if not isinstance(lo, Column) else lo
+    hi = F.lit(hi) if not isinstance(hi, Column) else hi
+    nbins = F.size(counts)
+    width = (hi - lo) / nbins
+    total = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).cast("double")
+
+    def walk(target):
+        acc0 = F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(0).alias("i"),
+            F.lit(-1).alias("fi"),
+            F.lit(0.0).alias("fcum"),
+            F.lit(0.0).alias("fcnt"),
+        )
+
+        def step(acc, x):
+            hit = (acc.fi < 0) & ((acc.cum + x) >= target)
+            return F.struct(
+                (acc.cum + x).alias("cum"),
+                (acc.i + 1).alias("i"),
+                F.when(hit, acc.i).otherwise(acc.fi).alias("fi"),
+                F.when(hit, acc.cum).otherwise(acc.fcum).alias("fcum"),
+                F.when(hit, x.cast("double"))
+                .otherwise(acc.fcnt)
+                .alias("fcnt"),
+            )
+
+        w = F.aggregate(counts, acc0, step)
+        frac = F.when(
+            w.fcnt > 0, (target - w.fcum) / w.fcnt
+        ).otherwise(F.lit(0.0))
+        return F.when(w.fi < 0, hi).otherwise(
+            lo + width * (w.fi.cast("double") + frac)
+        )
+
+    # let-bind the rank target (computed once) as a lambda variable
+    return F.try_element_at(
+        F.transform(
+            F.array(F.greatest(F.lit(q) * total, F.lit(1.0))),
+            walk,
+        ),
+        F.lit(1),
+    )

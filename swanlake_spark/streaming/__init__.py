@@ -11,8 +11,10 @@ from swanlake_spark.streaming.funnel import funnel_stream
 from swanlake_spark.streaming.matview import maintain_matview_stream
 from swanlake_spark.streaming.sketch import (
     heavy_hitters_stream,
+    histogram_stream,
     kmv_distinct_stream,
     read_candidates,
+    read_histogram,
     read_kmv,
 )
 from swanlake_spark.streaming.retention import retention_stream
@@ -28,9 +30,11 @@ from swanlake_spark.streaming.ingest import (
 __all__ = [
     "funnel_stream",
     "heavy_hitters_stream",
+    "histogram_stream",
     "kmv_distinct_stream",
     "maintain_matview_stream",
     "read_candidates",
+    "read_histogram",
     "read_kmv",
     "retention_stream",
     "session_stats_stream",

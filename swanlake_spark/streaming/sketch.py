@@ -263,3 +263,88 @@ def read_kmv(
     return df.withColumn(
         "distinct_est", sketch.kmv_distinct(F.col("kmv"), k)
     )
+
+
+def histogram_stream(
+    rows: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    state_dir: str,
+    checkpoint_dir: str,
+    bins: int = 1024,
+    by: list[str] | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming quantiles: a fixed-bin histogram sketch
+    (operators/sketch.py histogram section) maintained across
+    micro-batches. The range must be supplied up front (bins are the
+    mergeable identity — a stream can't retroactively re-bin), and the
+    cross-batch fold is ONE elementwise add per group, the same
+    linearity contract as the count-min cells. Replay inflates counts
+    (at-least-once foreachBatch), which moves quantile estimates by at
+    most the replayed batch's mass — same degradation class as the
+    count-min path, documented rather than hidden.
+
+    Read the live sketch + quantiles with ``read_histogram``."""
+    from swanlake_spark.operators import sketch
+
+    by = list(by or [])
+    root = f"{state_dir}/hist"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bsk = sketch.histogram_sketch(
+            batch_df, col, bins=bins, lo=lo, hi=hi, by=by
+        )
+        old = _read_latest(spark, root)
+        if old is None:
+            merged = bsk
+        else:
+            merged = (
+                old.unionByName(bsk)
+                .groupBy(*by)
+                .agg(
+                    F.aggregate(
+                        F.collect_list("counts"),
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(bins - 1)),
+                            lambda _i: F.lit(0).cast("long"),
+                        ),
+                        lambda acc, x: F.zip_with(
+                            acc, x, lambda a, b: a + b
+                        ),
+                    ).alias("counts"),
+                    F.first("lo").alias("lo"),
+                    F.first("hi").alias("hi"),
+                )
+            )
+        _publish(spark, root, merged, batch_id)
+
+    writer = rows.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_histogram(
+    spark: SparkSession, state_dir: str, quantiles: list[float] | None = None
+) -> DataFrame:
+    """Current per-group histogram state, plus a ``q_<pct>`` estimate
+    column per requested quantile — empty frame before the first
+    completed batch."""
+    from swanlake_spark.operators import sketch
+
+    df = _read_latest(spark, f"{state_dir}/hist")
+    if df is None:
+        return spark.createDataFrame(
+            [], schema="counts array<bigint>, lo double, hi double"
+        )
+    for q in quantiles or []:
+        df = df.withColumn(
+            f"q_{int(round(q * 100))}",
+            sketch.hist_quantile(F.col("counts"), F.col("lo"), F.col("hi"), q),
+        )
+    return df

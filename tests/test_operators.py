@@ -1724,3 +1724,80 @@ class TestWeightedSampleK:
             ).collect()
         }
         assert merged == whole
+
+
+class TestHistogramQuantile:
+    """Fixed-bin histogram quantile sketch (operators/sketch.py): the
+    contract is (a) value error <= one bin width vs the exact
+    interpolated quantile, (b) merges are bit-exact elementwise adds,
+    (c) per-group sketches share global bins."""
+
+    def test_error_within_bin_width(self, spark):
+        from swanlake_spark.operators import sketch
+
+        n, bins = 50000, 512
+        df = spark.range(n).select(
+            (F.col("id") * F.col("id") % 9973).cast("double").alias("v")
+        )
+        sk = sketch.histogram_sketch(df, "v", bins=bins)
+        row = sk.select(
+            *[
+                sketch.hist_quantile(
+                    F.col("counts"), F.col("lo"), F.col("hi"), q
+                ).alias(f"q{int(q*100)}")
+                for q in (0.25, 0.5, 0.9, 0.99)
+            ],
+            "lo", "hi",
+        ).collect()[0]
+        width = (row["hi"] - row["lo"]) / bins
+        exact = df.selectExpr(
+            "percentile(v, array(0.25, 0.5, 0.9, 0.99)) AS p"
+        ).collect()[0]["p"]
+        for got, want in zip(
+            [row["q25"], row["q50"], row["q90"], row["q99"]], exact
+        ):
+            assert abs(got - want) <= width + 1e-9, (got, want, width)
+
+    def test_merge_is_elementwise_add(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(20000).select(
+            (F.col("id") % 997).cast("double").alias("v")
+        )
+        lo, hi = 0.0, 997.0
+        whole = sketch.histogram_sketch(df, "v", bins=128, lo=lo, hi=hi)
+        h1 = sketch.histogram_sketch(
+            df.where(F.col("id") % 2 == 0), "v", bins=128, lo=lo, hi=hi
+        ).select(F.col("counts").alias("ca"))
+        h2 = sketch.histogram_sketch(
+            df.where(F.col("id") % 2 == 1), "v", bins=128, lo=lo, hi=hi
+        ).select(F.col("counts").alias("cb"))
+        merged = h1.crossJoin(h2).select(
+            sketch.hist_merge(F.col("ca"), F.col("cb")).alias("counts")
+        )
+        assert (
+            merged.collect()[0]["counts"]
+            == whole.collect()[0]["counts"]
+        )
+
+    def test_grouped_sketches_share_global_bins(self, spark):
+        from swanlake_spark.operators import sketch
+
+        df = spark.range(6000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 600).cast("double").alias("v"),
+        )
+        sk = sketch.histogram_sketch(df, "v", bins=64, by=["g"])
+        rows = sk.collect()
+        assert len(rows) == 3
+        assert len({(r["lo"], r["hi"]) for r in rows}) == 1  # shared range
+        # medians per group: values are uniform 0..599 in every group
+        med = sk.select(
+            "g",
+            sketch.hist_quantile(
+                F.col("counts"), F.col("lo"), F.col("hi"), 0.5
+            ).alias("m"),
+        ).collect()
+        width = 599.0 / 64
+        for r in med:
+            assert abs(r["m"] - 299.5) <= width + 1.0, r

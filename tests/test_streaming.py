@@ -1203,3 +1203,55 @@ class TestNativeSessionWindows:
             .collect()
         }
         assert got == want and len(got) == 3
+
+
+class TestStreamingHistogram:
+    """histogram_stream: cross-batch fold is one elementwise add, so
+    the streamed counts must equal the batch sketch of the
+    concatenated input BIT-EXACTLY."""
+
+    def test_streamed_counts_equal_batch_sketch(self, spark):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators import sketch
+        from swanlake_spark.streaming.sketch import (
+            histogram_stream,
+            read_histogram,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_hist_src_")
+        waves = {
+            "b1.json": [float(i % 50) for i in range(300)],
+            "b2.json": [float(i % 80) for i in range(200)],
+            "b3.json": [float(99 - i % 100) for i in range(150)],
+        }
+        for fname, vals in waves.items():
+            with open(os.path.join(d, fname), "w") as f:
+                for i, v in enumerate(vals):
+                    f.write(json.dumps({
+                        "event_id": i, "ts": "2025-01-01T00:00:00.000Z",
+                        "user_id": 0, "event_type": "x", "value": v,
+                        "props": "{}",
+                    }) + "\n")
+        state = tempfile.mkdtemp(prefix="swl_hist_state_")
+        q = histogram_stream(
+            stream_events_from_directory(spark, d, max_files_per_trigger=1),
+            "value", 0.0, 100.0, state,
+            tempfile.mkdtemp(prefix="swl_hist_ck_"), bins=64,
+        )
+        assert q.awaitTermination(180)
+        got = read_histogram(spark, state, quantiles=[0.5]).collect()[0]
+        all_vals = spark.createDataFrame(
+            [(v,) for vs in waves.values() for v in vs], ["value"]
+        )
+        want = sketch.histogram_sketch(
+            all_vals, "value", bins=64, lo=0.0, hi=100.0
+        ).collect()[0]
+        assert got["counts"] == want["counts"]  # bit-exact fold
+        # the streamed quantile carries the sketch's error contract
+        exact = all_vals.selectExpr(
+            "percentile(value, 0.5) AS m"
+        ).collect()[0]["m"]
+        assert abs(got["q_50"] - exact) <= 100.0 / 64 + 1e-9
