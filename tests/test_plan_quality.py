@@ -504,3 +504,57 @@ class TestFinalSortGating:
         plan = _formatted_plan(df)
         assert "rangepartitioning" not in plan.lower(), plan[:2000]
         assert "Coalesce" in plan, plan[:2000]
+
+
+class TestSketchPlanQuality:
+    """The r7 sketch/sampling family's scale properties, pinned at the
+    plan level: the bounded-state claims rest on (a) rank-limit windows
+    getting Spark's map-side WindowGroupLimit pushdown (per-partition
+    top-k BEFORE the exchange) and (b) zero Python UDFs anywhere."""
+
+    def test_kmv_build_gets_window_group_limit(self, warehouse):
+        from swanlake_spark.operators import sketch
+
+        df = warehouse.spark.table("documents")
+        sk = sketch.kmv_sketch(df, "lang", k=64, by=["source"])
+        plan = _formatted_plan(sk)
+        assert "WindowGroupLimit" in plan, (
+            "kmv_sketch's top-k window must be rank-limit pushed"
+        )
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+    def test_stratified_prefilter_gets_window_group_limit(self, warehouse):
+        from swanlake_spark.operators import sampling
+
+        df = warehouse.spark.table("documents")
+        out = sampling.stratified_sample(
+            df, ["lang"], k=5, auto_prefilter=True
+        )
+        plan = _formatted_plan(out)
+        assert "WindowGroupLimit" in plan
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+    def test_weighted_sample_gets_window_group_limit(self, warehouse):
+        from swanlake_spark.operators import sampling
+
+        df = warehouse.spark.table("documents")
+        out = sampling.weighted_sample_k(df, 5, "n_chars", ["lang"])
+        plan = _formatted_plan(out)
+        assert "WindowGroupLimit" in plan
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+    def test_histogram_sketch_is_two_bounded_aggregations(self, warehouse):
+        from swanlake_spark.operators import sketch
+
+        df = warehouse.spark.table("lineitem")
+        sk = sketch.histogram_sketch(
+            df, "l_extendedprice", bins=64, lo=0.0, hi=1e5,
+            by=["l_returnflag"],
+        )
+        plan = _formatted_plan(sk)
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # the sparse-cells agg and the densify agg: exactly two
+        # exchanges, both keyed on bounded cell/group spaces (count the
+        # formatted plan's node headers, not the tree echo)
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges <= 2, plan
