@@ -1043,6 +1043,32 @@ class TestMatviewStarIncremental:
             eng.execute("DROP MATERIALIZED VIEW mv_s6")
             spark.sql("DROP TABLE IF EXISTS mv_sd1x")
 
+    def test_having_defs_fall_back_loudly(self, spark, eng, ssrc):
+        # HAVING views maintain correctly through FULL refresh only:
+        # incremental would need all-group aggregate state (a group
+        # below the threshold is absent from the view but must still
+        # accumulate), which the state sidecar doesn't carry — so the
+        # shape is excluded from parse_incremental and INCREMENTAL
+        # demands a full REFRESH instead of silently mis-merging
+        q = (
+            "SELECT region, count(*) AS n FROM mv_sf "
+            "JOIN mv_sd1 ON fdk1 = d1k GROUP BY region "
+            "HAVING count(*) > 1"
+        )
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_s8 AS {q}")
+        try:
+            from swanlake_spark.errors import InvalidArgument
+
+            eng.execute("INSERT INTO mv_sf VALUES (20, 2.0, 2, 1)")
+            with pytest.raises(InvalidArgument, match="full REFRESH|REFRESH"):
+                eng.execute("REFRESH MATERIALIZED VIEW mv_s8 INCREMENTAL")
+            eng.execute("REFRESH MATERIALIZED VIEW mv_s8")
+            assert {
+                tuple(r) for r in spark.table("mv_s8").collect()
+            } == self._full(spark, q)
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_s8")
+
     def test_shared_column_any_pair_falls_back(self, spark, eng, ssrc):
         loc = tempfile.mkdtemp(prefix="swl_mvsh_")
         spark.sql(
