@@ -15,6 +15,9 @@ import re
 
 # name → name (same argument order and semantics)
 _NAME_MAP = {
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    "generate_series": "sequence",
     "list_contains": "array_contains",
     "list_has": "array_contains",
     "list_distinct": "array_distinct",
@@ -549,6 +552,56 @@ def transpile_duckdb(sql: str) -> str:
         r"\bUSING\s+SAMPLE\s+(\d+)\s*(?:ROWS?)?\s*(?:\(\s*\w+\s*\))?",
         "TABLESAMPLE ({} ROWS)",
         out,
+    )
+
+    # 7d) regexp_extract_all(s, re) → Spark requires the group index
+    #     (DuckDB defaults to the full match = group 0)
+    def _rex_all(m: re.Match) -> str:
+        body = m.group(1)
+        if len(_split_top(body)) == 2:
+            return f"regexp_extract_all({body}, 0)"
+        return m.group(0)
+
+    out = re.sub(
+        r"\bregexp_extract_all\s*\(((?:[^()]|\([^()]*\))*)\)",
+        _rex_all,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 7e) struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
+    def _struct_pack(m: re.Match) -> str:
+        parts = []
+        for item in _split_top(m.group(1)):
+            am = re.match(r"^\s*(\w+)\s*:=\s*(.+?)\s*$", item, re.DOTALL)
+            if am is None:
+                return m.group(0)  # not the := shape: leave as-is
+            parts.append(f"'{am.group(1)}', {am.group(2)}")
+        return "named_struct(" + ", ".join(parts) + ")"
+
+    out = re.sub(
+        r"\bstruct_pack\s*\(((?:[^()]|\([^()]*\))*)\)",
+        _struct_pack,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 7f) x SIMILAR TO 'p' → full-match RLIKE (DuckDB anchors SIMILAR
+    #     TO at both ends); literal patterns only — masked spans keep
+    #     string contents from triggering
+    sim_spans = _mask_spans(out)
+
+    def _similar(m: re.Match) -> str:
+        if _in_span(m.start(), sim_spans):
+            return m.group(0)
+        neg = "NOT " if m.group(1) else ""
+        return f"{neg}RLIKE '^(?:{m.group(2)})$'"
+
+    out = re.sub(
+        r"(NOT\s+)?SIMILAR\s+TO\s+'([^']*)'",
+        _similar,
+        out,
+        flags=re.IGNORECASE,
     )
 
     # 8) integer division: DuckDB `a // b` → Spark `a div b`

@@ -307,6 +307,36 @@ class TestDialect:
         keep = transpile_duckdb("SELECT a * REPLACE (b) FROM t")
         assert "EXCEPT" not in keep
 
+    def test_r7_function_shims(self, engine):
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb(
+            "SELECT arg_max(s, v), generate_series(1, 3) FROM t"
+        ) == "SELECT max_by(s, v), sequence(1, 3) FROM t"
+        assert transpile_duckdb(
+            "SELECT regexp_extract_all(s, '[0-9]+') FROM t"
+        ) == "SELECT regexp_extract_all(s, '[0-9]+', 0) FROM t"
+        # 3-arg form already carries the index: untouched
+        assert transpile_duckdb(
+            "SELECT regexp_extract_all(s, '([0-9])', 1) FROM t"
+        ) == "SELECT regexp_extract_all(s, '([0-9])', 1) FROM t"
+        assert transpile_duckdb(
+            "SELECT struct_pack(a := 1, b := upper(s)) FROM t"
+        ) == "SELECT named_struct('a', 1, 'b', upper(s)) FROM t"
+        assert transpile_duckdb(
+            "SELECT * FROM t WHERE s NOT SIMILAR TO 'a.*'"
+        ) == "SELECT * FROM t WHERE s NOT RLIKE '^(?:a.*)$'"
+        # literals never trigger
+        lit = "SELECT 'x SIMILAR TO y' AS s"
+        assert transpile_duckdb(lit) == lit
+        # end-to-end: argmax/series/similar against real data
+        row = engine.query(
+            "SELECT arg_max(g, n) AS am, generate_series(2, 6, 2) AS gs "
+            "FROM (SELECT 'p' AS g, 1 AS n UNION ALL SELECT 'q', 9) t",
+            dialect="duckdb",
+        ).collect()[0]
+        assert row.am == "q" and row.gs == [2, 4, 6]
+
     def test_using_sample_rewrite(self, engine):
         from swanlake_spark.functions import transpile_duckdb
 
