@@ -30,7 +30,15 @@ _NAME_MAP = {
     "json_extract_string": "get_json_object",
     "json_extract_path_text": "get_json_object",
     "regexp_matches": "regexp_like",
-    "list_unique": "array_distinct",
+    # list_unique COUNTS distinct elements in DuckDB (list_distinct
+    # returns the deduplicated list) — handled as a call rewrite below
+    "unnest": "explode",
+    "list_filter": "filter",
+    "array_filter": "filter",
+    "list_transform": "transform",
+    "list_apply": "transform",
+    "array_apply": "transform",
+    "list_reverse": "reverse",
     "array_length": "size",
     "list_sort": "array_sort",
     "list_max": "array_max",
@@ -600,6 +608,36 @@ def transpile_duckdb(sql: str) -> str:
     out = re.sub(
         r"(NOT\s+)?SIMILAR\s+TO\s+'([^']*)'",
         _similar,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 7g) list_unique(x) COUNTS distinct elements (list_distinct is the
+    #     dedup); list_sum folds with a type-preserving zero (first
+    #     element × 0) so ints stay ints and decimals stay decimals —
+    #     NULL on empty lists, matching DuckDB
+    def _list_unique(m: re.Match) -> str:
+        return f"size(array_distinct({m.group(1)}))"
+
+    out = re.sub(
+        r"\blist_unique\s*\(((?:[^()]|\([^()]*\))*)\)",
+        _list_unique,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    def _list_sum(m: re.Match) -> str:
+        x = m.group(1)
+        if len(_split_top(x)) != 1:
+            return m.group(0)
+        return (
+            f"aggregate({x}, try_element_at({x}, 1) * 0, "
+            f"(_swl_a, _swl_x) -> _swl_a + _swl_x)"
+        )
+
+    out = re.sub(
+        r"\b(?:list_sum|list_aggr_sum)\s*\(((?:[^()]|\([^()]*\))*)\)",
+        _list_sum,
         out,
         flags=re.IGNORECASE,
     )

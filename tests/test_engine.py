@@ -337,6 +337,28 @@ class TestDialect:
         ).collect()[0]
         assert row.am == "q" and row.gs == [2, 4, 6]
 
+    def test_list_function_shims(self, engine):
+        # list_unique COUNTS in DuckDB (list_distinct is the dedup) —
+        # the old name map to array_distinct was a semantics bug
+        row = engine.query(
+            "SELECT list_unique(array(1, 2, 2, 3)) AS u, "
+            "list_sum(array(1, 2, 2, 3)) AS s, "
+            "list_filter(array(1, 2, 3), x -> x > 1) AS f, "
+            "list_transform(array(1, 2), x -> x * 10) AS m",
+            dialect="duckdb",
+        ).collect()[0]
+        assert row.u == 3 and row.s == 8
+        assert row.f == [2, 3] and row.m == [10, 20]
+        # empty-list sum is NULL (type-preserving zero is NULL too)
+        assert engine.query(
+            "SELECT list_sum(array()) AS s", dialect="duckdb"
+        ).collect()[0].s is None
+        # unnest flattens per row like explode
+        rows = engine.query(
+            "SELECT unnest(array(1, 2)) AS x", dialect="duckdb"
+        ).collect()
+        assert sorted(r.x for r in rows) == [1, 2]
+
     def test_using_sample_rewrite(self, engine):
         from swanlake_spark.functions import transpile_duckdb
 
