@@ -65,6 +65,9 @@ _NAME_MAP = {
     "list_element": "element_at",
     "array_extract": "element_at",
     "datepart": "date_part",
+    "datetrunc": "date_trunc",
+    "week": "weekofyear",
+    "weekofyear": "weekofyear",
     # quantiles: DuckDB quantile_cont == Spark percentile (linear
     # interpolation; exact agreement on DOUBLE inputs — decimal inputs
     # follow each engine's typed interpolation and are not mapped as
@@ -638,6 +641,81 @@ def transpile_duckdb(sql: str) -> str:
     out = re.sub(
         r"\b(?:list_sum|list_aggr_sum)\s*\(((?:[^()]|\([^()]*\))*)\)",
         _list_sum,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    # 7h) date/time shims. isodow: 1=Mon..7=Sun (Spark weekday is
+    #     0=Mon); yearweek: ISO year*100 + ISO week; date_add with an
+    #     INTERVAL second argument becomes plain interval arithmetic
+    #     (Spark's date_add takes integer days); time_bucket(INTERVAL,
+    #     ts) floors onto DuckDB's bucket grid (origin 2000-01-03, the
+    #     TimescaleDB Monday alignment) — fixed-width intervals only;
+    #     month-width buckets are left untouched. Typed divergence,
+    #     documented: bucket/date_add results are TIMESTAMP here where
+    #     DuckDB narrows to DATE for date inputs (same instants).
+    out = re.sub(
+        r"\bisodow\s*\(((?:[^()]|\([^()]*\))*)\)",
+        lambda m: f"(weekday({m.group(1)}) + 1)",
+        out,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        r"\byearweek\s*\(((?:[^()]|\([^()]*\))*)\)",
+        lambda m: (
+            f"(extract(YEAROFWEEK FROM {m.group(1)}) * 100 + "
+            f"weekofyear({m.group(1)}))"
+        ),
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    def _date_add_interval(m: re.Match) -> str:
+        args = _split_top(m.group(1))
+        if len(args) == 2 and re.match(
+            r"^\s*INTERVAL\b", args[1], re.IGNORECASE
+        ):
+            return f"(CAST({args[0].strip()} AS TIMESTAMP) + {args[1].strip()})"
+        return m.group(0)
+
+    out = re.sub(
+        r"\bdate_add\s*\(((?:[^()]|\([^()]*\))*)\)",
+        _date_add_interval,
+        out,
+        flags=re.IGNORECASE,
+    )
+
+    _TB_UNIT_S = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }
+    _TB_ORIGIN = 946857600  # epoch of 2000-01-03 00:00:00 UTC
+
+    def _time_bucket(m: re.Match) -> str:
+        args = _split_top(m.group(1))
+        if len(args) != 2:
+            return m.group(0)
+        im = re.match(
+            r"^\s*INTERVAL\s+'?(\d+)'?\s+(\w+)\s*$", args[0],
+            re.IGNORECASE,
+        )
+        if im is None:
+            return m.group(0)
+        unit = im.group(2).lower()
+        if unit not in _TB_UNIT_S:
+            return m.group(0)  # month/year buckets: not fixed-width
+        s = int(im.group(1)) * _TB_UNIT_S[unit]
+        ts = f"CAST({args[1].strip()} AS TIMESTAMP)"
+        e = f"(unix_timestamp({ts}) - {_TB_ORIGIN})"
+        return (
+            f"timestamp_seconds(CAST(floor({e} / {s}.0) AS BIGINT) "
+            f"* {s} + {_TB_ORIGIN})"
+        )
+
+    out = re.sub(
+        r"\btime_bucket\s*\(((?:[^()]|\([^()]*\))*)\)",
+        _time_bucket,
         out,
         flags=re.IGNORECASE,
     )

@@ -359,6 +359,32 @@ class TestDialect:
         ).collect()
         assert sorted(r.x for r in rows) == [1, 2]
 
+    def test_datetime_shims(self, engine):
+        import datetime as dt
+
+        row = engine.query(
+            "SELECT isodow(DATE '2024-03-05') AS io, "
+            "week(DATE '2024-03-05') AS w, "
+            "yearweek(DATE '2024-03-05') AS yw, "
+            "datetrunc('month', DATE '2024-03-05') AS t, "
+            "date_add(DATE '2024-03-05', INTERVAL 3 DAY) AS a, "
+            "date_add(DATE '2024-03-05', 3) AS plain, "
+            "time_bucket(INTERVAL 15 MINUTE, "
+            "            TIMESTAMP '2024-03-05 10:37:00') AS tb, "
+            "time_bucket(INTERVAL 1 WEEK, DATE '2024-03-05') AS tw",
+            dialect="duckdb",
+        ).collect()[0]
+        # values pinned against DuckDB on the same statements; isodow
+        # 2 = Tuesday, week buckets Monday-align to the 2000-01-03
+        # origin (tw = 2024-03-04, a Monday — epoch flooring would
+        # give the Thursday 2024-02-29)
+        assert row.io == 2 and row.w == 10 and row.yw == 202410
+        assert str(row.t)[:10] == "2024-03-01"
+        assert str(row.a)[:10] == "2024-03-08"
+        assert row.plain == dt.date(2024, 3, 8)  # int form untouched
+        assert str(row.tb)[:16] == "2024-03-05 10:30"
+        assert str(row.tw)[:10] == "2024-03-04"
+
     def test_using_sample_rewrite(self, engine):
         from swanlake_spark.functions import transpile_duckdb
 
