@@ -17,7 +17,8 @@ import re
 _NAME_MAP = {
     "arg_max": "max_by",
     "arg_min": "min_by",
-    "generate_series": "sequence",
+    # generate_series: call rewrite below (2-arg descending → []; Spark
+    # sequence COUNTS DOWN when start > stop, DuckDB returns empty)
     "list_contains": "array_contains",
     "list_has": "array_contains",
     "list_distinct": "array_distinct",
@@ -136,6 +137,22 @@ def _in_span(pos: int, spans: list[tuple[int, int]]) -> bool:
     return any(s <= pos < e for s, e in spans)
 
 
+def _sub_outside(pattern, repl, s: str, flags=re.IGNORECASE) -> str:
+    """``re.sub`` that skips matches STARTING inside string literals or
+    quoted identifiers. Spans are recomputed per call, so it is safe to
+    chain after earlier rewrites that shifted positions. A match that
+    starts outside a literal but whose arguments contain literals is a
+    genuine call site and IS rewritten (the literal travels intact)."""
+    spans = _mask_spans(s)
+
+    def rep(m: re.Match) -> str:
+        if _in_span(m.start(), spans):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    return re.sub(pattern, rep, s, flags=flags)
+
+
 def strftime_to_date_format(fmt: str) -> str:
     out = fmt
     for k, v in _STRFTIME_TOKENS.items():
@@ -143,10 +160,11 @@ def strftime_to_date_format(fmt: str) -> str:
     return out
 
 
-def _transform_calls(sql: str, pattern: re.Pattern, n_args: int, build) -> str:
+def _transform_calls(sql: str, pattern: re.Pattern, n_args, build) -> str:
     """Rewrite ``name(a1, ..., aN)`` call sites (paren-balanced argument
     split, literal-aware) via ``build(args) -> replacement``; calls with
-    a different arity are left untouched."""
+    a different arity are left untouched. ``n_args=None`` accepts any
+    arity; ``build`` may return ``None`` to leave a call untouched."""
     for _ in range(10):  # re-scan to catch nested calls in rewritten text
         spans = _mask_spans(sql)
         edits = []
@@ -172,9 +190,9 @@ def _transform_calls(sql: str, pattern: re.Pattern, n_args: int, build) -> str:
                     args.append(sql[start:i])
                     start = i + 1
                 i += 1
-            if depth == 0 and len(args) == n_args:
+            if depth == 0 and (n_args is None or len(args) == n_args):
                 repl = build([a.strip() for a in args])
-                if repl != sql[m.start() : i + 1]:
+                if repl is not None and repl != sql[m.start() : i + 1]:
                     edits.append((m.start(), i + 1, repl))
         if not edits:
             return sql
@@ -323,9 +341,15 @@ def _rewrite_qualify(sql: str) -> str:
 
 
 def _split_top(body: str) -> list[str]:
-    """Split on depth-0 commas (argument/select-item lists)."""
+    """Split on depth-0 commas (argument/select-item lists). Commas and
+    parens inside string literals / quoted identifiers are inert, so
+    ``regexp_extract_all(s, 'a{2,3}')`` counts as two arguments."""
+    spans = _mask_spans(body)
     parts, depth, cur = [], 0, []
-    for ch in body:
+    for i, ch in enumerate(body):
+        if _in_span(i, spans):
+            cur.append(ch)
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -455,11 +479,10 @@ def transpile_duckdb(sql: str) -> str:
     def strf(m: re.Match) -> str:
         return f"date_format({m.group(1)}, '{strftime_to_date_format(m.group(2))}')"
 
-    out = re.sub(
+    out = _sub_outside(
         r"\bstrftime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
         strf,
         out,
-        flags=re.IGNORECASE,
     )
 
     # 3) string_split / str_split with a literal separator → split with
@@ -468,44 +491,58 @@ def transpile_duckdb(sql: str) -> str:
         sep = re.escape(m.group(2))
         return f"split({m.group(1)}, '{sep}')"
 
-    out = re.sub(
+    out = _sub_outside(
         r"\b(?:str_split|string_split)\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
         lit_split,
         out,
-        flags=re.IGNORECASE,
     )
 
     # 4) regexp_replace(..., 'g') → drop the flag (Spark is global by
     #    default; its 4th argument means position, not flags)
-    out = re.sub(
+    out = _sub_outside(
         r"(\bregexp_replace\s*\([^()]*?)\s*,\s*'g'\s*\)",
         r"\1)",
         out,
-        flags=re.IGNORECASE,
     )
 
     # 5) date_diff('unit', a, b) / date_part-style quoted units →
     #    timestampdiff(UNIT, a, b) (Spark wants a keyword, not a string)
-    out = re.sub(
+    out = _sub_outside(
         r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
         lambda m: f"timestampdiff({m.group(1).upper()},",
         out,
-        flags=re.IGNORECASE,
     )
 
     # 6) strptime(s, '%fmt') → to_timestamp(s, 'javafmt')
-    out = re.sub(
+    out = _sub_outside(
         r"\bstrptime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
         lambda m: f"to_timestamp({m.group(1)}, '{strftime_to_date_format(m.group(2))}')",
         out,
-        flags=re.IGNORECASE,
+    )
+
+    # 6b) generate_series(a, b): Spark sequence COUNTS DOWN when a > b,
+    #     DuckDB returns [] — guard with an empty array of the element
+    #     type (slice(sequence(a, a), 1, 0) — array() alone would be
+    #     ARRAY<STRING> and poison the CASE's type unification). The
+    #     3-arg explicit-step form maps straight to sequence (both
+    #     engines honor the step's sign).
+    _GEN_SERIES = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+
+    def _gen_series2(args):
+        a, b = args
+        return (
+            f"(CASE WHEN ({a}) > ({b}) THEN slice(sequence(({a}), ({a})), 1, 0) "
+            f"ELSE sequence(({a}), ({b})) END)"
+        )
+
+    out = _transform_calls(out, _GEN_SERIES, 2, _gen_series2)
+    out = _transform_calls(
+        out, _GEN_SERIES, 3, lambda a: f"sequence({a[0]}, {a[1]}, {a[2]})"
     )
 
     # 7) star-EXCLUDE → Spark's star-EXCEPT (same semantics)
-    out = re.sub(r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", out, flags=re.IGNORECASE)
-    out = re.sub(
-        r"(\*\s*)EXCLUDE\s+(\w+)", r"\1EXCEPT (\2)", out, flags=re.IGNORECASE
-    )
+    out = _sub_outside(r"(\*\s*)EXCLUDE\s*\(", r"\1EXCEPT (", out)
+    out = _sub_outside(r"(\*\s*)EXCLUDE\s+(\w+)", r"\1EXCEPT (\2)", out)
 
     # 7b) star-REPLACE → star-EXCEPT + appended expressions. DOCUMENTED
     #     DIVERGENCE: DuckDB keeps each replaced column at its original
@@ -529,7 +566,7 @@ def transpile_duckdb(sql: str) -> str:
             "* EXCEPT (" + ", ".join(cols) + "), " + body.strip()
         )
 
-    out = re.sub(
+    out = _sub_outside(
         r"\*\s*REPLACE\s*\(((?:[^()]|\([^()]*\))*)\)",
         star_replace,
         out,
@@ -543,58 +580,45 @@ def transpile_duckdb(sql: str) -> str:
     #     Bernoulli row sampling (DuckDB's system/bernoulli distinction
     #     is a block-vs-row granularity choice) and ROWS is an exact
     #     count like reservoir.
-    sample_spans = _mask_spans(out)
-
-    def _masked_sub(pattern: str, repl_fmt: str, s: str) -> str:
-        def rep(m: re.Match) -> str:
-            if _in_span(m.start(), sample_spans):
-                return m.group(0)
-            return repl_fmt.format(m.group(1))
-
-        return re.sub(pattern, rep, s, flags=re.IGNORECASE)
-
-    out = _masked_sub(
+    out = _sub_outside(
         r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT)\s*"
         r"(?:\(\s*\w+\s*\))?",
-        "TABLESAMPLE ({} PERCENT)",
+        lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)",
         out,
     )
-    out = _masked_sub(
+    out = _sub_outside(
         r"\bUSING\s+SAMPLE\s+(\d+)\s*(?:ROWS?)?\s*(?:\(\s*\w+\s*\))?",
-        "TABLESAMPLE ({} ROWS)",
+        lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)",
         out,
     )
 
     # 7d) regexp_extract_all(s, re) → Spark requires the group index
-    #     (DuckDB defaults to the full match = group 0)
-    def _rex_all(m: re.Match) -> str:
-        body = m.group(1)
-        if len(_split_top(body)) == 2:
-            return f"regexp_extract_all({body}, 0)"
-        return m.group(0)
-
-    out = re.sub(
-        r"\bregexp_extract_all\s*\(((?:[^()]|\([^()]*\))*)\)",
-        _rex_all,
+    #     (DuckDB defaults to the full match = group 0). The
+    #     paren-balanced, literal-aware arg split means a comma inside
+    #     the pattern ('a{2,3}') still counts as two arguments; 3-arg
+    #     calls already carry the index and stay untouched.
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\bregexp_extract_all\s*\(", re.IGNORECASE),
+        2,
+        lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
     )
 
     # 7e) struct_pack(a := 1, b := x) → named_struct('a', 1, 'b', x)
-    def _struct_pack(m: re.Match) -> str:
+    def _struct_pack(args):
         parts = []
-        for item in _split_top(m.group(1)):
+        for item in args:
             am = re.match(r"^\s*(\w+)\s*:=\s*(.+?)\s*$", item, re.DOTALL)
             if am is None:
-                return m.group(0)  # not the := shape: leave as-is
+                return None  # not the := shape: leave as-is
             parts.append(f"'{am.group(1)}', {am.group(2)}")
         return "named_struct(" + ", ".join(parts) + ")"
 
-    out = re.sub(
-        r"\bstruct_pack\s*\(((?:[^()]|\([^()]*\))*)\)",
-        _struct_pack,
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\bstruct_pack\s*\(", re.IGNORECASE),
+        None,
+        _struct_pack,
     )
 
     # 7f) x SIMILAR TO 'p' → full-match RLIKE (DuckDB anchors SIMILAR
@@ -615,34 +639,34 @@ def transpile_duckdb(sql: str) -> str:
         flags=re.IGNORECASE,
     )
 
-    # 7g) list_unique(x) COUNTS distinct elements (list_distinct is the
-    #     dedup); list_sum folds with a type-preserving zero (first
-    #     element × 0) so ints stay ints and decimals stay decimals —
-    #     NULL on empty lists, matching DuckDB
-    def _list_unique(m: re.Match) -> str:
-        return f"size(array_distinct({m.group(1)}))"
-
-    out = re.sub(
-        r"\blist_unique\s*\(((?:[^()]|\([^()]*\))*)\)",
-        _list_unique,
+    # 7g) list_unique(x) COUNTS distinct NON-NULL elements in DuckDB
+    #     (list_distinct is the dedup): Spark array_distinct KEEPS one
+    #     NULL, so strip NULLs with array_compact first — DuckDB
+    #     list_unique([1,2,2,NULL]) = 2. list_sum folds with a
+    #     type-preserving zero (first element × 0) so ints stay ints
+    #     and decimals stay decimals; NULL ELEMENTS ARE IGNORED
+    #     (aggregate semantics — DuckDB list_sum([1,NULL,2]) = 3), so
+    #     both the zero and the fold run over array_compact(x); empty
+    #     and all-NULL lists stay NULL, matching DuckDB.
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\blist_unique\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"size(array_distinct(array_compact({a[0]})))",
     )
 
-    def _list_sum(m: re.Match) -> str:
-        x = m.group(1)
-        if len(_split_top(x)) != 1:
-            return m.group(0)
+    def _list_sum(args):
+        nn = f"array_compact({args[0]})"
         return (
-            f"aggregate({x}, try_element_at({x}, 1) * 0, "
+            f"aggregate({nn}, try_element_at({nn}, 1) * 0, "
             f"(_swl_a, _swl_x) -> _swl_a + _swl_x)"
         )
 
-    out = re.sub(
-        r"\b(?:list_sum|list_aggr_sum)\s*\(((?:[^()]|\([^()]*\))*)\)",
-        _list_sum,
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\b(?:list_sum|list_aggr_sum)\s*\(", re.IGNORECASE),
+        1,
+        _list_sum,
     )
 
     # 7h) date/time shims. isodow: 1=Mon..7=Sun (Spark weekday is
@@ -654,35 +678,32 @@ def transpile_duckdb(sql: str) -> str:
     #     month-width buckets are left untouched. Typed divergence,
     #     documented: bucket/date_add results are TIMESTAMP here where
     #     DuckDB narrows to DATE for date inputs (same instants).
-    out = re.sub(
-        r"\bisodow\s*\(((?:[^()]|\([^()]*\))*)\)",
-        lambda m: f"(weekday({m.group(1)}) + 1)",
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\bisodow\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"(weekday({a[0]}) + 1)",
     )
-    out = re.sub(
-        r"\byearweek\s*\(((?:[^()]|\([^()]*\))*)\)",
-        lambda m: (
-            f"(extract(YEAROFWEEK FROM {m.group(1)}) * 100 + "
-            f"weekofyear({m.group(1)}))"
+    out = _transform_calls(
+        out,
+        re.compile(r"\byearweek\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + "
+            f"weekofyear({a[0]}))"
         ),
-        out,
-        flags=re.IGNORECASE,
     )
 
-    def _date_add_interval(m: re.Match) -> str:
-        args = _split_top(m.group(1))
-        if len(args) == 2 and re.match(
-            r"^\s*INTERVAL\b", args[1], re.IGNORECASE
-        ):
-            return f"(CAST({args[0].strip()} AS TIMESTAMP) + {args[1].strip()})"
-        return m.group(0)
+    def _date_add_interval(args):
+        if re.match(r"^\s*INTERVAL\b", args[1], re.IGNORECASE):
+            return f"(CAST({args[0]} AS TIMESTAMP) + {args[1]})"
+        return None  # integer-days form: Spark date_add agrees
 
-    out = re.sub(
-        r"\bdate_add\s*\(((?:[^()]|\([^()]*\))*)\)",
-        _date_add_interval,
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\bdate_add\s*\(", re.IGNORECASE),
+        2,
+        _date_add_interval,
     )
 
     _TB_UNIT_S = {
@@ -692,32 +713,46 @@ def transpile_duckdb(sql: str) -> str:
     }
     _TB_ORIGIN = 946857600  # epoch of 2000-01-03 00:00:00 UTC
 
-    def _time_bucket(m: re.Match) -> str:
-        args = _split_top(m.group(1))
-        if len(args) != 2:
-            return m.group(0)
+    def _time_bucket(args):
+        # DuckDB buckets the NAIVE wall-clock value (no timezone); Spark
+        # TIMESTAMP is an instant, and unix_timestamp alone would bucket
+        # in session-timezone seconds (misaligning day/week buckets off
+        # DuckDB's Monday grid in any non-UTC session). Anchor
+        # timezone-independently: from_utc_timestamp(ts,
+        # current_timezone()) shifts the instant so its UTC epoch equals
+        # the epoch of the session-local WALL CLOCK treated as UTC —
+        # exactly DuckDB's naive arithmetic — and to_utc_timestamp
+        # shifts the bucket boundary back so it renders at the naive
+        # bucket wall time. Both wrappers are no-ops in a UTC session.
+        # Representability caveat: wall times inside a DST spring-forward
+        # gap don't exist as instants — Spark normalizes such inputs
+        # forward (e.g. 02:30 → 03:30 in America/New_York) BEFORE the
+        # shim runs, while DuckDB's naive timestamps represent them;
+        # verified divergence is limited to those nonexistent inputs.
         im = re.match(
             r"^\s*INTERVAL\s+'?(\d+)'?\s+(\w+)\s*$", args[0],
             re.IGNORECASE,
         )
         if im is None:
-            return m.group(0)
+            return None
         unit = im.group(2).lower()
         if unit not in _TB_UNIT_S:
-            return m.group(0)  # month/year buckets: not fixed-width
+            return None  # month/year buckets: not fixed-width
         s = int(im.group(1)) * _TB_UNIT_S[unit]
-        ts = f"CAST({args[1].strip()} AS TIMESTAMP)"
-        e = f"(unix_timestamp({ts}) - {_TB_ORIGIN})"
+        ts = f"CAST({args[1]} AS TIMESTAMP)"
+        naive = f"unix_timestamp(from_utc_timestamp({ts}, current_timezone()))"
+        e = f"({naive} - {_TB_ORIGIN})"
         return (
-            f"timestamp_seconds(CAST(floor({e} / {s}.0) AS BIGINT) "
-            f"* {s} + {_TB_ORIGIN})"
+            f"to_utc_timestamp(timestamp_seconds("
+            f"CAST(floor({e} / {s}.0) AS BIGINT) "
+            f"* {s} + {_TB_ORIGIN}), current_timezone())"
         )
 
-    out = re.sub(
-        r"\btime_bucket\s*\(((?:[^()]|\([^()]*\))*)\)",
-        _time_bucket,
+    out = _transform_calls(
         out,
-        flags=re.IGNORECASE,
+        re.compile(r"\btime_bucket\s*\(", re.IGNORECASE),
+        2,
+        _time_bucket,
     )
 
     # 8) integer division: DuckDB `a // b` → Spark `a div b`
