@@ -24,31 +24,15 @@ import time
 
 from pyspark.sql import SparkSession
 
+from swanlake_spark.operators.dml import _WriteLock
 
-class CompactionLock:
+
+class CompactionLock(_WriteLock):
     """O_EXCL lock file: acquire-or-skip (never blocks), like the
-    reference's pg advisory lock."""
-
-    def __init__(self, path: str) -> None:
-        self.path = path
-        self._fd: int | None = None
-
-    def try_acquire(self) -> bool:
-        try:
-            self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(self._fd, str(os.getpid()).encode())
-            return True
-        except FileExistsError:
-            return False
-
-    def release(self) -> None:
-        if self._fd is not None:
-            os.close(self._fd)
-            self._fd = None
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
+    reference's pg advisory lock. Shares _WriteLock's stale-holder
+    breaking (PID liveness + mtime guard), so a crashed compactor's
+    orphan lock can't silently disable maintenance forever — the next
+    caller breaks it and the one after acquires."""
 
 
 def table_location(spark: SparkSession, table: str) -> str | None:

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import os
 import re
+import socket as _socket
+import time as _time_mod
 import uuid
 from contextlib import contextmanager
 
@@ -549,30 +551,7 @@ def table_write_lock(
     from swanlake_spark.errors import FailedPrecondition
 
     base = _loc_or_resolve(spark, table, loc)
-    path = None
-    if base:
-        # Hadoop renders local locations as `file:/abs/path` (single
-        # slash) or `file:///abs/path`; strip the scheme down to the OS
-        # path so the lock lives beside the table, not in a literal
-        # `file:` directory relative to the CWD (which would make the
-        # lock path CWD-dependent and break cross-process exclusion).
-        if base.startswith("file:"):
-            scheme_less = base[len("file:"):]
-            while scheme_less.startswith("//"):
-                scheme_less = scheme_less[1:]
-        elif "://" not in base:
-            scheme_less = base
-        else:
-            scheme_less = None  # non-local scheme: lock unsupported
-        if scheme_less:
-            root = (
-                scheme_less.rstrip("/").rsplit("/", 1)[0]
-                if "/" in scheme_less.rstrip("/")
-                else scheme_less
-            )
-            bare = table.split(".")[-1].strip('`"')
-            os.makedirs(f"{root}/_staging", exist_ok=True)
-            path = f"{root}/_staging/{bare}.writelock"
+    path = _write_lock_path(table, base)
     if path is None:
         yield
         return
@@ -591,9 +570,61 @@ def table_write_lock(
         lock.release()
 
 
+def _write_lock_path(table: str, base: str | None) -> str | None:
+    """Lock file path for a table at resolved location ``base``; None
+    when no lock applies (no location, or a non-local scheme).
+
+    Hadoop renders local locations as `file:/abs/path` (single slash)
+    or `file:///abs/path`; the scheme is stripped down to the OS path
+    so the lock lives beside the table, not in a literal `file:`
+    directory relative to the CWD (which would make the lock path
+    CWD-dependent and break cross-process exclusion). The filename is
+    keyed by a hash of the FULL table location, not just the bare table
+    name: two same-named tables whose locations share a parent (the
+    mkdtemp-under-/tmp test layout) must not contend on — or
+    stale-break — each other's lock. The bare name stays in the
+    filename for debuggability; the directory (`<parent>/_staging/`) is
+    created here so acquire can O_EXCL immediately."""
+    if not base:
+        return None
+    if base.startswith("file:"):
+        scheme_less = base[len("file:"):]
+        while scheme_less.startswith("//"):
+            scheme_less = scheme_less[1:]
+    elif "://" not in base:
+        scheme_less = base
+    else:
+        return None  # non-local scheme: lock unsupported
+    root = (
+        scheme_less.rstrip("/").rsplit("/", 1)[0]
+        if "/" in scheme_less.rstrip("/")
+        else scheme_less
+    )
+    bare = table.split(".")[-1].strip('`"')
+    import hashlib
+
+    key = hashlib.sha256(scheme_less.rstrip("/").encode()).hexdigest()[:12]
+    os.makedirs(f"{root}/_staging", exist_ok=True)
+    return f"{root}/_staging/{bare}.{key}.writelock"
+
+
 class _WriteLock:
-    """O_EXCL lock file (same mechanism as maintenance.CompactionLock,
-    blocking-acquire wrapper above)."""
+    """O_EXCL lock file (maintenance.CompactionLock shares this class;
+    the blocking-acquire wrapper is above).
+
+    A crashed holder can't wedge the table: the lock file records
+    ``pid\\nhostname``, and on every failed acquire the holder's
+    liveness is checked — a lock whose recorded process is dead ON THIS
+    HOST and whose mtime is past a small guard window (protecting
+    just-created files still being written) is broken and retaken. The
+    reference gets this for free from Postgres advisory locks that
+    self-release on connection death (swanlake-core/src/maintenance/
+    lock.rs:20-81); an O_EXCL file needs the explicit liveness probe.
+    A lock recorded by ANOTHER host is never broken here — there is no
+    cross-host liveness signal — and falls to VACUUM's age-based sweep
+    (the documented object-store/multi-host coordination path)."""
+
+    STALE_GUARD_S = 2.0
 
     def __init__(self, path: str) -> None:
         self.path = path
@@ -602,10 +633,51 @@ class _WriteLock:
     def try_acquire(self) -> bool:
         try:
             self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(self._fd, str(os.getpid()).encode())
+            os.write(
+                self._fd,
+                f"{os.getpid()}\n{_socket.gethostname()}".encode(),
+            )
             return True
         except FileExistsError:
+            self._break_if_stale()
             return False
+
+    def _break_if_stale(self) -> None:
+        """Unlink the lock if its recorded holder is verifiably dead.
+        Conservative on every ambiguity: younger than the guard window,
+        another host, an alive (or other-user) PID, or a file that
+        changed identity between the stat and the unlink — all left in
+        place."""
+        try:
+            st = os.stat(self.path)
+            with open(self.path, "rb") as f:
+                lines = f.read().decode(errors="replace").split("\n")
+        except OSError:
+            return  # released (or unreadable) meanwhile
+        if _time_mod.time() - st.st_mtime < self.STALE_GUARD_S:
+            return
+        host = lines[1] if len(lines) > 1 else None
+        if host is not None and host != _socket.gethostname():
+            return
+        try:
+            pid = int(lines[0])
+        except ValueError:
+            pid = None  # empty/garbage: holder died before the write
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                return  # holder alive
+            except ProcessLookupError:
+                pass  # dead: break below
+            except PermissionError:
+                return  # alive, another user's process
+        try:
+            st2 = os.stat(self.path)
+            if (st2.st_ino, st2.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
+                return  # re-acquired by someone else since we looked
+            os.unlink(self.path)
+        except OSError:
+            pass
 
     def release(self) -> None:
         if self._fd is not None:

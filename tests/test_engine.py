@@ -6,6 +6,7 @@ session survival, multi-statement scripts) and the write-side operators
 engine's SQL path).
 """
 
+import os
 import tempfile
 import uuid
 
@@ -1390,6 +1391,100 @@ class TestFileGranularCow:
         }
         assert all(got[k] == "wa" for k in range(6))
         assert all(got[k] == "wb" for k in range(500, 506))
+
+    def test_stale_writelock_self_heals(self, engine, multi_file_table):
+        """A writer that CRASHES while holding the lock (real
+        subprocess, killed without release) must not wedge the table:
+        the next writer detects the dead PID and breaks the lock within
+        the guard window instead of spinning to the 120 s timeout."""
+        import subprocess
+        import sys
+        import time
+
+        from swanlake_spark.operators.dml import (
+            _table_location,
+            _write_lock_path,
+        )
+
+        t = multi_file_table
+        path = _write_lock_path(t, _table_location(engine.spark, t))
+        assert path is not None and not os.path.exists(path)
+        # crash-holding writer: acquires via the REAL lock class, then
+        # dies without releasing
+        code = (
+            "import sys, os; sys.path.insert(0, r'%s')\n"
+            "from swanlake_spark.operators.dml import _WriteLock\n"
+            "assert _WriteLock(r'%s').try_acquire()\n"
+            "os._exit(1)\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), path)
+        subprocess.run([sys.executable, "-c", code], check=False)
+        assert os.path.exists(path)  # the orphan lock is really there
+        # age it past the guard window (a crashed-long-ago writer)
+        os.utime(path, (time.time() - 60, time.time() - 60))
+        t0 = time.time()
+        affected = engine.execute_update(
+            f"UPDATE {t} SET v = 'healed' WHERE id = 7"
+        )
+        took = time.time() - t0
+        assert affected == 1 and took < 60  # not the 120 s spin
+        assert not os.path.exists(path)  # released by the healed writer
+        row = engine.query(f"SELECT v FROM {t} WHERE id = 7").collect()[0]
+        assert row.v == "healed"
+        # data intact
+        assert engine.query(
+            f"SELECT count(*) c FROM {t}"
+        ).collect()[0][0] == 1000
+
+    def test_live_writelock_still_blocks(self, engine, multi_file_table):
+        """Stale-breaking must NOT break a lock whose holder is alive:
+        a lock recorded by THIS live process stays in place and the
+        writer times out loudly, naming the lock path."""
+        import time
+
+        import pytest
+
+        from swanlake_spark.errors import FailedPrecondition
+        from swanlake_spark.operators.dml import (
+            _WriteLock,
+            _table_location,
+            _write_lock_path,
+        )
+
+        t = multi_file_table
+        path = _write_lock_path(t, _table_location(engine.spark, t))
+        lock = _WriteLock(path)
+        assert lock.try_acquire()
+        # age it so only LIVENESS (not the mtime guard) protects it
+        os.utime(path, (time.time() - 60, time.time() - 60))
+        try:
+            from swanlake_spark.operators.dml import table_write_lock
+
+            with pytest.raises(FailedPrecondition, match="write lock"):
+                with table_write_lock(
+                    engine.spark, t, timeout_s=1.0,
+                    loc=_table_location(engine.spark, t),
+                ):
+                    pass  # pragma: no cover
+            assert os.path.exists(path)  # never broken
+        finally:
+            lock.release()
+
+    def test_writelock_keyed_by_location_not_name(self):
+        """Two same-named tables under one parent directory (the
+        mkdtemp-under-/tmp layout) get DIFFERENT lock files, so one
+        table's writer — or its orphaned lock — can't block the other."""
+        import tempfile
+
+        from swanlake_spark.operators.dml import _write_lock_path
+
+        parent = tempfile.mkdtemp(prefix="swl_lockkey_")
+        p1 = _write_lock_path("t", f"{parent}/run1")
+        p2 = _write_lock_path("t", f"{parent}/run2")
+        assert p1 != p2
+        assert os.path.dirname(p1) == os.path.dirname(p2)  # same _staging
+        # and the Hadoop file:/ vs file:/// renderings agree on one path
+        assert _write_lock_path("t", f"file:{parent}/run1") == p1
+        assert _write_lock_path("t", f"file://{parent}/run1") == p1
 
 
 class TestShowCreateWithConstraints:
