@@ -15,14 +15,18 @@ the classic bounded-state contract instead:
   estimate falls below T (possible only for collision-inflated false
   positives; a true heavy value's estimate never drops below its true
   count). Reported counts are count-min UPPER BOUNDS, not exact.
-- **Replay** (foreachBatch is at-least-once on crash) double-counts a
-  batch's cells, which INFLATES estimates — the no-false-negative
-  guarantee survives replays; only precision degrades.
+- **Replay** (foreachBatch is at-least-once on crash) is an EXACT
+  no-op: each publish is keyed by batch id, and a sink whose version
+  for this batch id already landed skips the fold entirely
+  (``_already_folded`` — the high-water-mark contract). A crash
+  between a stream's two publishes (heavy hitters: cells then
+  candidates) re-folds only the missing half.
 
 State publishes are crash-safe via versioned subdirectories: each
 batch writes ``v<batch_id>`` (Spark's ``_SUCCESS`` marks completion),
 readers take the highest complete version, older versions are swept
-after the new one lands — a torn write is simply ignored.
+after the new one lands — a torn write is simply ignored (it has no
+``_SUCCESS``, so the replay re-folds from the previous version).
 """
 
 from __future__ import annotations
@@ -71,6 +75,19 @@ def _read_latest(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(vs[-1][1]) if vs else None
 
 
+def _already_folded(spark: SparkSession, root: str, batch_id: int) -> bool:
+    """True if a COMPLETE version at/after ``batch_id`` exists — i.e.
+    this batch's fold already published. foreachBatch is at-least-once:
+    a crash between the state publish and the checkpoint commit replays
+    the batch with the SAME batch_id and data, so the version number
+    doubles as a high-water mark that turns replays into exact no-ops
+    (for every stream here, not just the naturally-idempotent KMV
+    union). A torn publish has no ``_SUCCESS`` and is invisible to
+    this check, so the replay re-folds from the previous version."""
+    vs = _complete_versions(spark, root)
+    return bool(vs) and vs[-1][0] >= batch_id
+
+
 def _publish(spark: SparkSession, root: str, df: DataFrame, batch_id: int):
     df.coalesce(1).write.mode("overwrite").parquet(f"{root}/v{batch_id}")
     # sweep strictly-older complete versions (the new one is live)
@@ -111,6 +128,8 @@ def heavy_hitters_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _already_folded(spark, cand_root, batch_id):
+            return  # replayed batch: both publishes landed
         item = F.col(col).cast("string")
         pair = F.explode(
             F.array(
@@ -123,29 +142,34 @@ def heavy_hitters_stream(
                 ]
             )
         ).alias("p")
-        bcells = (
-            batch_df.where(item.isNotNull())
-            .select(pair)
-            .groupBy("p.i", "p.b")
-            .agg(F.count("*").alias("cnt"))
-        )
-        old = _read_latest(spark, cells_root)
-        cells = (
-            bcells
-            if old is None
-            else old.unionByName(bcells)
-            .groupBy("i", "b")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        # counters are linear, so the previous cells parquet and the
-        # batch cells fold in ONE aggregation (the groupBy above IS the
-        # merge) and publish directly — no driver materialization
-        # anywhere in the sink, so w can scale past driver-comfortable
-        # sizes. The candidate re-estimate densifies the PUBLISHED
-        # parquet (bounded ≤ d×w cells), not the union lineage, so the
-        # merge computation runs exactly once.
-        _publish(spark, cells_root, cells, batch_id)
-        cells_pub = spark.read.parquet(f"{cells_root}/v{batch_id}").select(
+        # cells step guarded separately: a crash BETWEEN the two
+        # publishes replays with cells already folded — re-fold only
+        # the missing half (candidates), never double-count the cells
+        if not _already_folded(spark, cells_root, batch_id):
+            bcells = (
+                batch_df.where(item.isNotNull())
+                .select(pair)
+                .groupBy("p.i", "p.b")
+                .agg(F.count("*").alias("cnt"))
+            )
+            old = _read_latest(spark, cells_root)
+            cells = (
+                bcells
+                if old is None
+                else old.unionByName(bcells)
+                .groupBy("i", "b")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            # counters are linear, so the previous cells parquet and the
+            # batch cells fold in ONE aggregation (the groupBy above IS
+            # the merge) and publish directly — no driver
+            # materialization anywhere in the sink, so w can scale past
+            # driver-comfortable sizes. The candidate re-estimate
+            # densifies the PUBLISHED parquet (bounded ≤ d×w cells), not
+            # the union lineage, so the merge computation runs once.
+            _publish(spark, cells_root, cells, batch_id)
+        latest_cells = _complete_versions(spark, cells_root)[-1][1]
+        cells_pub = spark.read.parquet(latest_cells).select(
             F.col("i").cast("int"),
             F.col("b").cast("int"),
             F.col("cnt").cast("long"),
@@ -218,6 +242,9 @@ def kmv_distinct_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _already_folded(spark, root, batch_id):
+            return  # replay: fold already published (belt over the
+            # union's natural idempotence — saves the re-scan too)
         bsk = sketch.kmv_sketch(batch_df, col, k=k, by=by)
         old = _read_latest(spark, root)
         if old is None:
@@ -281,10 +308,12 @@ def histogram_stream(
     micro-batches. The range must be supplied up front (bins are the
     mergeable identity — a stream can't retroactively re-bin), and the
     cross-batch fold is ONE elementwise add per group, the same
-    linearity contract as the count-min cells. Replay inflates counts
-    (at-least-once foreachBatch), which moves quantile estimates by at
-    most the replayed batch's mass — same degradation class as the
-    count-min path, documented rather than hidden.
+    linearity contract as the count-min cells. Replays are EXACT
+    no-ops: the versioned publish's batch id is a high-water mark
+    (``_already_folded``), so an at-least-once foreachBatch redelivery
+    never re-adds a batch's mass — the streamed sketch stays bit-exact
+    vs the batch sketch of the concatenated input, the same contract
+    as ``kmv_distinct_stream``.
 
     Read the live sketch + quantiles with ``read_histogram``."""
     from swanlake_spark.operators import sketch
@@ -294,6 +323,8 @@ def histogram_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if _already_folded(spark, root, batch_id):
+            return  # replay: this batch's mass already folded
         bsk = sketch.histogram_sketch(
             batch_df, col, bins=bins, lo=lo, hi=hi, by=by
         )

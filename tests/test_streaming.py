@@ -1255,3 +1255,73 @@ class TestStreamingHistogram:
             "percentile(value, 0.5) AS m"
         ).collect()[0]["m"]
         assert abs(got["q_50"] - exact) <= 100.0 / 64 + 1e-9
+
+    def test_replay_is_exact_noop(self, spark):
+        """REAL at-least-once replay: delete the checkpoint's newest
+        commit marker and restart the query — Structured Streaming
+        re-delivers the last batch with the same batch_id. The
+        high-water-mark guard must make the re-fold a no-op, so the
+        state stays BIT-EXACT vs the batch sketch (the r7 contract let
+        replays inflate bin mass; this pins the upgrade)."""
+        import os as _os
+        import tempfile
+
+        from swanlake_spark.operators import sketch
+        from swanlake_spark.streaming.sketch import (
+            histogram_stream,
+            read_histogram,
+        )
+
+        d = tempfile.mkdtemp(prefix="swl_hrp_src_")
+        waves = {
+            "b1.json": [float(i % 50) for i in range(200)],
+            "b2.json": [float(i % 90) for i in range(150)],
+        }
+        for fname, vals in waves.items():
+            with open(os.path.join(d, fname), "w") as f:
+                for i, v in enumerate(vals):
+                    f.write(json.dumps({
+                        "event_id": i, "ts": "2025-01-01T00:00:00.000Z",
+                        "user_id": 0, "event_type": "x", "value": v,
+                        "props": "{}",
+                    }) + "\n")
+        state = tempfile.mkdtemp(prefix="swl_hrp_state_")
+        ck = tempfile.mkdtemp(prefix="swl_hrp_ck_")
+
+        def run(ckdir):
+            q = histogram_stream(
+                stream_events_from_directory(
+                    spark, d, max_files_per_trigger=1
+                ),
+                "value", 0.0, 100.0, state, ckdir, bins=32,
+            )
+            assert q.awaitTermination(180)
+
+        run(ck)
+        all_vals = spark.createDataFrame(
+            [(v,) for vs in waves.values() for v in vs], ["value"]
+        )
+        want = sketch.histogram_sketch(
+            all_vals, "value", bins=32, lo=0.0, hi=100.0
+        ).collect()[0]["counts"]
+        assert read_histogram(spark, state).collect()[0]["counts"] == want
+        # crash simulation: the last batch committed its state publish
+        # but "lost" its checkpoint commit → the restart replays that
+        # batch with the same batch_id. The checkpoint is COPIED to a
+        # fresh path first: Spark caches metadata logs per checkpoint
+        # path in the JVM, so mutating the original dir in place trips
+        # its concurrent-use detector instead of simulating a restart.
+        import shutil as _sh
+
+        ck2 = ck + "_replayed"
+        _sh.copytree(ck, ck2)
+        commits = sorted(
+            int(n) for n in _os.listdir(f"{ck2}/commits") if n.isdigit()
+        )
+        _os.unlink(f"{ck2}/commits/{commits[-1]}")
+        crc = f"{ck2}/commits/.{commits[-1]}.crc"  # Hadoop checksum twin
+        if _os.path.exists(crc):
+            _os.unlink(crc)
+        run(ck2)
+        got = read_histogram(spark, state).collect()[0]["counts"]
+        assert got == want  # replay did not re-add the batch's mass
