@@ -240,12 +240,18 @@ def kmv_sketch(
     # probability ~exp(-k) noise; it exists so correctness never rests
     # on a tail bound. Groups where cut == 1 filtered nothing, so their
     # sketch is complete by construction (the exact regime).
-    risky = (
-        sk.join(est, on=by)
+    # Detection runs from EST's side (est left-join sk, survivor count
+    # coalesced to 0): a group whose pre-filter dropped EVERY hash is
+    # absent from sk entirely, and a sketch-side join would silently
+    # drop it from the output instead of recomputing it — the same
+    # zero-survivor case sampling.stratified_sample detects explicitly.
+    joined = (
+        est.join(sk, on=by, how="left")
         if by
-        else sk.crossJoin(F.broadcast(est))
-    ).where(
-        (F.size("kmv") < F.lit(k))
+        else est.join(sk, on=F.lit(True), how="left")
+    )
+    risky = joined.where(
+        (F.coalesce(F.size("kmv"), F.lit(0)) < F.lit(k))
         & (F.col("__n") > F.lit(_prefilter_slack) * F.lit(k))
     )
     if len(risky.take(1)) == 0:

@@ -1524,6 +1524,33 @@ class TestKmvSketch:
         }
         assert {g: int(e) for g, e in got.items()} == exact
 
+    def test_zero_survivor_groups_recompute_not_vanish(self, spark):
+        """A slack so small the pre-filter drops EVERY hash of a group
+        must still yield that group's sketch via the unfiltered
+        recompute — risky groups are detected from est's side, so a
+        group with no survivors can't silently vanish (ADVICE r7)."""
+        from swanlake_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [(f"g{i % 4}", f"v{i}") for i in range(200)], ["g", "v"]
+        )
+        plain = {
+            r["g"]: r["kmv"]
+            for r in sketch.kmv_sketch(df, "v", k=8, by=["g"]).collect()
+        }
+        forced = {
+            r["g"]: r["kmv"]
+            for r in sketch.kmv_sketch(
+                df, "v", k=8, by=["g"], _prefilter_slack=1e-6
+            ).collect()
+        }
+        assert set(forced) == {"g0", "g1", "g2", "g3"}
+        assert forced == plain
+        # global (by=None) zero-survivor path: single-row output, exact
+        gp = sketch.kmv_sketch(df, "v", k=8).collect()
+        gf = sketch.kmv_sketch(df, "v", k=8, _prefilter_slack=1e-6).collect()
+        assert len(gf) == 1 and gf[0]["kmv"] == gp[0]["kmv"]
+
     def test_estimation_regime_within_tolerance(self, spark):
         from swanlake_spark.operators import sketch
 
