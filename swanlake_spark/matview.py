@@ -477,6 +477,19 @@ _STATE_DIR = "_swl_matview_state"
 # the dim snapshot with no shuffle at all.
 _JOIN_DELTA_BROADCAST_MAX = 64 * 1024 * 1024
 
+# A dim-side delta's distinct link keys, when at most this many,
+# are pushed into the anchor owning the join column as a LITERAL In
+# filter — it reaches the parquet scan (PushedFilters), so row-group
+# min/max stats skip the untouched bulk of a huge fact anchor instead
+# of scanning it (the classic IVM dim-delta asymmetry). Above the cap
+# the term falls back to the plain anchor join (still delta-driven).
+_DIM_PRUNE_KEY_CAP = 10_000
+
+# Test hook: when a list, each join-delta term's formatted physical
+# plan is appended (tests assert the pushed key filter reaches the
+# fact scan). None in production — zero cost.
+_JOIN_TERM_PLAN_SINK: list | None = None
+
 
 def _avg_specs(shape: dict) -> list[tuple[str, str]]:
     return [(arg, a) for fn, arg, a in shape["aggs"] if fn == "avg"]
@@ -1040,10 +1053,12 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         # cancel downstream the same way single-table deltas do
         # (weighted agg / exceptAll netting). Cost model: a fact-side
         # delta scans the dim anchors once per refresh (dim-scan per
-        # refresh); a dim-side delta scans the fact anchor once (the
-        # classic IVM asymmetry; still delta-driven, never a full
-        # re-join of current snapshots). Delta sides under the
-        # broadcast bound ship as broadcasts.
+        # refresh); a dim-side delta's term prunes the fact anchor by
+        # the delta's link keys pushed as a literal In filter
+        # (_prune_keys / _term), so the anchor scan row-group-skips
+        # everything the dim correction doesn't touch — the classic
+        # IVM asymmetry reduced to key-local fact I/O. Delta sides
+        # under the broadcast bound ship as broadcasts.
         ntab = len(tinfo)
         colsets = [
             {f.name.lower() for f in spark.table(t["tbl"]).schema.fields}
@@ -1082,7 +1097,30 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 ) <= _JOIN_DELTA_BROADCAST_MAX
             except Exception:  # noqa: BLE001 — size unknown: no hint
                 small_delta = False
-            return F.broadcast(df) if small_delta else df
+            return (F.broadcast(df) if small_delta else df), small_delta
+
+        def _prune_keys(delta_df: DataFrame, small: bool, i: int):
+            """Distinct link-key values of a DIM-side delta (i > 0),
+            for literal pushdown into the anchor scan that owns the
+            join column. Only broadcast-sized deltas are eligible (the
+            collect is then bounded by the same budget as the
+            broadcast itself); a delta with more than
+            _DIM_PRUNE_KEY_CAP distinct keys returns None and the term
+            joins unpruned."""
+            if i == 0 or not small:
+                return None
+            rcol = conds[i - 1][1]
+            rows = (
+                delta_df.select(rcol)
+                .distinct()
+                .limit(_DIM_PRUNE_KEY_CAP + 1)
+                .collect()
+            )
+            if len(rows) > _DIM_PRUNE_KEY_CAP:
+                return None
+            # NULL link keys never survive the equality join, so
+            # dropping them from the pushed filter is exact
+            return [r[0] for r in rows if r[0] is not None]
 
         def _fold(frames: list[DataFrame]) -> DataFrame:
             acc = frames[0]
@@ -1091,24 +1129,47 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 acc = acc.join(frames[j], acc[lcol] == frames[j][rcol])
             return acc
 
-        def _term(i: int, delta_df: DataFrame) -> DataFrame:
-            return _fold(
-                [
-                    _anchor(j, "old")
-                    if j < i
-                    else (delta_df if j == i else _anchor(j, "new"))
-                    for j in range(ntab)
-                ]
-            )
+        def _term(i: int, delta_df: DataFrame, keys=None) -> DataFrame:
+            frames = [
+                _anchor(j, "old")
+                if j < i
+                else (delta_df if j == i else _anchor(j, "new"))
+                for j in range(ntab)
+            ]
+            if keys is not None:
+                # dim-delta prune: the anchor owning the link column
+                # (the FACT in a star schema) only contributes rows
+                # whose key the delta actually touches — push those
+                # keys as a literal In so the parquet scan's row-group
+                # stats skip everything else. A 10-row dim correction
+                # then reads ~10 keys' worth of fact, not 100 TB.
+                lcol = conds[i - 1][0]
+                owner = next(
+                    (j for j in range(i) if lcol.lower() in colsets[j]),
+                    None,
+                )
+                if owner is not None:
+                    frames[owner] = frames[owner].where(
+                        F.col(lcol).isin(keys)
+                    )
+            out = _fold(frames)
+            if _JOIN_TERM_PLAN_SINK is not None:
+                je = out._jdf.queryExecution()
+                mode = (
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted")
+                )
+                _JOIN_TERM_PLAN_SINK.append(je.explainString(mode))
+            return out
 
         ins_parts, dl_parts = [], []
         for i, t in enumerate(tinfo):
             if t["add"]:
-                d = _dside(t["tbl"], t["add"], f'v{t["cur"]}', t["loc"])
-                ins_parts.append(_term(i, d))
+                d, small = _dside(t["tbl"], t["add"], f'v{t["cur"]}', t["loc"])
+                ins_parts.append(_term(i, d, _prune_keys(d, small, i)))
             if t["rem"]:
-                d = _dside(t["tbl"], t["rem"], f'v{t["sv"]}', t["loc"])
-                dl_parts.append(_term(i, d))
+                d, small = _dside(t["tbl"], t["rem"], f'v{t["sv"]}', t["loc"])
+                dl_parts.append(_term(i, d, _prune_keys(d, small, i)))
 
         def _union(parts):
             out = parts[0]

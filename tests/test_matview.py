@@ -826,6 +826,54 @@ class TestMatviewJoinIncremental:
         finally:
             eng.execute("DROP MATERIALIZED VIEW mv_j5")
 
+    def test_dim_delta_prunes_fact_anchor_scan(self, spark, eng, jsrc):
+        """A dim-side delta's term must push the delta's link keys into
+        the FACT anchor scan as a literal In filter (PushedFilters), so
+        a small dim correction never scans the whole fact — and the
+        refreshed view still matches the full recompute."""
+        from swanlake_spark import matview
+
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_jp AS {self.Q}")
+        try:
+            eng.execute("INSERT INTO mv_jd VALUES (3, 'gamma')")
+            matview._JOIN_TERM_PLAN_SINK = []
+            try:
+                self._check(spark, eng, "mv_jp", self.Q)
+                plans = list(matview._JOIN_TERM_PLAN_SINK)
+            finally:
+                matview._JOIN_TERM_PLAN_SINK = None
+            # exactly one term (the dim insert), whose fact-anchor scan
+            # carries the pushed key filter fdk IN (3)
+            assert len(plans) == 1
+            assert "PushedFilters" in plans[0]
+            import re as _re
+
+            # the first PushedFilters block is the fact scan's;
+            # Catalyst folds a single-key In to EqualTo
+            m = _re.search(r"PushedFilters: \[([^\]]*)\]", plans[0])
+            assert m is not None, plans[0][:2000]
+            assert "In(fdk" in m.group(1) or "EqualTo(fdk,3)" in m.group(1), (
+                m.group(1)
+            )
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_jp")
+
+    def test_dim_update_prune_nets_exactly(self, spark, eng, jsrc):
+        """Prune must be value-exact under a dim UPDATE (delete+insert
+        deltas, both pruned): facts outside the touched keys keep their
+        groups, facts on the touched key migrate."""
+        eng.execute(f"CREATE MATERIALIZED VIEW mv_jq AS {self.Q}")
+        try:
+            eng.execute_update(
+                "UPDATE mv_jd SET dname = 'beta2' WHERE dk = 2"
+            )
+            self._check(spark, eng, "mv_jq", self.Q)
+            names = {r["dname"] for r in spark.table("mv_jq").collect()}
+            assert "beta2" in names and "beta" not in names
+            assert "alpha" in names  # untouched key survived the prune
+        finally:
+            eng.execute("DROP MATERIALIZED VIEW mv_jq")
+
     def test_minmax_join_hybrid(self, spark, eng, jsrc):
         q = ("SELECT dname, count(*) AS n, min(amt) AS lo, "
              "max(amt) AS hi FROM mv_jf JOIN mv_jd ON fdk = dk "
