@@ -186,9 +186,17 @@ class Engine:
         parameterized SQL (typed, injection-safe); statements the engine
         routes itself (DML rewrite, COPY, PRAGMA, ...) reject args — the
         session layer falls back to typed literal rendering there."""
+        pivot_zero_cols: list[str] = []
         if dialect == "duckdb":
             from swanlake_spark.functions import transpile_duckdb
+            from swanlake_spark.functions.dialect import pivot_count_columns
 
+            # DuckDB zero-fills empty PIVOT count cells; Spark leaves
+            # them NULL. Collect the count output columns now and
+            # coalesce them to 0 on the result frame below (the cell
+            # NULL is produced by the pivot itself, so no SQL-text
+            # rewrite can fix it in place).
+            pivot_zero_cols = pivot_count_columns(sql)
             sql = transpile_duckdb(sql)
         t0 = time.perf_counter()
         with self.metrics.start_query():
@@ -202,6 +210,24 @@ class Engine:
                 raise EngineError(str(e)) from e
         res.elapsed_s = time.perf_counter() - t0
         self.metrics.record_query(res.elapsed_s, sql, is_query=res.is_query)
+        zero_fill = None
+        if pivot_zero_cols and res.is_query and res.df is not None:
+            from pyspark.sql import functions as _F
+
+            targets = set(pivot_zero_cols) & set(res.df.columns)
+            if targets:
+                def zero_fill(df):  # noqa: E306 — bound below
+                    return df.select(
+                        *[
+                            _F.coalesce(_F.col(f"`{c}`"), _F.lit(0)).alias(c)
+                            if c in targets
+                            else _F.col(f"`{c}`")
+                            for c in df.columns
+                        ]
+                    )
+
+                res.df = zero_fill(res.df)
+                res.schema = res.df.schema
         if (
             res.is_query
             and res.statements_run == 1
@@ -209,9 +235,11 @@ class Engine:
         ):
             # side-effect-free: safe to transparently re-run if a COW
             # schema publish moves files under the deferred collect
-            res._requery = (
-                lambda: self._run_script_swap_safe(sql, args=args).df
-            )
+            def _requery():
+                df = self._run_script_swap_safe(sql, args=args).df
+                return zero_fill(df) if zero_fill is not None else df
+
+            res._requery = _requery
         return res
 
     def execute(self, sql: str) -> QueryResult:

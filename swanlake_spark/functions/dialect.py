@@ -454,6 +454,76 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+_PIVOT_RE = re.compile(
+    r"\bPIVOT\s*\(((?:'[^']*'|[^()]|\([^()]*\))*)\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def pivot_count_columns(sql: str) -> list[str]:
+    """Output column names of PIVOT ``count`` aggregates, for the
+    engine's zero-fill post-pass: DuckDB zero-fills an EMPTY pivot
+    cell's count while Spark leaves it NULL (an absent cell never ran
+    its aggregate). Recognized shapes — where the two engines agree on
+    column NAMES — are (a) a single UNALIASED count with aliased IN
+    values (columns = the value aliases) and (b) multiple aggregates,
+    all aliased, with aliased IN values (columns =
+    ``<value-alias>_<agg-alias>``). A single ALIASED aggregate names
+    its columns differently per engine (Spark drops the agg alias,
+    DuckDB appends it), so that shape keeps the documented divergence
+    (tests/sql/pivot_unpivot.test)."""
+    out: list[str] = []
+    spans = _mask_spans(sql)
+    for m in _PIVOT_RE.finditer(sql):
+        if _in_span(m.start(), spans):
+            continue
+        body = m.group(1)
+        f = _depth0_keyword(body, "FOR")
+        if f < 0:
+            continue
+        aggs_txt = body[:f]
+        rest = body[f + 3 :]
+        i = _depth0_keyword(rest, "IN")
+        if i < 0:
+            continue
+        vals_txt = rest[i + 2 :].strip()
+        if not (vals_txt.startswith("(") and vals_txt.endswith(")")):
+            continue
+        val_aliases = []
+        for item in _split_top(vals_txt[1:-1]):
+            am = re.search(r"\bAS\s+([\w`\"]+)\s*$", item, re.IGNORECASE)
+            if am is None:
+                val_aliases = None
+                break
+            val_aliases.append(am.group(1).strip('`"'))
+        if not val_aliases:
+            continue
+        aggs = []
+        for item in _split_top(aggs_txt):
+            gm = re.match(
+                r"^\s*(\w+)\s*\(.*\)\s*(?:AS\s+([\w`\"]+))?\s*$",
+                item,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if gm is None:
+                aggs = None
+                break
+            aggs.append(
+                (gm.group(1).lower(), (gm.group(2) or "").strip('`"'))
+            )
+        if not aggs:
+            continue
+        if len(aggs) == 1:
+            fn, alias = aggs[0]
+            if fn == "count" and not alias:
+                out.extend(val_aliases)
+        elif all(alias for _, alias in aggs):
+            for fn, alias in aggs:
+                if fn == "count":
+                    out.extend(f"{v}_{alias}" for v in val_aliases)
+    return out
+
+
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
     sql = _rewrite_qualify(sql)

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from swanlake_spark.sources import register_tables
 
@@ -1216,9 +1217,19 @@ def _q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB with identical output column naming, so the statement
     passes through the engine untranslated — a dialect row verified by
     equality, not a shim. Reference: DuckDB PIVOT (the reference
-    delegates its relational surface to DuckDB; SURVEY §2.3)."""
+    delegates its relational surface to DuckDB; SURVEY §2.3). r8: the
+    count cells are coalesced to 0 like the engine's duckdb-dialect
+    path does (DuckDB zero-fills empty pivot count cells; no cell is
+    empty at the tested SFs, but the parity must not depend on that)."""
     ensure_tables(spark, sf_dir)
-    return spark.sql(_PIVOT_SQL)
+    df = spark.sql(_PIVOT_SQL)
+    return df.select(
+        "pri",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("f_cnt", "o_cnt", "p_cnt")
+        ],
+    )
 
 
 _PIVOT_SQL = """

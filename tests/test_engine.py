@@ -359,6 +359,25 @@ class TestDialect:
         ).collect()[0]
         assert row.e == [] and row.a == [1, 2, 3, 4, 5] and row.d == [5, 3, 1]
 
+    def test_pivot_count_zero_fill(self, engine):
+        """DuckDB zero-fills empty PIVOT count cells; the duckdb
+        dialect path coalesces the count output columns to 0 (r8).
+        sum cells stay NULL on empty — only counts are touched."""
+        rows = engine.query(
+            "SELECT * FROM (SELECT * FROM VALUES ('a','x',1),('b','y',2) "
+            "v(k, p, n)) PIVOT (sum(n) AS s, count(*) AS c "
+            "FOR p IN ('x' AS x, 'y' AS y)) ORDER BY k",
+            dialect="duckdb",
+        ).collect()
+        got = [(r.k, r.x_s, r.x_c, r.y_s, r.y_c) for r in rows]
+        assert got == [("a", 1, 1, None, 0), ("b", None, 0, 2, 1)]
+        # without the duckdb dialect the raw Spark NULLs pass through
+        raw = engine.query(
+            "SELECT * FROM (SELECT * FROM VALUES ('a','x',1) v(k, p, n)) "
+            "PIVOT (count(*) FOR p IN ('x' AS cx, 'y' AS cy))"
+        ).collect()[0]
+        assert raw.cy is None
+
     def test_list_function_shims(self, engine):
         # list_unique COUNTS in DuckDB (list_distinct is the dedup) —
         # the old name map to array_distinct was a semantics bug
