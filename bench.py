@@ -9,7 +9,15 @@ Methodology mirrors BASELINE.md: warm session (WARMUP_RUNS passes, default
 2 — the reference's numbers are steady-state BenchBase latencies and JVM
 tiered compilation needs several executions per codegen path), then
 per-query latency = best of MEASURE_RUNS (default 5) timed runs of
-plan+execute+collect.
+plan+execute+collect — EXCEPT sub-0.5 s TPC-H entries, which record the
+MEDIAN of the measured runs (r8 drift-proofing): on queries where
+scheduling jitter is a double-digit share of the runtime, a single-shot
+best is one lucky (or unlucky) scheduler draw, and the recorded number
+swung ±25% across identical-code runs (q16's r7 band spanned
+1.56–2.10× baseline on host load alone). The median of five runs is
+stable across consecutive invocations; entries at or above 0.5 s keep
+best-of (their jitter share is small and best-of matches the r1–r7
+history). Protocol note in SCALE.md §Round-8.
 """
 
 from __future__ import annotations
@@ -33,8 +41,11 @@ WARMUP_RUNS = int(os.environ.get("SWL_BENCH_WARMUPS", "2"))
 # baseline is steady-state BenchBase latency, so the deeper warmup
 # measures the same regime (isolated A/B: q16 2-warmup best-of-5
 # ranged 0.22-0.30 s across invocations; 12-warmup runs sat at
-# 0.218-0.264 with the same plan).
-TPCH_WARMUP_RUNS = int(os.environ.get("SWL_BENCH_TPCH_WARMUPS", "6"))
+# 0.218-0.264 with the same plan). r8: since sub-0.5 s entries record
+# the MEDIAN, warmup depth now shapes the recorded number directly —
+# 12 warmups put q16's median ~10% over its best where 6 left it ~21%
+# over (the run distribution is still converging); default raised 6→12.
+TPCH_WARMUP_RUNS = int(os.environ.get("SWL_BENCH_TPCH_WARMUPS", "12"))
 SHUFFLE_PARTITIONS = int(os.environ.get("SWL_BENCH_SHUFFLE_PARTITIONS", "8"))
 # local[n] hosts driver + all executor threads in ONE JVM, so broadcast
 # builds at 10x data need more heap than the sf0.1 default; a real
@@ -686,12 +697,20 @@ def main() -> None:
             for _ in range(n_warm):
                 spec.build(spark, SF_DIR).collect()
             spark._jvm.System.gc()
-            best = float("inf")
+            times = []
             for _ in range(MEASURE_RUNS):
                 t0 = time.perf_counter()
                 spec.build(spark, SF_DIR).collect()
-                best = min(best, time.perf_counter() - t0)
-        results[key] = round(best, 4)
+                times.append(time.perf_counter() - t0)
+        times.sort()
+        # sub-0.5s TPC-H entries: median (scheduling jitter is a
+        # double-digit share of the runtime there — see module
+        # docstring); everything else: best-of, as in rounds 1-7
+        if re.fullmatch(r"q\d+", key) and times[0] < 0.5:
+            value = times[len(times) // 2]
+        else:
+            value = times[0]
+        results[key] = round(value, 4)
 
     if ONLY:  # dev loop: print the subset and stop
         print(
