@@ -1783,6 +1783,78 @@ def _text_battery_oracle() -> str:
 _add("pipe_text_battery", _text_battery, _text_battery_oracle())
 
 
+def _kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated KMV set-algebra row (r8, VERDICT r7 #8): per-language
+    sketch overlap between the even- and odd-doc_id halves of the
+    corpus — the mergeability/set-algebra story that makes the sketch
+    worth carrying at 100 TB (SCALE.md r7 KMV entry), exercised as a
+    GROUPED operation where the battery's kmvop arm is global. Exact
+    regime by construction (value domain = n_chars % 1024 < k = 4096
+    at every SF), so kmv_distinct / kmv_set_ops reproduce plain
+    COUNT(DISTINCT) set algebra bit-for-bit and the oracle is exact
+    SQL. Reference: theta-sketch set ops (the reference exposes
+    approx_count_distinct; union/intersect composability is the
+    standard Beyer et al. '07 / theta-sketch surface)."""
+    from swanlake_spark.operators import sketch
+
+    docs = _docs(spark, sf_dir)
+    vals = docs.select(
+        "lang",
+        F.pmod(F.col("n_chars"), F.lit(1024)).alias("v"),
+        (F.col("doc_id") % 2).alias("half"),
+    )
+    ka = sketch.kmv_sketch(
+        vals.where(F.col("half") == 0), "v", k=4096, by=["lang"]
+    ).withColumnRenamed("kmv", "ka")
+    kb = sketch.kmv_sketch(
+        vals.where(F.col("half") == 1), "v", k=4096, by=["lang"]
+    ).withColumnRenamed("kmv", "kb")
+    # inner join: languages present in BOTH halves (the oracle joins
+    # identically, so a one-half language drops from both sides)
+    joined = ka.join(kb, "lang")
+    o = sketch.kmv_set_ops(F.col("ka"), F.col("kb"), 4096)
+    return (
+        joined.select(
+            "lang",
+            sketch.kmv_distinct(F.col("ka"), 4096)
+            .cast("long").alias("n_even"),
+            sketch.kmv_distinct(F.col("kb"), 4096)
+            .cast("long").alias("n_odd"),
+            o.intersect_est.cast("long").alias("n_common"),
+            o.union_est.cast("long").alias("n_union"),
+            o.jaccard.alias("jaccard"),
+        )
+        .orderBy("lang")
+    )
+
+
+_KMV_OVERLAP_ORACLE = """
+    WITH ha AS (SELECT DISTINCT lang, n_chars % 1024 AS v
+                FROM documents WHERE doc_id % 2 = 0),
+         hb AS (SELECT DISTINCT lang, n_chars % 1024 AS v
+                FROM documents WHERE doc_id % 2 = 1),
+         ea AS (SELECT lang, count(*) AS ne FROM ha GROUP BY lang),
+         eb AS (SELECT lang, count(*) AS no FROM hb GROUP BY lang),
+         ei AS (SELECT lang, count(*) AS ni FROM ha
+                JOIN hb USING (lang, v) GROUP BY lang),
+         eu AS (SELECT lang, count(*) AS nu FROM
+                (SELECT * FROM ha UNION SELECT * FROM hb) u
+                GROUP BY lang)
+    SELECT ea.lang AS lang,
+           CAST(ne AS BIGINT) AS n_even,
+           CAST(no AS BIGINT) AS n_odd,
+           CAST(coalesce(ni, 0) AS BIGINT) AS n_common,
+           CAST(nu AS BIGINT) AS n_union,
+           CAST(coalesce(ni, 0) AS DOUBLE) / CAST(nu AS DOUBLE)
+               AS jaccard
+    FROM ea JOIN eb USING (lang) JOIN eu USING (lang)
+    LEFT JOIN ei USING (lang)
+    ORDER BY lang
+"""
+
+_add("pipe_kmv_overlap", _kmv_overlap, _KMV_OVERLAP_ORACLE)
+
+
 def _sim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k + threshold near-pairs in one frame."""
     b = F.lit(None).cast("bigint")
@@ -2018,4 +2090,9 @@ DRIVER_PIPELINE_EXCLUDE: tuple[str, ...] = (
     "pipe_sample_battery",
     "pipe_sample_stratified",
     "pipe_domain_mix",
+    # r8 rotation (VERDICT r7 #8): pipe_kmv_overlap (grouped KMV set
+    # algebra with an exact COUNT(DISTINCT) oracle) takes the slot of
+    # the long-stable pipe_chunk_documents (driver-green r3–r7; stays
+    # hash-matched in tests/test_oracle_corpus.py)
+    "pipe_chunk_documents",
 )
