@@ -84,8 +84,8 @@ _NAME_MAP = {
 #   without analysis — callers use length()/size() explicitly.
 # - log(x): log10 in DuckDB, ln in Spark; log(b, x) agrees. Can't pick
 #   without arity analysis — callers use log10()/ln() explicitly.
-# - string_agg: ordering semantics differ (WITHIN GROUP vs best-effort);
-#   use collect_list + concat_ws (order-explicit) instead.
+# - string_agg multi-key ORDER BY: unsupported (single-key ORDER BY is
+#   rewritten to a sorted struct collect, see _transform_string_agg).
 # - regexp_replace without 'g': DuckDB replaces the FIRST match, Spark
 #   replaces all; with 'g' both replace all (the flag is stripped below).
 
@@ -232,13 +232,39 @@ def _transform_string_agg(sql: str) -> str:
     """DuckDB ``string_agg(x, sep)`` → ``array_join(collect_list(x),
     sep)``. Both sides are non-deterministic in element order without an
     ORDER BY, so the rewrite preserves the (absence of an) ordering
-    contract; ``string_agg(x ORDER BY ...)`` forms are left untouched."""
+    contract. ``string_agg(x, sep ORDER BY k [ASC|DESC])`` (r8) sorts a
+    collected (key, value) struct list — Spark's array_sort orders
+    structs field-by-field, so the key-first struct gives the ORDER BY;
+    DESC reverses the sorted array. Single sort key only (ties land in
+    nondeterministic order, same as DuckDB's unstable sort);
+    multi-key ORDER BY is left untouched and fails loud at analysis."""
 
     def build(args):
         x, sep = args
-        if re.search(r"\bORDER\s+BY\b", x, re.IGNORECASE):
-            return f"string_agg({x}, {sep})"  # leave as-is (unsupported)
-        return f"array_join(collect_list({x}), {sep})"
+        om = re.match(
+            r"^(.*?)\s+ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
+            sep,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if om is None:
+            return f"array_join(collect_list({x}), {sep})"
+        sep_txt, key, direction = (
+            om.group(1).strip(),
+            om.group(2).strip(),
+            (om.group(3) or "").strip().upper(),
+        )
+        if len(_split_top(key)) != 1:
+            return None  # multi-key ORDER BY: unsupported, fail loud
+        sorted_arr = (
+            f"array_sort(collect_list(named_struct("
+            f"'_swl_k', {key}, '_swl_v', {x})))"
+        )
+        if direction == "DESC":
+            sorted_arr = f"reverse({sorted_arr})"
+        return (
+            f"array_join(transform({sorted_arr}, "
+            f"_swl_s -> _swl_s._swl_v), {sep_txt})"
+        )
 
     return _transform_calls(sql, _STRING_AGG_CALL, 2, build)
 

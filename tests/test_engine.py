@@ -359,6 +359,21 @@ class TestDialect:
         ).collect()[0]
         assert row.e == [] and row.a == [1, 2, 3, 4, 5] and row.d == [5, 3, 1]
 
+    def test_string_agg_order_by(self, engine):
+        """string_agg with a single-key ORDER BY (r8) — DuckDB returns
+        'a, b, c' asc and 'c-b-a' desc on this data (verified)."""
+        rows = engine.query(
+            "SELECT g, string_agg(s, ', ' ORDER BY n) AS a, "
+            "string_agg(s, '-' ORDER BY n DESC) AS d "
+            "FROM (SELECT * FROM VALUES (1,'b',2),(1,'a',1),(1,'c',3),"
+            "(2,'z',9) v(g, s, n)) GROUP BY g ORDER BY g",
+            dialect="duckdb",
+        ).collect()
+        assert [(r.g, r.a, r.d) for r in rows] == [
+            (1, "a, b, c", "c-b-a"),
+            (2, "z", "z"),
+        ]
+
     def test_pivot_count_zero_fill(self, engine):
         """DuckDB zero-fills empty PIVOT count cells; the duckdb
         dialect path coalesces the count output columns to 0 (r8).
