@@ -698,7 +698,15 @@ def main() -> None:
                 spec.build(spark, SF_DIR).collect()
             spark._jvm.System.gc()
             times = []
-            for _ in range(MEASURE_RUNS):
+            # TPC-H entries take 7 samples (the median then discards
+            # three high outliers, not two — measured r8: the 5-sample
+            # median still moved 7% run-to-run on q16); others keep 5
+            n_meas = (
+                max(MEASURE_RUNS, 7)
+                if re.fullmatch(r"q\d+", key)
+                else MEASURE_RUNS
+            )
+            for _ in range(n_meas):
                 t0 = time.perf_counter()
                 spec.build(spark, SF_DIR).collect()
                 times.append(time.perf_counter() - t0)
