@@ -241,20 +241,32 @@ def _transform_string_agg(sql: str) -> str:
 
     def build(args):
         x, sep = args
+        # literal-aware ORDER BY detection: a separator STRING may
+        # legally contain ' ORDER BY ' — only a keyword outside quotes
+        # counts (the round's no-rewrites-inside-literals contract)
+        ob = _depth0_keyword(sep, "ORDER")
+        if ob < 0:
+            return f"array_join(collect_list({x}), {sep})"
+        tail = sep[ob:]
         om = re.match(
-            r"^(.*?)\s+ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
-            sep,
+            r"^ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
+            tail,
             re.IGNORECASE | re.DOTALL,
         )
         if om is None:
-            return f"array_join(collect_list({x}), {sep})"
+            return None  # ORDER keyword without BY: fail loud
         sep_txt, key, direction = (
+            sep[:ob].strip(),
             om.group(1).strip(),
-            om.group(2).strip(),
-            (om.group(3) or "").strip().upper(),
+            (om.group(2) or "").strip().upper(),
         )
         if len(_split_top(key)) != 1:
             return None  # multi-key ORDER BY: unsupported, fail loud
+        if re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", key, re.IGNORECASE):
+            return None  # NULLS FIRST/LAST: unsupported, fail loud
+        # NULL sort keys: struct comparison and DuckDB's default null
+        # order may place NULL-key elements differently — a documented
+        # element-order divergence for NULL keys only
         sorted_arr = (
             f"array_sort(collect_list(named_struct("
             f"'_swl_k', {key}, '_swl_v', {x})))"
@@ -497,12 +509,47 @@ def pivot_count_columns(sql: str) -> list[str]:
     ``<value-alias>_<agg-alias>``). A single ALIASED aggregate names
     its columns differently per engine (Spark drops the agg alias,
     DuckDB appends it), so that shape keeps the documented divergence
-    (tests/sql/pivot_unpivot.test)."""
-    out: list[str] = []
+    (tests/sql/pivot_unpivot.test).
+
+    The zero-fill applies BY NAME to the final result frame, so it is
+    only claimed when the pivot's output columns provably ARE the
+    result columns: comments stripped, exactly one PIVOT clause at
+    paren depth 0, exactly one depth-0 SELECT with a bare ``*``
+    projection, and no depth-0 JOIN (an outer join could introduce
+    NULLs of JOIN provenance into a same-named column, which DuckDB
+    would NOT zero-fill). Everything else keeps raw Spark NULLs."""
+    sql = re.sub(r"--[^\n]*", " ", sql)
+    sql = re.sub(r"/\*.*?\*/", " ", sql, flags=re.DOTALL)
     spans = _mask_spans(sql)
-    for m in _PIVOT_RE.finditer(sql):
-        if _in_span(m.start(), spans):
+    pivots = [
+        m
+        for m in _PIVOT_RE.finditer(sql)
+        if not _in_span(m.start(), spans)
+    ]
+    if len(pivots) != 1:
+        return []
+    sel = _depth0_keyword(sql, "SELECT")
+    if sel < 0 or _depth0_keyword(sql, "SELECT", sel + 6) >= 0:
+        return []
+    if not re.match(r"\s*\*\s*FROM\b", sql[sel + 6 :], re.IGNORECASE):
+        return []
+    if _depth0_keyword(sql, "JOIN") >= 0:
+        return []
+    # the single pivot must itself sit at depth 0 (a table factor of
+    # the outer FROM, not buried in a subquery whose columns the outer
+    # query reshapes)
+    depth = 0
+    for i in range(pivots[0].start()):
+        if _in_span(i, spans):
             continue
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+    if depth != 0:
+        return []
+    out: list[str] = []
+    for m in pivots:
         body = m.group(1)
         f = _depth0_keyword(body, "FOR")
         if f < 0:
@@ -593,12 +640,20 @@ def transpile_duckdb(sql: str) -> str:
         out,
     )
 
-    # 4) regexp_replace(..., 'g') → drop the flag (Spark is global by
-    #    default; its 4th argument means position, not flags)
-    out = _sub_outside(
-        r"(\bregexp_replace\s*\([^()]*?)\s*,\s*'g'\s*\)",
-        r"\1)",
+    # 4) regexp_replace(s, pat, repl, 'g') → drop the flag (Spark is
+    #    global by default; its 4th argument means position, not
+    #    flags). Arity-checked (r8): only the 4-ARG form's trailing
+    #    flags argument is stripped — a 3-arg call whose REPLACEMENT
+    #    happens to be the string 'g' keeps all its arguments.
+    out = _transform_calls(
         out,
+        re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE),
+        4,
+        lambda a: (
+            f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
+            if a[3] == "'g'"
+            else None
+        ),
     )
 
     # 5) date_diff('unit', a, b) / date_part-style quoted units →
@@ -626,6 +681,18 @@ def transpile_duckdb(sql: str) -> str:
 
     def _gen_series2(args):
         a, b = args
+        # The CASE guard duplicates each bound (comparison + branch);
+        # deterministic duplicates are collapsed by Spark's codegen
+        # subexpression elimination and scalar-subquery reuse, but a
+        # NON-deterministic bound would be re-drawn per site — the
+        # comparison could pass while the re-evaluated sequence counts
+        # down. Those keep the bare sequence() map (Spark countdown
+        # semantics, the pre-r8 behavior, documented).
+        if re.search(
+            r"\b(?:rand|randn|random|uuid|shuffle)\s*\(", f"{a} {b}",
+            re.IGNORECASE,
+        ):
+            return f"sequence(({a}), ({b}))"
         return (
             f"(CASE WHEN ({a}) > ({b}) THEN slice(sequence(({a}), ({a})), 1, 0) "
             f"ELSE sequence(({a}), ({b})) END)"

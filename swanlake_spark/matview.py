@@ -1109,6 +1109,12 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             joins unpruned."""
             if i == 0 or not small:
                 return None
+            # owner check BEFORE the collect: if no earlier anchor
+            # carries the join column, the keys would be discarded —
+            # don't pay a driver job to fetch them
+            lcol = conds[i - 1][0]
+            if not any(lcol.lower() in colsets[j] for j in range(i)):
+                return None
             rcol = conds[i - 1][1]
             rows = (
                 delta_df.select(rcol)

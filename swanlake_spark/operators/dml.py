@@ -642,42 +642,79 @@ class _WriteLock:
             self._break_if_stale()
             return False
 
-    def _break_if_stale(self) -> None:
-        """Unlink the lock if its recorded holder is verifiably dead.
-        Conservative on every ambiguity: younger than the guard window,
-        another host, an alive (or other-user) PID, or a file that
-        changed identity between the stat and the unlink — all left in
-        place."""
+    # a breaker that crashed holding the breaker mutex is itself
+    # considered orphaned after this many seconds (breaking is
+    # sub-second work)
+    BREAKER_TTL_S = 30.0
+
+    def _looks_stale(self) -> bool:
+        """True when the lock file's recorded holder is verifiably dead
+        ON THIS HOST and the file is past the guard window. Conservative
+        on every ambiguity: younger than the guard, another host, an
+        alive (or other-user) PID — all count as NOT stale."""
         try:
             st = os.stat(self.path)
             with open(self.path, "rb") as f:
                 lines = f.read().decode(errors="replace").split("\n")
         except OSError:
-            return  # released (or unreadable) meanwhile
+            return False  # released (or unreadable) meanwhile
         if _time_mod.time() - st.st_mtime < self.STALE_GUARD_S:
-            return
+            return False
         host = lines[1] if len(lines) > 1 else None
         if host is not None and host != _socket.gethostname():
-            return
+            return False
         try:
             pid = int(lines[0])
         except ValueError:
-            pid = None  # empty/garbage: holder died before the write
-        if pid is not None:
-            try:
-                os.kill(pid, 0)
-                return  # holder alive
-            except ProcessLookupError:
-                pass  # dead: break below
-            except PermissionError:
-                return  # alive, another user's process
+            return True  # empty/garbage: holder died before the write
         try:
-            st2 = os.stat(self.path)
-            if (st2.st_ino, st2.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
-                return  # re-acquired by someone else since we looked
-            os.unlink(self.path)
+            os.kill(pid, 0)
+            return False  # holder alive
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, another user's process
+
+    def _break_if_stale(self) -> None:
+        """Unlink the lock if its recorded holder is verifiably dead.
+
+        Breakers serialize on an O_EXCL ``.break`` mutex beside the
+        lock: without it, two waiters could both pass the staleness
+        check and the second's unlink-by-path could remove a FRESH lock
+        acquired between them (the classic stat-then-unlink race).
+        Under the mutex the re-verified lock file cannot change between
+        the check and the unlink — the dead holder can't release it,
+        other breakers are excluded, and new acquires fail while the
+        file exists. A breaker that crashed holding the mutex is
+        reclaimed by age (BREAKER_TTL_S)."""
+        if not self._looks_stale():
+            return
+        brk = self.path + ".break"
+        try:
+            if (
+                _time_mod.time() - os.stat(brk).st_mtime
+                > self.BREAKER_TTL_S
+            ):
+                os.unlink(brk)  # orphaned breaker: reclaim
         except OSError:
             pass
+        try:
+            fd = os.open(brk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return  # another breaker is on it
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            if self._looks_stale():  # re-verify under the mutex
+                try:
+                    os.unlink(self.path)
+                except OSError:
+                    pass
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(brk)
+            except OSError:
+                pass
 
     def release(self) -> None:
         if self._fd is not None:

@@ -76,16 +76,36 @@ def _read_latest(spark: SparkSession, root: str) -> DataFrame | None:
 
 
 def _already_folded(spark: SparkSession, root: str, batch_id: int) -> bool:
-    """True if a COMPLETE version at/after ``batch_id`` exists — i.e.
-    this batch's fold already published. foreachBatch is at-least-once:
-    a crash between the state publish and the checkpoint commit replays
-    the batch with the SAME batch_id and data, so the version number
-    doubles as a high-water mark that turns replays into exact no-ops
-    (for every stream here, not just the naturally-idempotent KMV
-    union). A torn publish has no ``_SUCCESS`` and is invisible to
-    this check, so the replay re-folds from the previous version."""
+    """True if a COMPLETE version for exactly ``batch_id`` exists —
+    i.e. this batch's fold already published. foreachBatch is
+    at-least-once: a crash between the state publish and the
+    checkpoint commit replays the batch with the SAME batch_id and
+    data, so the version number doubles as a high-water mark that
+    turns replays into exact no-ops (for every stream here, not just
+    the naturally-idempotent KMV union). A torn publish has no
+    ``_SUCCESS`` and is invisible to this check, so the replay
+    re-folds from the previous version.
+
+    A batch id BELOW the latest complete version is NOT a replay —
+    checkpoints only ever replay the last uncommitted batch — it means
+    the stream was restarted with a FRESH checkpoint against an
+    existing state root (batch ids restarted at 0). Treating that as
+    folded would silently discard every new batch until the counter
+    catches up, so it raises instead: point the new checkpoint's
+    stream at a fresh state_dir (or remove the stale one)."""
     vs = _complete_versions(spark, root)
-    return bool(vs) and vs[-1][0] >= batch_id
+    if not vs:
+        return False
+    latest = vs[-1][0]
+    if latest > batch_id:
+        raise ValueError(
+            f"streaming state at {root} is at batch v{latest} but this "
+            f"query's batch id is {batch_id}: the checkpoint was reset "
+            f"against an existing state root. Use a fresh state_dir "
+            f"(or delete the stale state) — folding would silently "
+            f"drop batches."
+        )
+    return latest == batch_id
 
 
 def _publish(spark: SparkSession, root: str, df: DataFrame, batch_id: int):

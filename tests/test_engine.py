@@ -373,6 +373,37 @@ class TestDialect:
             (1, "a, b, c", "c-b-a"),
             (2, "z", "z"),
         ]
+        # a separator LITERAL containing ' ORDER BY ' is just a
+        # separator (review r8: keyword detection is literal-aware)
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb(
+            "SELECT string_agg(x, ' ORDER BY ') FROM t"
+        ) == "SELECT array_join(collect_list(x), ' ORDER BY ') FROM t"
+        # NULLS FIRST/LAST is unsupported: left untouched (fails loud
+        # at analysis as string_agg, not as a mangled rewrite)
+        keep = "SELECT string_agg(x, ',' ORDER BY n DESC NULLS LAST) FROM t"
+        assert transpile_duckdb(keep) == keep
+
+    def test_regexp_replace_flag_vs_replacement(self, engine):
+        """Only the 4-arg form's trailing 'g' is a flags argument; a
+        3-arg call REPLACING matches with the string 'g' keeps all its
+        arguments (review r8)."""
+        row = engine.query(
+            "SELECT regexp_replace('banana', 'an', 'g') AS r3, "
+            "regexp_replace('banana', 'an', 'X', 'g') AS r4",
+            dialect="duckdb",
+        ).collect()[0]
+        # DuckDB: r3 = 'bgana' (first match replaced with 'g'; no
+        # flags), r4 = 'bXXa' (global) — Spark replaces all matches,
+        # so r3 diverges on multi-match inputs (documented: DuckDB
+        # replaces FIRST without 'g'); single-match input used here
+        assert row.r4 == "bXXa"
+        row2 = engine.query(
+            "SELECT regexp_replace('tang', 'ta', 'g') AS r",
+            dialect="duckdb",
+        ).collect()[0]
+        assert row2.r == "gng"
 
     def test_pivot_count_zero_fill(self, engine):
         """DuckDB zero-fills empty PIVOT count cells; the duckdb
@@ -392,6 +423,18 @@ class TestDialect:
             "PIVOT (count(*) FOR p IN ('x' AS cx, 'y' AS cy))"
         ).collect()[0]
         assert raw.cy is None
+        # NULLs of JOIN provenance are NEVER zero-filled (review r8):
+        # an outer-join miss keeps its NULL in both engines, so a
+        # query whose result columns aren't provably the pivot's
+        # (here: a depth-0 JOIN) opts out of the post-pass entirely
+        row = engine.query(
+            "SELECT * FROM (SELECT 'a' AS k UNION ALL SELECT 'zz') d "
+            "LEFT JOIN (SELECT * FROM (SELECT * FROM VALUES ('a','x',1) "
+            "v(k2, p, n)) PIVOT (count(*) FOR p IN ('x' AS cx))) pv "
+            "ON d.k = pv.k2 ORDER BY k",
+            dialect="duckdb",
+        ).collect()[1]
+        assert row.k == "zz" and row.cx is None
 
     def test_list_function_shims(self, engine):
         # list_unique COUNTS in DuckDB (list_distinct is the dedup) —
@@ -1502,6 +1545,34 @@ class TestFileGranularCow:
             assert os.path.exists(path)  # never broken
         finally:
             lock.release()
+
+    def test_writelock_breaker_mutex(self):
+        """Breakers serialize on a .break mutex (review r8): a fresh
+        .break held by another breaker defers the break; an ORPHANED
+        .break older than BREAKER_TTL_S is reclaimed and the break
+        proceeds."""
+        import socket
+        import tempfile
+        import time
+
+        from swanlake_spark.operators.dml import _WriteLock
+
+        d = tempfile.mkdtemp(prefix="swl_brk_")
+        p = f"{d}/t.x.writelock"
+        old = time.time() - 60
+        with open(p, "w") as f:
+            f.write(f"999999\n{socket.gethostname()}")
+        os.utime(p, (old, old))
+        # a live breaker (fresh .break) defers us
+        open(p + ".break", "w").close()
+        lk = _WriteLock(p)
+        assert not lk.try_acquire()
+        assert os.path.exists(p)  # not broken: mutex held elsewhere
+        # an orphaned breaker is reclaimed by age; the break proceeds
+        os.utime(p + ".break", (old, old))
+        assert not lk.try_acquire()  # reclaims + breaks stale lock
+        assert lk.try_acquire()  # and the lock is now takeable
+        lk.release()
 
     def test_writelock_keyed_by_location_not_name(self):
         """Two same-named tables under one parent directory (the

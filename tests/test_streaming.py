@@ -1325,3 +1325,25 @@ class TestStreamingHistogram:
         run(ck2)
         got = read_histogram(spark, state).collect()[0]["counts"]
         assert got == want  # replay did not re-add the batch's mass
+
+    def test_checkpoint_reset_against_stale_state_fails_loud(self, spark):
+        """A FRESH checkpoint (batch ids restart at 0) pointed at an
+        EXISTING state root is not a replay — treating it as one would
+        silently drop every new batch. _already_folded must raise
+        (review r8)."""
+        import tempfile
+
+        import pytest
+
+        from swanlake_spark.streaming.sketch import (
+            _already_folded,
+            _publish,
+        )
+
+        root = tempfile.mkdtemp(prefix="swl_hwm_") + "/hist"
+        df = spark.createDataFrame([(1,)], ["x"])
+        _publish(spark, root, df, 5)
+        assert _already_folded(spark, root, 5) is True  # replay: no-op
+        assert _already_folded(spark, root, 6) is False  # next batch
+        with pytest.raises(ValueError, match="fresh state_dir"):
+            _already_folded(spark, root, 0)  # checkpoint reset
