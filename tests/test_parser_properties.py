@@ -279,3 +279,44 @@ def test_extract_fks_table_level_roundtrip(child, parent_t, parent_c):
     assert table == "t" and len(fks) == 1
     assert fks[0] == (child, parent_t, parent_c)
     assert "REFERENCES" not in stripped.upper()
+
+
+# -- dialect transpiler invariants (r8) ---------------------------------------
+
+_DIALECT_BAIT = st.sampled_from([
+    "date_add(x, INTERVAL 1 DAY)",
+    "* REPLACE (a AS b)",
+    "list_sum(array(1))",
+    "struct_pack(a := 1)",
+    "generate_series(5, 1)",
+    "string_agg(x, ',' ORDER BY n)",
+    "USING SAMPLE 10%",
+    "a // b",
+    "x SIMILAR TO 'p'",
+    "regexp_extract_all(s, 'a{2,3}')",
+    "time_bucket(INTERVAL 1 DAY, ts)",
+    "PIVOT (count(*) FOR p IN ('x' AS cx))",
+])
+
+
+@given(
+    st.lists(_DIALECT_BAIT, min_size=1, max_size=4),
+    st.text(
+        alphabet=st.characters(
+            blacklist_characters="'\"`", max_codepoint=0x7E
+        ),
+        max_size=12,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_transpile_never_rewrites_inside_string_literals(baits, pad):
+    """EVERY dialect rewrite must leave string-literal contents intact:
+    a literal whose content spells any rewritable syntax survives
+    transpile_duckdb verbatim (the r8 mask-span contract, fuzzed)."""
+    from swanlake_spark.functions.dialect import transpile_duckdb
+
+    lit = (pad + " ".join(baits) + pad).replace("\x00", "")
+    sql = f"SELECT '{lit}' AS c, length('{lit}') AS n FROM t"
+    out = transpile_duckdb(sql)
+    assert f"'{lit}'" in out, (lit, out)
+    assert out.count(f"'{lit}'") == 2
