@@ -187,16 +187,18 @@ class Engine:
         routes itself (DML rewrite, COPY, PRAGMA, ...) reject args — the
         session layer falls back to typed literal rendering there."""
         pivot_zero_cols: list[str] = []
+        pivot_renames: dict = {}
         if dialect == "duckdb":
             from swanlake_spark.functions import transpile_duckdb
-            from swanlake_spark.functions.dialect import pivot_count_columns
+            from swanlake_spark.functions.dialect import pivot_adjustments
 
-            # DuckDB zero-fills empty PIVOT count cells; Spark leaves
-            # them NULL. Collect the count output columns now and
-            # coalesce them to 0 on the result frame below (the cell
-            # NULL is produced by the pivot itself, so no SQL-text
-            # rewrite can fix it in place).
-            pivot_zero_cols = pivot_count_columns(sql)
+            # DuckDB zero-fills empty PIVOT count cells (Spark leaves
+            # them NULL — the cell NULL is produced by the pivot
+            # itself, so no SQL-text rewrite can fix it in place) and
+            # names single-ALIASED-aggregate pivot columns
+            # `<value>_<agg>` where Spark drops the agg alias. Collect
+            # both adjustments now, apply on the result frame below.
+            pivot_zero_cols, pivot_renames = pivot_adjustments(sql)
             sql = transpile_duckdb(sql)
         t0 = time.perf_counter()
         with self.metrics.start_query():
@@ -211,20 +213,31 @@ class Engine:
         res.elapsed_s = time.perf_counter() - t0
         self.metrics.record_query(res.elapsed_s, sql, is_query=res.is_query)
         zero_fill = None
-        if pivot_zero_cols and res.is_query and res.df is not None:
+        if (
+            (pivot_zero_cols or pivot_renames)
+            and res.is_query
+            and res.df is not None
+        ):
             from pyspark.sql import functions as _F
 
-            targets = set(pivot_zero_cols) & set(res.df.columns)
-            if targets:
+            renames = {
+                k: v
+                for k, v in pivot_renames.items()
+                if k in res.df.columns and v not in res.df.columns
+            }
+            targets = set(pivot_zero_cols) & (
+                set(res.df.columns) - set(renames) | set(renames.values())
+            )
+            if targets or renames:
                 def zero_fill(df):  # noqa: E306 — bound below
-                    return df.select(
-                        *[
-                            _F.coalesce(_F.col(f"`{c}`"), _F.lit(0)).alias(c)
-                            if c in targets
-                            else _F.col(f"`{c}`")
-                            for c in df.columns
-                        ]
-                    )
+                    cols = []
+                    for c in df.columns:
+                        name = renames.get(c, c)
+                        col = _F.col(f"`{c}`")
+                        if name in targets:
+                            col = _F.coalesce(col, _F.lit(0))
+                        cols.append(col.alias(name))
+                    return df.select(*cols)
 
                 res.df = zero_fill(res.df)
                 res.schema = res.df.schema

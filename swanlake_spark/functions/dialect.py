@@ -498,7 +498,24 @@ _PIVOT_RE = re.compile(
 )
 
 
+def pivot_adjustments(sql: str) -> tuple[list[str], dict]:
+    """(count_columns_to_zero_fill, spark→duckdb column renames) for
+    the engine's PIVOT post-pass. Renames cover the single-ALIASED-
+    aggregate shape: Spark drops the aggregate alias (columns = the IN
+    value aliases) while DuckDB appends it (``<value>_<agg-alias>``) —
+    renaming Spark's output closes what was a documented name
+    divergence. Zero-fill columns are returned in DUCKDB naming (the
+    rename applies first). Safety guards are pivot_count_columns'."""
+    cols, renames = _pivot_scan(sql)
+    return cols, renames
+
+
 def pivot_count_columns(sql: str) -> list[str]:
+    cols, _ = _pivot_scan(sql)
+    return cols
+
+
+def _pivot_scan(sql: str) -> tuple[list[str], dict]:
     """Output column names of PIVOT ``count`` aggregates, for the
     engine's zero-fill post-pass: DuckDB zero-fills an EMPTY pivot
     cell's count while Spark leaves it NULL (an absent cell never ran
@@ -508,8 +525,9 @@ def pivot_count_columns(sql: str) -> list[str]:
     all aliased, with aliased IN values (columns =
     ``<value-alias>_<agg-alias>``). A single ALIASED aggregate names
     its columns differently per engine (Spark drops the agg alias,
-    DuckDB appends it), so that shape keeps the documented divergence
-    (tests/sql/pivot_unpivot.test).
+    DuckDB appends it) — that shape returns RENAMES mapping Spark's
+    names onto DuckDB's (r8; tests/sql/pivot_unpivot.test), with its
+    count columns zero-filled under the renamed names.
 
     The zero-fill applies BY NAME to the final result frame, so it is
     only claimed when the pivot's output columns provably ARE the
@@ -527,14 +545,14 @@ def pivot_count_columns(sql: str) -> list[str]:
         if not _in_span(m.start(), spans)
     ]
     if len(pivots) != 1:
-        return []
+        return [], {}
     sel = _depth0_keyword(sql, "SELECT")
     if sel < 0 or _depth0_keyword(sql, "SELECT", sel + 6) >= 0:
-        return []
+        return [], {}
     if not re.match(r"\s*\*\s*FROM\b", sql[sel + 6 :], re.IGNORECASE):
-        return []
+        return [], {}
     if _depth0_keyword(sql, "JOIN") >= 0:
-        return []
+        return [], {}
     # the single pivot must itself sit at depth 0 (a table factor of
     # the outer FROM, not buried in a subquery whose columns the outer
     # query reshapes)
@@ -547,8 +565,9 @@ def pivot_count_columns(sql: str) -> list[str]:
         elif sql[i] == ")":
             depth -= 1
     if depth != 0:
-        return []
+        return [], {}
     out: list[str] = []
+    renames: dict = {}
     for m in pivots:
         body = m.group(1)
         f = _depth0_keyword(body, "FOR")
@@ -590,11 +609,19 @@ def pivot_count_columns(sql: str) -> list[str]:
             fn, alias = aggs[0]
             if fn == "count" and not alias:
                 out.extend(val_aliases)
+            elif alias:
+                # single ALIASED aggregate: Spark names the columns by
+                # the IN aliases alone, DuckDB appends the agg alias —
+                # rename Spark's output to DuckDB's convention
+                for v in val_aliases:
+                    renames[v] = f"{v}_{alias}"
+                if fn == "count":
+                    out.extend(f"{v}_{alias}" for v in val_aliases)
         elif all(alias for _, alias in aggs):
             for fn, alias in aggs:
                 if fn == "count":
                     out.extend(f"{v}_{alias}" for v in val_aliases)
-    return out
+    return out, renames
 
 
 def transpile_duckdb(sql: str) -> str:

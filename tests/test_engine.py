@@ -423,6 +423,16 @@ class TestDialect:
             "PIVOT (count(*) FOR p IN ('x' AS cx, 'y' AS cy))"
         ).collect()[0]
         assert raw.cy is None
+        # single ALIASED aggregate: Spark's columns are renamed to
+        # DuckDB's <value>_<agg> convention and counts zero-fill (r8)
+        res = engine.query(
+            "SELECT * FROM (SELECT * FROM VALUES ('a','x',1) v(k, p, n)) "
+            "PIVOT (count(*) AS c FOR p IN ('x' AS cx, 'y' AS cy))",
+            dialect="duckdb",
+        )
+        assert res.df.columns == ["k", "n", "cx_c", "cy_c"]
+        r = res.collect()[0]
+        assert r.cx_c == 1 and r.cy_c == 0
         # NULLs of JOIN provenance are NEVER zero-filled (review r8):
         # an outer-join miss keeps its NULL in both engines, so a
         # query whose result columns aren't provably the pivot's
