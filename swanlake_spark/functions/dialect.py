@@ -86,8 +86,10 @@ _NAME_MAP = {
 #   without arity analysis — callers use log10()/ln() explicitly.
 # - string_agg multi-key ORDER BY: unsupported (single-key ORDER BY is
 #   rewritten to a sorted struct collect, see _transform_string_agg).
-# - regexp_replace without 'g': DuckDB replaces the FIRST match, Spark
-#   replaces all; with 'g' both replace all (the flag is stripped below).
+# - regexp_replace without 'g': DuckDB replaces the FIRST match; the
+#   3-arg literal form is rewritten to first-match semantics (4b
+#   below); non-literal/backslash/char-class forms keep Spark's
+#   replace-all, and with 'g' both replace all (flag stripped below).
 
 _STRFTIME_TOKENS = {
     "%Y": "yyyy",
@@ -672,6 +674,54 @@ def transpile_duckdb(sql: str) -> str:
     #    flags). Arity-checked (r8): only the 4-ARG form's trailing
     #    flags argument is stripped — a 3-arg call whose REPLACEMENT
     #    happens to be the string 'g' keeps all its arguments.
+    # 4b) 3-arg regexp_replace: DuckDB replaces the FIRST match only
+    #     (no 'g' flag); Spark replaces ALL. For literal pattern +
+    #     literal replacement, rewrite to first-match semantics by
+    #     capturing the untouched remainder: (?:P)((?s:.*)) replaced
+    #     with repl$<N+1>, where N counts P's own capture groups so
+    #     the remainder reference lands right; the scoped (?s:) leaves
+    #     P's '.' semantics alone. (Named groups would be
+    #     shift-immune, but Spark's replacement string only honors
+    #     NUMBERED $refs.) Guarded: replacement carries no $ or
+    #     backslash (Java-replacement metacharacters), the pattern no
+    #     backslash-escapes and no character class (a '(' inside
+    #     either would break the group count); everything else keeps
+    #     Spark's replace-all — the pre-existing documented
+    #     divergence, now narrowed to those edge inputs. The rewrite's
+    #     own output is 3-arg too; its remainder group '((?s:.*))' at
+    #     the pattern's very end makes it a fixed point of this rule
+    #     (verified by test), so the rescan terminates.
+    def _rex_first(args):
+        s, pat, repl = args
+        pm = re.fullmatch(r"'([^'\\\[\]]*)'", pat)
+        rm = re.fullmatch(r"'([^'\\$]*)'", repl)
+        if pm is None or rm is None:
+            return None
+        p = pm.group(1)
+        if p.endswith("((?s:.*))"):
+            return None  # already rewritten (rescan fixed point)
+        n = len(re.findall(r"\((?!\?)", p))
+        # (?!$) blocks the one extra match replace-all can find beyond
+        # the remainder-consuming first one: a ZERO-LENGTH match at end
+        # of input (empty-matchable P, e.g. 'x*'). Known narrowed edge:
+        # an EMPTY source with an empty-matchable P yields '' here vs
+        # DuckDB's one replacement.
+        return (
+            f"regexp_replace({s}, "
+            f"'(?!$)(?:{p})((?s:.*))', "
+            f"'{rm.group(1)}${n + 1}')"
+        )
+
+    # runs BEFORE the 4-arg flag strip on purpose: the strip's 3-arg
+    # OUTPUT means "replace all" (DuckDB 'g') and must not re-enter
+    # the first-match rewrite
+    out = _transform_calls(
+        out,
+        re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE),
+        3,
+        _rex_first,
+    )
+
     out = _transform_calls(
         out,
         re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE),

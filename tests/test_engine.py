@@ -394,16 +394,21 @@ class TestDialect:
             "regexp_replace('banana', 'an', 'X', 'g') AS r4",
             dialect="duckdb",
         ).collect()[0]
-        # DuckDB: r3 = 'bgana' (first match replaced with 'g'; no
-        # flags), r4 = 'bXXa' (global) — Spark replaces all matches,
-        # so r3 diverges on multi-match inputs (documented: DuckDB
-        # replaces FIRST without 'g'); single-match input used here
-        assert row.r4 == "bXXa"
+        # DuckDB: r3 = 'bgana' (3-arg replaces the FIRST match; 'g' is
+        # the replacement), r4 = 'bXXa' (global). Both DuckDB-verified
+        # — the 3-arg literal form now rewrites to first-match
+        # semantics via the remainder-capture rewrite (r8)
+        assert row.r3 == "bgana" and row.r4 == "bXXa"
         row2 = engine.query(
-            "SELECT regexp_replace('tang', 'ta', 'g') AS r",
+            "SELECT regexp_replace('tang', 'ta', 'g') AS r, "
+            "regexp_replace('banana', '(a)(n)', 'X') AS grp, "
+            "regexp_replace('banana', 'x*', 'Y') AS emp, "
+            "regexp_replace('a.b.c', '.', 'X') AS dot",
             dialect="duckdb",
         ).collect()[0]
-        assert row2.r == "gng"
+        # all DuckDB-verified first-match results
+        assert row2.r == "gng" and row2.grp == "bXana"
+        assert row2.emp == "Ybanana" and row2.dot == "X.b.c"
 
     def test_pivot_count_zero_fill(self, engine):
         """DuckDB zero-fills empty PIVOT count cells; the duckdb
