@@ -733,6 +733,26 @@ def transpile_duckdb(sql: str) -> str:
         ),
     )
 
+    # 4c) quantile_disc(x, q) / quantile(x, q) → percentile_disc(q)
+    #     WITHIN GROUP (ORDER BY x). Verified identical element choice
+    #     across sizes/quantiles incl. boundaries (0.0/1.0) — both pick
+    #     the lower discrete element. Typed divergence, documented:
+    #     Spark's percentile_disc returns DOUBLE where DuckDB keeps the
+    #     element type (same values). List-of-quantiles second args are
+    #     left untouched (no WITHIN GROUP equivalent).
+    def _quantile_disc(args):
+        x, q = args
+        if q.lstrip().startswith("["):
+            return None
+        return f"percentile_disc({q}) WITHIN GROUP (ORDER BY {x})"
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bquantile(?:_disc)?\s*\(", re.IGNORECASE),
+        2,
+        _quantile_disc,
+    )
+
     # 5) date_diff('unit', a, b) / date_part-style quoted units →
     #    timestampdiff(UNIT, a, b) (Spark wants a keyword, not a string)
     out = _sub_outside(
