@@ -40,6 +40,16 @@ _NAME_MAP = {
     "list_apply": "transform",
     "array_apply": "transform",
     "list_reverse": "reverse",
+    "list_append": "array_append",
+    # list_prepend has SWAPPED argument order vs array_prepend —
+    # handled as a call rewrite below, not a name swap
+    "list_position": "array_position",  # both return 0 when absent
+    "list_indexof": "array_position",
+    "list_has_any": "arrays_overlap",
+    "array_has_any": "arrays_overlap",
+    # list_has_all needs an expression rewrite (array_except), below
+    "unicode": "ascii",
+    "ord": "ascii",
     "array_length": "size",
     "list_sort": "array_sort",
     "list_max": "array_max",
@@ -798,6 +808,76 @@ def transpile_duckdb(sql: str) -> str:
     out = _transform_calls(out, _GEN_SERIES, 2, _gen_series2)
     out = _transform_calls(
         out, _GEN_SERIES, 3, lambda a: f"sequence({a[0]}, {a[1]}, {a[2]})"
+    )
+
+    # 6c) range(a, b[, step]): DuckDB's EXCLUSIVE-end integer series →
+    #     Spark's inclusive sequence with the end pulled in by one step
+    #     and an empty-guard (Spark errors when the bounds oppose an
+    #     explicit step; DuckDB returns []). The 3-arg form is handled
+    #     only for INTEGER-LITERAL steps (the sign decides both the
+    #     guard direction and the end adjustment); interval-stepped or
+    #     computed-step forms are left untouched and fail loud. The
+    #     same non-deterministic-bound caveat as generate_series
+    #     applies (bounds are duplicated into the guard).
+    #     TABLE-function usage (`FROM range(1, 10)`) is protected: Spark's
+    #     own range table function is ALSO exclusive-end, so those call
+    #     sites pass through unchanged (shielded around the scalar
+    #     rewrite below).
+    _RANGE = re.compile(r"\brange\s*\(", re.IGNORECASE)
+    _TF_SHIELD = "__swl_tf_range"
+    out = _sub_outside(
+        r"\b(FROM|JOIN)(\s+)range(\s*\()",
+        lambda m: f"{m.group(1)}{m.group(2)}{_TF_SHIELD}{m.group(3)}",
+        out,
+    )
+
+    def _range2(args):
+        a, b = args
+        if re.search(
+            r"\b(?:rand|randn|random|uuid|shuffle)\s*\(", f"{a} {b}",
+            re.IGNORECASE,
+        ):
+            return None
+        return (
+            f"(CASE WHEN ({a}) >= ({b}) THEN slice(sequence(({a}), ({a})), 1, 0) "
+            f"ELSE sequence(({a}), ({b}) - 1) END)"
+        )
+
+    def _range3(args):
+        a, b, s = args
+        sm = re.fullmatch(r"[+-]?\d+", s.strip())
+        if sm is None or int(s) == 0:
+            return None
+        if re.search(
+            r"\b(?:rand|randn|random|uuid|shuffle)\s*\(", f"{a} {b}",
+            re.IGNORECASE,
+        ):
+            return None
+        step = int(s)
+        cmp_op, adj = (">=", "- 1") if step > 0 else ("<=", "+ 1")
+        return (
+            f"(CASE WHEN ({a}) {cmp_op} ({b}) "
+            f"THEN slice(sequence(({a}), ({a})), 1, 0) "
+            f"ELSE sequence(({a}), ({b}) {adj}, {step}) END)"
+        )
+
+    out = _transform_calls(out, _RANGE, 2, _range2)
+    out = _transform_calls(out, _RANGE, 3, _range3)
+    out = out.replace(_TF_SHIELD, "range")
+
+    # 6d) list_prepend(e, l) → array_prepend(l, e) (swapped argument
+    #     order); list_has_all(l, sub) → every element of sub in l
+    out = _transform_calls(
+        out,
+        re.compile(r"\blist_prepend\s*\(", re.IGNORECASE),
+        2,
+        lambda a: f"array_prepend({a[1]}, {a[0]})",
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:list_has_all|array_has_all)\s*\(", re.IGNORECASE),
+        2,
+        lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
     )
 
     # 7) star-EXCLUDE → Spark's star-EXCEPT (same semantics)
