@@ -56,11 +56,15 @@ _NAME_MAP = {
     "list_min": "array_min",
     "ends_with": "endswith",
     "starts_with": "startswith",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    "json_keys": "json_object_keys",
     "to_hex": "hex",
     "from_hex": "unhex",
     "strpos": "instr",
     "str_split": "split_literal_",  # handled specially below
     "string_split": "split_literal_",
+    "string_to_array": "split_literal_",
     "array_agg": "collect_list",
     "lcase": "lower",
     "ucase": "upper",
@@ -667,16 +671,32 @@ def transpile_duckdb(sql: str) -> str:
         out,
     )
 
-    # 3) string_split / str_split with a literal separator → split with
-    #    the separator regex-escaped (DuckDB splits on the literal).
-    def lit_split(m: re.Match) -> str:
-        sep = re.escape(m.group(2))
-        return f"split({m.group(1)}, '{sep}')"
+    # 3) string_split / str_split / string_to_array with a literal
+    #    separator → split with the separator regex-escaped (DuckDB
+    #    splits on the literal). Paren-balanced, literal-aware arg
+    #    split (r8) — a comma INSIDE the source literal used to defeat
+    #    the old regex and leave the call untranslated. The
+    #    regex-escape backslashes must survive Spark's string-literal
+    #    escape layer (escapedStringLiterals=false consumes one
+    #    level), so they are doubled: '.' → regex \. → literal '\\.'
+    #    — previously '\.' lost its backslash and split on EVERY
+    #    character for regex-special separators.
+    def _lit_split(args):
+        s, sep = args
+        m = re.fullmatch(r"'([^'\\]*)'", sep)
+        if m is None:
+            return None  # non-literal separator: fails loud
+        esc = re.escape(m.group(1)).replace("\\", "\\\\")
+        return f"split({s}, '{esc}')"
 
-    out = _sub_outside(
-        r"\b(?:str_split|string_split)\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
-        lit_split,
+    out = _transform_calls(
         out,
+        re.compile(
+            r"\b(?:str_split|string_split|string_to_array)\s*\(",
+            re.IGNORECASE,
+        ),
+        2,
+        _lit_split,
     )
 
     # 4) regexp_replace(s, pat, repl, 'g') → drop the flag (Spark is
@@ -864,6 +884,103 @@ def transpile_duckdb(sql: str) -> str:
     out = _transform_calls(out, _RANGE, 2, _range2)
     out = _transform_calls(out, _RANGE, 3, _range3)
     out = out.replace(_TF_SHIELD, "range")
+
+    # 6c2) scalar/date/json one-liners with exact Spark expressions —
+    #      every mapping DuckDB-verified (see dialect tests). isinf/
+    #      isfinite propagate NULL and treat NaN like DuckDB;
+    #      century is ceil(year/100) (2000 → 20, 2001 → 21), decade is
+    #      floor(year/10); list_reduce seeds the fold with the first
+    #      element (DuckDB ERRORS on an empty list; this yields NULL —
+    #      softer, documented); list_aggregate supports the common
+    #      sum/min/max/count/avg names (count/avg ignore NULL elements
+    #      like DuckDB); list_reverse_sort matches sort_array desc
+    #      incl. NULLS LAST.
+    for pat, n_args, build in (
+        (r"\bsha256\s*\(", 1, lambda a: f"sha2({a[0]}, 256)"),
+        (
+            r"\bisinf\s*\(",
+            1,
+            lambda a: f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))",
+        ),
+        (
+            r"\bisfinite\s*\(",
+            1,
+            lambda a: (
+                f"(NOT (isnan({a[0]}) OR "
+                f"abs({a[0]}) = CAST('Infinity' AS DOUBLE)))"
+            ),
+        ),
+        (r"\bdayname\s*\(", 1, lambda a: f"date_format({a[0]}, 'EEEE')"),
+        (r"\bmonthname\s*\(", 1, lambda a: f"date_format({a[0]}, 'MMMM')"),
+        (
+            r"\bcentury\s*\(",
+            1,
+            lambda a: f"CAST(ceil(year({a[0]}) / 100.0) AS BIGINT)",
+        ),
+        (
+            r"\bdecade\s*\(",
+            1,
+            lambda a: f"CAST(floor(year({a[0]}) / 10.0) AS BIGINT)",
+        ),
+        (
+            r"\bepoch_ns\s*\(",
+            1,
+            lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)",
+        ),
+        (r"\bto_base\s*\(", 2, lambda a: f"conv({a[0]}, 10, {a[1]})"),
+        (
+            r"\bjson_valid\s*\(",
+            1,
+            lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
+        ),
+        (
+            r"\blist_reverse_sort\s*\(",
+            1,
+            lambda a: f"sort_array({a[0]}, false)",
+        ),
+        (
+            r"\blist_reduce\s*\(",
+            2,
+            lambda a: (
+                f"aggregate(slice({a[0]}, 2, greatest(0, size({a[0]}) - 1)), "
+                f"try_element_at({a[0]}, 1), {a[1]})"
+            ),
+        ),
+    ):
+        out = _transform_calls(
+            out, re.compile(pat, re.IGNORECASE), n_args, build
+        )
+
+    _LIST_AGG_FNS = {
+        "sum": lambda l: (
+            f"aggregate(array_compact({l}), "
+            f"try_element_at(array_compact({l}), 1) * 0, "
+            f"(_swl_a, _swl_x) -> _swl_a + _swl_x)"
+        ),
+        "min": lambda l: f"array_min({l})",
+        "max": lambda l: f"array_max({l})",
+        "count": lambda l: f"size(array_compact({l}))",
+        "avg": lambda l: (
+            f"(aggregate(array_compact({l}), "
+            f"CAST(0.0 AS DOUBLE), (_swl_a, _swl_x) -> _swl_a + _swl_x) "
+            f"/ nullif(size(array_compact({l})), 0))"
+        ),
+    }
+
+    def _list_aggregate(args):
+        l, fn = args
+        fm = re.fullmatch(r"'(\w+)'", fn)
+        if fm is None:
+            return None
+        builder = _LIST_AGG_FNS.get(fm.group(1).lower())
+        return builder(l) if builder else None
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\blist_aggregate\s*\(", re.IGNORECASE),
+        2,
+        _list_aggregate,
+    )
 
     # 6d) list_prepend(e, l) → array_prepend(l, e) (swapped argument
     #     order); list_has_all(l, sub) → every element of sub in l
