@@ -640,8 +640,121 @@ def _pivot_scan(sql: str) -> tuple[list[str], dict]:
     return out, renames
 
 
+def _rewrite_from_first(sql: str) -> str:
+    """DuckDB FROM-first syntax → conventional order. Grammar
+    (DuckDB-verified): ``FROM <ref> [SELECT <list>] [WHERE ...]`` —
+    the optional SELECT clause sits right after the from-ref, before
+    WHERE. Rewrites ``FROM t`` → ``SELECT * FROM t`` and
+    ``FROM t SELECT list ...`` → ``SELECT list FROM t ...``; applies
+    per statement (depth-0 ``;`` split) and recurses into paren groups
+    (subqueries/CTE bodies — ``WITH c AS (...) FROM c SELECT x`` works
+    because the main query's FROM is depth-0 after the CTE parens).
+    DELETE/COPY/EXPORT heads are skipped (their FROM is not a query
+    head)."""
+    # recurse into paren groups first
+    spans = _mask_spans(sql)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "(" and not _in_span(i, spans):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if _in_span(j, spans):
+                    j += 1
+                    continue
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            out.append("(" + _rewrite_from_first(sql[i + 1 : j - 1]) + ")")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    sql = "".join(out)
+
+    # split on depth-0 semicolons (literal-aware) and fix each
+    spans = _mask_spans(sql)
+    segs, depth, start = [], 0, 0
+    for i, ch in enumerate(sql):
+        if _in_span(i, spans):
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            segs.append(sql[start:i])
+            start = i + 1
+    segs.append(sql[start:])
+
+    def fix(stmt: str) -> str:
+        f = _depth0_keyword(stmt, "FROM")
+        if f < 0:
+            return stmt
+        s = _depth0_keyword(stmt, "SELECT")
+        if 0 <= s < f:
+            return stmt  # conventional order
+        if re.search(
+            r"\b(COPY|DELETE|EXPORT|IMPORT|UNPIVOT|PIVOT)\b",
+            stmt[:f],
+            re.IGNORECASE,
+        ):
+            return stmt
+        if s < 0:
+            return stmt[:f] + "SELECT * " + stmt[f:]
+        end = len(stmt)
+        for kw in (
+            "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY",
+            "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+        ):
+            k = _depth0_keyword(stmt, kw, s + 6)
+            while (
+                kw == "EXCEPT"
+                and k >= 0
+                and re.search(r"\*\s*$", stmt[:k])
+            ):
+                # star-EXCEPT / star-EXCLUDE-rewritten form is a
+                # select-list member, not a set operation
+                k = _depth0_keyword(stmt, kw, k + 6)
+            if 0 <= k < end:
+                end = k
+        items = stmt[s:end].rstrip()
+        rest = stmt[:s] + stmt[end:]
+        return rest[:f] + items + " " + rest[f:]
+
+    def fix_all(stmt: str) -> str:
+        # each set-operation arm is its own FROM-first candidate
+        # (star-EXCEPT is a select-list member, not a set op)
+        parts, pos = [], 0
+        while True:
+            nxt, which = len(stmt), None
+            for kw in ("UNION", "INTERSECT", "EXCEPT"):
+                k = _depth0_keyword(stmt, kw, pos)
+                while (
+                    kw == "EXCEPT"
+                    and k >= 0
+                    and re.search(r"\*\s*$", stmt[:k])
+                ):
+                    k = _depth0_keyword(stmt, kw, k + 6)
+                if 0 <= k < nxt:
+                    nxt, which = k, kw
+            parts.append(fix(stmt[pos:nxt]))
+            if which is None:
+                return "".join(parts)
+            opend = nxt + len(which)
+            m = re.match(r"\s+(ALL|DISTINCT)\b", stmt[opend:], re.IGNORECASE)
+            if m:
+                opend = nxt + len(which) + m.end()
+            parts.append(stmt[nxt:opend])
+            pos = opend
+
+    return ";".join(fix_all(seg) for seg in segs)
+
+
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
+    sql = _rewrite_from_first(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _transform_slices(sql)

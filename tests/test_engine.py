@@ -359,6 +359,33 @@ class TestDialect:
         ).collect()[0]
         assert row.e == [] and row.a == [1, 2, 3, 4, 5] and row.d == [5, 3, 1]
 
+    def test_from_first_syntax(self, engine):
+        """DuckDB FROM-first forms (r8): `FROM t` implies SELECT *;
+        `FROM t SELECT list` reorders; WHERE/GROUP/ORDER tails,
+        CTE prefixes, and subquery positions all verified vs DuckDB."""
+        rows = engine.query(
+            "FROM (SELECT * FROM VALUES (1,2),(3,4),(5,6) v(a,b)) "
+            "SELECT a WHERE b > 2 ORDER BY a DESC",
+            dialect="duckdb",
+        ).collect()
+        assert [r.a for r in rows] == [5, 3]
+        row = engine.query(
+            "WITH c AS (SELECT 7 AS x) FROM c SELECT x + 1 AS y",
+            dialect="duckdb",
+        ).collect()[0]
+        assert row.y == 8
+        # bare FROM implies SELECT *
+        n = engine.query(
+            "FROM (SELECT * FROM VALUES (1),(2) v(a))", dialect="duckdb"
+        ).collect()
+        assert len(n) == 2
+        # DELETE FROM is not a query head: untouched by the rewrite
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb("DELETE FROM t WHERE a = 1") == (
+            "DELETE FROM t WHERE a = 1"
+        )
+
     def test_string_agg_order_by(self, engine):
         """string_agg with a single-key ORDER BY (r8) — DuckDB returns
         'a, b, c' asc and 'c-b-a' desc on this data (verified)."""
