@@ -102,6 +102,14 @@ class EngineConfig:
     # ANSI mode matches DuckDB's error-on-overflow semantics
     # (SURVEY.md §7.4 risk #3).
     ansi: bool = True
+    # SQL dialect applied to CLIENT sessions (Flight SQL / wire / the
+    # session API): "duckdb" transpiles DuckDB-only spellings before
+    # execution — the reference's clients speak DuckDB SQL, so a
+    # deployment serving them sets this. Default None keeps the session
+    # contract Spark-SQL-native (the duckdb transpile is not an
+    # identity on shared spellings: e.g. 3-arg regexp_replace means
+    # replace-ALL in Spark but replace-FIRST in DuckDB).
+    client_dialect: str | None = None
 
     def spark_confs(self) -> dict[str, str]:
         parts = self.shuffle_partitions or self.cpus

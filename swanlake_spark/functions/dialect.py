@@ -865,12 +865,17 @@ def transpile_duckdb(sql: str) -> str:
         _rex_first,
     )
 
+    # the replace-all output keeps FOUR args (Spark's positional form,
+    # position 1 = replace all from the start) so a re-transpile — the
+    # session layer transpiles prepared statements at create AND
+    # execute — can never mistake it for DuckDB's replace-FIRST 3-arg
+    # form (idempotence pinned by test)
     out = _transform_calls(
         out,
         re.compile(r"\bregexp_replace\s*\(", re.IGNORECASE),
         4,
         lambda a: (
-            f"regexp_replace({a[0]}, {a[1]}, {a[2]})"
+            f"regexp_replace({a[0]}, {a[1]}, {a[2]}, 1)"
             if a[3] == "'g'"
             else None
         ),

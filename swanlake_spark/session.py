@@ -192,6 +192,12 @@ class Session:
         self._txn_backup: dict[str, tuple[bool, DataFrame]] = {}
         self._aborted_txns: set[int] = set()
         self._lock = threading.RLock()
+        # client dialect (EngineConfig.client_dialect): "duckdb"
+        # transpiles every statement this session runs — the
+        # reference's ADBC/Flight clients speak DuckDB SQL
+        self.dialect: str | None = getattr(
+            getattr(engine, "config", None), "client_dialect", None
+        )
 
     def touch(self) -> None:
         self.last_used = time.time()
@@ -204,6 +210,14 @@ class Session:
         self.touch()
         from swanlake_spark.engine import Engine
 
+        if self.dialect == "duckdb":
+            from swanlake_spark.functions import transpile_duckdb
+
+            # transpile HERE (not via eng.query's dialect arg) so the
+            # transactional and literal-binding paths below also see
+            # conventional SQL; `?` markers sit outside literals and
+            # survive the rewrite untouched
+            sql = transpile_duckdb(sql)
         eng = Engine(spark=self.spark)
         eng.metrics = self.engine.metrics
         try:
@@ -240,6 +254,13 @@ class Session:
 
     def create_prepared_statement(self, sql: str, ephemeral: bool = False) -> PreparedStatement:
         self.touch()
+        if self.dialect == "duckdb":
+            from swanlake_spark.functions import transpile_duckdb
+
+            # stored transpiled, so classification, placeholder
+            # counting, parameter-schema inference, and the NULL-probe
+            # schema path all see conventional SQL
+            sql = transpile_duckdb(sql)
         stripped = strip_select_locks(sql).sql
         parsed = classify(stripped)
         handle = next(self._handle_seq)

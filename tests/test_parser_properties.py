@@ -320,3 +320,33 @@ def test_transpile_never_rewrites_inside_string_literals(baits, pad):
     out = transpile_duckdb(sql)
     assert f"'{lit}'" in out, (lit, out)
     assert out.count(f"'{lit}'") == 2
+
+
+def test_transpile_is_idempotent_on_rewritten_output():
+    """The session layer may transpile a statement twice (prepared
+    create + execute); every rewrite's output must be a fixed point."""
+    from swanlake_spark.functions.dialect import transpile_duckdb
+
+    corpus = [
+        "FROM t SELECT a WHERE b > 2 ORDER BY a",
+        "SELECT list_sum(array(1, NULL, 2)) AS s FROM t",
+        "SELECT list_unique(array(1, 2)) FROM t",
+        "SELECT generate_series(1, 5), generate_series(5, 1) FROM t",
+        "SELECT range(1, 5), range(10, 1, -3) FROM t",
+        "SELECT string_agg(x, ', ' ORDER BY n) FROM t GROUP BY g",
+        "SELECT regexp_replace(s, 'an', 'X') FROM t",
+        "SELECT regexp_replace(s, 'an', 'X', 'g') FROM t",
+        "SELECT quantile_disc(x, 0.5) FROM t",
+        "SELECT * REPLACE (a * 2 AS a) FROM t",
+        "SELECT struct_pack(a := 1), time_bucket(INTERVAL 1 DAY, ts) FROM t",
+        "SELECT x FROM t USING SAMPLE 10%",
+        "SELECT a // b, x SIMILAR TO 'p', isodow(d), list_reduce(l, (p, q) -> p + q) FROM t",
+        "SELECT sha256(s), to_base(n, 16), dayname(d), json_valid(j) FROM t",
+        "SELECT string_split('a.b', '.'), list_prepend(0, l) FROM t",
+        "SELECT list_aggregate(l, 'avg'), quantile(x, 0.9) FROM t QUALIFY row_number() OVER (ORDER BY x) = 1",
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v",
+    ]
+    for sql in corpus:
+        once = transpile_duckdb(sql)
+        twice = transpile_duckdb(once)
+        assert twice == once, (sql, once, twice)

@@ -405,3 +405,47 @@ class TestTransactionSnapshots:
         assert {(r.id, r.val) for r in old} == {(1, "a"), (2, "b")}
         cur = versions.read_current(spark, t).collect()
         assert {(r.id, r.val) for r in cur} == {(1, "committed"), (2, "b")}
+
+
+class TestClientDialect:
+    """EngineConfig.client_dialect='duckdb' makes every session (the
+    Flight SQL / wire surface) transpile DuckDB spellings — the
+    reference's ADBC clients speak DuckDB SQL (r8)."""
+
+    def test_session_transpiles_duckdb_spellings(self, spark, engine):
+        from swanlake_spark.config import EngineConfig
+        from swanlake_spark.engine import Engine
+
+        eng = Engine(spark=spark, config=EngineConfig(
+            client_dialect="duckdb", cpus=4,
+        ))
+        sess = eng.sessions.get_or_create("dialect-client")
+        try:
+            # FROM-first + a DuckDB-only function through the session
+            rows = sess.query(
+                "FROM (SELECT * FROM VALUES (1,'b'),(2,'a') v(n, s)) "
+                "SELECT string_agg(s, '-' ORDER BY n) AS agg"
+            ).collect()
+            assert rows[0].agg == "b-a"
+            # prepared statement with a DuckDB spelling + ? parameter
+            st = sess.create_prepared_statement(
+                "FROM (SELECT * FROM VALUES (1),(2),(3) v(x)) "
+                "SELECT list_sum(array(x, NULL)) AS s WHERE x > ?"
+            )
+            sess.set_parameters(st.handle, [[1]])
+            got = sorted(
+                r.s for r in sess.execute_prepared(st.handle).collect()
+            )
+            assert got == [2, 3]
+        finally:
+            eng.sessions.remove("dialect-client")
+        # default sessions stay Spark-native: 3-arg regexp_replace
+        # keeps Spark's replace-ALL (no silent dialect flip)
+        plain = engine.sessions.get_or_create("plain-client")
+        try:
+            r = plain.query(
+                "SELECT regexp_replace('banana', 'an', 'X') AS r"
+            ).collect()[0]
+            assert r.r == "bXXa"
+        finally:
+            engine.sessions.remove("plain-client")
