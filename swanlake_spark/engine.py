@@ -97,6 +97,50 @@ class QueryResult:
         return tbl
 
 
+def apply_pivot_adjustments(
+    res: "QueryResult", zero_cols: list[str], renames_in: dict
+) -> None:
+    """Apply the duckdb-dialect PIVOT post-pass to a QueryResult:
+    zero-fill the count output columns (DuckDB zero-fills empty pivot
+    count cells; Spark leaves them NULL — the NULL is produced by the
+    pivot itself, so no SQL-text rewrite can fix it in place) and
+    rename single-ALIASED-aggregate columns to DuckDB's
+    ``<value>_<agg>`` convention. Shared by Engine.query's dialect
+    path and Session.query (the Flight SQL / wire surface under
+    EngineConfig.client_dialect). Also wraps an existing ``_requery``
+    so a swap-safe re-run keeps the adjustments."""
+    if not (zero_cols or renames_in) or not res.is_query or res.df is None:
+        return
+    from pyspark.sql import functions as _F
+
+    renames = {
+        k: v
+        for k, v in renames_in.items()
+        if k in res.df.columns and v not in res.df.columns
+    }
+    targets = set(zero_cols) & (
+        set(res.df.columns) - set(renames) | set(renames.values())
+    )
+    if not (targets or renames):
+        return
+
+    def zero_fill(df):
+        cols = []
+        for c in df.columns:
+            name = renames.get(c, c)
+            col = _F.col(f"`{c}`")
+            if name in targets:
+                col = _F.coalesce(col, _F.lit(0))
+            cols.append(col.alias(name))
+        return df.select(*cols)
+
+    res.df = zero_fill(res.df)
+    res.schema = res.df.schema
+    prev = res._requery
+    if prev is not None:
+        res._requery = lambda: zero_fill(prev())
+
+
 class Engine:
     """A PySpark-native analytics engine with the reference's capability
     surface: SQL queries/DDL/DML over a Parquet warehouse, sessions,
@@ -212,35 +256,6 @@ class Engine:
                 raise EngineError(str(e)) from e
         res.elapsed_s = time.perf_counter() - t0
         self.metrics.record_query(res.elapsed_s, sql, is_query=res.is_query)
-        zero_fill = None
-        if (
-            (pivot_zero_cols or pivot_renames)
-            and res.is_query
-            and res.df is not None
-        ):
-            from pyspark.sql import functions as _F
-
-            renames = {
-                k: v
-                for k, v in pivot_renames.items()
-                if k in res.df.columns and v not in res.df.columns
-            }
-            targets = set(pivot_zero_cols) & (
-                set(res.df.columns) - set(renames) | set(renames.values())
-            )
-            if targets or renames:
-                def zero_fill(df):  # noqa: E306 — bound below
-                    cols = []
-                    for c in df.columns:
-                        name = renames.get(c, c)
-                        col = _F.col(f"`{c}`")
-                        if name in targets:
-                            col = _F.coalesce(col, _F.lit(0))
-                        cols.append(col.alias(name))
-                    return df.select(*cols)
-
-                res.df = zero_fill(res.df)
-                res.schema = res.df.schema
         if (
             res.is_query
             and res.statements_run == 1
@@ -248,11 +263,10 @@ class Engine:
         ):
             # side-effect-free: safe to transparently re-run if a COW
             # schema publish moves files under the deferred collect
-            def _requery():
-                df = self._run_script_swap_safe(sql, args=args).df
-                return zero_fill(df) if zero_fill is not None else df
-
-            res._requery = _requery
+            res._requery = (
+                lambda: self._run_script_swap_safe(sql, args=args).df
+            )
+        apply_pivot_adjustments(res, pivot_zero_cols, pivot_renames)
         return res
 
     def execute(self, sql: str) -> QueryResult:

@@ -45,11 +45,9 @@ _NAME_MAP = {
     # handled as a call rewrite below, not a name swap
     "list_position": "array_position",  # both return 0 when absent
     "list_indexof": "array_position",
-    "list_has_any": "arrays_overlap",
-    "array_has_any": "arrays_overlap",
-    # list_has_all needs an expression rewrite (array_except), below
-    "unicode": "ascii",
-    "ord": "ascii",
+    # list_has_any / list_has_all / unicode / ord: expression rewrites
+    # below (NULL-element and empty-string semantics differ from the
+    # bare Spark equivalents)
     "array_length": "size",
     "list_sort": "array_sort",
     "list_max": "array_max",
@@ -176,6 +174,17 @@ def strftime_to_date_format(fmt: str) -> str:
     return out
 
 
+def _has_bare_marker(text: str) -> bool:
+    """True if ``text`` contains a positional ``?`` parameter marker
+    outside string literals / quoted identifiers."""
+    if "?" not in text:
+        return False
+    spans = _mask_spans(text)
+    return any(
+        ch == "?" and not _in_span(i, spans) for i, ch in enumerate(text)
+    )
+
+
 def _transform_calls(sql: str, pattern: re.Pattern, n_args, build) -> str:
     """Rewrite ``name(a1, ..., aN)`` call sites (paren-balanced argument
     split, literal-aware) via ``build(args) -> replacement``; calls with
@@ -207,6 +216,13 @@ def _transform_calls(sql: str, pattern: re.Pattern, n_args, build) -> str:
                     start = i + 1
                 i += 1
             if depth == 0 and (n_args is None or len(args) == n_args):
+                # positional `?` markers: rewrites may DUPLICATE or
+                # REORDER arguments, which would corrupt placeholder
+                # counting and binding order — leave such calls
+                # untouched (they fail loud at analysis instead of
+                # silently binding parameters into the wrong slots)
+                if any(_has_bare_marker(a) for a in args):
+                    continue
                 repl = build([a.strip() for a in args])
                 if repl is not None and repl != sql[m.start() : i + 1]:
                     edits.append((m.start(), i + 1, repl))
@@ -521,14 +537,8 @@ def pivot_adjustments(sql: str) -> tuple[list[str], dict]:
     value aliases) while DuckDB appends it (``<value>_<agg-alias>``) —
     renaming Spark's output closes what was a documented name
     divergence. Zero-fill columns are returned in DUCKDB naming (the
-    rename applies first). Safety guards are pivot_count_columns'."""
-    cols, renames = _pivot_scan(sql)
-    return cols, renames
-
-
-def pivot_count_columns(sql: str) -> list[str]:
-    cols, _ = _pivot_scan(sql)
-    return cols
+    rename applies first). Safety guards are _pivot_scan's."""
+    return _pivot_scan(sql)
 
 
 def _pivot_scan(sql: str) -> tuple[list[str], dict]:
@@ -695,10 +705,12 @@ def _rewrite_from_first(sql: str) -> str:
         s = _depth0_keyword(stmt, "SELECT")
         if 0 <= s < f:
             return stmt  # conventional order
-        if re.search(
-            r"\b(COPY|DELETE|EXPORT|IMPORT|UNPIVOT|PIVOT)\b",
-            stmt[:f],
-            re.IGNORECASE,
+        # only the statement's FIRST word decides whether its FROM is
+        # a query head — scanning the whole head would false-positive
+        # on CTEs/identifiers named e.g. "export" (review r8)
+        w0 = re.match(r"\s*(\w+)", stmt)
+        if w0 is not None and w0.group(1).upper() in (
+            "COPY", "DELETE", "EXPORT", "IMPORT",
         ):
             return stmt
         if s < 0:
@@ -843,7 +855,12 @@ def transpile_duckdb(sql: str) -> str:
         p = pm.group(1)
         if p.endswith("((?s:.*))"):
             return None  # already rewritten (rescan fixed point)
-        n = len(re.findall(r"\((?!\?)", p))
+        # capture groups = bare '(' plus Java NAMED groups '(?<name>'
+        # (Java numbers named groups too; '(?<=' / '(?<!' lookbehinds
+        # are not captures and not counted)
+        n = len(re.findall(r"\((?!\?)", p)) + len(
+            re.findall(r"\(\?<[A-Za-z]", p)
+        )
         # (?!$) blocks the one extra match replace-all can find beyond
         # the remainder-consuming first one: a ZERO-LENGTH match at end
         # of input (empty-matchable P, e.g. 'x*'). Known narrowed edge:
@@ -1047,9 +1064,14 @@ def transpile_duckdb(sql: str) -> str:
         ),
         (r"\bto_base\s*\(", 2, lambda a: f"conv({a[0]}, 10, {a[1]})"),
         (
+            # the JSON 'null' document is VALID but extracts to SQL
+            # NULL — special-cased (DuckDB json_valid('null') = true)
             r"\bjson_valid\s*\(",
             1,
-            lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
+            lambda a: (
+                f"(get_json_object({a[0]}, '$') IS NOT NULL "
+                f"OR trim({a[0]}) = 'null')"
+            ),
         ),
         (
             r"\blist_reverse_sort\s*\(",
@@ -1108,11 +1130,33 @@ def transpile_duckdb(sql: str) -> str:
         2,
         lambda a: f"array_prepend({a[1]}, {a[0]})",
     )
+    # has_any: NULL elements never match in DuckDB (false), but Spark's
+    # arrays_overlap returns NULL when a NULL element is the only
+    # possible match — coalesce to false, preserving NULL for NULL
+    # list ARGUMENTS (both engines). has_all: DuckDB IGNORES NULL
+    # needles (list_has_all([1],[NULL]) = true) — compact them first.
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:list_has_any|array_has_any)\s*\(", re.IGNORECASE),
+        2,
+        lambda a: (
+            f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL THEN NULL "
+            f"ELSE coalesce(arrays_overlap({a[0]}, {a[1]}), false) END)"
+        ),
+    )
     out = _transform_calls(
         out,
         re.compile(r"\b(?:list_has_all|array_has_all)\s*\(", re.IGNORECASE),
         2,
-        lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+        lambda a: f"(size(array_except(array_compact({a[1]}), {a[0]})) = 0)",
+    )
+    # unicode/ord: DuckDB returns -1 for the EMPTY string where Spark's
+    # ascii returns 0; NULL propagates through both branches
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:unicode|ord)\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"(CASE WHEN {a[0]} = '' THEN -1 ELSE ascii({a[0]}) END)",
     )
 
     # 7) star-EXCLUDE → Spark's star-EXCEPT (same semantics)

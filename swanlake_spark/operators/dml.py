@@ -702,19 +702,36 @@ class _WriteLock:
             fd = os.open(brk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             return  # another breaker is on it
+        owns = False
         try:
             os.write(fd, str(os.getpid()).encode())
+            # OWNERSHIP check: two breakers can race the aged-.break
+            # reclaim (one's unlink removing the other's fresh mutex
+            # file), so after creating, verify the file at the path is
+            # OURS (same inode as our fd) — the loser aborts without
+            # breaking and without unlinking the winner's mutex.
+            try:
+                owns = os.fstat(fd).st_ino == os.stat(brk).st_ino
+            except OSError:
+                owns = False
+            if not owns:
+                os.close(fd)
+                return
             if self._looks_stale():  # re-verify under the mutex
                 try:
                     os.unlink(self.path)
                 except OSError:
                     pass
         finally:
-            os.close(fd)
             try:
-                os.unlink(brk)
+                os.close(fd)
             except OSError:
                 pass
+            if owns:
+                try:
+                    os.unlink(brk)
+                except OSError:
+                    pass
 
     def release(self) -> None:
         if self._fd is not None:

@@ -208,16 +208,28 @@ class Session:
         """Execute through the engine, but against this session's Spark
         fork (temp views, USE state), with transaction staging applied."""
         self.touch()
-        from swanlake_spark.engine import Engine
+        from swanlake_spark.engine import Engine, apply_pivot_adjustments
 
+        pivot_adj: tuple = ([], {})
         if self.dialect == "duckdb":
             from swanlake_spark.functions import transpile_duckdb
+            from swanlake_spark.functions.dialect import pivot_adjustments
 
             # transpile HERE (not via eng.query's dialect arg) so the
             # transactional and literal-binding paths below also see
-            # conventional SQL; `?` markers sit outside literals and
-            # survive the rewrite untouched
+            # conventional SQL. `?` markers outside literals survive
+            # textual rewrites: _transform_calls refuses any rewrite
+            # whose call carries a bare marker (duplication/reorder
+            # would corrupt positional binding — it fails loud at
+            # analysis instead). PIVOT count zero-fill/rename applies
+            # on the result below, same as the engine's dialect path.
+            pivot_adj = pivot_adjustments(sql)
             sql = transpile_duckdb(sql)
+
+        def _finish(res):
+            apply_pivot_adjustments(res, *pivot_adj)
+            return res
+
         eng = Engine(spark=self.spark)
         eng.metrics = self.engine.metrics
         try:
@@ -233,14 +245,14 @@ class Session:
                 # literal rendering (engine-routed statements — COW DML,
                 # PK-checked INSERT, COPY — can't resolve markers anyway).
                 try:
-                    return eng.query(sql, args=list(params))
+                    return _finish(eng.query(sql, args=list(params)))
                 except EngineError:
                     pass
             if params:
                 sql = bind_parameters(sql, params)
             if self.txn_id is not None:
-                return self._transactional_execute(eng, sql)
-            return eng.query(sql)
+                return _finish(self._transactional_execute(eng, sql))
+            return _finish(eng.query(sql))
         finally:
             # touch on completion too: a query running longer than the
             # idle timeout must not leave the session looking idle to

@@ -75,6 +75,61 @@ def _read_latest(spark: SparkSession, root: str) -> DataFrame | None:
     return spark.read.parquet(vs[-1][1]) if vs else None
 
 
+def _bind_checkpoint(spark: SparkSession, root: str, checkpoint_dir: str):
+    """Bind the state root to its owning checkpoint: a ``_ckpt`` marker
+    records the checkpoint path on first use, and any later batch from
+    a DIFFERENT checkpoint raises — catching the reset case the
+    batch-id high-water mark alone cannot see (a state root holding
+    exactly v0 looks like a replay of a fresh checkpoint's batch 0,
+    and its mass would be silently dropped)."""
+    from swanlake_spark.operators.dml import _local_os_path
+
+    import os
+
+    osp = _local_os_path(root)
+    if osp is not None:
+        marker = f"{osp}/_ckpt"
+        if os.path.exists(marker):
+            with open(marker) as f:
+                bound = f.read().strip()
+            if bound != checkpoint_dir:
+                raise ValueError(
+                    f"streaming state at {root} is bound to checkpoint "
+                    f"{bound!r} but this query runs from "
+                    f"{checkpoint_dir!r}: restarting with a fresh "
+                    f"checkpoint against existing state would silently "
+                    f"drop batches. Use a fresh state_dir (or delete "
+                    f"the stale state)."
+                )
+            return
+        os.makedirs(osp, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(checkpoint_dir)
+        return
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/_ckpt")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            bound = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode().strip()
+        finally:
+            stream.close()
+        if bound != checkpoint_dir:
+            raise ValueError(
+                f"streaming state at {root} is bound to checkpoint "
+                f"{bound!r} but this query runs from {checkpoint_dir!r}"
+            )
+        return
+    ostream = fs.create(p, True)
+    try:
+        ostream.write(bytearray(checkpoint_dir.encode()))
+    finally:
+        ostream.close()
+
+
 def _already_folded(spark: SparkSession, root: str, batch_id: int) -> bool:
     """True if a COMPLETE version for exactly ``batch_id`` exists —
     i.e. this batch's fold already published. foreachBatch is
@@ -148,6 +203,7 @@ def heavy_hitters_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _bind_checkpoint(spark, state_dir, checkpoint_dir)
         if _already_folded(spark, cand_root, batch_id):
             return  # replayed batch: both publishes landed
         item = F.col(col).cast("string")
@@ -262,6 +318,7 @@ def kmv_distinct_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _bind_checkpoint(spark, state_dir, checkpoint_dir)
         if _already_folded(spark, root, batch_id):
             return  # replay: fold already published (belt over the
             # union's natural idempotence — saves the re-scan too)
@@ -343,6 +400,7 @@ def histogram_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _bind_checkpoint(spark, state_dir, checkpoint_dir)
         if _already_folded(spark, root, batch_id):
             return  # replay: this batch's mass already folded
         bsk = sketch.histogram_sketch(

@@ -437,6 +437,29 @@ class TestClientDialect:
                 r.s for r in sess.execute_prepared(st.handle).collect()
             )
             assert got == [2, 3]
+            # PIVOT post-pass applies on the session path too (review
+            # r8): empty count cells zero-fill, aliased-agg renames
+            res = sess.query(
+                "SELECT * FROM (SELECT * FROM VALUES ('a','x',1) "
+                "v(k, p, n)) PIVOT (count(*) AS c "
+                "FOR p IN ('x' AS cx, 'y' AS cy))"
+            )
+            assert res.df.columns == ["k", "n", "cx_c", "cy_c"]
+            r = res.collect()[0]
+            assert r.cx_c == 1 and r.cy_c == 0
+            # a rewrite that would duplicate a ? marker refuses and
+            # fails loud instead of corrupting positional binding
+            import pytest
+
+            from swanlake_spark.errors import EngineError
+
+            st2 = sess.create_prepared_statement(
+                "SELECT array_slice(array(1, 2, 3), ?, ?) AS s"
+            )
+            assert st2.parameter_count == 2  # markers NOT duplicated
+            sess.set_parameters(st2.handle, [[1, 2]])
+            with pytest.raises(EngineError):
+                sess.execute_prepared(st2.handle).collect()
         finally:
             eng.sessions.remove("dialect-client")
         # default sessions stay Spark-native: 3-arg regexp_replace

@@ -1313,6 +1313,8 @@ class TestStreamingHistogram:
         # its concurrent-use detector instead of simulating a restart.
         import shutil as _sh
 
+        import pytest
+
         ck2 = ck + "_replayed"
         _sh.copytree(ck, ck2)
         commits = sorted(
@@ -1322,6 +1324,16 @@ class TestStreamingHistogram:
         crc = f"{ck2}/commits/.{commits[-1]}.crc"  # Hadoop checksum twin
         if _os.path.exists(crc):
             _os.unlink(crc)
+        # the state is BOUND to its original checkpoint (r8 _ckpt
+        # marker): a different checkpoint path fails loud instead of
+        # silently misfolding
+        with pytest.raises(Exception, match="bound to checkpoint"):
+            run(ck2)
+        # re-bind to the copied checkpoint (the copy IS the same
+        # logical query for this replay simulation), then the
+        # high-water mark makes the replayed batch an exact no-op
+        with open(f"{state}/_ckpt", "w") as f:
+            f.write(ck2)
         run(ck2)
         got = read_histogram(spark, state).collect()[0]["counts"]
         assert got == want  # replay did not re-add the batch's mass
