@@ -746,6 +746,84 @@ class TestDialectBreadth:
         ).collect()[0]
         assert str(r.t).startswith("2024-03-05 07:08:09")
 
+    def test_epoch_keeps_fractional_seconds(self, engine):
+        """DuckDB epoch() returns DOUBLE seconds WITH the fraction —
+        every value below DuckDB-verified (VERDICT r8 #1): .5 fraction,
+        microsecond fraction, DATE input (midnight UTC), and a pre-1970
+        timestamp with a NEGATIVE fractional part."""
+        r = engine.query(
+            "SELECT epoch(TIMESTAMP '2000-01-01 00:00:00.5') AS a, "
+            "epoch(TIMESTAMP '2024-03-15 12:34:56.789123') AS b, "
+            "epoch(DATE '2000-01-01') AS c, "
+            "epoch(TIMESTAMP '1969-12-31 23:59:59.25') AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == 946684800.5
+        assert r.b == 1710506096.789123
+        assert r.c == 946684800.0
+        assert r.d == -0.75
+        # integer-exact siblings stay integer (unchanged mappings)
+        r2 = engine.query(
+            "SELECT epoch_ms(TIMESTAMP '2000-01-01 00:00:00.5') AS ms, "
+            "epoch_us(TIMESTAMP '2000-01-01 00:00:00.5') AS us",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r2.ms == 946684800500 and r2.us == 946684800500000
+
+    def test_list_element_out_of_bounds_is_null(self, engine):
+        """DuckDB list_element/array_extract: OOB and index 0 yield
+        NULL, negative indexes count from the back, NULL index/list
+        propagate (all DuckDB-verified; VERDICT r8 #2 — ANSI element_at
+        raised on OOB/0)."""
+        r = engine.query(
+            "SELECT list_element(list_value(1,2,3), 5) AS oob, "
+            "list_element(list_value(1,2,3), 0) AS zero, "
+            "list_element(list_value(1,2,3), -1) AS neg, "
+            "array_extract(list_value(1,2,3), 4) AS oob2, "
+            "list_element(list_value(1,2,3), NULL) AS ni, "
+            "list_element(CAST(NULL AS ARRAY<INT>), 1) AS nl, "
+            "list_element(list_value(7,8,9), 2) AS ok",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.oob is None and r.zero is None and r.oob2 is None
+        assert r.ni is None and r.nl is None
+        assert r.neg == 3 and r.ok == 8
+
+    def test_to_base_negative_errors_and_min_length(self, engine):
+        """DuckDB to_base ERRORS on negative input (conv would return a
+        two's-complement string); the 3-arg form zero-pads to
+        min_length (to_base(5, 2, 8) = '00000101', DuckDB-verified)."""
+        import pytest
+
+        r = engine.query(
+            "SELECT to_base(255, 16) AS a, to_base(5, 2, 8) AS b",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == "FF" and r.b == "00000101"
+        with pytest.raises(Exception, match="to_base"):
+            engine.query(
+                "SELECT to_base(-5, 2) AS x", dialect="duckdb"
+            ).collect()
+
+    def test_show_tables_from_not_mangled_by_from_first(self):
+        """SHOW/PRAGMA/DESCRIBE/DESC/SUMMARIZE/UPDATE heads never get a
+        SELECT * injected (VERDICT r8 #4 + ADVICE r8); FROM-first still
+        rewrites plain query heads."""
+        from swanlake_spark.functions import transpile_duckdb
+
+        for stmt in (
+            "SHOW TABLES FROM db",
+            "PRAGMA show_tables FROM x",
+            "DESCRIBE SELECT a FROM t",
+            "DESC SELECT a FROM t",
+            "SUMMARIZE FROM t",
+            "UPDATE t SET x = 1 FROM o WHERE t.k = o.k",
+        ):
+            assert transpile_duckdb(stmt) == stmt, stmt
+        assert transpile_duckdb("FROM t SELECT x").strip() == (
+            "SELECT x FROM t"
+        )
+
 
 class TestResultAccounting:
     def test_rows_and_bytes(self, engine):

@@ -296,6 +296,9 @@ _DIALECT_BAIT = st.sampled_from([
     "regexp_extract_all(s, 'a{2,3}')",
     "time_bucket(INTERVAL 1 DAY, ts)",
     "PIVOT (count(*) FOR p IN ('x' AS cx))",
+    "epoch(ts)",
+    "list_element(l, 0)",
+    "to_base(-5, 2)",
 ])
 
 
@@ -342,6 +345,8 @@ def test_transpile_is_idempotent_on_rewritten_output():
         "SELECT x FROM t USING SAMPLE 10%",
         "SELECT a // b, x SIMILAR TO 'p', isodow(d), list_reduce(l, (p, q) -> p + q) FROM t",
         "SELECT sha256(s), to_base(n, 16), dayname(d), json_valid(j) FROM t",
+        "SELECT epoch(ts), list_element(l, 3), to_base(n, 2, 8) FROM t",
+        "SHOW TABLES FROM db",
         "SELECT string_split('a.b', '.'), list_prepend(0, l) FROM t",
         "SELECT list_aggregate(l, 'avg'), quantile(x, 0.9) FROM t QUALIFY row_number() OVER (ORDER BY x) = 1",
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v",
