@@ -501,6 +501,13 @@ def vacuum_table(
             elif name.endswith(".writelock"):
                 fs.delete(st.getPath(), False)
                 stats["locks_removed"] += 1
+    # dead-holder locks are debris regardless of age: sweep them with
+    # the full liveness machinery (unthrottled — VACUUM is explicit)
+    from swanlake_spark.operators.dml import _local_os_path, sweep_stale_locks
+
+    osp = _local_os_path(staging_root)
+    if osp is not None:
+        stats["locks_removed"] += sweep_stale_locks(osp, throttle_s=0.0)
     from swanlake_spark import versions
 
     vexp = versions.expire(spark, table, keep_last=1, min_age_s=min_age_s)

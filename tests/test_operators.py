@@ -1021,6 +1021,41 @@ class TestVacuum:
         assert row.staging_dirs_removed == 0
         assert os.path.exists(f"{root}/inflight")
 
+    def test_vacuum_sweeps_young_dead_holder_lock(self, engine, spark):
+        """A dead-holder lock YOUNGER than the VACUUM retention age is
+        still debris — the liveness sweep (r9) reclaims it where the
+        age-only path would have kept it for min_age_s."""
+        import os
+        import socket
+        import tempfile
+        import time
+        import uuid
+
+        name = f"vac_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="swl_vac_") + "/tbl"
+        engine.execute(
+            f"CREATE TABLE {name} (id INT) USING parquet LOCATION '{loc}'"
+        )
+        root = os.path.dirname(loc) + "/_staging"
+        os.makedirs(root, exist_ok=True)
+        dead = 99999
+        while True:
+            try:
+                os.kill(dead, 0)
+                dead += 7
+            except ProcessLookupError:
+                break
+            except PermissionError:
+                dead += 7
+        p = f"{root}/{name}.cafecafecafe.writelock"
+        with open(p, "w") as f:
+            f.write(f"{dead}\n{socket.gethostname()}")
+        # 60 s old: past the stale guard, far under the 3600 s age
+        os.utime(p, (time.time() - 60, time.time() - 60))
+        row = engine.query(f"VACUUM {name}").collect()[0]
+        assert row.locks_removed == 1
+        assert not os.path.exists(p)
+
 
 class TestValidation:
     """operators/validate: expectations in one agg pass + quarantine
