@@ -1259,6 +1259,62 @@ _UNPIVOT_SQL = """
 
 _add("q52_unpivot", _q52_unpivot, _UNPIVOT_SQL)
 
+
+# -- Q51: client-dialect battery (r9) -----------------------------------------
+# The reference's clients speak DuckDB SQL end-to-end
+# (swanlake-client/src/client.rs:109-172 issues DuckDB-dialect text over
+# ADBC); this battery runs DuckDB-native spellings through a
+# client_dialect='duckdb' SESSION — the transpile-at-execute path the
+# wire surface uses — and the oracle is the SAME text verbatim on
+# DuckDB. Arms: FROM-first syntax, fractional-second epoch(), OOB/0/
+# negative list_element, 3-arg to_base, string_agg ORDER BY.
+_Q51_SQL = """
+    SELECT src, k, v FROM (
+      FROM orders SELECT 'ff' AS src, o_orderstatus AS k,
+           CAST(count(*) AS DOUBLE) AS v GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ep' AS src, 'lit' AS k,
+             epoch(TIMESTAMP '2000-01-01 00:00:00.5') AS v
+      UNION ALL
+      FROM orders SELECT 'ep' AS src, 'min' AS k,
+           min(epoch(o_orderdate)) AS v
+      UNION ALL
+      SELECT 'le' AS src, concat('i', CAST(i AS STRING)) AS k,
+             CAST(coalesce(list_element(list_value(10,20,30), i), -1)
+                  AS DOUBLE) AS v
+      FROM (VALUES (0),(2),(5),(-1)) t(i)
+      UNION ALL
+      SELECT 'tb' AS src, to_base(n, 2, 8) AS k, CAST(n AS DOUBLE) AS v
+      FROM (VALUES (5),(255)) t(n)
+      UNION ALL
+      FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) d
+      SELECT 'sa' AS src, string_agg(p, '|' ORDER BY p) AS k,
+             CAST(42 AS DOUBLE) AS v
+    ) u ORDER BY src, k, v
+"""
+
+
+def _q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    eng = Engine(
+        spark=spark, config=EngineConfig(client_dialect="duckdb")
+    )
+    sid = f"q51-{uuid.uuid4().hex[:8]}"
+    sess = eng.sessions.get_or_create(sid)
+    try:
+        # temp views don't cross newSession forks: register the sf
+        # tables in the SESSION's namespace (what attach_warehouse does
+        # for real clients, session.py:181)
+        ensure_tables(sess.spark, sf_dir)
+        return sess.query(_Q51_SQL).df
+    finally:
+        eng.sessions.remove(sid)
+
+
+_add("q51_dialect_battery", _q51, _Q51_SQL)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
@@ -1281,10 +1337,13 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # pipe_neardup_battery (pipeline.py); the other freed slot went to
     # pipe_heavy_hitters.
     "q48_cdc_table_changes",
-    # Exact interpolated quantiles (percentile/quantile_cont): promoted
-    # into the window r3 — the slot freed by folding pipeline singles
-    # into their batteries (pipeline.py) lands here.
-    "q50_quantile_battery",
+    # r9 rotation (VERDICT r8 #6): q50_quantile_battery (window-green
+    # since r3, the longest-stable oracle battery) moves to corpus-only
+    # — still hash-matched every run by tests/test_oracle_corpus.py —
+    # and its slot goes to the client-dialect battery: DuckDB-native
+    # SQL through a client_dialect session (the wire path the
+    # reference's ADBC clients use), oracle = the same text verbatim.
+    "q51_dialect_battery",
     # q47_distinct_topk_offset and q23_approx_count_distinct stay
     # pytest-only: their slots go to pipe_dedup_embedding and
     # pipe_asof_join (oracle-green pipeline operators beat a rows-only
