@@ -105,6 +105,16 @@ _NAME_MAP = {
 #   3-arg literal form is rewritten to first-match semantics (4b
 #   below); non-literal/backslash/char-class forms keep Spark's
 #   replace-all, and with 'g' both replace all (flag stripped below).
+# - hash(x): engine-specific by DESIGN (DuckDB 64-bit vs Spark's
+#   Murmur3-32/xxhash64 with a seed) — values never match; same class
+#   as random(). md5/sha256 are the portable spellings.
+# - gamma/lgamma, damerau_levenshtein, jaro_winkler_similarity,
+#   jaro_similarity, strip_accents, bar: no Spark builtin and no exact
+#   expression composition — fail loud at analysis (levenshtein,
+#   jaccard and hamming ARE covered; see 6e).
+# - cbrt/exp/trig tails: both engines call their platform libm — last-
+#   ulp differences possible (cbrt(27): 3.0000000000000004 in DuckDB,
+#   3.0 in Spark). Tolerance-compare floats downstream, never hash.
 
 _STRFTIME_TOKENS = {
     "%Y": "yyyy",
@@ -708,17 +718,20 @@ def _rewrite_from_first(sql: str) -> str:
         s = _depth0_keyword(stmt, "SELECT")
         if 0 <= s < f:
             return stmt  # conventional order
-        # only the statement's FIRST word decides whether its FROM is
-        # a query head — scanning the whole head would false-positive
-        # on CTEs/identifiers named e.g. "export" (review r8).
-        # SHOW/PRAGMA/DESCRIBE/DESC/SUMMARIZE/UPDATE (VERDICT r8 #4 +
-        # ADVICE): their FROM is never a query head — without the skip,
-        # `SHOW TABLES FROM db` became `SHOW TABLES SELECT * FROM db`
-        # and a future `UPDATE t SET x=1 FROM o` would corrupt silently.
+        # Only a statement (or paren group) whose FIRST word can head a
+        # query gets the rewrite (r9, inverted from the r8 skip-list):
+        # the recursion visits EVERY paren group, and a group holding a
+        # FROM-keyword *expression* — extract(dow FROM d),
+        # trim(LEADING 'x' FROM s), substring(s FROM 2 FOR 3) — was
+        # being corrupted into `extract(dow SELECT * FROM d)`. An
+        # allow-list is the only safe direction: any non-query head
+        # (SHOW/PRAGMA/DESC/SUMMARIZE/UPDATE/DELETE/COPY/..., or an
+        # expression token) passes through untouched. INSERT/CREATE
+        # stay rewritable: DuckDB allows `INSERT INTO t FROM src` and
+        # `CREATE TABLE t AS FROM src`.
         w0 = re.match(r"\s*(\w+)", stmt)
-        if w0 is not None and w0.group(1).upper() in (
-            "COPY", "DELETE", "EXPORT", "IMPORT",
-            "SHOW", "PRAGMA", "DESCRIBE", "DESC", "SUMMARIZE", "UPDATE",
+        if w0 is None or w0.group(1).upper() not in (
+            "SELECT", "FROM", "WITH", "INSERT", "CREATE", "VALUES",
         ):
             return stmt
         if s < 0:
@@ -1084,13 +1097,28 @@ def transpile_duckdb(sql: str) -> str:
             # DuckDB list_element/array_extract: out-of-bounds AND
             # index 0 yield NULL (never an error); negative indexes
             # count from the back — try_element_at matches all three
-            # where ANSI element_at raises on OOB/0 (VERDICT r8 #2)
+            # where ANSI element_at raises on OOB/0 (VERDICT r8 #2).
             # CAST AS INT: element_at requires INT and a bare NULL
-            # index literal is VOID-typed without it
+            # index literal is VOID-typed without it. A string-LITERAL
+            # first argument is DuckDB's character extraction
+            # (array_extract('abcde', -1)='e', OOB/0 → '') — emitted as
+            # the comma-free substring FROM/FOR form (r9).
             r"\b(?:list_element|array_extract)\s*\(",
             2,
             lambda a: (
-                f"try_element_at({a[0]}, nullif(CAST({a[1]} AS INT), 0))"
+                (
+                    f"substring({a[0]} FROM greatest("
+                    f"(CASE WHEN ({a[1]}) < 0 THEN length({a[0]}) + "
+                    f"({a[1]}) + 1 ELSE ({a[1]}) END), 1) "
+                    f"FOR CASE WHEN (CASE WHEN ({a[1]}) < 0 THEN "
+                    f"length({a[0]}) + ({a[1]}) + 1 ELSE ({a[1]}) END) "
+                    f">= 1 THEN 1 ELSE 0 END)"
+                )
+                if re.fullmatch(r"'[^']*'", a[0].strip())
+                else (
+                    f"try_element_at({a[0]}, "
+                    f"nullif(CAST({a[1]} AS INT), 0))"
+                )
             ),
         ),
         (
@@ -1209,6 +1237,231 @@ def transpile_duckdb(sql: str) -> str:
         re.compile(r"\b(?:unicode|ord)\s*\(", re.IGNORECASE),
         1,
         lambda a: f"(CASE WHEN {a[0]} = '' THEN -1 ELSE ascii({a[0]}) END)",
+    )
+
+    # 6e) r9 breadth sweep — every mapping live-verified against DuckDB
+    #     (TestDialectR9Breadth + SLT). Outputs deliberately use the
+    #     SQL-standard keyword forms (substring FROM/FOR,
+    #     trim LEADING/TRAILING/BOTH — comma-free, so the 2/3-arg
+    #     patterns never re-match) or different function names: every
+    #     rewrite is a fixed point under re-transpile (the prepared-
+    #     statement contract).
+    #
+    #     dow family: DuckDB numbers days 0=Sunday..6=Saturday; Spark's
+    #     dayofweek is 1=Sunday and weekday is 0=Monday — both silent
+    #     off-by-ones. extract(DAYOFWEEK_ISO)%7 lands exactly on
+    #     DuckDB's grid.
+    _DOW_MODULO = {"dow": True, "dayofweek": True, "weekday": True,
+                   "isodow": False}
+
+    def _dow_expr(field: str, x: str) -> str:
+        iso = f"extract(DAYOFWEEK_ISO FROM {x})"
+        return f"({iso} % 7)" if _DOW_MODULO[field] else iso
+
+    def _extract_dow(args):
+        m = re.fullmatch(
+            r"(\w+)\s+FROM\s+(.+)", args[0].strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m is None or m.group(1).lower() not in _DOW_MODULO:
+            return None
+        return _dow_expr(m.group(1).lower(), m.group(2))
+
+    out = _transform_calls(
+        out, re.compile(r"\bextract\s*\(", re.IGNORECASE), 1, _extract_dow
+    )
+
+    def _date_part_dow(args):
+        m = re.fullmatch(r"'(\w+)'", args[0].strip())
+        if m is None or m.group(1).lower() not in _DOW_MODULO:
+            return None
+        return _dow_expr(m.group(1).lower(), args[1])
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:date_part|datepart)\s*\(", re.IGNORECASE),
+        2,
+        _date_part_dow,
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:dayofweek|weekday)\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"(extract(DAYOFWEEK_ISO FROM {a[0]}) % 7)",
+    )
+
+    # substring/substr 3-arg: DuckDB (PostgreSQL) treats start 0 /
+    # negative start / negative length as a window on a virtual axis —
+    # substring('hello', 0, 3)='he', (2,-1)='h' — where Spark clamps
+    # start to 1 and errors on negative length. Normalize both bounds;
+    # the emitted FROM/FOR form has no top-level comma, so it never
+    # re-matches. 1/2-arg forms agree between engines (verified).
+    def _substr3(args):
+        s, b, l = args
+        nb = (
+            f"(CASE WHEN ({b}) < 0 THEN length({s}) + ({b}) + 1 "
+            f"ELSE ({b}) END)"
+        )
+        lo = f"greatest({nb} + least(({l}), 0), 1)"
+        ln = f"greatest({nb} + greatest(({l}), 0) - {lo}, 0)"
+        return f"substring({s} FROM {lo} FOR {ln})"
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:substring|substr)\s*\(", re.IGNORECASE),
+        3,
+        _substr3,
+    )
+
+    # left/right: negative n means "all but |n| from the other end" in
+    # DuckDB (left('hello', -2)='hel'); Spark returns ''
+    def _lr_len(s: str, n: str) -> str:
+        return (
+            f"(CASE WHEN ({n}) < 0 THEN greatest(length({s}) + ({n}), 0) "
+            f"ELSE ({n}) END)"
+        )
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bleft\s*\(", re.IGNORECASE),
+        2,
+        lambda a: f"substring({a[0]} FROM 1 FOR {_lr_len(a[0], a[1])})",
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\bright\s*\(", re.IGNORECASE),
+        2,
+        lambda a: (
+            f"substring({a[0]} FROM greatest(length({a[0]}) - "
+            f"{_lr_len(a[0], a[1])} + 1, 1) FOR {_lr_len(a[0], a[1])})"
+        ),
+    )
+
+    # trim family 2-arg: DuckDB is (string, chars); Spark's legacy
+    # 2-arg form is REVERSED (trimStr, srcStr) — trim('xxaxx','x') is
+    # 'a' in DuckDB but '' through Spark. The keyword form is
+    # unambiguous in both.
+    for name, mode in (("trim", "BOTH"), ("ltrim", "LEADING"),
+                       ("rtrim", "TRAILING")):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{name}\s*\(", re.IGNORECASE),
+            2,
+            lambda a, m=mode: f"trim({m} {a[1]} FROM {a[0]})",
+        )
+
+    # split_part: DuckDB returns '' (not NULL, not an error) for index
+    # 0 and for ANY NULL argument; Spark raises INVALID_INDEX_OF_ZERO
+    # and propagates NULL. The nullif-wrapped index marks an
+    # already-guarded call for re-transpile idempotency.
+    def _split_part(args):
+        s, d, i = args
+        if re.fullmatch(
+            r"nullif\(.*,\s*0\)", i.strip(), re.IGNORECASE | re.DOTALL
+        ):
+            return None
+        return (
+            f"(CASE WHEN ({s}) IS NULL OR ({d}) IS NULL OR ({i}) IS NULL"
+            f" OR ({i}) = 0 THEN '' "
+            f"ELSE split_part({s}, {d}, nullif(({i}), 0)) END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bsplit_part\s*\(", re.IGNORECASE), 3, _split_part
+    )
+
+    # even(): round away from zero to the next even number
+    # (even(2.5)=4, even(-3)=-4; Spark has no equivalent). trunc 1-arg:
+    # toward zero (Spark's trunc is the 2-arg date form only).
+    out = _transform_calls(
+        out,
+        re.compile(r"\beven\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"CAST(CASE WHEN ({a[0]}) >= 0 THEN ceil(({a[0]}) / 2) * 2 "
+            f"ELSE floor(({a[0]}) / 2) * 2 END AS DOUBLE)"
+        ),
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\btrunc\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) >= 0 THEN floor({a[0]}) "
+            f"ELSE ceil({a[0]}) END)"
+        ),
+    )
+
+    # format('{}-{}', ...) → format_string('%s-%s', ...): literal
+    # format strings with bare {} (sequential) or {N} (0-based
+    # positional → printf %N+1$s) only; format specs ({:d}), brace
+    # escapes, %, or a mix of bare and positional are left untouched
+    # (they fail loud rather than misnumber).
+    def _format(args):
+        if len(args) < 1:
+            return None
+        m = re.fullmatch(r"'([^']*)'", args[0].strip())
+        if m is None:
+            return None
+        fmt = m.group(1)
+        if "%" in fmt or "{{" in fmt or "}}" in fmt:
+            return None
+        toks = re.findall(r"\{[^{}]*\}", fmt)
+        if not toks or not all(re.fullmatch(r"\{\d*\}", t) for t in toks):
+            return None
+        bare = sum(1 for t in toks if t == "{}")
+        if bare and bare != len(toks):
+            return None  # mixed bare + positional: refuse
+
+        def repl(mm):
+            inner = mm.group(0)[1:-1]
+            return "%s" if inner == "" else f"%{int(inner) + 1}$s"
+
+        new = re.sub(r"\{\d*\}", repl, fmt)
+        rest = ", ".join(args[1:])
+        return (
+            f"format_string('{new}', {rest})" if rest else f"'{new}'"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bformat\s*\(", re.IGNORECASE), None, _format
+    )
+
+    # jaccard: similarity of the CHARACTER SETS (case-sensitive,
+    # DuckDB-verified: jaccard('Ab','ab') = 1/3). DuckDB errors on
+    # empty strings; this yields a number — softer, documented.
+    def _jaccard(args):
+        sa = f"array_distinct(split({args[0]}, ''))"
+        sb = f"array_distinct(split({args[1]}, ''))"
+        return (
+            f"(CAST(size(array_intersect({sa}, {sb})) AS DOUBLE) / "
+            f"size(array_union({sa}, {sb})))"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bjaccard\s*\(", re.IGNORECASE), 2, _jaccard
+    )
+
+    # hamming/mismatches: positions that differ; DuckDB errors on
+    # unequal lengths and empty strings — matched with raise_error
+    def _hamming(args):
+        a, b = args
+        return (
+            f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+            f"WHEN length({a}) <> length({b}) OR length({a}) = 0 THEN "
+            f"CAST(raise_error('hamming: strings must be non-empty and "
+            f"of equal length') AS BIGINT) "
+            f"ELSE CAST(aggregate(zip_with(split({a}, ''), "
+            f"split({b}, ''), (_swl_x, _swl_y) -> "
+            f"CASE WHEN _swl_x = _swl_y THEN 0 ELSE 1 END), 0, "
+            f"(_swl_a, _swl_v) -> _swl_a + _swl_v) AS BIGINT) END)"
+        )
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:hamming|mismatches)\s*\(", re.IGNORECASE),
+        2,
+        _hamming,
     )
 
     # 7) star-EXCLUDE → Spark's star-EXCEPT (same semantics)
@@ -1353,7 +1606,10 @@ def transpile_duckdb(sql: str) -> str:
         out,
         re.compile(r"\bisodow\s*\(", re.IGNORECASE),
         1,
-        lambda a: f"(weekday({a[0]}) + 1)",
+        # extract form, NOT (weekday(x) + 1): the r9 dayofweek/weekday
+        # rewrite (6c3) maps those names to DuckDB's 0=Sunday numbering,
+        # so this shim must not emit a bare weekday() call
+        lambda a: f"extract(DAYOFWEEK_ISO FROM {a[0]})",
     )
     out = _transform_calls(
         out,

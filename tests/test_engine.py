@@ -805,6 +805,90 @@ class TestDialectBreadth:
                 "SELECT to_base(-5, 2) AS x", dialect="duckdb"
             ).collect()
 
+    def test_r9_breadth_sweep(self, engine):
+        """r9 live cross-check sweep — every expected value below is
+        DuckDB's own answer on the same expression (61-case probe run
+        during the round). Covers the silent divergences found:
+        left/right negative counts, substring virtual-axis bounds,
+        2-arg trim family argument ORDER (Spark's legacy form is
+        reversed), the 0=Sunday dow family, split_part index-0/NULL →
+        '', plus the missing even/trunc/format/jaccard/hamming."""
+        r = engine.query(
+            "SELECT left('hello', -2) AS l_neg, "
+            "right('hello', -2) AS r_neg, "
+            "substring('hello', 0, 3) AS ss0, "
+            "substring('hello', -1, 3) AS ssn, "
+            "substring('hello', 2, -1) AS ssl, "
+            "substring('hello', -6, 3) AS ssu, "
+            "trim('xxaxx', 'x') AS tb, "
+            "ltrim('xxa', 'x') AS tl, "
+            "rtrim('axx', 'x') AS tr, "
+            "split_part('a,b,c', ',', 0) AS sp0, "
+            "split_part(NULL, ',', 1) AS spn, "
+            "split_part('a,b,c', ',', -1) AS spm",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.l_neg, r.r_neg) == ("hel", "llo")
+        assert (r.ss0, r.ssn, r.ssl, r.ssu) == ("he", "o", "h", "he")
+        assert (r.tb, r.tl, r.tr) == ("a", "a", "a")
+        assert (r.sp0, r.spn, r.spm) == ("", "", "c")
+
+    def test_r9_dow_family_zero_based_sunday(self, engine):
+        # 2024-03-03 is a Sunday (DuckDB dow 0, isodow 7); 03-09 a
+        # Saturday (dow 6)
+        r = engine.query(
+            "SELECT extract(dow FROM DATE '2024-03-03') AS a, "
+            "date_part('dow', DATE '2024-03-09') AS b, "
+            "dayofweek(DATE '2024-03-03') AS c, "
+            "weekday(DATE '2024-03-09') AS d, "
+            "date_part('isodow', DATE '2024-03-04') AS e, "
+            "extract(isodow FROM DATE '2024-03-03') AS f",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e, r.f) == (0, 6, 0, 6, 1, 7)
+
+    def test_r9_scalar_additions(self, engine):
+        r = engine.query(
+            "SELECT even(2.5) AS e1, even(-3) AS e2, "
+            "trunc(-2.9) AS t1, "
+            "format('{}-{}', 1, 'x') AS f1, "
+            "format('{1}-{0}', 'a', 'b') AS f2, "
+            "jaccard('Ab', 'ab') AS j, "
+            "hamming('ab', 'ac') AS h, "
+            "list_element('abcde', 3) AS c1, "
+            "array_extract('abcde', -1) AS c2, "
+            "array_extract('abcde', 9) AS c3",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.e1 == 4.0 and r.e2 == -4.0
+        assert float(r.t1) == -2.0
+        assert r.f1 == "1-x" and r.f2 == "b-a"
+        assert abs(r.j - 1 / 3) < 1e-15 and r.h == 1
+        assert (r.c1, r.c2, r.c3) == ("c", "e", "")
+
+    def test_r9_from_keyword_expressions_survive_from_first(self, engine):
+        """extract(x FROM d) / trim(LEADING ... FROM s) /
+        substring(s FROM b FOR n) are expressions, not FROM-first query
+        heads — the r8 rewrite corrupted all three into
+        `extract(dow SELECT * FROM d)` (r9 allow-list fix). End-to-end
+        values are DuckDB's."""
+        r = engine.query(
+            "SELECT extract(month FROM DATE '2024-03-05') AS m, "
+            "trim(LEADING 'x' FROM 'xxa') AS t, "
+            "substring('hello' FROM 2 FOR 3) AS s",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.m, r.t, r.s) == (3, "a", "ell")
+        # FROM-first still rewrites INSERT/CREATE-AS heads
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb("INSERT INTO t FROM src") == (
+            "INSERT INTO t SELECT * FROM src"
+        )
+        assert transpile_duckdb("CREATE TABLE t2 AS FROM src") == (
+            "CREATE TABLE t2 AS SELECT * FROM src"
+        )
+
     def test_show_tables_from_not_mangled_by_from_first(self):
         """SHOW/PRAGMA/DESCRIBE/DESC/SUMMARIZE/UPDATE heads never get a
         SELECT * injected (VERDICT r8 #4 + ADVICE r8); FROM-first still

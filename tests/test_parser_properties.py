@@ -299,6 +299,12 @@ _DIALECT_BAIT = st.sampled_from([
     "epoch(ts)",
     "list_element(l, 0)",
     "to_base(-5, 2)",
+    "substring(s, 0, 3)",
+    "left(s, -2)",
+    "trim(s, 'x')",
+    "split_part(s, ',', 0)",
+    "extract(dow FROM d)",
+    "jaccard(a, b)",
 ])
 
 
@@ -347,6 +353,13 @@ def test_transpile_is_idempotent_on_rewritten_output():
         "SELECT sha256(s), to_base(n, 16), dayname(d), json_valid(j) FROM t",
         "SELECT epoch(ts), list_element(l, 3), to_base(n, 2, 8) FROM t",
         "SHOW TABLES FROM db",
+        "SELECT substring(s, 0, 3), left(s, -2), right(s, n) FROM t",
+        "SELECT trim(s, 'x'), ltrim(s, c), rtrim(s, c) FROM t",
+        "SELECT split_part(s, ',', i), even(x), trunc(x) FROM t",
+        "SELECT extract(dow FROM d), dayofweek(d), weekday(d) FROM t",
+        "SELECT format('{}-{}', a, b), jaccard(a, b), hamming(a, b) FROM t",
+        "SELECT list_element('abcde', 3), isodow(d) FROM t",
+        "INSERT INTO t FROM src",
         "SELECT string_split('a.b', '.'), list_prepend(0, l) FROM t",
         "SELECT list_aggregate(l, 'avg'), quantile(x, 0.9) FROM t QUALIFY row_number() OVER (ORDER BY x) = 1",
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v",
