@@ -446,6 +446,553 @@ def _split_top(body: str) -> list[str]:
     return parts
 
 
+def _split_depth0(body: str, sep: str) -> list[str]:
+    """Split ``body`` on ``sep`` characters at zero (), [], {} depth,
+    literal-aware. Used by the bracket/brace literal rewrites, whose
+    contents may still hold nested un-rewritten brackets."""
+    spans = _mask_spans(body)
+    parts, depth, cur = [], 0, []
+    for i, ch in enumerate(body):
+        if _in_span(i, spans):
+            cur.append(ch)
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _match_backward(s: str, close: int, spans) -> int:
+    """Index of the opener matching the ``)``/``]`` at ``close``."""
+    pairs = {")": "(", "]": "["}
+    opener, closer = pairs[s[close]], s[close]
+    depth = 0
+    j = close
+    while j >= 0:
+        if _in_span(j, spans):
+            j -= 1
+            continue
+        if s[j] == closer:
+            depth += 1
+        elif s[j] == opener:
+            depth -= 1
+            if depth == 0:
+                return j
+        j -= 1
+    return -1
+
+
+def _scan_left_operand(s: str, pos: int, spans) -> int:
+    """Start index of the tightest-binding operand ENDING just before
+    ``pos`` (exclusive): a literal, identifier chain, function call, or
+    parenthesized/bracketed group, with ``.``/call chaining. Returns -1
+    when no operand is found."""
+    j = pos - 1
+    while j >= 0 and s[j].isspace():
+        j -= 1
+    if j < 0:
+        return -1
+    start = None
+    while j >= 0:
+        if _in_span(j, spans):
+            # inside/end of a string literal or quoted identifier:
+            # jump to the span start
+            for sp_s, sp_e in spans:
+                if sp_s <= j < sp_e:
+                    start = sp_s
+                    j = sp_s - 1
+                    break
+        elif s[j] in ")]":
+            op = _match_backward(s, j, spans)
+            if op < 0:
+                return start if start is not None else -1
+            start = op
+            j = op - 1
+        elif s[j].isalnum() or s[j] in "_$":
+            k = j
+            while k >= 0 and (s[k].isalnum() or s[k] in "_$"):
+                k -= 1
+            start = k + 1
+            j = k
+        else:
+            break
+        # chaining: a '.' or an identifier directly before a '(' group
+        # (function name) extends the operand leftward
+        if j >= 0 and s[j] == ".":
+            j -= 1
+            continue
+        if (
+            start is not None
+            and s[start] == "("
+            and j >= 0
+            and (s[j].isalnum() or s[j] in "_$")
+        ):
+            continue
+        break
+    return start if start is not None else -1
+
+
+def _scan_right_operand(s: str, pos: int, spans) -> int:
+    """End index (exclusive) of the tightest-binding operand STARTING
+    at/after ``pos``: optional unary sign, then a literal, number,
+    identifier/function call, or parenthesized group, with trailing
+    ``.field`` / call chaining. Returns -1 when none is found."""
+    n = len(s)
+    j = pos
+    while j < n and s[j].isspace():
+        j += 1
+    if j < n and s[j] in "+-":
+        j += 1
+        while j < n and s[j].isspace():
+            j += 1
+    if j >= n:
+        return -1
+    end = None
+    while j < n:
+        if _in_span(j, spans):
+            for sp_s, sp_e in spans:
+                if sp_s <= j < sp_e:
+                    end = sp_e
+                    j = sp_e
+                    break
+        elif s[j] == "(":
+            depth = 0
+            k = j
+            while k < n:
+                if _in_span(k, spans):
+                    k += 1
+                    continue
+                if s[k] == "(":
+                    depth += 1
+                elif s[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                return end if end is not None else -1
+            end = k + 1
+            j = k + 1
+        elif s[j].isalnum() or s[j] in "_$.":
+            k = j
+            while k < n and (s[k].isalnum() or s[k] in "_$."):
+                k += 1
+            end = k
+            j = k
+            # function call: identifier directly followed by '('
+            if j < n and s[j] == "(":
+                continue
+        else:
+            break
+        # trailing chaining: .field or ::TYPE casts bind tighter
+        if j < n and s[j] == ".":
+            j += 1
+            continue
+        if s[j : j + 2] == "::":
+            j += 2
+            continue
+        break
+    return end if end is not None else -1
+
+
+def _rewrite_power_ops(sql: str) -> str:
+    """DuckDB ``a ** b`` and ``a ^ b`` are EXPONENTIATION (DOUBLE);
+    Spark's ``^`` is bitwise XOR — a silent wrong answer (2 ^ 3 = 8 vs
+    1). Rewritten to ``power(a, b)``, left-associatively (DuckDB/
+    Postgres chain ``2 ^ 3 ^ 2`` as ``(2^3)^2``). Operands are the
+    tightest-binding tokens, matching the operators' high precedence."""
+    for _ in range(50):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(r"\*\*|\^", sql):
+            if not _in_span(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        ls = _scan_left_operand(sql, m.start(), spans)
+        re_ = _scan_right_operand(sql, m.end(), spans)
+        if ls < 0 or re_ < 0:
+            return sql  # malformed: leave for the parser to report
+        # a UNARY sign binds tighter than ^ in DuckDB (-2 ^ 2 = 4):
+        # absorb it when the char before isn't a value token
+        j = ls - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if j >= 0 and sql[j] in "+-":
+            k2 = j - 1
+            while k2 >= 0 and sql[k2].isspace():
+                k2 -= 1
+            if k2 < 0 or not (
+                sql[k2].isalnum()
+                or sql[k2] in "_$)]"
+                or _in_span(k2, spans)
+            ):
+                ls = j
+        left = sql[ls : m.start()].strip()
+        right = sql[m.end() : re_].strip()
+        sql = f"{sql[:ls]}power({left}, {right}){sql[re_:]}"
+    return sql
+
+
+# keywords that can directly precede a list literal: `SELECT [1,2]`,
+# `WHEN [..] THEN [..]`, `IN`, boolean connectives — a bracket after one
+# of these is a literal, not a subscript on the keyword
+_PRE_LITERAL_KEYWORDS = {
+    "select", "where", "and", "or", "not", "then", "else", "when",
+    "case", "in", "on", "by", "as", "from", "values", "union", "all",
+    "distinct", "having", "limit", "offset", "between", "like",
+    "ilike", "is", "set", "returning", "if", "coalesce", "exists",
+}
+
+# type keywords whose trailing [] / [N] is DuckDB ARRAY-type syntax
+# (DDL / casts), not element indexing
+_TYPE_WORDS = {
+    "tinyint", "smallint", "integer", "int", "bigint", "hugeint",
+    "int1", "int2", "int4", "int8", "short", "long", "signed",
+    "utinyint", "usmallint", "uinteger", "ubigint", "float", "float4",
+    "float8", "real", "double", "decimal", "numeric", "varchar",
+    "char", "bpchar", "text", "string", "blob", "bytea", "boolean",
+    "bool", "date", "timestamp", "timestamptz", "time", "interval",
+    "uuid", "json", "struct", "map", "union",
+}
+
+
+def _char_extract(base: str, idx: str) -> str:
+    """DuckDB character extraction: 1-based, negatives from the back,
+    OOB and 0 yield '' (shared by list_element('str', i) and 'str'[i])."""
+    norm = (
+        f"(CASE WHEN ({idx}) < 0 THEN length({base}) + "
+        f"({idx}) + 1 ELSE ({idx}) END)"
+    )
+    return (
+        f"substring({base} FROM greatest({norm}, 1) "
+        f"FOR CASE WHEN {norm} >= 1 THEN 1 ELSE 0 END)"
+    )
+
+
+def _string_slice(base: str, lo: str, hi: str) -> str:
+    """DuckDB string slice ``s[a:b]``: 1-based inclusive bounds,
+    negatives from the back, clamped (never an error)."""
+    nb = (
+        f"greatest(1, CASE WHEN ({lo}) < 0 "
+        f"THEN length({base}) + ({lo}) + 1 ELSE ({lo}) END)"
+    )
+    ne = (
+        f"(CASE WHEN ({hi}) < 0 THEN length({base}) + ({hi}) + 1 "
+        f"ELSE ({hi}) END)"
+    )
+    return f"substring({base} FROM {nb} FOR greatest(0, {ne} - {nb} + 1))"
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """DuckDB bracket syntax → Spark:
+
+    - list literals ``[1, 2]`` / ``ARRAY[1, 2]`` → ``array(1, 2)``
+    - element indexing ``l[i]`` (1-based, OOB/0 → NULL, negatives from
+      the back) → ``try_element_at(l, nullif(CAST(i AS INT), 0))`` —
+      Spark's bare ``l[i]`` is 0-based, a silent off-by-one
+    - slices ``l[a:b]`` (inclusive, clamped; empty bounds = ends) →
+      ``array_slice(a, b)`` text, converted by ``_transform_slices``
+    - string-literal bases use character extraction / substring
+    - a string-literal subscript (struct field access ``s['k']``) and
+      type suffixes (``INTEGER[]`` / ``VARCHAR[3]``) pass through
+
+    Literal-vs-subscript is decided by the token before ``[``: a value
+    token (identifier, ``)``, ``]``, string literal) means indexing."""
+    for _ in range(100):
+        spans = _mask_spans(sql)
+        pos = -1
+        for m in re.finditer(r"\[", sql):
+            if not _in_span(m.start(), spans):
+                pos = m.start()
+                break
+        if pos < 0:
+            return sql
+        # find the matching ]
+        depth, k = 0, pos
+        n = len(sql)
+        while k < n:
+            if _in_span(k, spans):
+                k += 1
+                continue
+            if sql[k] == "[":
+                depth += 1
+            elif sql[k] == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            return sql  # unbalanced: leave for the parser
+        inner = sql[pos + 1 : k]
+        # previous significant char decides literal vs subscript
+        j = pos - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        prev_word = ""
+        if j >= 0 and (sql[j].isalnum() or sql[j] in "_$"):
+            w = j
+            while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
+                w -= 1
+            prev_word = sql[w + 1 : j + 1]
+        is_subscript = j >= 0 and (
+            sql[j].isalnum() or sql[j] in "_$)]" or _in_span(j, spans)
+        )
+        if prev_word.lower() in _PRE_LITERAL_KEYWORDS:
+            is_subscript = False
+        if prev_word.lower() == "array":
+            # postgres-style ARRAY[...] literal: consume the keyword
+            lit = ", ".join(
+                p.strip() for p in _split_depth0(inner, ",")
+            ) if inner.strip() else ""
+            sql = (
+                sql[: j - len(prev_word) + 1]
+                + f"array({lit})"
+                + sql[k + 1 :]
+            )
+            continue
+        if is_subscript and prev_word.lower() in _TYPE_WORDS:
+            # ARRAY-type suffix (INTEGER[] / VARCHAR[3]): shield it so
+            # the scan can move past without re-matching
+            sql = sql[:pos] + "\x01" + inner + "\x02" + sql[k + 1 :]
+            continue
+        if not is_subscript:
+            if inner.strip() == "":
+                sql = sql[:pos] + "array()" + sql[k + 1 :]
+                continue
+            # list comprehension [expr FOR var IN src [IF cond]] →
+            # transform(filter(src, var -> cond), var -> expr)
+            fpos = _depth0_keyword(inner, "FOR")
+            if fpos >= 0 and "," not in inner[:fpos]:
+                cm = re.match(
+                    r"FOR\s+(\w+)\s+IN\s+(.+)$",
+                    inner[fpos:],
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if cm:
+                    var, src = cm.group(1), cm.group(2).strip()
+                    ipos = _depth0_keyword(src, "IF")
+                    if ipos >= 0:
+                        cond = src[ipos + 2 :].strip()
+                        src = (
+                            f"filter({src[:ipos].strip()}, "
+                            f"{var} -> {cond})"
+                        )
+                    expr = inner[:fpos].strip()
+                    sql = (
+                        sql[:pos]
+                        + f"transform({src}, {var} -> {expr})"
+                        + sql[k + 1 :]
+                    )
+                    continue
+            lit = ", ".join(p.strip() for p in _split_depth0(inner, ","))
+            sql = sql[:pos] + f"array({lit})" + sql[k + 1 :]
+            continue
+        # subscript: find the base operand
+        bs = _scan_left_operand(sql, pos, spans)
+        if bs < 0:
+            return sql
+        base = sql[bs:pos].strip()
+        base_is_str = re.fullmatch(r"'(?:[^']|'')*'", base) is not None
+        parts = _split_depth0(inner, ":")
+        if len(parts) == 1:
+            idx = inner.strip()
+            if re.fullmatch(r"'(?:[^']|'')*'", idx):
+                # struct field access s['k'] → dot access (maps are
+                # outside the engine's type surface, SURVEY §2.4)
+                key = idx[1:-1].replace("''", "'")
+                if re.fullmatch(r"\w+", key):
+                    sql = f"{sql[:bs]}({base}).{key}{sql[k + 1 :]}"
+                else:
+                    sql = f"{sql[:bs]}({base}).`{key}`{sql[k + 1 :]}"
+                continue
+            if base_is_str:
+                repl = _char_extract(base, idx)
+            else:
+                repl = (
+                    f"try_element_at({base}, "
+                    f"nullif(CAST(({idx}) AS INT), 0))"
+                )
+            sql = sql[:bs] + repl + sql[k + 1 :]
+            continue
+        if len(parts) == 2:
+            lo = parts[0].strip() or "1"
+            hi = parts[1].strip()
+            if base_is_str:
+                if not hi:
+                    hi = f"length({base})"
+                repl = _string_slice(base, lo, hi)
+            else:
+                if not hi:
+                    hi = f"size({base})"
+                repl = f"array_slice({base}, {lo}, {hi})"
+            sql = sql[:bs] + repl + sql[k + 1 :]
+            continue
+        return sql  # 3-part slice (step): unsupported, leave
+    return sql
+
+
+def _unshield(sql: str, mapping: dict[str, str]) -> str:
+    """Replace shield sentinels with their real characters, OUTSIDE
+    string literals only — a literal may legitimately contain the
+    control characters used as sentinels (fuzz-pinned)."""
+    if not any(k in sql for k in mapping):
+        return sql
+    spans = _mask_spans(sql)
+    return "".join(
+        mapping.get(c, c) if not _in_span(i, spans) else c
+        for i, c in enumerate(sql)
+    )
+
+
+def _unshield_type_brackets(sql: str) -> str:
+    return _unshield(sql, {"\x01": "[", "\x02": "]"})
+
+
+def _rewrite_struct_literals(sql: str) -> str:
+    """DuckDB struct literal ``{'a': 1, 'b': x}`` → ``named_struct('a',
+    1, 'b', x)``. ``MAP {...}`` literals are left untouched (maps are
+    outside the engine's type surface; they fail loud at parse)."""
+    for _ in range(50):
+        spans = _mask_spans(sql)
+        pos = -1
+        for m in re.finditer(r"\{", sql):
+            if not _in_span(m.start(), spans):
+                pos = m.start()
+                break
+        if pos < 0:
+            return sql
+        j = pos - 1
+        while j >= 0 and sql[j].isspace():
+            j -= 1
+        if (
+            j >= 2
+            and sql[j - 2 : j + 1].lower() == "map"
+            and (j == 2 or not (sql[j - 3].isalnum() or sql[j - 3] in "_$"))
+        ):
+            # MAP {...}: shield so the scan can move past
+            k = _match_forward_brace(sql, pos, spans)
+            if k < 0:
+                return sql
+            sql = sql[:pos] + "\x03" + sql[pos + 1 : k] + "\x04" + sql[k + 1 :]
+            continue
+        k = _match_forward_brace(sql, pos, spans)
+        if k < 0:
+            return sql
+        inner = sql[pos + 1 : k]
+        entries = []
+        ok = True
+        for item in _split_depth0(inner, ","):
+            kv = _split_depth0(item, ":")
+            if len(kv) != 2:
+                ok = False
+                break
+            key = kv[0].strip()
+            if not re.fullmatch(r"'(?:[^']|'')*'", key):
+                ok = False
+                break
+            entries.append(f"{key}, {kv[1].strip()}")
+        if not ok or not entries:
+            # not a struct-literal shape: shield and move past
+            sql = sql[:pos] + "\x03" + inner + "\x04" + sql[k + 1 :]
+            continue
+        sql = (
+            sql[:pos] + "named_struct(" + ", ".join(entries) + ")"
+            + sql[k + 1 :]
+        )
+    return sql
+
+
+def _match_forward_brace(sql: str, pos: int, spans) -> int:
+    depth, k, n = 0, pos, len(sql)
+    while k < n:
+        if _in_span(k, spans):
+            k += 1
+            continue
+        if sql[k] == "{":
+            depth += 1
+        elif sql[k] == "}":
+            depth -= 1
+            if depth == 0:
+                return k
+        k += 1
+    return -1
+
+
+def _unshield_braces(sql: str) -> str:
+    return _unshield(sql, {"\x03": "{", "\x04": "}"})
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """DuckDB JSON arrows → ``get_json_object``:
+
+    - ``j -> 'k'`` / ``j ->> 'k'`` → ``get_json_object(j, '$.k')``
+    - integer subscripts (``-> 0``) → ``'$[0]'`` (0-based, both engines)
+
+    Only fires when the right side is a string/integer LITERAL (a
+    lambda's body is an expression over its parameter — the one
+    ambiguous shape, a lambda returning a constant literal, is a
+    documented edge). ``->`` returns the JSON representation in DuckDB
+    (strings keep their quotes) where get_json_object unquotes scalar
+    strings — ``->>`` (text extraction) matches exactly; the ``->``
+    scalar-string edge is documented. Chains rewrite left-to-right."""
+    for _ in range(50):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(r"->>?", sql):
+            if _in_span(cand.start(), spans):
+                continue
+            # right side must be a string or integer literal
+            tail = sql[cand.end() :].lstrip()
+            if re.match(r"'(?:[^']|'')*'", tail) or re.match(
+                r"\d+(?![\w.])", tail
+            ):
+                m = cand
+                break
+        if m is None:
+            return sql
+        ls = _scan_left_operand(sql, m.start(), spans)
+        if ls < 0:
+            return sql
+        base = sql[ls : m.start()].strip()
+        tail_pos = m.end()
+        while tail_pos < len(sql) and sql[tail_pos].isspace():
+            tail_pos += 1
+        sm = re.match(r"'((?:[^']|'')*)'", sql[tail_pos:])
+        if sm:
+            key = sm.group(1)
+            end = tail_pos + sm.end()
+            if re.fullmatch(r"[A-Za-z_]\w*", key):
+                path = f"'$.{key}'"
+            else:
+                path = f"'$[''{key}'']'"
+        else:
+            im = re.match(r"\d+", sql[tail_pos:])
+            key = im.group(0)
+            end = tail_pos + im.end()
+            path = f"'$[{key}]'"
+        sql = (
+            f"{sql[:ls]}get_json_object({base}, {path}){sql[end:]}"
+        )
+    return sql
+
+
+def _rewrite_json_casts(sql: str) -> str:
+    """``expr::JSON`` / ``CAST(expr AS JSON)`` → STRING (the engine
+    models JSON as its text; all json_* shims consume strings)."""
+    sql = _sub_outside(r"::\s*JSON\b", "::STRING", sql)
+    sql = _sub_outside(r"\bAS\s+JSON\s*\)", "AS STRING)", sql)
+    return sql
+
+
 def _rewrite_distinct_on(sql: str) -> str:
     """DuckDB ``SELECT DISTINCT ON (keys) items FROM rest [ORDER BY
     ord] [tail]`` → one row per distinct ``keys``, chosen by ``ord``:
@@ -790,6 +1337,11 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_from_first(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_json_casts(sql)
+    sql = _rewrite_struct_literals(sql)
+    sql = _rewrite_brackets(sql)
+    sql = _rewrite_json_arrows(sql)
+    sql = _rewrite_power_ops(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)
@@ -1695,10 +2247,8 @@ def transpile_duckdb(sql: str) -> str:
             i += 1
     out = "".join(chunks)
 
-    # 9) UNMAPPED divergence: bracket indexing `arr[i]` is 1-based in
-    #    DuckDB but 0-based in Spark SQL — a textual rewrite can't
-    #    distinguish array subscripts from map lookups, so it is left
-    #    untouched; use list_element()/array_extract() (rewritten to the
-    #    1-based, OOB-NULL try_element_at) for portable indexing. See
-    #    also the len()/log() notes above.
+    # 9) restore shielded ARRAY-type brackets (INTEGER[]) and MAP braces
+    #    that _rewrite_brackets/_rewrite_struct_literals stepped past
+    out = _unshield_type_brackets(out)
+    out = _unshield_braces(out)
     return out

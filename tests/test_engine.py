@@ -908,6 +908,88 @@ class TestDialectBreadth:
             "SELECT x FROM t"
         )
 
+    def test_r9_list_literals_and_bracket_indexing(self, engine):
+        """DuckDB bracket syntax: `[..]` literals, 1-based indexing with
+        OOB/0 → NULL, inclusive clamped slices, string subscripts, and
+        postgres ARRAY[..] — all silent divergences before r9 (Spark
+        brackets are 0-based). Every expected value is DuckDB's."""
+        r = engine.query(
+            "SELECT [1,2,3] AS lit, ([1,2,3])[1] AS i1, "
+            "([1,2,3])[-1] AS im1, ([1,2,3])[5] AS oob, "
+            "([1,2,3])[0] AS z, ([1,2,3])[1:2] AS s12, "
+            "([1,2,3])[2:] AS s2e, ([1,2,3])[:2] AS sb2, "
+            "([1,2,3])[-2:-1] AS sneg, ([1,2,3])[9:10] AS sclamp, "
+            "'abcde'[2] AS c2, 'abcde'[-2] AS cm2, "
+            "'abcde'[2:4] AS cs, ARRAY[7,8] AS pg, [] AS empty",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.lit == [1, 2, 3] and r.pg == [7, 8] and r.empty == []
+        assert (r.i1, r.im1, r.oob, r.z) == (1, 3, None, None)
+        assert r.s12 == [1, 2] and r.s2e == [2, 3] and r.sb2 == [1, 2]
+        assert r.sneg == [2, 3] and r.sclamp == []
+        assert (r.c2, r.cm2, r.cs) == ("b", "d", "bcd")
+
+    def test_r9_list_comprehension(self, engine):
+        r = engine.query(
+            "SELECT [x + 1 FOR x IN [1,2,3]] AS a, "
+            "[x FOR x IN [1,2,3,4] IF x > 2] AS b",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == [2, 3, 4] and r.b == [3, 4]
+
+    def test_r9_struct_literals(self, engine):
+        r = engine.query(
+            "SELECT {'a': 1, 'b': 'x'}.b AS f, "
+            "{'a': 1, 'b': 'x'} AS s, "
+            "({'k': [1,2]})['k'] AS via_sub",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.f == "x"
+        assert r.s.a == 1 and r.s.b == "x"
+        assert r.via_sub == [1, 2]
+
+    def test_r9_power_operators(self, engine):
+        """DuckDB `^`/`**` are exponentiation; Spark's `^` is XOR — a
+        silent wrong answer (2 ^ 3 = 8 in DuckDB, 1 through bare
+        Spark). DuckDB-verified values incl. chaining (left-assoc) and
+        tight unary binding."""
+        r = engine.query(
+            "SELECT 2 ^ 3 AS p1, 2 ** 3 AS p2, 2 ^ -1 AS pneg, "
+            "-2 ^ 2 AS punary, 2 ^ 3 ^ 2 AS pchain, "
+            "2 * 3 ^ 2 AS pprec",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.p1, r.p2, r.pneg) == (8.0, 8.0, 0.5)
+        assert r.punary == 4.0 and r.pchain == 64.0 and r.pprec == 18.0
+
+    def test_r9_json_arrows(self, engine):
+        """DuckDB `->`/`->>` with string/integer subscripts (the `->>`
+        text form matches DuckDB exactly; `->` diverges only on bare
+        scalar strings, documented). ::JSON casts are text no-ops."""
+        r = engine.query(
+            "SELECT ('{\"a\": 5}'::JSON)->>'a' AS a, "
+            "('{\"a\": {\"b\": 1}}'::JSON)->'a'->>'b' AS b, "
+            "('{\"a\": [1,2]}'::JSON)->'a'->>0 AS idx0, "
+            "CAST('{\"x\": 2}' AS JSON)->>'x' AS c",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.idx0, r.c) == ("5", "1", "1", "2")
+        # lambdas with expression bodies are NOT json arrows
+        r2 = engine.query(
+            "SELECT list_transform([1,2], x -> x + 1) AS t",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r2.t == [2, 3]
+
+    def test_r9_type_brackets_survive_ddl(self, engine):
+        """INTEGER[] array-type suffixes in DDL are not element
+        subscripts — the bracket rewrite shields them."""
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb(
+            "CREATE TABLE tb (x INTEGER[], y VARCHAR[3])"
+        ) == "CREATE TABLE tb (x INTEGER[], y VARCHAR[3])"
+
 
 class TestResultAccounting:
     def test_rows_and_bytes(self, engine):

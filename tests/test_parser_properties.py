@@ -363,6 +363,11 @@ def test_transpile_is_idempotent_on_rewritten_output():
         "SELECT string_split('a.b', '.'), list_prepend(0, l) FROM t",
         "SELECT list_aggregate(l, 'avg'), quantile(x, 0.9) FROM t QUALIFY row_number() OVER (ORDER BY x) = 1",
         "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v",
+        "SELECT [1, 2], l[2], l[1:2], 'abc'[2], ARRAY[1] FROM t",
+        "SELECT {'a': 1, 'b': x}.b, 2 ^ 3, 2 ** n FROM t",
+        "SELECT j->'a'->>'b', j->0, x::JSON FROM t",
+        "SELECT [y + 1 FOR y IN l IF y > 0] FROM t",
+        "CREATE TABLE tt (x INTEGER[], y VARCHAR[3])",
     ]
     for sql in corpus:
         once = transpile_duckdb(sql)
