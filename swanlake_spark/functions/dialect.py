@@ -1373,18 +1373,18 @@ def transpile_duckdb(sql: str) -> str:
     #    separator → split with the separator regex-escaped (DuckDB
     #    splits on the literal). Paren-balanced, literal-aware arg
     #    split (r8) — a comma INSIDE the source literal used to defeat
-    #    the old regex and leave the call untranslated. The
-    #    regex-escape backslashes must survive Spark's string-literal
-    #    escape layer (escapedStringLiterals=false consumes one
-    #    level), so they are doubled: '.' → regex \. → literal '\\.'
-    #    — previously '\.' lost its backslash and split on EVERY
-    #    character for regex-special separators.
+    #    the old regex and leave the call untranslated. The regex
+    #    escapes are injected RAW ('.' → '\.'); the final
+    #    literal-escape pass doubles them for Spark's literal layer.
     def _lit_split(args):
         s, sep = args
         m = re.fullmatch(r"'([^'\\]*)'", sep)
         if m is None:
             return None  # non-literal separator: fails loud
-        esc = re.escape(m.group(1)).replace("\\", "\\\\")
+        # RAW regex backslashes: the final literal-escape pass (step 10)
+        # doubles them for Spark's literal layer — injecting pre-doubled
+        # text here would quadruple
+        esc = re.escape(m.group(1))
         return f"split({s}, '{esc}')"
 
     out = _transform_calls(
@@ -2251,4 +2251,49 @@ def transpile_duckdb(sql: str) -> str:
     #    that _rewrite_brackets/_rewrite_struct_literals stepped past
     out = _unshield_type_brackets(out)
     out = _unshield_braces(out)
+
+    # 10) string-literal escape semantics — LAST, over the whole
+    #     statement. DuckDB literals are SQL-standard: a backslash is a
+    #     plain character ('\d' is TWO chars). Spark parses literals
+    #     with C-style escapes (escapedStringLiterals=false), so '\d'
+    #     silently collapses to 'd' — every regex pattern, LIKE
+    #     pattern, and Windows path was a silent wrong answer. Doubling
+    #     every backslash inside single-quoted literals reproduces
+    #     DuckDB's semantics exactly. E'...' escape-strings pass
+    #     through with the E dropped (their \n/\t/\\ escapes mean the
+    #     same thing to Spark's literal layer). NOT idempotent by
+    #     nature — transpile_duckdb is applied exactly once per
+    #     statement (the session layer marks prepared statements as
+    #     pre-transpiled rather than re-transpiling).
+    out = _escape_literal_backslashes(out)
     return out
+
+
+def _escape_literal_backslashes(sql: str) -> str:
+    """Double backslashes inside single-quoted literals (DuckDB raw →
+    Spark escaped); strip the E prefix off E'...' escape-strings and
+    leave their contents alone."""
+    if "\\" not in sql and not re.search(r"\bE'", sql, re.IGNORECASE):
+        return sql
+    spans = _mask_spans(sql)
+    parts = []
+    last = 0
+    for s, e in spans:
+        if sql[s] != "'":
+            continue
+        body = sql[s + 1 : e - 1]
+        is_estring = (
+            s > 0
+            and sql[s - 1] in "Ee"
+            and (s == 1 or not (sql[s - 2].isalnum() or sql[s - 2] in "_$"))
+        )
+        if is_estring:
+            parts.append(sql[last : s - 1])  # drop the E
+            parts.append(f"'{body}'")
+            last = e
+        elif "\\" in body:
+            parts.append(sql[last:s])
+            parts.append("'" + body.replace("\\", "\\\\") + "'")
+            last = e
+    parts.append(sql[last:])
+    return "".join(parts)

@@ -137,7 +137,10 @@ def _render_literal(v) -> str:
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, datetime.date):
         return f"DATE '{v.isoformat()}'"
-    s = str(v).replace("'", "''")
+    # backslashes FIRST (Spark's literal layer consumes one escape
+    # level; a bound Windows path or regex must survive verbatim),
+    # then quote doubling
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
     return f"'{s}'"
 
 
@@ -204,14 +207,30 @@ class Session:
 
     # -- SQL ----------------------------------------------------------------
 
-    def query(self, sql: str, params: list | None = None):
+    def query(
+        self,
+        sql: str,
+        params: list | None = None,
+        pre_transpiled: bool = False,
+    ):
         """Execute through the engine, but against this session's Spark
-        fork (temp views, USE state), with transaction staging applied."""
+        fork (temp views, USE state), with transaction staging applied.
+
+        ``pre_transpiled``: the statement already went through
+        ``transpile_duckdb`` (prepared statements are stored
+        transpiled) — transpile is applied exactly ONCE per statement;
+        the literal-escape pass (dialect.py step 10) is deliberately
+        not idempotent, so re-transpiling stored text would corrupt
+        backslash-bearing literals."""
         self.touch()
         from swanlake_spark.engine import Engine, apply_pivot_adjustments
 
         pivot_adj: tuple = ([], {})
-        if self.dialect == "duckdb":
+        if self.dialect == "duckdb" and pre_transpiled:
+            from swanlake_spark.functions.dialect import pivot_adjustments
+
+            pivot_adj = pivot_adjustments(sql)
+        if self.dialect == "duckdb" and not pre_transpiled:
             from swanlake_spark.functions import transpile_duckdb
             from swanlake_spark.functions.dialect import pivot_adjustments
 
@@ -330,7 +349,11 @@ class Session:
         result = None
         total_affected = 0
         for params in param_sets:
-            result = self.query(st.sql, params if st.parameter_count else None)
+            result = self.query(
+                st.sql,
+                params if st.parameter_count else None,
+                pre_transpiled=True,
+            )
             if result.affected_rows > 0:
                 total_affected += result.affected_rows
         if result is not None and not st.is_query:

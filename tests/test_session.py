@@ -462,6 +462,8 @@ class TestClientDialect:
                 sess.execute_prepared(st2.handle).collect()
         finally:
             eng.sessions.remove("dialect-client")
+
+    def test_default_sessions_stay_spark_native(self, engine):
         # default sessions stay Spark-native: 3-arg regexp_replace
         # keeps Spark's replace-ALL (no silent dialect flip)
         plain = engine.sessions.get_or_create("plain-client")
@@ -472,3 +474,38 @@ class TestClientDialect:
             assert r.r == "bXXa"
         finally:
             engine.sessions.remove("plain-client")
+
+    def test_prepared_backslash_regex_single_transpile(self, spark):
+        """A '\\d' regex through create_prepared + execute_prepared:
+        the escape pass must run exactly once (r9 pre_transpiled flag)
+        — a double transpile would turn '\\\\d' into '\\\\\\\\d' and
+        silently match nothing; no transpile at all silently matched
+        the letter 'd' (the pre-r9 bug)."""
+        from swanlake_spark.config import EngineConfig
+        from swanlake_spark.engine import Engine
+
+        eng = Engine(spark=spark, config=EngineConfig(
+            client_dialect="duckdb", cpus=4,
+        ))
+        sess = eng.sessions.get_or_create("bslash-client")
+        try:
+            # direct query path
+            r = sess.query(
+                r"SELECT regexp_extract('abc123', '\d+', 0) AS m"
+            ).collect()[0]
+            assert r.m == "123"  # DuckDB's answer
+            # prepared path (transpile at create, NOT at execute)
+            st = sess.create_prepared_statement(
+                r"SELECT regexp_extract('a7b42', '\d+', 0) AS m"
+            )
+            r = sess.execute_prepared(st.handle).collect()[0]
+            assert r.m == "7"
+            # bound string parameters keep their backslashes verbatim
+            st2 = sess.create_prepared_statement(
+                "SELECT ? AS p"
+            )
+            sess.set_parameters(st2.handle, [["C:\\tmp\\new"]])
+            r = sess.execute_prepared(st2.handle).collect()[0]
+            assert r.p == "C:\\tmp\\new"
+        finally:
+            eng.sessions.remove("bslash-client")
