@@ -23,8 +23,8 @@ _NAME_MAP = {
     "list_has": "array_contains",
     "list_distinct": "array_distinct",
     "list_intersect": "array_intersect",
-    "list_cat": "concat",
-    "list_concat": "concat",
+    # list_cat/list_concat: call rewrite in 6f (marked concat) — a name
+    # map would collide with the NULL-skipping string concat rewrite
     "array_to_string": "array_join",
     "string_split_regex": "split",
     "str_split_regex": "split",
@@ -64,6 +64,15 @@ _NAME_MAP = {
     "string_split": "split_literal_",
     "string_to_array": "split_literal_",
     "array_agg": "collect_list",
+    "list": "collect_list",
+    "editdist3": "levenshtein",
+    "strlen": "octet_length",  # byte length in both
+    "regexp_split_to_array": "split",  # regex split in both
+    "list_zip": "arrays_zip",  # field names differ (documented)
+    "favg": "avg",  # Kahan summation in DuckDB; same values
+    "fsum": "sum",
+    "arbitrary": "any_value",
+    "row": "struct",  # unnamed struct (field names differ, documented)
     "lcase": "lower",
     "ucase": "upper",
     "random": "rand",
@@ -99,6 +108,28 @@ _NAME_MAP = {
 #   without analysis — callers use length()/size() explicitly.
 # - log(x): log10 in DuckDB, ln in Spark; log(b, x) agrees. Can't pick
 #   without arity analysis — callers use log10()/ln() explicitly.
+# - `//` on DECIMAL/DOUBLE: DuckDB's `//` is plain division for
+#   non-integers (7.5 // 2 = 3.75) but floor-division for integers; a
+#   text rewrite can't see the operand types — `div` (the integer
+#   semantics) is emitted, matching every integer case exactly.
+# - DATE - DATE: BIGINT days in DuckDB, INTERVAL in Spark — operator
+#   typing, not rewritable from text (use date_diff('day', a, b)).
+# - typeof() on arrays/structs keeps Spark's rendering
+#   ('ARRAY<INT>' vs 'INTEGER[]'); the scalar surface is mapped.
+# - json_extract / `->` return the JSON representation in DuckDB
+#   (strings keep their quotes); get_json_object unquotes bare scalar
+#   strings. Numbers/booleans/objects/arrays are identical;
+#   json_extract_string / `->>` match exactly.
+# - list_zip / row(): Spark struct field names ('0','1' / 'col1') vs
+#   DuckDB's — values identical.
+# - nextafter, gamma (continuous), nfc_normalize, age (calendar
+#   INTERVAL does not survive collection), json_structure, json_type
+#   (DuckDB's UBIGINT-flavored names), json_merge_patch, json_quote:
+#   no exact Spark composition — fail loud at analysis.
+# - entropy / mad / histogram: single-pass composition would need
+#   collect_list per group (a 100 TB memory hazard, same class as the
+#   rejected collect_set q16 plan) or two aggregation phases — fail
+#   loud rather than ship a scale trap.
 # - string_agg multi-key ORDER BY: unsupported (single-key ORDER BY is
 #   rewritten to a sorted struct collect, see _transform_string_agg).
 # - regexp_replace without 'g': DuckDB replaces the FIRST match; the
@@ -117,6 +148,15 @@ _NAME_MAP = {
 #   3.0 in Spark). Tolerance-compare floats downstream, never hash.
 
 _STRFTIME_TOKENS = {
+    # non-padded variants first (no substring overlap with the padded
+    # forms, but keep them adjacent for review)
+    "%-d": "d",
+    "%-m": "M",
+    "%-H": "H",
+    "%-I": "h",
+    "%-M": "m",
+    "%-S": "s",
+    "%-j": "D",
     "%Y": "yyyy",
     "%y": "yy",
     "%m": "MM",
@@ -247,7 +287,9 @@ def _transform_calls(sql: str, pattern: re.Pattern, n_args, build) -> str:
 
 
 _SLICE_CALL = re.compile(r"\b(?:array_slice|list_slice)\s*\(", re.IGNORECASE)
-_STRING_AGG_CALL = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+_STRING_AGG_CALL = re.compile(
+    r"\b(?:string_agg|group_concat|listagg)\s*\(", re.IGNORECASE
+)
 
 
 def _transform_slices(sql: str) -> str:
@@ -263,6 +305,10 @@ def _transform_slices(sql: str) -> str:
 
     def build(args):
         x, b, e = args
+        if re.fullmatch(r"'(?:[^']|'')*'", x.strip()):
+            # DuckDB array_slice on a string is substring extraction
+            # (same 1-based inclusive clamped bounds)
+            return _string_slice(x.strip(), b, e)
         nb = (
             f"greatest(1, CASE WHEN ({b}) < 0 "
             f"THEN size({x}) + ({b}) + 1 ELSE ({b}) END)"
@@ -323,7 +369,19 @@ def _transform_string_agg(sql: str) -> str:
             f"_swl_s -> _swl_s._swl_v), {sep_txt})"
         )
 
-    return _transform_calls(sql, _STRING_AGG_CALL, 2, build)
+    def build1(args):
+        # 1-arg string_agg/group_concat/listagg: DuckDB's default
+        # separator is ',' (Spark's string_agg default is '' — silent).
+        # `string_agg(x ORDER BY k)` parses as one argument; route it
+        # through the 2-arg builder with the default separator.
+        body = args[0]
+        ob = _depth0_keyword(body, "ORDER")
+        if ob < 0:
+            return f"array_join(collect_list({body}), ',')"
+        return build([body[:ob].strip(), f"',' {body[ob:]}"])
+
+    sql = _transform_calls(sql, _STRING_AGG_CALL, 2, build)
+    return _transform_calls(sql, _STRING_AGG_CALL, 1, build1)
 
 
 def _depth0_keyword(sql: str, word: str, start: int = 0) -> int:
@@ -642,6 +700,101 @@ def _rewrite_power_ops(sql: str) -> str:
     return sql
 
 
+# re-entry guard for rewrites whose output contains their own call name
+_MARK = "/*swl*/"
+
+
+def _marked_arg(arg: str) -> bool:
+    return arg.lstrip().startswith(_MARK)
+
+
+# integer-cast rounding: DuckDB CAST to integer types ROUNDS half away
+# from zero (2.5::INT = 3, '5.7'::INT = 6); ANSI Spark truncates toward
+# zero — a silent off-by-one on every fractional cast. DECIMAL(38,0) is
+# the exact bridge: Spark's decimal cast is HALF_UP (= half away from
+# zero), holds int64 exactly (no double round-trip), accepts booleans
+# and numeric strings, and errors on the same out-of-range inputs. Runs
+# EARLY, on raw user text — internal rewrites emit their own integral
+# CASTs later and must not be wrapped.
+_INT_TYPES = (
+    r"TINYINT|SMALLINT|INTEGER|INT8|INT4|INT2|INT1|INT|BIGINT|"
+    r"HUGEINT|SHORT|LONG|SIGNED"
+)
+
+
+def _rewrite_int_cast_rounding(sql: str) -> str:
+    sql = _sub_outside(
+        rf"::\s*({_INT_TYPES})\b(?!\s*[\[\x01])",
+        lambda m: (
+            "::DECIMAL(38,0)" if m.group(1).upper() == "HUGEINT"
+            else f"::DECIMAL(38,0)::{m.group(1)}"
+        ),
+        sql,
+    )
+    # collapse accidental double-wraps (a pre-wrapped ::DECIMAL(38,0)
+    # immediately before keeps the single bridge)
+    sql = re.sub(
+        r"::DECIMAL\(38,0\)(::DECIMAL\(38,0\))+", "::DECIMAL(38,0)", sql
+    )
+
+    def _cast_int_round(args, fn):
+        body = args[0]
+        if _marked_arg(body):
+            return None
+        # last depth-0 AS splits expression from target type
+        pos, last = 0, -1
+        while True:
+            k = _depth0_keyword(body, "AS", pos)
+            if k < 0:
+                break
+            last = k
+            pos = k + 2
+        if last < 0:
+            return None
+        expr, typ = body[:last].rstrip(), body[last + 2 :].strip()
+        tm = re.fullmatch(rf"({_INT_TYPES})", typ, re.IGNORECASE)
+        if tm is None:
+            return None
+        if typ.upper() == "HUGEINT":
+            return f"{fn}({_MARK} {expr} AS DECIMAL(38,0))"
+        # TRY_CAST keeps NULL-on-failure through BOTH hops (a plain
+        # inner CAST would re-introduce the ANSI error TRY_CAST exists
+        # to avoid)
+        return (
+            f"{fn}({_MARK} {fn}({_MARK} {expr} AS DECIMAL(38,0)) "
+            f"AS {typ})"
+        )
+
+    for cast_name in ("CAST", "TRY_CAST"):
+        sql = _transform_calls(
+            sql,
+            re.compile(rf"\b{cast_name}\s*\(", re.IGNORECASE),
+            1,
+            lambda a, fn=cast_name: _cast_int_round(a, fn),
+        )
+    return sql
+
+
+def _rewrite_factorial(sql: str) -> str:
+    """Postfix ``n !`` → ``factorial(n)`` (DuckDB); ``!=`` stays."""
+    for _ in range(20):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(r"!(?![=~])", sql):
+            if _in_span(cand.start(), spans):
+                continue
+            ls = _scan_left_operand(sql, cand.start(), spans)
+            if ls >= 0:
+                m = (cand, ls)
+                break
+        if m is None:
+            return sql
+        cand, ls = m
+        operand = sql[ls : cand.start()].strip()
+        sql = f"{sql[:ls]}factorial({operand}){sql[cand.end():]}"
+    return sql
+
+
 # keywords that can directly precede a list literal: `SELECT [1,2]`,
 # `WHEN [..] THEN [..]`, `IN`, boolean connectives — a bracket after one
 # of these is a literal, not a subscript on the keyword
@@ -819,7 +972,7 @@ def _rewrite_brackets(sql: str) -> str:
             else:
                 repl = (
                     f"try_element_at({base}, "
-                    f"nullif(CAST(({idx}) AS INT), 0))"
+                    f"nullif(CAST({_MARK} ({idx}) AS INT), 0))"
                 )
             sql = sql[:bs] + repl + sql[k + 1 :]
             continue
@@ -1338,10 +1491,12 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_json_casts(sql)
+    sql = _rewrite_int_cast_rounding(sql)
     sql = _rewrite_struct_literals(sql)
     sql = _rewrite_brackets(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_power_ops(sql)
+    sql = _rewrite_factorial(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)
@@ -1491,12 +1646,111 @@ def transpile_duckdb(sql: str) -> str:
         _quantile_disc,
     )
 
-    # 5) date_diff('unit', a, b) / date_part-style quoted units →
-    #    timestampdiff(UNIT, a, b) (Spark wants a keyword, not a string)
-    out = _sub_outside(
-        r"\bdate_diff\s*\(\s*'(\w+)'\s*,",
-        lambda m: f"timestampdiff({m.group(1).upper()},",
+    # 5) date_diff('unit', a, b) / datediff 3-arg: DuckDB counts UNIT
+    #    BOUNDARIES CROSSED (date_diff('month', Jan-31, Feb-01) = 1,
+    #    ('hour', 00:59:59, 01:00:00) = 1) — the previous timestampdiff
+    #    map counted FULL units (both = 0), a silent wrong answer on
+    #    every sub-unit-aligned input (r9 probe). Each unit gets its
+    #    exact boundary expression; 'century' is year//100 (NOT the
+    #    century() ordinal — DuckDB-verified: 2000-12-31→2001-01-01 is
+    #    0). Unknown units fall back to timestampdiff and fail loud if
+    #    Spark doesn't know them either.
+    def _dd_year_scale(a, b, k):
+        return f"CAST({_MARK} (year({b}) div {k}) - (year({a}) div {k}) AS BIGINT)"
+
+    def _dd_trunc_micros(a, b, unit, micros):
+        ta = f"unix_micros(CAST(date_trunc('{unit}', {a}) AS TIMESTAMP))"
+        tb = f"unix_micros(CAST(date_trunc('{unit}', {b}) AS TIMESTAMP))"
+        return f"CAST({_MARK} ({tb} - {ta}) div {micros} AS BIGINT)"
+
+    _DATE_DIFF_BUILDERS = {
+        "year": lambda a, b: _dd_year_scale(a, b, 1),
+        "quarter": lambda a, b: (
+            f"CAST({_MARK} (year({b}) * 4 + quarter({b})) - "
+            f"(year({a}) * 4 + quarter({a})) AS BIGINT)"
+        ),
+        "month": lambda a, b: (
+            f"CAST({_MARK} (year({b}) * 12 + month({b})) - "
+            f"(year({a}) * 12 + month({a})) AS BIGINT)"
+        ),
+        "decade": lambda a, b: _dd_year_scale(a, b, 10),
+        "century": lambda a, b: _dd_year_scale(a, b, 100),
+        "millennium": lambda a, b: _dd_year_scale(a, b, 1000),
+        "week": lambda a, b: (
+            f"CAST({_MARK} datediff(CAST(date_trunc('week', {b}) AS DATE), "
+            f"CAST(date_trunc('week', {a}) AS DATE)) div 7 AS BIGINT)"
+        ),
+        "day": lambda a, b: (
+            f"CAST({_MARK} datediff(CAST({b} AS DATE), CAST({a} AS DATE)) "
+            f"AS BIGINT)"
+        ),
+        "hour": lambda a, b: _dd_trunc_micros(a, b, "hour", 3600000000),
+        "minute": lambda a, b: _dd_trunc_micros(a, b, "minute", 60000000),
+        "second": lambda a, b: _dd_trunc_micros(a, b, "second", 1000000),
+        "millisecond": lambda a, b: (
+            f"CAST({_MARK} (unix_micros(CAST({b} AS TIMESTAMP)) div 1000) - "
+            f"(unix_micros(CAST({a} AS TIMESTAMP)) div 1000) AS BIGINT)"
+        ),
+        "microsecond": lambda a, b: (
+            f"CAST({_MARK} unix_micros(CAST({b} AS TIMESTAMP)) - "
+            f"unix_micros(CAST({a} AS TIMESTAMP)) AS BIGINT)"
+        ),
+    }
+
+    def _date_diff3(args):
+        u, a, b = args
+        um = re.fullmatch(r"'(\w+)'", u.strip())
+        if um is None:
+            return None
+        unit = um.group(1).lower().rstrip("s")
+        unit = {"millisecond": "millisecond", "microsecond": "microsecond",
+                "msec": "millisecond", "usec": "microsecond"}.get(
+                    unit, unit)
+        builder = _DATE_DIFF_BUILDERS.get(unit)
+        if builder is None:
+            return f"timestampdiff({um.group(1).upper()}, {a}, {b})"
+        return builder(a, b)
+
+    out = _transform_calls(
         out,
+        re.compile(r"\b(?:date_diff|datediff)\s*\(", re.IGNORECASE),
+        3,
+        _date_diff3,
+    )
+
+    # 5b) date_sub('unit', a, b): COMPLETE units between (DuckDB
+    #     date_sub('hour', 00:59:59, 01:59:58) = 0) — exactly Spark's
+    #     timestampdiff for the units it knows; ms/us get exact
+    #     truncating division (Spark div truncates toward zero like
+    #     DuckDB's complete-interval count on negatives)
+    _TSDIFF_UNITS = {"year", "quarter", "month", "week", "day", "hour",
+                     "minute", "second"}
+
+    def _date_sub3(args):
+        u, a, b = args
+        um = re.fullmatch(r"'(\w+)'", u.strip())
+        if um is None:
+            return None
+        unit = um.group(1).lower().rstrip("s")
+        if unit in _TSDIFF_UNITS:
+            return f"timestampdiff({unit.upper()}, {a}, {b})"
+        if unit in ("millisecond", "msec"):
+            return (
+                f"CAST({_MARK} (unix_micros(CAST({b} AS TIMESTAMP)) - "
+                f"unix_micros(CAST({a} AS TIMESTAMP))) div 1000 AS BIGINT)"
+            )
+        if unit in ("microsecond", "usec"):
+            return (
+                f"CAST({_MARK} unix_micros(CAST({b} AS TIMESTAMP)) - "
+                f"unix_micros(CAST({a} AS TIMESTAMP)) AS BIGINT)"
+            )
+        return None
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bdate_sub\s*\(", re.IGNORECASE),
+        3,
+        _date_sub3,
     )
 
     # 6) strptime(s, '%fmt') → to_timestamp(s, 'javafmt')
@@ -1623,12 +1877,12 @@ def transpile_duckdb(sql: str) -> str:
         (
             r"\bcentury\s*\(",
             1,
-            lambda a: f"CAST(ceil(year({a[0]}) / 100.0) AS BIGINT)",
+            lambda a: f"CAST({_MARK} ceil(year({a[0]}) / 100.0) AS BIGINT)",
         ),
         (
             r"\bdecade\s*\(",
             1,
-            lambda a: f"CAST(floor(year({a[0]}) / 10.0) AS BIGINT)",
+            lambda a: f"CAST({_MARK} floor(year({a[0]}) / 10.0) AS BIGINT)",
         ),
         (
             r"\bepoch_ns\s*\(",
@@ -1669,7 +1923,7 @@ def transpile_duckdb(sql: str) -> str:
                 if re.fullmatch(r"'[^']*'", a[0].strip())
                 else (
                     f"try_element_at({a[0]}, "
-                    f"nullif(CAST({a[1]} AS INT), 0))"
+                    f"nullif(CAST({_MARK} {a[1]} AS INT), 0))"
                 )
             ),
         ),
@@ -2001,9 +2255,9 @@ def transpile_duckdb(sql: str) -> str:
         return (
             f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
             f"WHEN length({a}) <> length({b}) OR length({a}) = 0 THEN "
-            f"CAST(raise_error('hamming: strings must be non-empty and "
+            f"CAST({_MARK} raise_error('hamming: strings must be non-empty and "
             f"of equal length') AS BIGINT) "
-            f"ELSE CAST(aggregate(zip_with(split({a}, ''), "
+            f"ELSE CAST({_MARK} aggregate(zip_with(split({a}, ''), "
             f"split({b}, ''), (_swl_x, _swl_y) -> "
             f"CASE WHEN _swl_x = _swl_y THEN 0 ELSE 1 END), 0, "
             f"(_swl_a, _swl_v) -> _swl_a + _swl_v) AS BIGINT) END)"
@@ -2014,6 +2268,561 @@ def transpile_duckdb(sql: str) -> str:
         re.compile(r"\b(?:hamming|mismatches)\s*\(", re.IGNORECASE),
         2,
         _hamming,
+    )
+
+    # 6f) r9 semantic sweep — silent divergences found by the live
+    #     differential probe (tools/dialect_probe.py). ``/*swl*/`` is
+    #     the re-entry guard for rewrites whose output contains the
+    #     same call name (the 10-pass rescan in _transform_calls would
+    #     otherwise wrap its own output).
+    _marked = _marked_arg  # module-level guard (shared with the early
+    # int-cast pass; assigning _MARK here would shadow it function-wide)
+
+    # concat(): DuckDB SKIPS NULL arguments and casts everything to
+    # text (concat('a', 1, NULL, 'b') = 'a1b', concat([1],[2]) =
+    # '[1][2]'); Spark concat propagates NULL. list_cat/list_concat
+    # are DuckDB's LIST concatenation → Spark's array concat, marked
+    # so this rewrite leaves them alone.
+    def _concat_nullskip(args):
+        if not args or any(_marked(a) for a in args):
+            return None
+        casted = ", ".join(f"CAST({a} AS STRING)" for a in args)
+        return f"concat_ws('', {casted})"
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bconcat\s*\(", re.IGNORECASE),
+        None,
+        _concat_nullskip,
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:list_cat|list_concat)\s*\(", re.IGNORECASE),
+        None,
+        lambda a: (
+            None if any(_marked(x) for x in a)
+            else f"concat({_MARK} " + ", ".join(a) + ")"
+        ),
+    )
+
+    # regexp_extract 2-arg: DuckDB returns the FULL MATCH (group 0);
+    # Spark's 2-arg default is group 1 — silent '' on group-free
+    # patterns
+    out = _transform_calls(
+        out,
+        re.compile(r"\bregexp_extract\s*\(", re.IGNORECASE),
+        2,
+        lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)",
+    )
+
+    # regexp_full_match(s, p) → anchored regexp_like
+    out = _transform_calls(
+        out,
+        re.compile(r"\bregexp_full_match\s*\(", re.IGNORECASE),
+        2,
+        lambda a: (
+            f"regexp_like({a[0]}, concat('^(?:', {a[1]}, ')$'))"
+        ),
+    )
+
+    # like_escape family → LIKE/ILIKE ... ESCAPE
+    for name, op in (
+        ("like_escape", "LIKE"),
+        ("not_like_escape", "NOT LIKE"),
+        ("ilike_escape", "ILIKE"),
+        ("not_ilike_escape", "NOT ILIKE"),
+    ):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{name}\s*\(", re.IGNORECASE),
+            3,
+            lambda a, op=op: f"(({a[0]}) {op} ({a[1]}) ESCAPE {a[2]})",
+        )
+
+    # xor(a, b): composed WITHOUT Spark's ^ (which the power rewrite
+    # owns in DuckDB dialect): a XOR b = (a|b) - (a&b)
+    out = _transform_calls(
+        out,
+        re.compile(r"\bxor\s*\(", re.IGNORECASE),
+        2,
+        lambda a: f"((({a[0]}) | ({a[1]})) - (({a[0]}) & ({a[1]})))",
+    )
+
+    # date_trunc day-or-coarser returns DATE in DuckDB (verified: BOTH
+    # date and timestamp inputs → DATE for week/month/...; only
+    # sub-day units stay TIMESTAMP) — Spark's is always TIMESTAMP
+    _TRUNC_DATE_UNITS = {"day", "week", "month", "quarter", "year"}
+
+    def _date_trunc_date(args):
+        u, x = args
+        if _marked(u):
+            return None
+        um = re.fullmatch(r"'(\w+)'", u.strip())
+        if um is None or um.group(1).lower() not in _TRUNC_DATE_UNITS:
+            return None
+        return (
+            f"CAST(date_trunc({_MARK}{u.strip()}, {x}) AS DATE)"
+        )
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bdate_trunc\s*\(", re.IGNORECASE),
+        2,
+        _date_trunc_date,
+    )
+
+    # typeof(): render Spark's type names on DuckDB's grid for the
+    # scalar surface (decimal keeps precision, timestamp variants
+    # collapse to TIMESTAMP; array/struct renderings stay Spark-shaped,
+    # documented)
+    def _typeof(args):
+        if _marked(args[0]):
+            return None
+        t = f"typeof({_MARK} {args[0]})"
+        pairs = [
+            ("int", "INTEGER"), ("bigint", "BIGINT"),
+            ("smallint", "SMALLINT"), ("tinyint", "TINYINT"),
+            ("double", "DOUBLE"), ("float", "FLOAT"),
+            ("string", "VARCHAR"), ("boolean", "BOOLEAN"),
+            ("date", "DATE"), ("binary", "BLOB"), ("void", "\"NULL\""),
+        ]
+        whens = " ".join(
+            f"WHEN {t} = '{a}' THEN '{b}'" for a, b in pairs
+        )
+        return (
+            f"(CASE {whens} "
+            f"WHEN {t} LIKE 'timestamp%' THEN 'TIMESTAMP' "
+            f"ELSE upper({t}) END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\btypeof\s*\(", re.IGNORECASE), 1, _typeof
+    )
+
+    # skewness/kurtosis: DuckDB returns SAMPLE statistics (bias-
+    # corrected, Excel g1/G2); Spark returns POPULATION moments — a
+    # silent scale error on every input. Corrections are exact
+    # (probe-verified to the last double digit); small-n yields NULL
+    # like DuckDB (n<3 / n<4) — the CASE also keeps the ANSI
+    # divide-by-zero out of reach.
+    def _skewness(args):
+        if _marked(args[0]):
+            return None
+        x, c = args[0], f"count({args[0]})"
+        return (
+            f"(CASE WHEN {c} < 3 THEN NULL ELSE "
+            f"skewness({_MARK} {x}) * sqrt({c} * ({c} - 1.0)) "
+            f"/ ({c} - 2) END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bskewness\s*\(", re.IGNORECASE), 1, _skewness
+    )
+
+    def _kurtosis(args):
+        if _marked(args[0]):
+            return None
+        x, c = args[0], f"count({args[0]})"
+        return (
+            f"(CASE WHEN {c} < 4 THEN NULL ELSE "
+            f"((({c} + 1.0) * kurtosis({_MARK} {x}) + 6) * ({c} - 1.0) "
+            f"/ (({c} - 2) * ({c} - 3))) END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bkurtosis\s*\(", re.IGNORECASE), 1, _kurtosis
+    )
+
+    # extract(epoch FROM x) / date_part('epoch', x): DOUBLE seconds
+    # with the fraction (the epoch() call rewrite's keyword forms)
+    _EPOCH_EXPR = "(unix_micros(CAST({x} AS TIMESTAMP)) / 1e6)"
+
+    def _extract_epoch(args):
+        m = re.fullmatch(
+            r"epoch\s+FROM\s+(.+)", args[0].strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return None
+        return _EPOCH_EXPR.format(x=m.group(1))
+
+    out = _transform_calls(
+        out, re.compile(r"\bextract\s*\(", re.IGNORECASE), 1,
+        _extract_epoch,
+    )
+
+    def _date_part_epoch(args):
+        if re.fullmatch(r"'epoch'", args[0].strip(), re.IGNORECASE):
+            return _EPOCH_EXPR.format(x=args[1])
+        return None
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:date_part|datepart)\s*\(", re.IGNORECASE),
+        2,
+        _date_part_epoch,
+    )
+
+    # isoyear → ISO week-numbering year
+    out = _transform_calls(
+        out,
+        re.compile(r"\bisoyear\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
+    )
+
+    # make_timestamp(micros) 1-arg (the 6-arg calendar form maps 1:1)
+    out = _transform_calls(
+        out,
+        re.compile(r"\bmake_timestamp\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"timestamp_micros({a[0]})",
+    )
+
+    # aggregate breadth: product (sign/zero-exact, incl. DuckDB's -0.0
+    # for a zero with odd negative count), geomean; first/last with
+    # ORDER BY → min_by/max_by (DuckDB-verified directions)
+    def _product(args):
+        x = args[0]
+        neg = f"sum(CASE WHEN ({x}) < 0 THEN 1 ELSE 0 END) % 2 = 1"
+        return (
+            f"(CASE WHEN count(CASE WHEN ({x}) = 0 THEN 1 END) > 0 "
+            f"THEN (CASE WHEN {neg} THEN -0.0 ELSE 0.0 END) "
+            f"ELSE exp(sum(ln(abs(CAST(nullif({x}, 0) AS DOUBLE))))) "
+            f"* (CASE WHEN {neg} THEN -1.0 ELSE 1.0 END) END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bproduct\s*\(", re.IGNORECASE), 1, _product
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\bgeomean\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"exp(avg(ln(CAST(({a[0]}) AS DOUBLE))))",
+    )
+
+    def _first_last_order(args, kind):
+        body = args[0]
+        ob = _depth0_keyword(body, "ORDER")
+        if ob < 0:
+            return None
+        om = re.match(
+            r"^ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
+            body[ob:],
+            re.IGNORECASE | re.DOTALL,
+        )
+        if om is None:
+            return None
+        x = body[:ob].strip()
+        key = om.group(1).strip()
+        desc = (om.group(2) or "").strip().upper() == "DESC"
+        if len(_split_top(key)) != 1 or re.search(
+            r"\bNULLS\s+(FIRST|LAST)\s*$", key, re.IGNORECASE
+        ):
+            return None
+        fn = ("max_by" if desc else "min_by") if kind == "first" else (
+            "min_by" if desc else "max_by"
+        )
+        return f"{fn}({x}, {key})"
+
+    out = _transform_calls(
+        out, re.compile(r"\bfirst\s*\(", re.IGNORECASE), 1,
+        lambda a: _first_last_order(a, "first"),
+    )
+    out = _transform_calls(
+        out, re.compile(r"\blast\s*\(", re.IGNORECASE), 1,
+        lambda a: _first_last_order(a, "last"),
+    )
+
+    # array_agg(x ORDER BY k [DESC]) / list(...): sorted-struct collect
+    # (key-first struct; the IS NULL flag pins DuckDB's NULLS-LAST
+    # default in both directions)
+    def _array_agg_order(args):
+        body = args[0]
+        ob = _depth0_keyword(body, "ORDER")
+        if ob < 0:
+            return None
+        om = re.match(
+            r"^ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
+            body[ob:],
+            re.IGNORECASE | re.DOTALL,
+        )
+        if om is None:
+            return None
+        x = body[:ob].strip()
+        key = om.group(1).strip()
+        desc = (om.group(2) or "").strip().upper() == "DESC"
+        if len(_split_top(key)) != 1 or re.search(
+            r"\bNULLS\s+(FIRST|LAST)\s*$", key, re.IGNORECASE
+        ):
+            return None
+        nflag = "IS NOT NULL" if desc else "IS NULL"
+        sorted_arr = (
+            f"array_sort(collect_list(named_struct("
+            f"'_swl_n', ({key}) {nflag}, '_swl_k', {key}, "
+            f"'_swl_v', {x})))"
+        )
+        if desc:
+            sorted_arr = f"reverse({sorted_arr})"
+        return f"transform({sorted_arr}, _swl_s -> _swl_s._swl_v)"
+
+    # name map (step 1) already renamed array_agg/list → collect_list
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:array_agg|collect_list|list)\s*\(", re.IGNORECASE),
+        1,
+        _array_agg_order,
+    )
+
+    # list_resize / list_where / list_select / list_grade_up — probe-
+    # verified compositions. The huge-index try_element_at is the typed
+    # NULL pad (index 0 raises even in try_element_at; INT_MAX is
+    # always out of bounds → NULL of the element type).
+    def _list_resize(args):
+        l, n = args[0], args[1]
+        fill = (
+            f"({args[2]})" if len(args) == 3
+            else f"try_element_at({l}, 2147483647)"
+        )
+        return (
+            f"(CASE WHEN ({n}) > size({l}) THEN concat({_MARK} {l}, "
+            f"transform(sequence(1, ({n}) - size({l})), "
+            f"_swl_i -> {fill})) "
+            f"ELSE slice({l}, 1, greatest(({n}), 0)) END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\blist_resize\s*\(", re.IGNORECASE), 2,
+        _list_resize,
+    )
+    out = _transform_calls(
+        out, re.compile(r"\blist_resize\s*\(", re.IGNORECASE), 3,
+        _list_resize,
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\blist_where\s*\(", re.IGNORECASE),
+        2,
+        lambda a: (
+            f"(CASE WHEN size({a[0]}) < 1 THEN {a[0]} ELSE "
+            f"transform(filter(sequence(1, size({a[0]})), "
+            f"_swl_i -> element_at({a[1]}, _swl_i)), "
+            f"_swl_i -> element_at({a[0]}, _swl_i)) END)"
+        ),
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\blist_select\s*\(", re.IGNORECASE),
+        2,
+        lambda a: (
+            f"transform({a[1]}, _swl_i -> try_element_at({a[0]}, "
+            f"nullif(CAST({_MARK} _swl_i AS INT), 0)))"
+        ),
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\blist_grade_up\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"transform(array_sort(transform({a[0]}, "
+            f"(_swl_x, _swl_i) -> struct((_swl_x IS NULL) AS n, "
+            f"_swl_x AS v, _swl_i + 1 AS p))), _swl_s -> _swl_s.p)"
+        ),
+    )
+
+    # list_sort direction/null-order flags (literal flags only; DuckDB
+    # default is ASC NULLS LAST = Spark array_sort; the four combos map
+    # to sort_array / array_sort / reverse compositions, probe-verified)
+    def _list_sort_flags(args):
+        l = args[0]
+        fm = re.fullmatch(r"'(\w+)'", args[1].strip())
+        if fm is None:
+            return None
+        desc = fm.group(1).lower() == "desc"
+        if len(args) == 2:
+            return f"sort_array({l}, false)" if desc else f"array_sort({l})"
+        nm = re.fullmatch(
+            r"'NULLS\s+(FIRST|LAST)'", args[2].strip(), re.IGNORECASE
+        )
+        if nm is None:
+            return None
+        nulls_first = nm.group(1).upper() == "FIRST"
+        if not desc:
+            return (
+                f"sort_array({l}, true)" if nulls_first
+                else f"array_sort({l})"
+            )
+        return (
+            f"reverse(array_sort({l}))" if nulls_first
+            else f"sort_array({l}, false)"
+        )
+
+    # name map (step 1) already renamed list_sort → array_sort; a
+    # 2-arg Spark array_sort(x, lambda) comparator is left alone (the
+    # builder only fires on quoted direction literals)
+    _LIST_SORT = re.compile(
+        r"\b(?:list_sort|array_sort)\s*\(", re.IGNORECASE
+    )
+    out = _transform_calls(out, _LIST_SORT, 2, _list_sort_flags)
+    out = _transform_calls(out, _LIST_SORT, 3, _list_sort_flags)
+
+    # list_avg: mean over non-NULL elements (NULL on empty/all-NULL)
+    out = _transform_calls(
+        out,
+        re.compile(r"\blist_avg\s*\(", re.IGNORECASE),
+        1,
+        lambda a: _LIST_AGG_FNS["avg"](a[0]),
+    )
+
+    # format_bytes: binary units, one decimal past KiB (DuckDB-verified
+    # '999 bytes' / '1.5 KiB' / '1.0 MiB' / '0 bytes')
+    def _format_bytes(args):
+        x = args[0]
+        tiers = [("KiB", 1024), ("MiB", 1024**2), ("GiB", 1024**3),
+                 ("TiB", 1024**4), ("PiB", 1024**5)]
+        whens = []
+        for i, (unit, scale) in enumerate(tiers):
+            upper = tiers[i + 1][1] if i + 1 < len(tiers) else None
+            cond = (
+                f"abs({x}) < {upper}" if upper is not None else "true"
+            )
+            whens.append(
+                f"WHEN {cond} THEN concat(format_string('%.1f', "
+                f"CAST({x} AS DOUBLE) / {scale}), ' {unit}')"
+            )
+        return (
+            f"(CASE WHEN abs({x}) < 1024 THEN "
+            f"concat(CAST({x} AS STRING), ' bytes') "
+            + " ".join(whens) + " END)"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bformat_bytes\s*\(", re.IGNORECASE), 1,
+        _format_bytes,
+    )
+
+    # timezone_hour/timezone_minute: the engine pins the session to UTC
+    # (config.py), so the offset is 0 with NULL propagation
+    for tzname in ("timezone_hour", "timezone_minute"):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{tzname}\s*\(", re.IGNORECASE),
+            1,
+            lambda a: (
+                f"(CASE WHEN CAST({a[0]} AS TIMESTAMP) IS NULL "
+                f"THEN NULL ELSE 0 END)"
+            ),
+        )
+
+    # to_days/to_hours/... → day-time intervals (Spark's
+    # make_dt_interval round-trips as a Python timedelta, matching
+    # DuckDB's INTERVAL; year/month intervals are skipped — Spark's
+    # calendar-interval type does not survive collection)
+    for tname, build_dt in (
+        ("to_days", lambda a: f"make_dt_interval({a[0]})"),
+        ("to_weeks", lambda a: f"make_dt_interval(({a[0]}) * 7)"),
+        ("to_hours", lambda a: f"make_dt_interval(0, {a[0]})"),
+        ("to_minutes", lambda a: f"make_dt_interval(0, 0, {a[0]})"),
+        ("to_seconds", lambda a: f"make_dt_interval(0, 0, 0, {a[0]})"),
+        (
+            "to_milliseconds",
+            lambda a: f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000.0)",
+        ),
+        (
+            "to_microseconds",
+            lambda a: f"make_dt_interval(0, 0, 0, ({a[0]}) / 1e6)",
+        ),
+    ):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{tname}\s*\(", re.IGNORECASE),
+            1,
+            build_dt,
+        )
+
+    # gcd/lcm: bounded Euclid fold (92 steps covers the int64 worst
+    # case — consecutive Fibonacci numbers); lcm = |a*b| / gcd
+    def _gcd_expr(a, b):
+        acc0 = (
+            f"named_struct('x', abs(CAST({a} AS BIGINT)), "
+            f"'y', abs(CAST({b} AS BIGINT)))"
+        )
+        return (
+            f"aggregate(sequence(1, 92), {acc0}, "
+            f"(_swl_g, _swl_i) -> CASE WHEN _swl_g.y = 0 THEN _swl_g "
+            f"ELSE named_struct('x', _swl_g.y, 'y', _swl_g.x % _swl_g.y) "
+            f"END).x"
+        )
+
+    out = _transform_calls(
+        out, re.compile(r"\bgcd\s*\(", re.IGNORECASE), 2,
+        lambda a: f"({_gcd_expr(a[0], a[1])})",
+    )
+    out = _transform_calls(
+        out, re.compile(r"\blcm\s*\(", re.IGNORECASE), 2,
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) = 0 OR ({a[1]}) = 0 THEN 0 ELSE "
+            f"abs(CAST({a[0]} AS BIGINT) * CAST({a[1]} AS BIGINT)) "
+            f"div ({_gcd_expr(a[0], a[1])}) END)"
+        ),
+    )
+
+    # parse_filename / parse_dirname / parse_path ('/'-separated;
+    # DuckDB-verified: parse_dirname('/a/b/c.txt') = '/' — the TOP
+    # component, root included)
+    def _path_comps(x):
+        return f"filter(split({x}, '/'), _swl_p -> _swl_p <> '')"
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bparse_filename\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"(CASE WHEN endswith({a[0]}, '/') THEN '' "
+            f"ELSE try_element_at({_path_comps(a[0])}, -1) END)"
+        ),
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\bparse_dirname\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"(CASE WHEN startswith({a[0]}, '/') THEN '/' "
+            f"ELSE try_element_at({_path_comps(a[0])}, 1) END)"
+        ),
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\bparse_path\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"(CASE WHEN startswith({a[0]}, '/') THEN "
+            f"concat(array('/'), {_path_comps(a[0])}) "
+            f"ELSE {_path_comps(a[0])} END)"
+        ),
+    )
+
+    # json_extract / json_extract_path → get_json_object with the path
+    # normalized ('a' → '$.a'; '$'-paths pass through). DOCUMENTED
+    # DIVERGENCE: DuckDB returns the JSON representation (strings keep
+    # quotes); get_json_object unquotes scalar strings — numbers,
+    # booleans, objects and arrays are identical. Text extraction
+    # (json_extract_string / ->>) matches exactly.
+    def _json_extract(args):
+        j, p = args
+        pm = re.fullmatch(r"'(\w+)'", p.strip())
+        if pm is not None:
+            p = f"'$.{pm.group(1)}'"
+        return f"get_json_object({j}, {p})"
+
+    out = _transform_calls(
+        out,
+        re.compile(
+            r"\bjson_extract(?:_path)?\s*\(", re.IGNORECASE
+        ),
+        2,
+        _json_extract,
     )
 
     # 7) star-EXCLUDE → Spark's star-EXCEPT (same semantics)
@@ -2223,7 +3032,7 @@ def transpile_duckdb(sql: str) -> str:
         e = f"({naive} - {_TB_ORIGIN})"
         return (
             f"to_utc_timestamp(timestamp_seconds("
-            f"CAST(floor({e} / {s}.0) AS BIGINT) "
+            f"CAST({_MARK} floor({e} / {s}.0) AS BIGINT) "
             f"* {s} + {_TB_ORIGIN}), current_timezone())"
         )
 

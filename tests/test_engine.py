@@ -981,6 +981,205 @@ class TestDialectBreadth:
         ).collect()[0]
         assert r2.t == [2, 3]
 
+    def test_r9_date_diff_boundary_semantics(self, engine):
+        """DuckDB date_diff counts unit BOUNDARIES CROSSED, not full
+        units (the old timestampdiff map was a silent wrong answer on
+        sub-unit-aligned inputs). All values DuckDB-produced."""
+        r = engine.query(
+            "SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS m, "
+            "date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS y, "
+            "date_diff('hour', TIMESTAMP '2024-01-01 00:59:59', "
+            "TIMESTAMP '2024-01-01 01:00:00') AS h, "
+            "date_diff('week', DATE '2024-03-03', DATE '2024-03-04') AS w, "
+            "date_diff('century', DATE '2000-12-31', DATE '2001-01-01') AS c, "
+            "date_diff('day', DATE '2024-01-05', DATE '2024-01-01') AS neg, "
+            "datediff('day', DATE '2024-01-01', DATE '2024-01-05') AS dd, "
+            "date_sub('month', DATE '2024-03-10', DATE '2024-01-01') AS ds, "
+            "date_sub('hour', TIMESTAMP '2024-01-01 00:59:59', "
+            "TIMESTAMP '2024-01-01 01:59:58') AS dsh",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.m, r.y, r.h, r.w, r.c) == (1, 1, 1, 1, 0)
+        assert (r.neg, r.dd, r.ds, r.dsh) == (-4, 4, -2, 0)
+
+    def test_r9_date_trunc_returns_date_for_coarse_units(self, engine):
+        import datetime
+
+        r = engine.query(
+            "SELECT date_trunc('week', DATE '2024-03-05') AS w, "
+            "date_trunc('quarter', TIMESTAMP '2024-05-05 03:00:00') AS q, "
+            "date_trunc('hour', TIMESTAMP '2024-05-05 03:40:00') AS h",
+            dialect="duckdb",
+        ).collect()[0]
+        # DuckDB: DATE for day-or-coarser (both input types), TIMESTAMP
+        # below day
+        assert r.w == datetime.date(2024, 3, 4)
+        assert r.q == datetime.date(2024, 4, 1)
+        assert r.h == datetime.datetime(2024, 5, 5, 3, 0, 0)
+
+    def test_r9_concat_skips_nulls(self, engine):
+        r = engine.query(
+            "SELECT concat('a', NULL, 1, 'b') AS c, "
+            "list_cat([1, 2], [3]) AS lc, "
+            "'a' || NULL AS n",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.c == "a1b"  # DuckDB skips NULLs and casts
+        assert r.lc == [1, 2, 3]  # list concat stays a list
+        assert r.n is None  # the || operator propagates NULL (both)
+
+    def test_r9_int_cast_rounds_half_away(self, engine):
+        r = engine.query(
+            "SELECT 2.5::INT AS a, (-1.5)::INT AS b, "
+            "CAST(2.7 AS INT) AS c, '5.7'::INT AS d, "
+            "try_cast('x' AS INT) AS e, TRUE::INT AS f, "
+            "9007199254740993::BIGINT AS g",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == (3, -2, 3, 6)
+        assert r.e is None and r.f == 1
+        assert r.g == 9007199254740993  # no double round-trip
+
+    def test_r9_typeof_duckdb_names(self, engine):
+        r = engine.query(
+            "SELECT typeof(1) AS a, typeof(5000000000) AS b, "
+            "typeof('x') AS c, typeof(1.5) AS d, "
+            "typeof(DATE '2024-01-01') AS e, "
+            "typeof(TIMESTAMP '2024-01-01 00:00:00') AS f",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c) == ("INTEGER", "BIGINT", "VARCHAR")
+        assert r.d == "DECIMAL(2,1)"
+        assert (r.e, r.f) == ("DATE", "TIMESTAMP")
+
+    def test_r9_sample_moments(self, engine):
+        """DuckDB skewness/kurtosis are SAMPLE statistics; Spark's are
+        population moments — exact corrections, DuckDB-verified to the
+        last double digit; n<3 / n<4 → NULL like DuckDB."""
+        r = engine.query(
+            "SELECT skewness(x) AS s, kurtosis(x) AS k FROM "
+            "(VALUES (1.0),(2.0),(2.5),(10.0)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert abs(r.s - 1.8617951719240302) < 1e-12
+        assert abs(r.k - 3.5792241946146135) < 1e-9
+        r = engine.query(
+            "SELECT skewness(x) AS s, kurtosis(x) AS k FROM "
+            "(VALUES (1.0),(2.0)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.s is None and r.k is None
+
+    def test_r9_ordered_aggregates(self, engine):
+        r = engine.query(
+            "SELECT string_agg(s) AS sa, group_concat(s) AS gc, "
+            "first(s ORDER BY n) AS f, last(s ORDER BY n) AS l, "
+            "first(s ORDER BY n DESC) AS fd, "
+            "array_agg(s ORDER BY n DESC) AS ad, "
+            "list(s ORDER BY n) AS la "
+            "FROM (VALUES (2,'b'),(1,'a'),(3,'c')) t(n, s)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.sa == "a,b,c" or set(r.sa.split(",")) == {"a", "b", "c"}
+        assert r.gc == r.sa
+        assert (r.f, r.l, r.fd) == ("a", "c", "c")
+        assert r.ad == ["c", "b", "a"] and r.la == ["a", "b", "c"]
+
+    def test_r9_math_agg_breadth(self, engine):
+        r = engine.query(
+            "SELECT product(x) AS p, geomean(x) AS g, favg(x) AS fa, "
+            "fsum(x) AS fs, arbitrary(x) AS ar "
+            "FROM (VALUES (2.0),(8.0)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert abs(r.p - 16.0) < 1e-9 and abs(r.g - 4.0) < 1e-12
+        assert r.fa == 5.0 and r.fs == 10.0 and r.ar in (2.0, 8.0)
+        r = engine.query(
+            "SELECT product(x) AS p FROM (VALUES (-2),(3),(0)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.p == 0.0  # zero with odd negative count (DuckDB -0.0)
+
+    def test_r9_gcd_lcm_factorial(self, engine):
+        r = engine.query(
+            "SELECT gcd(12, 18) AS g, gcd(0, 5) AS g0, gcd(-12, 18) AS gn, "
+            "lcm(4, 6) AS l, lcm(0, 7) AS l0, 3! AS f, factorial(5) AS f5",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.g, r.g0, r.gn) == (6, 5, 6)
+        assert (r.l, r.l0) == (12, 0)
+        assert (r.f, r.f5) == (6, 120)
+
+    def test_r9_list_function_breadth(self, engine):
+        r = engine.query(
+            "SELECT list_sort([3,NULL,1]) AS s, "
+            "list_sort([3,NULL,1], 'DESC') AS sd, "
+            "list_sort([3,1], 'ASC', 'NULLS FIRST') AS snf, "
+            "list_resize([1,2], 4) AS lr, list_resize([1,2], 1) AS lr1, "
+            "list_where([1,2,3], [true,false,true]) AS lw, "
+            "list_select([10,20,30], [3,1,4]) AS ls, "
+            "list_grade_up([3,NULL,1]) AS gu, "
+            "list_zip([1,2], [3,4]) AS lz, "
+            "list_avg([1,2,3]) AS la",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.s == [1, 3, None] and r.sd == [3, 1, None]
+        assert r.snf == [1, 3]
+        assert r.lr == [1, 2, None, None] and r.lr1 == [1]
+        assert r.lw == [1, 3] and r.ls == [30, 10, None]
+        assert r.gu == [3, 1, 2]
+        assert [list(x) for x in r.lz] == [[1, 3], [2, 4]]
+        assert r.la == 2.0
+
+    def test_r9_string_path_breadth(self, engine):
+        r = engine.query(
+            "SELECT format_bytes(1536) AS fb, format_bytes(999) AS fb9, "
+            "format_bytes(1048576) AS fbm, "
+            "parse_filename('/a/b/c.txt') AS pf, "
+            "parse_dirname('/a/b/c.txt') AS pd, "
+            "parse_path('/a/b.txt') AS pp, "
+            "regexp_full_match('abc', '[a-c]+') AS rfm, "
+            "like_escape('a%c', 'a!%c', '!') AS le, "
+            "ilike_escape('A_C', 'a!_c', '!') AS il, "
+            "regexp_extract('abc123', '[0-9]+') AS re2, "
+            "strlen('héllo') AS sl, editdist3('kitten', 'sitting') AS ed",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.fb, r.fb9, r.fbm) == ("1.5 KiB", "999 bytes", "1.0 MiB")
+        assert (r.pf, r.pd) == ("c.txt", "/")
+        assert r.pp == ["/", "a", "b.txt"]
+        assert r.rfm is True and r.le is True and r.il is True
+        assert r.re2 == "123" and r.sl == 6 and r.ed == 3
+
+    def test_r9_datetime_breadth(self, engine):
+        import datetime
+
+        r = engine.query(
+            "SELECT make_timestamp(1700000000000000) AS mt, "
+            "isoyear(DATE '2021-01-01') AS iy, "
+            "extract(epoch FROM TIMESTAMP '2000-01-01 00:00:00.5') AS ep, "
+            "date_part('epoch', DATE '2000-01-02') AS ep2, "
+            "timezone_hour(TIMESTAMP '2024-01-01 00:00:00') AS tzh, "
+            "to_days(2) AS td, to_hours(5) AS th, "
+            "strftime(DATE '2024-01-02', '%-d/%-m') AS sf, "
+            "xor(5, 3) AS x",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.mt == datetime.datetime(2023, 11, 14, 22, 13, 20)
+        assert r.iy == 2020 and r.ep == 946684800.5
+        assert r.ep2 == 946771200.0 and r.tzh == 0
+        assert r.td == datetime.timedelta(days=2)
+        assert r.th == datetime.timedelta(hours=5)
+        assert r.sf == "2/1" and r.x == 6
+
+    def test_r9_json_extract_paths(self, engine):
+        r = engine.query(
+            "SELECT json_extract('{\"a\": {\"b\": 2}}', '$.a.b') AS a, "
+            "json_extract('{\"a\": 1}', 'a') AS b",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b) == ("2", "1")
+
     def test_r9_type_brackets_survive_ddl(self, engine):
         """INTEGER[] array-type suffixes in DDL are not element
         subscripts — the bracket rewrite shields them."""

@@ -366,9 +366,11 @@ def main() -> int:
                 silent.append((section, label, d_val, s_val))
         elif d_err is not None and s_err is not None:
             ok += 1  # both error: agreement (loud on both sides)
+        elif d_err is not None:
+            ok += 1  # DuckDB errors, engine succeeds: superset, fine
         else:
             loud.append(
-                (section, label, f"duck={d_val if d_err is None else 'ERR ' + d_err} | spark={s_val if s_err is None else 'ERR ' + s_err}")
+                (section, label, f"duck={d_val} | spark=ERR {s_err}")
             )
 
     print(f"\n=== {ok} agree ===")
