@@ -2745,8 +2745,8 @@ def transpile_duckdb(sql: str) -> str:
     # case — consecutive Fibonacci numbers); lcm = |a*b| / gcd
     def _gcd_expr(a, b):
         acc0 = (
-            f"named_struct('x', abs(CAST({a} AS BIGINT)), "
-            f"'y', abs(CAST({b} AS BIGINT)))"
+            f"named_struct('x', abs(CAST({_MARK} {a} AS BIGINT)), "
+            f"'y', abs(CAST({_MARK} {b} AS BIGINT)))"
         )
         return (
             f"aggregate(sequence(1, 92), {acc0}, "
@@ -3074,8 +3074,106 @@ def transpile_duckdb(sql: str) -> str:
     #     nature — transpile_duckdb is applied exactly once per
     #     statement (the session layer marks prepared statements as
     #     pre-transpiled rather than re-transpiling).
+    # 10b) align the default null ordering (DuckDB NULLS LAST both
+    #      directions; Spark's ascending default is NULLS FIRST)
+    out = _rewrite_order_by_nulls(out)
     out = _escape_literal_backslashes(out)
     return out
+
+
+_ORDER_TERMINATORS = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|UNION|INTERSECT|EXCEPT|ROWS|RANGE|GROUPS|"
+    r"WINDOW)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """DuckDB's default null ordering is NULLS LAST in BOTH directions;
+    Spark's ascending default is NULLS FIRST — a silent row-order (and
+    LIMIT-result) divergence on every ORDER BY over a nullable key.
+    Appends NULLS LAST to ascending sort items without an explicit
+    null order (descending defaults already agree). Applies to query-
+    level and window ORDER BYs; WITHIN GROUP is skipped (the ordering
+    there defines the quantile, not a row order) and bare ALL is left
+    alone (Spark accepts no null-order suffix on it — documented)."""
+    out = []
+    pos = 0
+    while True:
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(r"\bORDER\s+BY\b", sql[pos:], re.IGNORECASE):
+            if not _in_span(pos + cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        start = pos + m.start()
+        items_start = pos + m.end()
+        # WITHIN GROUP ( ORDER BY ... ): leave untouched
+        head = sql[:start].rstrip()
+        if head.endswith("(") and re.search(
+            r"WITHIN\s+GROUP\s*\($", head, re.IGNORECASE
+        ):
+            out.append(sql[pos:items_start])
+            pos = items_start
+            continue
+        # find the end of the sort-item list at the same depth
+        depth = 0
+        i = items_start
+        n = len(sql)
+        item_begin = items_start
+        items: list[tuple[int, int]] = []
+        end = n
+        while i < n:
+            if _in_span(i, spans):
+                i += 1
+                continue
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif c == ";" and depth == 0:
+                end = i
+                break
+            elif c == "," and depth == 0:
+                items.append((item_begin, i))
+                item_begin = i + 1
+            elif depth == 0 and c.isalpha():
+                t = _ORDER_TERMINATORS.match(sql, i)
+                if t and (i == 0 or not (sql[i - 1].isalnum()
+                                         or sql[i - 1] in "_$")):
+                    end = i
+                    break
+                while i < n and (sql[i].isalnum() or sql[i] in "_$"):
+                    i += 1
+                continue
+            i += 1
+        items.append((item_begin, end))
+        fixed = []
+        for s_, e_ in items:
+            item = sql[s_:e_]
+            body = item.strip()
+            if (
+                not body
+                or re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", body,
+                             re.IGNORECASE)
+                or re.search(r"\bDESC\s*$", body, re.IGNORECASE)
+                or re.fullmatch(r"ALL", body, re.IGNORECASE)
+            ):
+                fixed.append(item)
+            else:
+                trail = item[len(item.rstrip()):]
+                fixed.append(item.rstrip() + " NULLS LAST" + trail)
+        out.append(sql[pos:items_start])
+        out.append(",".join(fixed))
+        pos = end
+    return "".join(out)
 
 
 def _escape_literal_backslashes(sql: str) -> str:

@@ -1172,6 +1172,35 @@ class TestDialectBreadth:
         assert r.th == datetime.timedelta(hours=5)
         assert r.sf == "2/1" and r.x == 6
 
+    def test_r9_order_by_default_nulls_last(self, engine):
+        """DuckDB orders NULLS LAST in both directions by default;
+        Spark's ascending default is NULLS FIRST — silent row-order
+        and LIMIT divergence on nullable keys. Explicit NULLS FIRST
+        and DESC defaults are untouched (already agree)."""
+        rows = engine.query(
+            "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY x",
+            dialect="duckdb",
+        ).collect()
+        assert [r.x for r in rows] == [1, 2, None]
+        rows = engine.query(
+            "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) "
+            "ORDER BY x LIMIT 1",
+            dialect="duckdb",
+        ).collect()
+        assert rows[0].x == 1  # Spark default would return the NULL row
+        rows = engine.query(
+            "SELECT x, rank() OVER (ORDER BY x) AS r "
+            "FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY r",
+            dialect="duckdb",
+        ).collect()
+        assert [(r.x, r.r) for r in rows] == [(1, 1), (2, 2), (None, 3)]
+        rows = engine.query(
+            "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) "
+            "ORDER BY x NULLS FIRST",
+            dialect="duckdb",
+        ).collect()
+        assert [r.x for r in rows] == [None, 1, 2]
+
     def test_r9_json_extract_paths(self, engine):
         r = engine.query(
             "SELECT json_extract('{\"a\": {\"b\": 2}}', '$.a.b') AS a, "

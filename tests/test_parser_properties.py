@@ -372,6 +372,11 @@ def test_transpile_is_idempotent_on_rewritten_output():
         "SELECT j->'a'->>'b', j->0, x::JSON FROM t",
         "SELECT [y + 1 FOR y IN l IF y > 0] FROM t",
         "CREATE TABLE tt (x INTEGER[], y VARCHAR[3])",
+        "SELECT x FROM t ORDER BY x DESC, y, z NULLS FIRST LIMIT 3",
+        "SELECT rank() OVER (ORDER BY x) FROM t ORDER BY ALL",
+        "SELECT date_diff('month', a, b), date_trunc('week', d) FROM t",
+        "SELECT 2.5::INT, CAST(x AS BIGINT), typeof(x), gcd(a, b) FROM t",
+        "SELECT concat(a, b), list_cat(l, m), skewness(x), product(y) FROM t",
     ]
     for sql in corpus:
         once = transpile_duckdb(sql)
