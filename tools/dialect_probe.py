@@ -290,6 +290,73 @@ AGG_PROBES: list[tuple[str, str, str]] = [
 ]
 
 
+# Whole-query probes (run verbatim on both sides; compare full result
+# lists, order-sensitive)
+QUERY_PROBES: list[tuple[str, str]] = [
+    ("win", "SELECT x, lag(x) OVER (ORDER BY x) AS l FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, lag(x, 1, -1) OVER (ORDER BY x) AS l FROM (VALUES (1),(2)) t(x) ORDER BY x"),
+    ("win", "SELECT x, lead(x, 2) OVER (ORDER BY x) AS l FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, ntile(2) OVER (ORDER BY x) AS n FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, dense_rank() OVER (ORDER BY x) AS r FROM (VALUES (1),(1),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, percent_rank() OVER (ORDER BY x) AS p FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, cume_dist() OVER (ORDER BY x) AS c FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, row_number() OVER (ORDER BY x DESC) AS r FROM (VALUES (1),(2)) t(x) ORDER BY x"),
+    ("win", "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, sum(x) OVER (ORDER BY x RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM (VALUES (1),(2),(4)) t(x) ORDER BY x"),
+    ("win", "SELECT x, sum(x) OVER () AS s FROM (VALUES (1),(2)) t(x) ORDER BY x"),
+    ("win", "SELECT x, first_value(x) OVER (ORDER BY x) AS f, last_value(x) OVER (ORDER BY x) AS l FROM (VALUES (2),(1),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n FROM (VALUES (1),(2),(3)) t(x) ORDER BY x"),
+    ("win", "SELECT x, avg(x) OVER (PARTITION BY x % 2 ORDER BY x) AS a FROM (VALUES (1),(2),(3),(4)) t(x) ORDER BY x"),
+    ("win", "SELECT x, rank() OVER (ORDER BY x NULLS FIRST) AS r FROM (VALUES (2),(NULL),(1)) t(x) ORDER BY r"),
+    ("agg2", "SELECT count(DISTINCT x) AS c, sum(DISTINCT x) AS s FROM (VALUES (1),(1),(2)) t(x)"),
+    ("agg2", "SELECT avg(DISTINCT x) AS a FROM (VALUES (1),(1),(3)) t(x)"),
+    ("agg2", "SELECT count(*) FILTER (WHERE x > 1) AS c FROM (VALUES (1),(2),(3)) t(x)"),
+    ("agg2", "SELECT grouping(g) AS gr, g, sum(x) AS s FROM (VALUES ('a',1),('b',2)) t(g,x) GROUP BY ROLLUP(g) ORDER BY gr, g"),
+    ("agg2", "SELECT g, sum(x) AS s FROM (VALUES ('a',1),('a',2),('b',3)) t(g,x) GROUP BY g HAVING sum(x) > 2 ORDER BY g"),
+    ("agg2", "SELECT corr(y, x) AS c FROM (VALUES (1.0,1.0),(2.0,2.0)) t(x,y)"),
+    ("agg2", "SELECT max(s) AS m FROM (VALUES ('a'),('B')) t(s)"),
+    ("sel", "SELECT DISTINCT x FROM (VALUES (1),(1),(2)) t(x) ORDER BY x"),
+    ("sel", "SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x LIMIT 1 OFFSET 1"),
+    ("sel", "SELECT x FROM (VALUES (3),(1)) t(x) UNION SELECT 1 ORDER BY x"),
+    ("sel", "SELECT 1 WHERE 1 IN (1, NULL)"),
+    ("sel", "SELECT 1 WHERE NOT (2 IN (1, NULL)) IS NULL"),
+    ("sel", "SELECT x FROM (VALUES (1),(2)) t(x) WHERE x BETWEEN 1 AND 1"),
+    ("sel", "SELECT CASE 2 WHEN 1 THEN 'a' WHEN 2 THEN 'b' END AS c"),
+    ("sel", "SELECT coalesce(NULL, NULL, 3) AS c, nullif(1, 2) AS n"),
+    ("sel", "SELECT 1 = '1' AS eq"),
+    ("sel", "SELECT '2024-01-01' = DATE '2024-01-01' AS eq"),
+    ("sel", "SELECT TIMESTAMP '2024-01-02 03:00:00' + INTERVAL 2 HOUR AS ts"),
+    ("sel", "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS d"),
+    ("sel", "SELECT INTERVAL 1 DAY + INTERVAL 2 HOUR AS iv"),
+    ("sel", "SELECT TIMESTAMP '2024-01-02 03:00:00' - INTERVAL 1 DAY AS ts"),
+    ("sel", "SELECT 'abc' LIKE 'A%' AS l, 'abc' ILIKE 'A%' AS il"),
+    ("sel", "SELECT 'a%c' LIKE 'a!%c' ESCAPE '!' AS e"),
+    ("sel", "SELECT 'abc' GLOB 'a*' AS g"),
+    ("sel", "SELECT x FROM (VALUES (1),(2)) t(x) WHERE EXISTS (SELECT 1 WHERE x > 1)"),
+    ("sel", "SELECT (SELECT max(x) FROM (VALUES (1),(2)) s(x)) AS m"),
+    ("sel", "SELECT greatest('a', 'b') AS g, least(DATE '2024-01-01', DATE '2023-01-01') AS l"),
+    ("sel", "SELECT 5 & 3 | 1 AS b"),
+    ("sel", "SELECT CAST('inf' AS DOUBLE) AS i, CAST('-inf' AS DOUBLE) AS ni"),
+    ("sel", "SELECT 1.0 / 3.0 AS d"),
+    ("sel", "SELECT 10 % 3.5 AS m"),
+    ("sel", "SELECT - - 5 AS p"),
+    ("sel", "SELECT NOT TRUE AS n, TRUE AND NULL AS a, FALSE OR NULL AS o"),
+    ("str2", "SELECT upper('straße') AS u"),
+    ("str2", "SELECT substring('héllo', 2, 2) AS s"),
+    ("str2", "SELECT instr('hello', 'l') AS i, strpos('hello', 'l') AS p"),
+    ("str2", "SELECT split_part('a|b|c', '|', 2) AS s"),
+    ("str2", "SELECT regexp_replace('aaa', 'a', 'b') AS r"),
+    ("str2", "SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r"),
+    ("str2", "SELECT replace('abcabc', 'b', '') AS r"),
+    ("str2", "SELECT trim('  x  ') AS t, btrim('xxax', 'x') AS b"),
+    ("str2", "SELECT left('héllo', 2) AS l, right('héllo', 2) AS r"),
+    ("str2", "SELECT lpad('héllo', 7, 'é') AS l"),
+    ("str2", "SELECT reverse('ab') || repeat('c', 2) AS r"),
+    ("str2", "SELECT chr(233) AS c, ascii('é') AS a"),
+    ("str2", "SELECT concat_ws('-', NULL, 'a', NULL) AS c"),
+]
+
+
 def norm(v):
     """Normalize a scalar for cross-engine comparison."""
     import datetime
@@ -337,30 +404,47 @@ def main() -> int:
     loud: list[tuple[str, str, str]] = []
     ok = 0
 
-    all_probes = [(s, f"SELECT {e} AS v", e) for s, e in PROBES] + [
-        (s, f"SELECT {e} AS v FROM {v}", e) for s, e, v in AGG_PROBES
-    ]
+    all_probes = (
+        [(s, f"SELECT {e} AS v", e) for s, e in PROBES]
+        + [(s, f"SELECT {e} AS v FROM {v}", e) for s, e, v in AGG_PROBES]
+        + [(s, q, q) for s, q in QUERY_PROBES]
+    )
 
     for section, sql, label in all_probes:
         if args.section and section != args.section:
             continue
         d_val = d_err = s_val = s_err = None
         try:
-            d_val = norm(con.sql(sql).fetchone()[0])
+            d_val = tuple(
+                tuple(norm(c) for c in row)
+                for row in con.sql(sql).fetchall()
+            )
         except Exception as exc:  # noqa: BLE001
             d_err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:110]}"
         try:
             rows = eng.query(sql, dialect="duckdb").collect()
-            s_val = norm(rows[0][0] if rows else None)
+            s_val = tuple(
+                tuple(norm(c) for c in row) for row in rows
+            )
         except Exception as exc:  # noqa: BLE001
             s_err = f"{type(exc).__name__}: {str(exc).splitlines()[0][:110]}"
 
+        def _cells_close(a, b):
+            if a == b:
+                return True
+            return (
+                isinstance(a, float)
+                and isinstance(b, float)
+                and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+            )
+
         if d_err is None and s_err is None:
-            if d_val == s_val or (
-                isinstance(d_val, float)
-                and isinstance(s_val, float)
-                and math.isclose(d_val, s_val, rel_tol=1e-9, abs_tol=1e-12)
-            ):
+            same = len(d_val) == len(s_val) and all(
+                len(dr) == len(sr)
+                and all(_cells_close(a, b) for a, b in zip(dr, sr))
+                for dr, sr in zip(d_val, s_val)
+            )
+            if same:
                 ok += 1
             else:
                 silent.append((section, label, d_val, s_val))
