@@ -700,6 +700,63 @@ def _rewrite_power_ops(sql: str) -> str:
     return sql
 
 
+def _rewrite_dollar_quotes(sql: str) -> str:
+    """DuckDB dollar-quoted strings (``$$body$$`` / ``$tag$body$tag$``)
+    → standard single-quoted literals (quotes doubled). Runs FIRST:
+    every later pass masks literals with _mask_spans, which only knows
+    quote characters — an unconverted dollar-quote would expose its
+    body to the rewrites."""
+    if "$" not in sql:
+        return sql
+    # single left-to-right lexer: quote tracking and dollar tags must
+    # interleave (an apostrophe INSIDE a dollar body is plain text — a
+    # precomputed quote mask would misread it as a literal opener)
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == c and j + 1 < n and sql[j + 1] == c:
+                    j += 2
+                elif sql[j] == c:
+                    j += 1
+                    break
+                else:
+                    j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "$":
+            m = re.match(r"\$(\w*)\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, i + len(tag))
+                if end >= 0:
+                    body = sql[i + len(tag) : end]
+                    out.append("'" + body.replace("'", "''") + "'")
+                    i = end + len(tag)
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _strip_numeric_underscores(sql: str) -> str:
+    """DuckDB digit-group underscores (``1_000_000``) — Spark reads the
+    token as an identifier. Stripped outside literals; identifiers
+    starting with a letter/underscore are untouched (the pattern
+    requires a leading digit)."""
+    if "_" not in sql:
+        return sql
+    return _sub_outside(
+        r"(?<![\w.])(\d[\d_]*\d)(?![\w])",
+        lambda m: m.group(1).replace("_", ""),
+        sql,
+    )
+
+
 # re-entry guard for rewrites whose output contains their own call name
 _MARK = "/*swl*/"
 
@@ -1611,6 +1668,8 @@ def _rewrite_from_first(sql: str) -> str:
 
 def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
+    sql = _rewrite_dollar_quotes(sql)
+    sql = _strip_numeric_underscores(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
@@ -3313,7 +3372,14 @@ def _escape_literal_backslashes(sql: str) -> str:
         )
         if is_estring:
             parts.append(sql[last : s - 1])  # drop the E
-            parts.append(f"'{body}'")
+            # \xHH has no Spark equivalent — decode it here (a decoded
+            # quote re-doubles to stay inside the literal)
+            body2 = re.sub(
+                r"\\x([0-9A-Fa-f]{2})",
+                lambda m: chr(int(m.group(1), 16)).replace("'", "''"),
+                body,
+            )
+            parts.append(f"'{body2}'")
             last = e
         elif "\\" in body:
             parts.append(sql[last:s])

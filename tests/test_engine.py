@@ -1235,6 +1235,28 @@ class TestDialectBreadth:
         assert (r.a, r.b, r.c, r.d) == (True, True, True, True)
         assert r.e is False and r.f is True
 
+    def test_r9_lexical_layer(self, engine):
+        """DuckDB lexical forms: dollar-quoted strings (previously
+        EXPOSED to the rewrites — a silent-corruption class), numeric
+        underscores, E-string hex escapes, list/struct comparison
+        operators, TIME literals."""
+        r = engine.query(
+            "SELECT $$it's $ quoted$$ AS dq, "
+            "$tag$a $$ b$tag$ AS tq, "
+            "1_000_000 + 2_500 AS n, "
+            "E'a\\x41b' AS ex, "
+            "[1,2] = [1,2] AS eq, [1,2] < [1,3] AS lt, "
+            "{'a': 1} = {'a': 1} AS seq, "
+            "TIME '13:14:15' AS t",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.dq == "it's $ quoted" and r.tq == "a $$ b"
+        assert r.n == 1002500 and r.ex == "aAb"
+        assert r.eq is True and r.lt is True and r.seq is True
+        import datetime
+
+        assert r.t == datetime.time(13, 14, 15)
+
     def test_r9_json_extract_paths(self, engine):
         r = engine.query(
             "SELECT json_extract('{\"a\": {\"b\": 2}}', '$.a.b') AS a, "

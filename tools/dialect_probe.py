@@ -354,6 +354,13 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("str2", "SELECT reverse('ab') || repeat('c', 2) AS r"),
     ("str2", "SELECT chr(233) AS c, ascii('é') AS a"),
     ("str2", "SELECT concat_ws('-', NULL, 'a', NULL) AS c"),
+    ("lex", "SELECT 1_000_000 AS n"),
+    ("lex", "SELECT $$it's $ quoted$$ AS s"),
+    ("lex", "SELECT $tag$a $$ b$tag$ AS s"),
+    ("lex", "SELECT [1,2] = [1,2] AS eq, [1,2] < [1,3] AS lt"),
+    ("lex", "SELECT {'a': 1} = {'a': 1} AS seq"),
+    ("lex", "SELECT TIME '13:14:15' AS t"),
+    ("lex", "SELECT 5. AS a, .5 AS b"),
 ]
 
 
