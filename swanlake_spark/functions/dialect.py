@@ -779,20 +779,52 @@ _INT_TYPES = (
 )
 
 
+def _int_cast_bridge(expr: str, typ: str, fn: str = "CAST") -> str:
+    """DuckDB's integer-cast rounding is TYPE-DEPENDENT
+    (probe-verified): DOUBLE/FLOAT sources round half to EVEN
+    ((2.5::DOUBLE)::INT = 2), while DECIMAL and string sources round
+    half AWAY from zero ('2.5'::INT = 3). The typeof branch picks
+    bround (Spark's HALF_EVEN) for floating sources and the
+    DECIMAL(38,0) HALF_UP bridge otherwise; both arms are
+    DECIMAL(38,0)-typed so the CASE unifies without a double
+    round-trip (int64 stays exact). TRY_CAST keeps NULL-on-failure
+    through every hop."""
+    t = f"typeof({_MARK} {expr})"
+    inner = (
+        f"(CASE WHEN {t} IN ('double', 'float') "
+        f"THEN {fn}({_MARK} bround({fn}({_MARK} {expr} AS DOUBLE)) "
+        f"AS DECIMAL(38,0)) "
+        f"ELSE {fn}({_MARK} {expr} AS DECIMAL(38,0)) END)"
+    )
+    if typ.upper() == "HUGEINT":
+        return inner
+    return f"{fn}({_MARK} {inner} AS {typ})"
+
+
 def _rewrite_int_cast_rounding(sql: str) -> str:
-    sql = _sub_outside(
-        rf"::\s*({_INT_TYPES})\b(?!\s*[\[\x01])",
-        lambda m: (
-            "::DECIMAL(38,0)" if m.group(1).upper() == "HUGEINT"
-            else f"::DECIMAL(38,0)::{m.group(1)}"
-        ),
-        sql,
-    )
-    # collapse accidental double-wraps (a pre-wrapped ::DECIMAL(38,0)
-    # immediately before keeps the single bridge)
-    sql = re.sub(
-        r"::DECIMAL\(38,0\)(::DECIMAL\(38,0\))+", "::DECIMAL(38,0)", sql
-    )
+    # `expr::INT` form: scan the left operand and emit the full bridge
+    for _ in range(50):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(
+            rf"::\s*({_INT_TYPES})\b(?!\s*[\[\x01])", sql, re.IGNORECASE
+        ):
+            if not _in_span(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            break
+        ls = _scan_left_operand(sql, m.start(), spans)
+        if ls < 0:
+            break
+        expr = sql[ls : m.start()].strip()
+        if _marked_arg(expr):
+            break
+        sql = (
+            sql[:ls]
+            + _int_cast_bridge(expr, m.group(1))
+            + sql[m.end() :]
+        )
 
     def _cast_int_round(args, fn):
         body = args[0]
@@ -812,15 +844,7 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
         tm = re.fullmatch(rf"({_INT_TYPES})", typ, re.IGNORECASE)
         if tm is None:
             return None
-        if typ.upper() == "HUGEINT":
-            return f"{fn}({_MARK} {expr} AS DECIMAL(38,0))"
-        # TRY_CAST keeps NULL-on-failure through BOTH hops (a plain
-        # inner CAST would re-introduce the ANSI error TRY_CAST exists
-        # to avoid)
-        return (
-            f"{fn}({_MARK} {fn}({_MARK} {expr} AS DECIMAL(38,0)) "
-            f"AS {typ})"
-        )
+        return _int_cast_bridge(expr, typ, fn)
 
     for cast_name in ("CAST", "TRY_CAST"):
         sql = _transform_calls(
@@ -847,6 +871,15 @@ def _rewrite_divisions(sql: str) -> str:
     Spark-intent ``/``/``%`` which must not be re-wrapped (the emitted
     operators use sentinels during this pass only). INTERVAL operands
     are skipped (interval scaling must keep its type)."""
+    def _is_comment_slash(s: str, i: int) -> bool:
+        # part of a /* */ comment delimiter (incl. the /*swl*/ markers
+        # emitted by the earlier cast pass) or a -- line comment body
+        if s[i + 1 : i + 2] == "*" or s[i - 1 : i] == "*":
+            return True
+        line_start = s.rfind("\n", 0, i) + 1
+        dash = s.find("--", line_start, i)
+        return dash >= 0
+
     # `//` first so the `/` scan never sees half of one
     for _ in range(100):
         spans = _mask_spans(sql)
@@ -875,11 +908,18 @@ def _rewrite_divisions(sql: str) -> str:
         ),
         ("%", lambda a, b: f"({a} \x06 nullif({b}, 0))"),
     ):
+        masked = set()
         for _ in range(200):
             spans = _mask_spans(sql)
             m = None
             for cand in re.finditer(re.escape(op), sql):
-                if not _in_span(cand.start(), spans):
+                if (
+                    not _in_span(cand.start(), spans)
+                    and cand.start() not in masked
+                    and not (
+                        op == "/" and _is_comment_slash(sql, cand.start())
+                    )
+                ):
                     m = cand
                     break
             if m is None:
@@ -887,7 +927,8 @@ def _rewrite_divisions(sql: str) -> str:
             ls = _scan_left_operand(sql, m.start(), spans)
             re_ = _scan_right_operand(sql, m.end(), spans)
             if ls < 0 or re_ < 0:
-                break
+                masked.add(m.start())
+                continue
             a = sql[ls : m.start()].strip()
             b = sql[m.end() : re_].strip()
             # interval detection: INTERVAL inside an operand, or the
@@ -909,6 +950,7 @@ def _rewrite_divisions(sql: str) -> str:
                 )
                 continue
             sql = f"{sql[:ls]}{build(a, b)}{sql[re_:]}"
+            masked.clear()  # positions shifted with the edit
     return _unshield(sql, {"\x05": "/", "\x06": "%"})
 
 

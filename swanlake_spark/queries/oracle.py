@@ -1315,6 +1315,72 @@ def _q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("q51_dialect_battery", _q51, _Q51_SQL)
 
+
+# -- Q52: r9 dialect-semantics battery ---------------------------------------
+# The round-9 dialect surface through a client_dialect session, oracle
+# = the SAME text verbatim on DuckDB. Arms: bracket indexing (1-based,
+# OOB/0 → NULL), list comprehension, `^` exponentiation, DuckDB
+# division (double + NULL on zero), boundary-crossing date_diff over a
+# real column, half-away integer casts over decimals, gcd, backslash
+# regex literals (the escape layer), window ORDER BY over a nullable
+# key (NULLS LAST default), and a dollar-quoted string with numeric
+# underscores.
+_Q52_SQL = """
+    SELECT src, k, v FROM (
+      SELECT 'brk' AS src, concat('i', CAST(i AS STRING)) AS k,
+             CAST(coalesce(([10,20,30])[i], -1) AS DOUBLE) AS v
+      FROM (VALUES (1),(3),(0),(5),(-1)) t(i)
+      UNION ALL
+      SELECT 'cmp' AS src, 'c' AS k,
+             CAST(([e + 1 FOR e IN [1,2,3] IF e > 1])[1] AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'pow' AS src, 'p' AS k, 2 ^ 10 AS v
+      UNION ALL
+      SELECT 'div' AS src, 'zero' AS k, coalesce(1 / 0, -1) AS v
+      UNION ALL
+      SELECT 'div' AS src, 'dec' AS k, 1.0 / 8.0 AS v
+      UNION ALL
+      FROM orders SELECT 'dd' AS src, 'msum' AS k,
+           CAST(sum(date_diff('month', DATE '1995-01-31', o_orderdate))
+                AS DOUBLE) AS v
+      UNION ALL
+      FROM lineitem SELECT 'cast' AS src, 'half' AS k,
+           CAST(sum((l_discount * 10 + 0.5)::INT) AS DOUBLE) AS v
+      UNION ALL
+      FROM orders SELECT 'gcd' AS src, 'g' AS k,
+           CAST(sum(gcd(o_orderkey % 100, 12)) AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'rex' AS src, regexp_extract('abc123', '\\d+') AS k,
+             1.0 AS v
+      UNION ALL
+      SELECT 'ord' AS src, coalesce(CAST(x AS STRING), 'n') AS k,
+             CAST(row_number() OVER (ORDER BY x) AS DOUBLE) AS v
+      FROM (VALUES (2),(NULL),(1)) t(x)
+      UNION ALL
+      SELECT 'lex' AS src, $$it's 1_000$$ AS k,
+             CAST(1_000 AS DOUBLE) AS v
+    ) u ORDER BY src, k, v
+"""
+
+
+def _q52r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    eng = Engine(
+        spark=spark, config=EngineConfig(client_dialect="duckdb")
+    )
+    sid = f"q52-{uuid.uuid4().hex[:8]}"
+    sess = eng.sessions.get_or_create(sid)
+    try:
+        ensure_tables(sess.spark, sf_dir)
+        return sess.query(_Q52_SQL).df
+    finally:
+        eng.sessions.remove(sid)
+
+
+_add("q52_r9_semantics_battery", _q52r9, _Q52_SQL)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
@@ -1329,7 +1395,15 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # pipe_span_dedup, pipe_quality_classifier and
     # q47_matview_incremental. The folded singles stay hash-matched in
     # tests/test_oracle_corpus.py.
-    "q43_array_json_battery",
+    # r9 rotation #2: q43_array_json_battery (window-green since r6)
+    # moves to corpus-only — still hash-matched every run by
+    # tests/test_oracle_corpus.py — and its slot goes to the r9
+    # dialect-semantics battery (bracket indexing, `^`, DuckDB
+    # division, boundary date_diff, type-dependent int-cast rounding,
+    # gcd, the escape layer, NULLS-LAST ordering, dollar quotes)
+    # through a client_dialect session, oracle = the same text
+    # verbatim.
+    "q52_r9_semantics_battery",
     "q45_ddl_dml_battery",
     "q47_matview_incremental",
     # r7 (VERDICT r6 #4): dedicated CDC row at data scale — the slot

@@ -1032,7 +1032,10 @@ class TestDialectBreadth:
         assert r.lc == [1, 2, 3]  # list concat stays a list
         assert r.n is None  # the || operator propagates NULL (both)
 
-    def test_r9_int_cast_rounds_half_away(self, engine):
+    def test_r9_int_cast_rounding_is_type_dependent(self, engine):
+        """DuckDB integer casts round half AWAY from zero for DECIMAL
+        and string sources but half to EVEN for DOUBLE/FLOAT sources
+        (probe-verified) — the bridge branches on typeof."""
         r = engine.query(
             "SELECT 2.5::INT AS a, (-1.5)::INT AS b, "
             "CAST(2.7 AS INT) AS c, '5.7'::INT AS d, "
@@ -1043,6 +1046,12 @@ class TestDialectBreadth:
         assert (r.a, r.b, r.c, r.d) == (3, -2, 3, 6)
         assert r.e is None and r.f == 1
         assert r.g == 9007199254740993  # no double round-trip
+        r = engine.query(
+            "SELECT (2.5::DOUBLE)::INT AS a, (3.5::DOUBLE)::INT AS b, "
+            "(-2.5::DOUBLE)::INT AS c, (2.7::DOUBLE)::INT AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == (2, 4, -2, 3)  # half-even
 
     def test_r9_typeof_duckdb_names(self, engine):
         r = engine.query(
@@ -1224,6 +1233,23 @@ class TestDialectBreadth:
             "SELECT INTERVAL 4 HOUR / 2 AS iv", dialect="duckdb"
         ).collect()[0]
         assert r.iv == datetime.timedelta(hours=2)
+
+    def test_r9_division_scan_survives_comments(self, engine):
+        """`/` inside block/line comments (including the /*swl*/
+        markers an earlier pass emits) must not derail the division
+        scanner — the q52 battery caught exactly this interplay."""
+        r = engine.query(
+            "SELECT 2.5::INT AS a, coalesce(1 / 0, -1) AS b, "
+            "/* a comment with / and * inside */ 1.0 / 8.0 AS c",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c) == (3, -1.0, 0.125)
+        r = engine.query(
+            "SELECT 1 / 2 AS x -- trailing comment with /\n"
+            ", 4 / 2 AS y",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.x, r.y) == (0.5, 2.0)
 
     def test_r9_glob_operator(self, engine):
         r = engine.query(

@@ -220,6 +220,10 @@ PROBES: list[tuple[str, str]] = [
     ("cond", "1::BOOLEAN"),
     ("cond", "'t'::BOOLEAN"),
     ("cond", "cast(256 AS TINYINT)"),      # overflow: error both?
+    ("cond", "(2.5::DOUBLE)::INT"),        # half-EVEN for double sources
+    ("cond", "(3.5::DOUBLE)::INT"),
+    ("cond", "(-2.5::DOUBLE)::INT"),
+    ("cond", "(0.5::DOUBLE)::INT"),
     # ---- json ----
     ("json", "json_extract('{\"a\": {\"b\": 2}}', '$.a.b')"),
     ("json", "json_extract('{\"a\": 1}', 'a')"),
