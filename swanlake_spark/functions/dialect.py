@@ -998,6 +998,161 @@ def _rewrite_glob(sql: str) -> str:
     )
 
 
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    """``expr op ANY|SOME|ALL (subquery)`` — Spark has no quantified
+    comparisons. Rewritten to an aggregate scalar subquery with exact
+    three-valued logic (probe-verified against DuckDB):
+
+    - ANY: TRUE if some row satisfies, NULL if none satisfies but some
+      verdict is unknown, else FALSE (empty set → FALSE)
+    - ALL: FALSE if some row fails, NULL if none fails but some
+      verdict is unknown, else TRUE (empty set → TRUE)
+
+    The outer expression is duplicated into the subquery (correlated
+    scalar aggregates decorrelate in Catalyst); non-deterministic
+    outer expressions keep the documented generate_series caveat."""
+    for _ in range(20):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in re.finditer(
+            r"(=|<>|!=|<=|>=|<|>)\s*(ANY|SOME|ALL)\s*\(",
+            sql,
+            re.IGNORECASE,
+        ):
+            if not _in_span(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        op = m.group(1)
+        kind = m.group(2).upper()
+        # matching close paren of the subquery
+        depth, i, n = 1, m.end(), len(sql)
+        while i < n and depth:
+            if _in_span(i, spans):
+                i += 1
+                continue
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return sql
+        sub = sql[m.end() : i - 1]
+        ls = _scan_left_operand(sql, m.start(), spans)
+        if ls < 0:
+            return sql
+        expr = sql[ls : m.start()].strip()
+        is_any = kind in ("ANY", "SOME")
+        if op == "=" and is_any:
+            repl = f"(({expr}) IN ({sub}))"
+        elif op in ("<>", "!=") and not is_any:
+            repl = f"(({expr}) NOT IN ({sub}))"
+        else:
+            # ordering ops (and the rare = ALL / <> ANY): one
+            # UNCORRELATED stats subquery — min/max over non-NULL
+            # elements, total and NULL counts — with the outer
+            # comparison OUTSIDE it (Spark rejects aggregates mixing
+            # outer and local references). Catalyst's ReuseSubquery
+            # collapses the repeated scalar subquery references.
+            st = (
+                f"(SELECT named_struct('mn', min(_swl_q), "
+                f"'mx', max(_swl_q), 'cnt', count(*), "
+                f"'ncnt', count(CASE WHEN _swl_q IS NULL THEN 1 END)) "
+                f"FROM ({sub}) AS _swl_qc(_swl_q))"
+            )
+            e = f"({expr})"
+            # the witness element that decides TRUE (ANY) / FALSE (ALL)
+            if op in (">", ">="):
+                w_any, w_all = f"{st}.mn", f"{st}.mx"
+            elif op in ("<", "<="):
+                w_any, w_all = f"{st}.mx", f"{st}.mn"
+            else:
+                w_any = w_all = f"{st}.mn"
+            if is_any:
+                if op in ("<>", "!="):
+                    hit = f"({st}.mn <> {e} OR {st}.mx <> {e})"
+                else:
+                    hit = f"({e} {op} {w_any})"
+                repl = (
+                    f"(CASE WHEN {st}.cnt = 0 THEN false "
+                    f"WHEN {e} IS NULL THEN "
+                    f"CAST(NULL AS BOOLEAN) "
+                    f"WHEN {hit} THEN true "
+                    f"WHEN {st}.ncnt > 0 THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE false END)"
+                )
+            else:
+                if op == "=":
+                    miss = (
+                        f"({st}.mn <> {e} OR {st}.mx <> {e})"
+                    )
+                else:
+                    miss = f"(NOT ({e} {op} {w_all}))"
+                repl = (
+                    f"(CASE WHEN {st}.cnt = 0 THEN true "
+                    f"WHEN {e} IS NULL THEN "
+                    f"CAST(NULL AS BOOLEAN) "
+                    f"WHEN {st}.cnt > {st}.ncnt AND {miss} THEN false "
+                    f"WHEN {st}.ncnt > 0 THEN CAST(NULL AS BOOLEAN) "
+                    f"ELSE true END)"
+                )
+        sql = sql[:ls] + repl + sql[i:]
+    return sql
+
+
+_IGNORE_NULLS_FNS = re.compile(
+    r"\b(?:lag|lead|first_value|last_value|nth_value|first|last|"
+    r"any_value)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ignore_nulls(sql: str) -> str:
+    """DuckDB puts IGNORE/RESPECT NULLS INSIDE the call parens
+    (``last_value(x IGNORE NULLS)``); Spark wants it outside
+    (``last_value(x) IGNORE NULLS``). Manual scan — _transform_calls
+    can't emit text outside the call's own parens."""
+    for _ in range(20):
+        spans = _mask_spans(sql)
+        done = True
+        for m in _IGNORE_NULLS_FNS.finditer(sql):
+            if _in_span(m.start(), spans):
+                continue
+            depth, i, n = 1, m.end(), len(sql)
+            while i < n and depth:
+                if _in_span(i, spans):
+                    i += 1
+                    continue
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                break
+            body = sql[m.end() : i - 1]
+            km = re.search(
+                r"\s+(IGNORE|RESPECT)\s+NULLS\s*$", body, re.IGNORECASE
+            )
+            if km is None:
+                continue
+            sql = (
+                sql[: m.end()]
+                + body[: km.start()].rstrip()
+                + ") "
+                + km.group(1).upper()
+                + " NULLS"
+                + sql[i:]
+            )
+            done = False
+            break
+        if done:
+            return sql
+    return sql
+
+
 def _rewrite_factorial(sql: str) -> str:
     """Postfix ``n !`` → ``factorial(n)`` (DuckDB); ``!=`` stays."""
     for _ in range(20):
@@ -1724,6 +1879,8 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_factorial(sql)
     sql = _rewrite_divisions(sql)
     sql = _rewrite_glob(sql)
+    sql = _rewrite_quantified_comparisons(sql)
+    sql = _rewrite_ignore_nulls(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
     spans = _mask_spans(sql)

@@ -1283,6 +1283,49 @@ class TestDialectBreadth:
 
         assert r.t == datetime.time(13, 14, 15)
 
+    def test_r9_quantified_comparisons(self, engine):
+        """expr op ANY/SOME/ALL (subquery) — Spark has none. = ANY →
+        IN, <> ALL → NOT IN; ordering ops go through an uncorrelated
+        min/max/count stats subquery with exact three-valued logic
+        (every value DuckDB-verified incl. NULL elements, NULL outer,
+        empty sets, and correlated outer expressions)."""
+        r = engine.query(
+            "SELECT 2 = ANY (SELECT x FROM (VALUES (1),(2)) t(x)) AS a, "
+            "3 > ALL (SELECT x FROM (VALUES (1),(2)) t(x)) AS b, "
+            "0 > ANY (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS c, "
+            "3 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS d, "
+            "0 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS e, "
+            "3 > ALL (SELECT x FROM (VALUES (1)) t(x) WHERE x > 9) AS f, "
+            "0 > ANY (SELECT x FROM (VALUES (1)) t(x) WHERE x > 9) AS g, "
+            "1 = ALL (SELECT x FROM (VALUES (1),(2)) t(x)) AS h, "
+            "1 <> ANY (SELECT x FROM (VALUES (1),(2)) t(x)) AS i",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b) == (True, True)
+        assert r.c is None and r.d is None and r.e is False
+        assert r.f is True and r.g is False  # empty sets
+        assert r.h is False and r.i is True
+        rows = engine.query(
+            "SELECT x FROM (VALUES (1),(2),(3)) t(x) WHERE x >= ALL "
+            "(SELECT y FROM (VALUES (1),(2)) u(y)) ORDER BY x",
+            dialect="duckdb",
+        ).collect()
+        assert [r.x for r in rows] == [2, 3]  # correlated outer expr
+
+    def test_r9_ignore_nulls_in_call(self, engine):
+        """DuckDB puts IGNORE NULLS inside the call parens; Spark
+        wants it outside — moved by the transpile."""
+        rows = engine.query(
+            "SELECT x, last_value(x IGNORE NULLS) OVER (ORDER BY n "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv, "
+            "lag(x IGNORE NULLS) OVER (ORDER BY n) AS lg "
+            "FROM (VALUES (1,1),(NULL,2),(3,3)) t(x,n) ORDER BY n",
+            dialect="duckdb",
+        ).collect()
+        assert [(r.x, r.lv, r.lg) for r in rows] == [
+            (1, 1, None), (None, 1, 1), (3, 3, 1),
+        ]
+
     def test_r9_json_extract_paths(self, engine):
         r = engine.query(
             "SELECT json_extract('{\"a\": {\"b\": 2}}', '$.a.b') AS a, "

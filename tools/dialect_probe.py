@@ -365,6 +365,15 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("lex", "SELECT {'a': 1} = {'a': 1} AS seq"),
     ("lex", "SELECT TIME '13:14:15' AS t"),
     ("lex", "SELECT 5. AS a, .5 AS b"),
+    ("quant", "SELECT 2 = ANY (SELECT x FROM (VALUES (1),(2)) t(x)) AS a"),
+    ("quant", "SELECT 3 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS a"),
+    ("quant", "SELECT 0 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS a"),
+    ("quant", "SELECT 1 <> ALL (SELECT x FROM (VALUES (2),(3)) t(x)) AS a"),
+    ("quant", "SELECT 2 <= ANY (SELECT x FROM (VALUES (1),(3)) t(x)) AS a"),
+    ("quant", "SELECT a.x FROM (VALUES (1),(2)) a(x) SEMI JOIN (VALUES (2)) b(y) ON a.x = b.y"),
+    ("quant", "SELECT a.x FROM (VALUES (1),(2)) a(x) ANTI JOIN (VALUES (2)) b(y) ON a.x = b.y"),
+    ("quant", "SELECT lag(x IGNORE NULLS) OVER (ORDER BY n) AS l FROM (VALUES (1,1),(NULL,2),(3,3)) t(x,n) ORDER BY n"),
+    ("quant", "SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x OFFSET 1"),
 ]
 
 
