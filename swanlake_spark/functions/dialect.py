@@ -3469,9 +3469,9 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     LIMIT-result) divergence on every ORDER BY over a nullable key.
     Appends NULLS LAST to ascending sort items without an explicit
     null order (descending defaults already agree). Applies to query-
-    level and window ORDER BYs; WITHIN GROUP is skipped (the ordering
-    there defines the quantile, not a row order) and bare ALL is left
-    alone (Spark accepts no null-order suffix on it — documented)."""
+    level and window ORDER BYs, including ORDER BY ALL (Spark accepts
+    the suffix on it); WITHIN GROUP is skipped (the ordering there
+    defines the quantile, not a row order)."""
     out = []
     pos = 0
     while True:
@@ -3539,7 +3539,6 @@ def _rewrite_order_by_nulls(sql: str) -> str:
                 or re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", body,
                              re.IGNORECASE)
                 or re.search(r"\bDESC\s*$", body, re.IGNORECASE)
-                or re.fullmatch(r"ALL", body, re.IGNORECASE)
             ):
                 fixed.append(item)
             else:
