@@ -305,6 +305,26 @@ _DIALECT_BAIT = st.sampled_from([
     "split_part(s, ',', 0)",
     "extract(dow FROM d)",
     "jaccard(a, b)",
+    # r9 syntax layer: brackets, struct/list literals, power, arrows,
+    # division, quantified comparisons, lexical forms — a literal whose
+    # CONTENT spells any of these must survive byte-for-byte (modulo
+    # the backslash escape pass)
+    "[1, 2, 3]",
+    "l[1:2]",
+    "{a: 1}",
+    "2 ^ 3",
+    "2 ** n",
+    "j->k",
+    "x::INT",
+    "1 / 0",
+    "n % 2",
+    "a GLOB p",
+    "x = ANY (SELECT 1)",
+    "lag(x IGNORE NULLS)",
+    "1_000_000",
+    "$tag$ body $tag$",
+    "ORDER BY x",
+    "3 !",
 ])
 
 
