@@ -577,8 +577,23 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
             k = j
             while k >= 0 and (s[k].isalnum() or s[k] in "_$"):
                 k -= 1
+            token = s[k + 1 : j + 1]
             start = k + 1
             j = k
+            # scientific notation with a signed exponent (2e-1): the
+            # digit run after the sign is part of ONE number literal —
+            # absorb the `±` and keep scanning the `<digits>[.]e` head
+            if token.isdigit() and j >= 1 and s[j] in "+-":
+                head = re.search(r"[\w$.]+$", s[:j])
+                if head and re.fullmatch(
+                    r"\d+\.?\d*[eE]", head.group(0)
+                ):
+                    j -= 1
+                    continue
+        elif s[j] == "?":
+            # a positional parameter marker is a valid operand atom
+            start = j
+            j -= 1
         else:
             break
         # chaining: a '.' or an identifier directly before a '(' group
@@ -642,11 +657,26 @@ def _scan_right_operand(s: str, pos: int, spans) -> int:
             k = j
             while k < n and (s[k].isalnum() or s[k] in "_$."):
                 k += 1
+            # scientific notation with a signed exponent (1e-6): the
+            # token ends at the sign — absorb `±<digits>` when the
+            # token is a numeric head ending in e/E
+            if (
+                k < n
+                and s[k] in "+-"
+                and re.fullmatch(r"\d+\.?\d*[eE]", s[j:k])
+            ):
+                k += 1
+                while k < n and s[k].isdigit():
+                    k += 1
             end = k
             j = k
             # function call: identifier directly followed by '('
             if j < n and s[j] == "(":
                 continue
+        elif s[j] == "?":
+            # a positional parameter marker is a valid operand atom
+            end = j + 1
+            j += 1
         else:
             break
         # trailing chaining: .field or ::TYPE casts bind tighter
@@ -666,7 +696,7 @@ def _rewrite_power_ops(sql: str) -> str:
     1). Rewritten to ``power(a, b)``, left-associatively (DuckDB/
     Postgres chain ``2 ^ 3 ^ 2`` as ``(2^3)^2``). Operands are the
     tightest-binding tokens, matching the operators' high precedence."""
-    for _ in range(50):
+    for _ in range(1000):
         spans = _mask_spans(sql)
         m = None
         for cand in re.finditer(r"\*\*|\^", sql):
@@ -803,7 +833,7 @@ def _int_cast_bridge(expr: str, typ: str, fn: str = "CAST") -> str:
 
 def _rewrite_int_cast_rounding(sql: str) -> str:
     # `expr::INT` form: scan the left operand and emit the full bridge
-    for _ in range(50):
+    for _ in range(1000):
         spans = _mask_spans(sql)
         m = None
         for cand in re.finditer(
@@ -818,7 +848,11 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
         if ls < 0:
             break
         expr = sql[ls : m.start()].strip()
-        if _marked_arg(expr):
+        # a bare ? marker would be DUPLICATED by the bridge, corrupting
+        # positional binding — leave `?::INT` as-is (plain Spark cast;
+        # the rounding divergence on a bound fractional param is
+        # documented, same policy as _transform_calls)
+        if _marked_arg(expr) or _has_bare_marker(expr):
             break
         sql = (
             sql[:ls]
@@ -873,15 +907,20 @@ def _rewrite_divisions(sql: str) -> str:
     are skipped (interval scaling must keep its type)."""
     def _is_comment_slash(s: str, i: int) -> bool:
         # part of a /* */ comment delimiter (incl. the /*swl*/ markers
-        # emitted by the earlier cast pass) or a -- line comment body
+        # emitted by the earlier cast pass) or a -- line comment body.
+        # The -- search is literal-masked: a literal containing '--'
+        # on the same line must not hide a real division (review r9).
         if s[i + 1 : i + 2] == "*" or s[i - 1 : i] == "*":
             return True
         line_start = s.rfind("\n", 0, i) + 1
-        dash = s.find("--", line_start, i)
-        return dash >= 0
+        spans = _mask_spans(s)
+        for dm in re.finditer(r"--", s[line_start:i]):
+            if not _in_span(line_start + dm.start(), spans):
+                return True
+        return False
 
     # `//` first so the `/` scan never sees half of one
-    for _ in range(100):
+    for _ in range(1000):
         spans = _mask_spans(sql)
         m = None
         for cand in re.finditer(r"//", sql):
@@ -909,7 +948,7 @@ def _rewrite_divisions(sql: str) -> str:
         ("%", lambda a, b: f"({a} \x06 nullif({b}, 0))"),
     ):
         masked = set()
-        for _ in range(200):
+        for _ in range(5000):
             spans = _mask_spans(sql)
             m = None
             for cand in re.finditer(re.escape(op), sql):
@@ -998,6 +1037,42 @@ def _rewrite_glob(sql: str) -> str:
     )
 
 
+def _scan_left_additive(s: str, pos: int, spans) -> int:
+    """Left operand extended over arithmetic/concat operator chains —
+    comparison binds LOWER than arithmetic, so ``a + b > ANY (...)``
+    must take ``a + b`` (review r9). Stops at comparison operators,
+    keywords, commas and opening parens."""
+    ls = _scan_left_operand(s, pos, spans)
+    if ls < 0:
+        return ls
+    while True:
+        j = ls - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j < 0:
+            return ls
+        if s[j - 1 : j + 1] == "||":
+            op_start = j - 1
+        elif s[j] in "+-*/%&|^" and s[j - 1 : j + 1] not in (
+            "<>", "!=", ">=", "<=",
+        ):
+            op_start = j
+        else:
+            return ls
+        prev = _scan_left_operand(s, op_start, spans)
+        prev_tok = s[prev:op_start].strip() if prev >= 0 else ""
+        if prev < 0 or (
+            re.fullmatch(r"\w+", prev_tok)
+            and prev_tok.lower() in _PRE_LITERAL_KEYWORDS
+        ):
+            # keyword before the sign (SELECT -2 ...) or nothing: the
+            # sign is UNARY — absorb it and stop
+            if s[op_start] in "+-":
+                return op_start
+            return ls
+        ls = prev
+
+
 def _rewrite_quantified_comparisons(sql: str) -> str:
     """``expr op ANY|SOME|ALL (subquery)`` — Spark has no quantified
     comparisons. Rewritten to an aggregate scalar subquery with exact
@@ -1011,7 +1086,7 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
     The outer expression is duplicated into the subquery (correlated
     scalar aggregates decorrelate in Catalyst); non-deterministic
     outer expressions keep the documented generate_series caveat."""
-    for _ in range(20):
+    for _ in range(500):
         spans = _mask_spans(sql)
         m = None
         for cand in re.finditer(
@@ -1040,10 +1115,12 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
         if depth:
             return sql
         sub = sql[m.end() : i - 1]
-        ls = _scan_left_operand(sql, m.start(), spans)
+        ls = _scan_left_additive(sql, m.start(), spans)
         if ls < 0:
             return sql
         expr = sql[ls : m.start()].strip()
+        if _has_bare_marker(expr):
+            return sql  # duplication would corrupt positional binding
         is_any = kind in ("ANY", "SOME")
         if op == "=" and is_any:
             repl = f"(({expr}) IN ({sub}))"
@@ -1155,7 +1232,7 @@ def _rewrite_ignore_nulls(sql: str) -> str:
 
 def _rewrite_factorial(sql: str) -> str:
     """Postfix ``n !`` → ``factorial(n)`` (DuckDB); ``!=`` stays."""
-    for _ in range(20):
+    for _ in range(500):
         spans = _mask_spans(sql)
         m = None
         for cand in re.finditer(r"!(?![=~])", sql):
@@ -1238,7 +1315,7 @@ def _rewrite_brackets(sql: str) -> str:
 
     Literal-vs-subscript is decided by the token before ``[``: a value
     token (identifier, ``)``, ``]``, string literal) means indexing."""
-    for _ in range(100):
+    for _ in range(5000):
         spans = _mask_spans(sql)
         pos = -1
         for m in re.finditer(r"\[", sql):
@@ -1291,10 +1368,37 @@ def _rewrite_brackets(sql: str) -> str:
             )
             continue
         if is_subscript and prev_word.lower() in _TYPE_WORDS:
-            # ARRAY-type suffix (INTEGER[] / VARCHAR[3]): shield it so
-            # the scan can move past without re-matching
-            sql = sql[:pos] + "\x01" + inner + "\x02" + sql[k + 1 :]
-            continue
+            # ARRAY-type suffix (INTEGER[] / VARCHAR[3]) — but an array
+            # COLUMN named like a type keyword (`text[1]`, `date[2]`)
+            # is a real subscript (review r9). A type suffix is either
+            # empty brackets, or an integer size with the word in a
+            # TYPE position: after `::` or after another identifier
+            # (DDL column definition `y VARCHAR[3]`).
+            wstart = j - len(prev_word) + 1
+            p = wstart - 1
+            while p >= 0 and sql[p].isspace():
+                p -= 1
+            type_position = sql[max(0, p - 1) : p + 1] == "::" or (
+                p >= 0
+                and (sql[p].isalnum() or sql[p] in "_$`\"")
+                and not _in_span(p, spans)
+            )
+            # the identifier-before case excludes keywords that start
+            # an expression (SELECT text[1] / WHERE date[2] = ...)
+            if type_position and p >= 0 and (
+                sql[p].isalnum() or sql[p] in "_$"
+            ):
+                w2 = p
+                while w2 >= 0 and (sql[w2].isalnum() or sql[w2] in "_$"):
+                    w2 -= 1
+                if sql[w2 + 1 : p + 1].lower() in _PRE_LITERAL_KEYWORDS:
+                    type_position = False
+            if inner.strip() == "" or (
+                re.fullmatch(r"\d+", inner.strip()) and type_position
+            ):
+                sql = sql[:pos] + "\x01" + inner + "\x02" + sql[k + 1 :]
+                continue
+            # fall through: treat as a subscript on a column
         if not is_subscript:
             if inner.strip() == "":
                 sql = sql[:pos] + "array()" + sql[k + 1 :]
@@ -1332,6 +1436,12 @@ def _rewrite_brackets(sql: str) -> str:
         if bs < 0:
             return sql
         base = sql[bs:pos].strip()
+        if _has_bare_marker(base) or _has_bare_marker(inner):
+            # subscript rewrites duplicate their operands — a bare ?
+            # marker would corrupt positional binding; shield the
+            # bracket (fails loud at parse instead)
+            sql = sql[:pos] + "\x01" + inner + "\x02" + sql[k + 1 :]
+            continue
         base_is_str = re.fullmatch(r"'(?:[^']|'')*'", base) is not None
         parts = _split_depth0(inner, ":")
         if len(parts) == 1:
@@ -1392,7 +1502,7 @@ def _rewrite_struct_literals(sql: str) -> str:
     """DuckDB struct literal ``{'a': 1, 'b': x}`` → ``named_struct('a',
     1, 'b', x)``. ``MAP {...}`` literals are left untouched (maps are
     outside the engine's type surface; they fail loud at parse)."""
-    for _ in range(50):
+    for _ in range(1000):
         spans = _mask_spans(sql)
         pos = -1
         for m in re.finditer(r"\{", sql):
@@ -1462,6 +1572,41 @@ def _unshield_braces(sql: str) -> str:
     return _unshield(sql, {"\x03": "{", "\x04": "}"})
 
 
+_LAMBDA_FNS = {
+    "transform", "filter", "aggregate", "reduce", "zip_with", "exists",
+    "forall", "map_filter", "map_zip_with", "transform_keys",
+    "transform_values", "array_sort", "list_transform", "list_filter",
+    "list_apply", "array_apply", "list_reduce", "list_aggregate",
+}
+
+
+def _inside_lambda_fn(sql: str, pos: int, spans) -> bool:
+    """True when ``pos`` sits directly inside the argument list of a
+    lambda-taking function call (nearest unmatched ``(`` belongs to
+    one of _LAMBDA_FNS)."""
+    depth = 0
+    j = pos - 1
+    while j >= 0:
+        if _in_span(j, spans):
+            j -= 1
+            continue
+        c = sql[j]
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                k = j - 1
+                while k >= 0 and sql[k].isspace():
+                    k -= 1
+                w = k
+                while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
+                    w -= 1
+                return sql[w + 1 : k + 1].lower() in _LAMBDA_FNS
+            depth -= 1
+        j -= 1
+    return False
+
+
 def _rewrite_json_arrows(sql: str) -> str:
     """DuckDB JSON arrows → ``get_json_object``:
 
@@ -1474,12 +1619,19 @@ def _rewrite_json_arrows(sql: str) -> str:
     documented edge). ``->`` returns the JSON representation in DuckDB
     (strings keep their quotes) where get_json_object unquotes scalar
     strings — ``->>`` (text extraction) matches exactly; the ``->``
-    scalar-string edge is documented. Chains rewrite left-to-right."""
-    for _ in range(50):
+    scalar-string edge is documented. Chains rewrite left-to-right.
+
+    A lambda whose BODY is a bare literal (``transform(l, e -> 0)`` —
+    including the transpiler's own comprehension output) is NOT a JSON
+    arrow: when the left side is a bare parameter (or parameter list)
+    sitting directly inside a lambda-taking function call, the arrow
+    is left alone (review r9)."""
+    skipped: set[int] = set()
+    for _ in range(1000):
         spans = _mask_spans(sql)
         m = None
         for cand in re.finditer(r"->>?", sql):
-            if _in_span(cand.start(), spans):
+            if _in_span(cand.start(), spans) or cand.start() in skipped:
                 continue
             # right side must be a string or integer literal
             tail = sql[cand.end() :].lstrip()
@@ -1493,6 +1645,13 @@ def _rewrite_json_arrows(sql: str) -> str:
         ls = _scan_left_operand(sql, m.start(), spans)
         if ls < 0:
             return sql
+        lhs = sql[ls : m.start()].strip()
+        if re.fullmatch(r"\w+", lhs) or re.fullmatch(
+            r"\(\s*\w+(\s*,\s*\w+)*\s*\)", lhs
+        ):
+            if _inside_lambda_fn(sql, ls, spans):
+                skipped.add(m.start())
+                continue
         base = sql[ls : m.start()].strip()
         tail_pos = m.end()
         while tail_pos < len(sql) and sql[tail_pos].isspace():
@@ -3533,7 +3692,17 @@ def _rewrite_order_by_nulls(sql: str) -> str:
         fixed = []
         for s_, e_ in items:
             item = sql[s_:e_]
-            body = item.strip()
+            # a trailing -- line comment would swallow an appended
+            # suffix — insert BEFORE the comment (review r9)
+            comment_at = -1
+            ispans = _mask_spans(item)
+            for dm in re.finditer(r"--", item):
+                if not _in_span(dm.start(), ispans):
+                    comment_at = dm.start()
+                    break
+            head = item if comment_at < 0 else item[:comment_at]
+            tail_comment = "" if comment_at < 0 else item[comment_at:]
+            body = head.strip()
             if (
                 not body
                 or re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", body,
@@ -3542,8 +3711,10 @@ def _rewrite_order_by_nulls(sql: str) -> str:
             ):
                 fixed.append(item)
             else:
-                trail = item[len(item.rstrip()):]
-                fixed.append(item.rstrip() + " NULLS LAST" + trail)
+                trail = head[len(head.rstrip()):]
+                fixed.append(
+                    head.rstrip() + " NULLS LAST" + trail + tail_comment
+                )
         out.append(sql[pos:items_start])
         out.append(",".join(fixed))
         pos = end

@@ -652,6 +652,13 @@ class _WriteLock:
         except FileExistsError:
             self._break_if_stale()
             return False
+        except FileNotFoundError:
+            # a stalled (GC-paused) acquirer can sleep past
+            # BREAKER_TTL_S between writing tmp and linking it; the
+            # dir-wide sweep then age-reclaims the tmp and the link
+            # raises. Not a crash — report failure and let the
+            # caller's spin retry with a fresh tmp (review r9).
+            return False
         finally:
             try:
                 os.unlink(tmp)

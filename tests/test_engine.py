@@ -1251,6 +1251,62 @@ class TestDialectBreadth:
         ).collect()[0]
         assert (r.x, r.y) == (0.5, 2.0)
 
+    def test_r9_review_fixes(self, engine):
+        """Self-review findings (r9): literals containing '--' must not
+        mask later divisions; NULLS LAST inserts BEFORE a trailing line
+        comment; array columns named like type keywords subscript
+        1-based; scientific-notation literals survive the operand
+        scanners; lambda bodies that are bare literals are not JSON
+        arrows; compound quantified-comparison left sides bind fully."""
+        r = engine.query(
+            "SELECT '--' AS tag, 1 / 0 AS z", dialect="duckdb"
+        ).collect()[0]
+        assert r.tag == "--" and r.z is None
+        rows = engine.query(
+            "SELECT x FROM (VALUES (2),(NULL),(1)) t(x) "
+            "ORDER BY x -- pick\n LIMIT 1",
+            dialect="duckdb",
+        ).collect()
+        assert rows[0].x == 1
+        r = engine.query(
+            "SELECT 2e-1 / 4 AS sci, 1.5e1::INT AS se, "
+            "[0 FOR e IN [1,2]] AS cl, "
+            "1 + 1 > ANY (SELECT x FROM (VALUES (1),(3)) t(x)) AS q, "
+            "-2 < ANY (SELECT x FROM (VALUES (0)) t(x)) AS qu",
+            dialect="duckdb",
+        ).collect()[0]
+        assert abs(r.sci - 0.05) < 1e-15 and r.se == 15
+        assert r.cl == [0, 0] and r.q is True and r.qu is True
+        # DDL type suffixes still shielded; value-position subscripts
+        # on type-named columns are real subscripts
+        from swanlake_spark.functions import transpile_duckdb
+
+        assert transpile_duckdb(
+            "CREATE TABLE tb (y VARCHAR[3], z INTEGER[])"
+        ) == "CREATE TABLE tb (y VARCHAR[3], z INTEGER[])"
+        assert "try_element_at(text" in transpile_duckdb(
+            "SELECT text[1] FROM docs"
+        )
+
+    def test_r9_prepared_marker_operands(self, spark):
+        """`? / 2` through a prepared statement rewrites with the
+        marker as an operand (no duplication — binding stays 1:1);
+        duplicating rewrites refuse markers instead."""
+        from swanlake_spark.config import EngineConfig
+        from swanlake_spark.engine import Engine
+
+        eng = Engine(spark=spark, config=EngineConfig(
+            client_dialect="duckdb", cpus=4,
+        ))
+        sess = eng.sessions.get_or_create("marker-ops")
+        try:
+            st = sess.create_prepared_statement("SELECT ? / 2 AS d")
+            assert st.parameter_count == 1
+            sess.set_parameters(st.handle, [[5]])
+            assert sess.execute_prepared(st.handle).collect()[0].d == 2.5
+        finally:
+            eng.sessions.remove("marker-ops")
+
     def test_r9_glob_operator(self, engine):
         r = engine.query(
             "SELECT 'abc' GLOB 'a*' AS a, 'aBc' GLOB 'a?c' AS b, "
