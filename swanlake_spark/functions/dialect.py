@@ -600,7 +600,7 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
             if token.isdigit() and j >= 1 and s[j] in "+-":
                 head = re.search(r"[\w$.]+$", s[:j])
                 if head and re.fullmatch(
-                    r"\d+\.?\d*[eE]", head.group(0)
+                    r"(?:\d+\.?\d*|\.\d+)[eE]", head.group(0)
                 ):
                     j -= 1
                     continue
@@ -611,8 +611,11 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
         else:
             break
         # chaining: a '.' or an identifier directly before a '(' group
-        # (function name) extends the operand leftward
+        # (function name) extends the operand leftward. The dot itself
+        # joins the operand — a LEADING dot (.5e-1 literals) must not
+        # be dropped when nothing precedes it (review r9 round 2)
         if j >= 0 and s[j] == ".":
+            start = j
             j -= 1
             continue
         if (
@@ -677,7 +680,7 @@ def _scan_right_operand(s: str, pos: int, spans) -> int:
             if (
                 k < n
                 and s[k] in "+-"
-                and re.fullmatch(r"\d+\.?\d*[eE]", s[j:k])
+                and re.fullmatch(r"(?:\d+\.?\d*|\.\d+)[eE]", s[j:k])
             ):
                 k += 1
                 while k < n and s[k].isdigit():
@@ -848,8 +851,10 @@ def _int_cast_bridge(expr: str, typ: str, fn: str = "CAST") -> str:
 
 
 def _rewrite_int_cast_rounding(sql: str) -> str:
+    # NOTE: no \b before CAST — it would miss TRY_CAST ('_' and 'C'
+    # are both word chars, review r9 round 2)
     if "::" not in sql and not re.search(
-        r"\bCAST\s*\(", sql, re.IGNORECASE
+        r"CAST\s*\(", sql, re.IGNORECASE
     ):
         return sql
     # `expr::INT` form: scan the left operand and emit the full bridge
@@ -1076,11 +1081,10 @@ def _scan_left_additive(s: str, pos: int, spans) -> int:
             j -= 1
         if j < 0:
             return ls
-        if s[j - 1 : j + 1] == "||":
+        if s[j - 1 : j + 1] in ("||", "<<", ">>"):
+            # concat and bit shifts sit in the arithmetic tier too
             op_start = j - 1
-        elif s[j] in "+-*/%&|^" and s[j - 1 : j + 1] not in (
-            "<>", "!=", ">=", "<=",
-        ):
+        elif s[j] in "+-*/%&|^":
             op_start = j
         else:
             return ls
@@ -1411,20 +1415,28 @@ def _rewrite_brackets(sql: str) -> str:
             p = wstart - 1
             while p >= 0 and sql[p].isspace():
                 p -= 1
+            # type positions: after '::', after a quoted identifier
+            # (DDL column name — the quote char sits inside its mask
+            # span, so check the character directly), or after an
+            # unquoted identifier/AS (CAST(x AS VARCHAR[3]) is a type;
+            # review r9 round 2)
             type_position = sql[max(0, p - 1) : p + 1] == "::" or (
-                p >= 0
-                and (sql[p].isalnum() or sql[p] in "_$`\"")
-                and not _in_span(p, spans)
+                p >= 0 and (sql[p].isalnum() or sql[p] in "_$`\"")
             )
-            # the identifier-before case excludes keywords that start
-            # an expression (SELECT text[1] / WHERE date[2] = ...)
+            # an unquoted word before: keywords that START an
+            # expression mean a value position (SELECT text[1]) —
+            # except AS, which introduces a cast target type
             if type_position and p >= 0 and (
                 sql[p].isalnum() or sql[p] in "_$"
             ):
                 w2 = p
                 while w2 >= 0 and (sql[w2].isalnum() or sql[w2] in "_$"):
                     w2 -= 1
-                if sql[w2 + 1 : p + 1].lower() in _PRE_LITERAL_KEYWORDS:
+                before = sql[w2 + 1 : p + 1].lower()
+                if (
+                    before in _PRE_LITERAL_KEYWORDS
+                    and before != "as"
+                ):
                     type_position = False
             if inner.strip() == "" or (
                 re.fullmatch(r"\d+", inner.strip()) and type_position
@@ -1636,7 +1648,18 @@ def _inside_lambda_fn(sql: str, pos: int, spans) -> bool:
                 w = k
                 while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
                     w -= 1
-                return sql[w + 1 : k + 1].lower() in _LAMBDA_FNS
+                name = sql[w + 1 : k + 1].lower()
+                if name not in _LAMBDA_FNS:
+                    return False
+                # exists/filter double as SQL keywords: the EXISTS
+                # (SELECT ...) predicate and the aggregate FILTER
+                # (WHERE ...) clause are NOT higher-order calls
+                # (review r9 round 2)
+                if name in ("exists", "filter"):
+                    head = sql[j + 1 :].lstrip()[:6].upper()
+                    if head.startswith(("SELECT", "FROM", "WHERE")):
+                        return False
+                return True
             depth -= 1
         j -= 1
     return False
@@ -1689,7 +1712,7 @@ def _rewrite_json_arrows(sql: str) -> str:
             if _inside_lambda_fn(sql, ls, spans):
                 skipped.add(m.start())
                 continue
-        base = sql[ls : m.start()].strip()
+        base = lhs
         tail_pos = m.end()
         while tail_pos < len(sql) and sql[tail_pos].isspace():
             tail_pos += 1
@@ -3731,28 +3754,48 @@ def _rewrite_order_by_nulls(sql: str) -> str:
         fixed = []
         for s_, e_ in items:
             item = sql[s_:e_]
-            # a trailing -- line comment would swallow an appended
-            # suffix — insert BEFORE the comment (review r9)
-            comment_at = -1
+            # the suffix must land after the last CODE character —
+            # never inside a -- line comment or /* */ block (review r9
+            # round 2: both append-at-end and insert-before-comment
+            # special cases mishandled mid-item comments)
             ispans = _mask_spans(item)
+            cspans: list[tuple[int, int]] = []
+            for bm in re.finditer(r"/\*.*?\*/", item, re.DOTALL):
+                cspans.append((bm.start(), bm.end()))
             for dm in re.finditer(r"--", item):
-                if not _in_span(dm.start(), ispans):
-                    comment_at = dm.start()
-                    break
-            head = item if comment_at < 0 else item[:comment_at]
-            tail_comment = "" if comment_at < 0 else item[comment_at:]
-            body = head.strip()
+                if _in_span(dm.start(), ispans) or any(
+                    bs <= dm.start() < be for bs, be in cspans
+                ):
+                    continue
+                nl = item.find("\n", dm.start())
+                cspans.append(
+                    (dm.start(), len(item) if nl < 0 else nl)
+                )
+            last_code = -1
+            for idx in range(len(item) - 1, -1, -1):
+                if item[idx].isspace():
+                    continue
+                if any(bs <= idx < be for bs, be in cspans):
+                    continue
+                last_code = idx
+                break
+            body = "".join(
+                c
+                for idx, c in enumerate(item)
+                if not any(bs <= idx < be for bs, be in cspans)
+            ).strip()
             if (
-                not body
+                last_code < 0
                 or re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", body,
                              re.IGNORECASE)
                 or re.search(r"\bDESC\s*$", body, re.IGNORECASE)
             ):
                 fixed.append(item)
             else:
-                trail = head[len(head.rstrip()):]
                 fixed.append(
-                    head.rstrip() + " NULLS LAST" + trail + tail_comment
+                    item[: last_code + 1]
+                    + " NULLS LAST"
+                    + item[last_code + 1 :]
                 )
         out.append(sql[pos:items_start])
         out.append(",".join(fixed))

@@ -644,21 +644,26 @@ class _WriteLock:
         # garbage and got broken (ADVICE r8).
         tmp = f"{self.path}.{os.getpid()}.{id(self)}.tmp"
         try:
+            # tmp-write errors (missing _staging dir, permissions)
+            # propagate — they are real failures, not contention
             with open(tmp, "w") as f:
                 f.write(f"{os.getpid()}\n{_socket.gethostname()}")
-            os.link(tmp, self.path)
+            try:
+                os.link(tmp, self.path)
+            except FileExistsError:
+                self._break_if_stale()
+                return False
+            except FileNotFoundError:
+                # a stalled (GC-paused) acquirer can sleep past
+                # BREAKER_TTL_S between writing tmp and linking it;
+                # the dir-wide sweep then age-reclaims the tmp and the
+                # link raises. Not a crash — report failure and let
+                # the caller's spin retry with a fresh tmp (review
+                # r9; scoped to the link only in round 2 — an open()
+                # failure must surface immediately, not spin).
+                return False
             self._held = True
             return True
-        except FileExistsError:
-            self._break_if_stale()
-            return False
-        except FileNotFoundError:
-            # a stalled (GC-paused) acquirer can sleep past
-            # BREAKER_TTL_S between writing tmp and linking it; the
-            # dir-wide sweep then age-reclaims the tmp and the link
-            # raises. Not a crash — report failure and let the
-            # caller's spin retry with a fresh tmp (review r9).
-            return False
         finally:
             try:
                 os.unlink(tmp)
