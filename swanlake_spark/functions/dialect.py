@@ -129,6 +129,10 @@ _NAME_MAP = {
 #   INTERVAL does not survive collection), json_structure, json_type
 #   (DuckDB's UBIGINT-flavored names), json_merge_patch, json_quote:
 #   no exact Spark composition — fail loud at analysis.
+# - window frame EXCLUDE (CURRENT ROW/GROUP/TIES): Spark's frame
+#   grammar has no EXCLUDE and the subtraction composition is
+#   aggregate-specific — fails loud at parse. GROUPS frame mode is
+#   unimplemented in BOTH engines (loud on both).
 # - entropy / mad / histogram: single-pass composition would need
 #   collect_list per group (a 100 TB memory hazard, same class as the
 #   rejected collect_set q16 plan) or two aggregation phases — fail
@@ -3146,6 +3150,42 @@ def transpile_duckdb(sql: str) -> str:
         ob = _depth0_keyword(body, "ORDER")
         if ob < 0:
             return None
+        # DISTINCT variant: DuckDB requires the sort key to be the
+        # DISTINCT expression itself — dedupe then sort
+        dm = re.match(r"DISTINCT\s+(.+)$", body, re.IGNORECASE | re.DOTALL)
+        if dm is not None:
+            inner = dm.group(1)
+            ob2 = _depth0_keyword(inner, "ORDER")
+            if ob2 < 0:
+                return None
+            om2 = re.match(
+                r"^ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
+                inner[ob2:],
+                re.IGNORECASE | re.DOTALL,
+            )
+            if om2 is None:
+                return None
+            x2 = inner[:ob2].strip()
+            key2 = om2.group(1).strip()
+            if key2 != x2:
+                return None  # sort key must be the distinct expr
+            desc2 = (om2.group(2) or "").strip().upper() == "DESC"
+            sorted_d = (
+                f"array_sort(array_distinct(collect_list({x2})))"
+            )
+            if desc2:
+                sorted_d = f"reverse({sorted_d})"
+            # collect_list DROPS NULLs; DuckDB's DISTINCT keeps one,
+            # placed last in both directions — append a typed NULL
+            # when the group had any (huge-index try_element_at is the
+            # typed-NULL maker, same trick as list_resize)
+            return (
+                f"(CASE WHEN count({x2}) < count(*) THEN "
+                f"concat({_MARK} {sorted_d}, "
+                f"transform(sequence(1, 1), _swl_i -> "
+                f"try_element_at(collect_list({x2}), 2147483647))) "
+                f"ELSE {sorted_d} END)"
+            )
         om = re.match(
             r"^ORDER\s+BY\s+(.+?)(\s+ASC|\s+DESC)?\s*$",
             body[ob:],

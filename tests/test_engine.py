@@ -1382,6 +1382,25 @@ class TestDialectBreadth:
             (1, 1, None), (None, 1, 1), (3, 3, 1),
         ]
 
+    def test_r9_distinct_ordered_array_agg(self, engine):
+        """array_agg(DISTINCT x ORDER BY x [DESC]) — dedupe + sort with
+        DuckDB's kept-NULL placed last in both directions (collect_list
+        drops NULLs; the bridge re-appends a typed one when the group
+        had any)."""
+        r = engine.query(
+            "SELECT array_agg(DISTINCT x ORDER BY x) AS a, "
+            "array_agg(DISTINCT x ORDER BY x DESC) AS d "
+            "FROM (VALUES (2),(NULL),(1),(2)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == [1, 2, None] and r.d == [2, 1, None]
+        r = engine.query(
+            "SELECT list(DISTINCT x ORDER BY x) AS l "
+            "FROM (VALUES (3),(1),(3)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.l == [1, 3]
+
     def test_r9_json_extract_paths(self, engine):
         r = engine.query(
             "SELECT json_extract('{\"a\": {\"b\": 2}}', '$.a.b') AS a, "

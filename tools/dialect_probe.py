@@ -374,6 +374,11 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("quant", "SELECT a.x FROM (VALUES (1),(2)) a(x) ANTI JOIN (VALUES (2)) b(y) ON a.x = b.y"),
     ("quant", "SELECT lag(x IGNORE NULLS) OVER (ORDER BY n) AS l FROM (VALUES (1,1),(NULL,2),(3,3)) t(x,n) ORDER BY n"),
     ("quant", "SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x OFFSET 1"),
+    ("win2", "SELECT ts, sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW) AS s FROM (VALUES (TIMESTAMP '2024-01-01 00:00:00', 1),(TIMESTAMP '2024-01-02 00:00:00', 2)) t(ts, v) ORDER BY ts"),
+    ("win2", "SELECT g, x, sum(x) OVER w AS s FROM (VALUES ('a',1),('a',2)) t(g,x) WINDOW w AS (PARTITION BY g ORDER BY x) ORDER BY x"),
+    ("win2", "SELECT count(DISTINCT x) FILTER (WHERE x > 0) AS c FROM (VALUES (1),(1),(-2)) t(x)"),
+    ("win2", "SELECT array_agg(DISTINCT x ORDER BY x) AS l FROM (VALUES (2),(NULL),(1),(2)) t(x)"),
+    ("win2", "SELECT array_agg(DISTINCT x ORDER BY x DESC) AS l FROM (VALUES (2),(1),(NULL)) t(x)"),
 ]
 
 
