@@ -565,9 +565,65 @@ def _match_backward(s: str, close: int, spans) -> int:
     return -1
 
 
+# clause keywords that can never BE an operand: the tight scanners
+# hitting one as "the identifier" means they walked out of the
+# expression (``CASE … END / 3`` used to take the bare ``END`` as the
+# left operand of ``/``, corrupting every operator rewrite after a
+# CASE). ``end``/``case`` get structural handling (walk to the matching
+# CASE/END); the rest abort the scan. Function-able names (left, right,
+# if, filter as the higher-order function) are excluded — each scanner
+# distinguishes call position (name directly before ``(``) itself.
+_OPERAND_STOP_WORDS = frozenset({
+    "select", "distinct", "where", "when", "then", "else", "case",
+    "end", "and", "or", "not", "from", "group", "order", "by", "on",
+    "as", "having", "limit", "offset", "union", "intersect", "except",
+    "values", "set", "returning", "between", "like", "ilike", "glob",
+    "in", "is", "exists", "qualify", "over", "join", "using",
+    "partition", "preceding", "following", "unbounded",
+})
+
+_CASE_END_WORD = re.compile(r"\b(case|end)\b", re.IGNORECASE)
+
+
+def _match_case_backward(s: str, end_start: int, spans) -> int:
+    """Start index of the CASE matching the END whose token begins at
+    ``end_start``; -1 if unbalanced. Nested CASEs counted."""
+    hits = [
+        m
+        for m in _CASE_END_WORD.finditer(s, 0, end_start + 3)
+        if not _in_span(m.start(), spans)
+    ]
+    depth = 0
+    for m in reversed(hits):
+        if m.group(1).lower() == "end":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return m.start()
+    return -1
+
+
+def _match_end_forward(s: str, case_start: int, spans) -> int:
+    """End index (exclusive) of the END matching the CASE at
+    ``case_start``; -1 if unbalanced."""
+    depth = 0
+    for m in _CASE_END_WORD.finditer(s, case_start):
+        if _in_span(m.start(), spans):
+            continue
+        if m.group(1).lower() == "case":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return m.end()
+    return -1
+
+
 def _scan_left_operand(s: str, pos: int, spans) -> int:
     """Start index of the tightest-binding operand ENDING just before
-    ``pos`` (exclusive): a literal, identifier chain, function call, or
+    ``pos`` (exclusive): a literal, identifier chain, function call,
+    CASE … END expression, aggregate FILTER / window OVER clause, or
     parenthesized/bracketed group, with ``.``/call chaining. Returns -1
     when no operand is found."""
     j = pos - 1
@@ -589,6 +645,42 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
             op = _match_backward(s, j, spans)
             if op < 0:
                 return start if start is not None else -1
+            # a group whose body starts with WHERE is an aggregate
+            # FILTER clause, never a standalone operand: absorb the
+            # preceding FILTER keyword and keep scanning left so the
+            # aggregate call itself joins the operand
+            # (``count(*) FILTER (WHERE x) % 5``)
+            if re.match(r"\(\s*WHERE\b", s[op : j + 1], re.IGNORECASE):
+                k = op - 1
+                while k >= 0 and s[k].isspace():
+                    k -= 1
+                w = k
+                while w >= 0 and (s[w].isalnum() or s[w] in "_$"):
+                    w -= 1
+                if s[w + 1 : k + 1].lower() != "filter":
+                    return start if start is not None else -1
+                start = w + 1
+                j = w
+                while j >= 0 and s[j].isspace():
+                    j -= 1
+                continue
+            # a group preceded by the word OVER is a window clause:
+            # absorb OVER and keep scanning left so the window function
+            # call joins the operand (``sum(x) OVER (…) / 2``)
+            k = op - 1
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            w = k
+            while w >= 0 and (s[w].isalnum() or s[w] in "_$"):
+                w -= 1
+            if s[w + 1 : k + 1].lower() == "over" and (
+                w < 0 or s[w] != "."
+            ):
+                start = w + 1
+                j = w
+                while j >= 0 and s[j].isspace():
+                    j -= 1
+                continue
             start = op
             j = op - 1
         elif s[j].isalnum() or s[j] in "_$":
@@ -596,6 +688,19 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
             while k >= 0 and (s[k].isalnum() or s[k] in "_$"):
                 k -= 1
             token = s[k + 1 : j + 1]
+            low = token.lower()
+            if (k < 0 or s[k] != ".") and low in _OPERAND_STOP_WORDS:
+                if low == "end":
+                    # the operand is a whole CASE … END expression
+                    cs = _match_case_backward(s, k + 1, spans)
+                    if cs < 0:
+                        return start if start is not None else -1
+                    return cs
+                # any other clause keyword ends the expression — the
+                # operand is whatever was scanned so far (a keyword is
+                # never a function name: ``THEN (x+1) / 2`` must not
+                # chain into ``THEN(…)``)
+                return start if start is not None else -1
             start = k + 1
             j = k
             # scientific notation with a signed exponent (2e-1): the
@@ -678,22 +783,37 @@ def _scan_right_operand(s: str, pos: int, spans) -> int:
             k = j
             while k < n and (s[k].isalnum() or s[k] in "_$."):
                 k += 1
-            # scientific notation with a signed exponent (1e-6): the
-            # token ends at the sign — absorb `±<digits>` when the
-            # token is a numeric head ending in e/E
-            if (
-                k < n
-                and s[k] in "+-"
-                and re.fullmatch(r"(?:\d+\.?\d*|\.\d+)[eE]", s[j:k])
+            low = s[j:k].lower()
+            if low == "case":
+                # the operand is a whole CASE … END expression
+                ce = _match_end_forward(s, j, spans)
+                if ce < 0:
+                    return end if end is not None else -1
+                end = ce
+                j = ce
+            elif low in _OPERAND_STOP_WORDS and not (
+                k < n and s[k] == "("
             ):
-                k += 1
-                while k < n and s[k].isdigit():
+                # clause keyword in operand position (not a call):
+                # the expression ended before it
+                return end if end is not None else -1
+            else:
+                # scientific notation with a signed exponent (1e-6):
+                # the token ends at the sign — absorb `±<digits>` when
+                # the token is a numeric head ending in e/E
+                if (
+                    k < n
+                    and s[k] in "+-"
+                    and re.fullmatch(r"(?:\d+\.?\d*|\.\d+)[eE]", s[j:k])
+                ):
                     k += 1
-            end = k
-            j = k
-            # function call: identifier directly followed by '('
-            if j < n and s[j] == "(":
-                continue
+                    while k < n and s[k].isdigit():
+                        k += 1
+                end = k
+                j = k
+                # function call: identifier directly followed by '('
+                if j < n and s[j] == "(":
+                    continue
         elif s[j] == "?":
             # a positional parameter marker is a valid operand atom
             end = j + 1
@@ -733,7 +853,10 @@ def _rewrite_power_ops(sql: str) -> str:
         if ls < 0 or re_ < 0:
             return sql  # malformed: leave for the parser to report
         # a UNARY sign binds tighter than ^ in DuckDB (-2 ^ 2 = 4):
-        # absorb it when the char before isn't a value token
+        # absorb it when what precedes isn't a value token — i.e. the
+        # char before is an operator/punctuation, or the word before is
+        # a clause keyword (SELECT -2 ^ 2, THEN -x ** 2: the sign after
+        # a keyword is unary, not binary minus)
         j = ls - 1
         while j >= 0 and sql[j].isspace():
             j -= 1
@@ -741,11 +864,27 @@ def _rewrite_power_ops(sql: str) -> str:
             k2 = j - 1
             while k2 >= 0 and sql[k2].isspace():
                 k2 -= 1
-            if k2 < 0 or not (
+            unary = k2 < 0 or not (
                 sql[k2].isalnum()
                 or sql[k2] in "_$)]"
                 or _in_span(k2, spans)
-            ):
+            )
+            if not unary and sql[k2].isalnum() and not _in_span(k2, spans):
+                w = k2
+                while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
+                    w -= 1
+                word = sql[w + 1 : k2 + 1].lower()
+                # ``end`` CLOSES an expression (CASE … END - 2 ^ 2 is
+                # a binary minus); every other keyword opens one
+                unary = (
+                    (w < 0 or sql[w] != ".")
+                    and word != "end"
+                    and (
+                        word in _OPERAND_STOP_WORDS
+                        or word in _PRE_LITERAL_KEYWORDS
+                    )
+                )
+            if unary:
                 ls = j
         left = sql[ls : m.start()].strip()
         right = sql[m.end() : re_].strip()
@@ -781,6 +920,21 @@ def _rewrite_dollar_quotes(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
+        # comments are opaque: a `$$` inside `--` or `/* */` must not
+        # pair with a later genuine dollar-quote (it would convert the
+        # intervening code into a string literal)
+        if c == "-" and sql[i + 1 : i + 2] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j + 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "/" and sql[i + 1 : i + 2] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out.append(sql[i:j])
+            i = j
+            continue
         if c == "$":
             m = re.match(r"\$(\w*)\$", sql[i:])
             if m:
@@ -796,16 +950,30 @@ def _rewrite_dollar_quotes(sql: str) -> str:
     return "".join(out)
 
 
+_NUM_UNDERSCORE = (
+    r"(?<![\w.$])"          # not mid-identifier / field access
+    r"\d[\d_]*"             # integer part
+    r"(?:\.[\d_]+)?"        # fractional part (1.5_0)
+    r"(?:[eE][+-]?[\d_]+)?"  # exponent (1e1_0, 1_000e2)
+    r"(?![\w.])"
+)
+
+
 def _strip_numeric_underscores(sql: str) -> str:
-    """DuckDB digit-group underscores (``1_000_000``) — Spark reads the
-    token as an identifier. Stripped outside literals; identifiers
-    starting with a letter/underscore are untouched (the pattern
-    requires a leading digit)."""
+    """DuckDB digit-group underscores (``1_000_000``, ``1_0.5_0``,
+    ``1e1_0``, ``1_000e2``) — Spark reads the token as an identifier or
+    a field extraction and fails analysis. Stripped from all three
+    numeric-literal groups (integer, fraction, exponent) outside
+    literals; identifiers starting with a letter/underscore are
+    untouched (the pattern requires a leading digit)."""
     if "_" not in sql:
         return sql
     return _sub_outside(
-        r"(?<![\w.])(\d[\d_]*\d)(?![\w])",
-        lambda m: m.group(1).replace("_", ""),
+        _NUM_UNDERSCORE,
+        lambda m: (
+            m.group(0).replace("_", "") if "_" in m.group(0)
+            else m.group(0)
+        ),
         sql,
     )
 
