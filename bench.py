@@ -720,6 +720,39 @@ def main() -> None:
             value = times[0]
         results[key] = round(value, 4)
 
+    # r10: cross-pass median for the fastest TPC-H entries. A single
+    # measurement section is one scheduler draw — the r9 driver run
+    # landed q16 at 1.95x baseline while three full invocations put its
+    # band median at 1.48x (a host-load spell during ONE section moves
+    # every sample in it together, and the intra-section median can't
+    # see that). Entries under 0.35 s re-measure in two more sections
+    # spaced by the other entries' work; the recorded number is the
+    # median of the three section-medians, so the artifact carries the
+    # band median instead of one draw. Costs ~2x10 runs per fast entry.
+    if not ONLY:
+        fast = [
+            k for k, v in results.items()
+            if re.fullmatch(r"q\d+", k) and v < 0.35
+        ]
+        passes: dict[str, list[float]] = {k: [results[k]] for k in fast}
+        for _ in range(2):
+            for key in fast:
+                spec = suite[key]
+                with exec_profile(spec):
+                    for _w in range(3):
+                        spec.build(spark, SF_DIR).collect()
+                    spark._jvm.System.gc()
+                    times = []
+                    for _m in range(7):
+                        t0 = time.perf_counter()
+                        spec.build(spark, SF_DIR).collect()
+                        times.append(time.perf_counter() - t0)
+                times.sort()
+                passes[key].append(times[len(times) // 2])
+        for key, vals in passes.items():
+            vals.sort()
+            results[key] = round(vals[len(vals) // 2], 4)
+
     if ONLY:  # dev loop: print the subset and stop
         print(
             json.dumps(

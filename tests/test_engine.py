@@ -410,11 +410,16 @@ class TestDialect:
 
         assert transpile_duckdb(
             "SELECT string_agg(x, ' ORDER BY ') FROM t"
-        ) == "SELECT array_join(collect_list(x), ' ORDER BY ') FROM t"
-        # NULLS FIRST/LAST is unsupported: left untouched (fails loud
-        # at analysis as string_agg, not as a mangled rewrite)
-        keep = "SELECT string_agg(x, ',' ORDER BY n DESC NULLS LAST) FROM t"
-        assert transpile_duckdb(keep) == keep
+        ) == (
+            "SELECT (CASE WHEN count(x) = 0 THEN NULL ELSE "
+            "array_join(collect_list(x), ' ORDER BY ') END) FROM t"
+        )
+        # NULLS FIRST/LAST is supported (r10): the null-flag struct
+        # field pins the explicit null order
+        out = transpile_duckdb(
+            "SELECT string_agg(x, ',' ORDER BY n DESC NULLS LAST) FROM t"
+        )
+        assert "string_agg" not in out and "(n) IS NOT NULL" in out
 
     def test_regexp_replace_flag_vs_replacement(self, engine):
         """Only the 4-arg form's trailing 'g' is a flags argument; a
@@ -2518,3 +2523,128 @@ class TestSwapSafeRetryGating:
         finally:
             with se._SWAP_LOCK:
                 se._RECENT_SWAPS.pop("recent_t", None)
+
+
+class TestDialectR10:
+    """r10: three-valued membership/collection semantics, operand
+    scanner keyword handling, aggregate NULL witnesses, literal lexing.
+    Every expected value below is DuckDB-produced (r10 drive scripts +
+    tools/dialect_probe.py sections quant3/null3/aggnull/prec/lex2)."""
+
+    def test_projection_membership_three_valued(self, engine):
+        # Spark's bare IN-subquery returns FALSE for both IN and NOT IN
+        # over {1, NULL} in a projection; DuckDB yields NULL
+        r = engine.query(
+            "SELECT 5 = ANY (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS a,"
+            "       5 <> ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS b,"
+            "       1 = ANY (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS c,"
+            "       5 IN (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS d,"
+            "       5 NOT IN (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS e,"
+            "       NULL IN (SELECT x FROM (VALUES (1)) t(x) WHERE false) AS f",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a is None and r.b is None and r.c is True
+        assert r.d is None and r.e is None and r.f is False
+
+    def test_membership_where_context_regression(self, engine):
+        rows = engine.query(
+            "SELECT y FROM (VALUES (1),(2)) s(y) "
+            "WHERE y IN (SELECT x FROM (VALUES (1),(NULL)) t(x)) ORDER BY y",
+            dialect="duckdb",
+        ).collect()
+        assert [r.y for r in rows] == [1]
+
+    def test_list_comparison_null_elements(self, engine):
+        r = engine.query(
+            "SELECT [1,NULL] = [1,NULL] AS a, [1,NULL] = [2,NULL] AS b,"
+            "       [1,NULL] = [1] AS c, [1,NULL] = [1,NULL,3] AS d,"
+            "       [1,NULL] < [1,2] AS e, [1] < [1,NULL] AS f,"
+            "       [1,2] = [1,2] AS g, [1,NULL] <> [1,NULL] AS h",
+            dialect="duckdb",
+        ).collect()[0]
+        # FALSE dominates NULL pairwise; lengths only decide when no
+        # NULL pair intervened; prefix rule never reads past min length
+        assert r.a is None and r.b is False and r.c is False
+        assert r.d is None and r.e is None and r.f is True
+        assert r.g is True and r.h is None
+
+    def test_struct_comparison_null_fields(self, engine):
+        r = engine.query(
+            "SELECT {'a': NULL} = {'a': NULL} AS a,"
+            "       {'a': 1, 'b': NULL} = {'a': 2, 'b': NULL} AS b,"
+            "       {'a': 1, 'b': 2} = {'a': 1, 'b': 2} AS c,"
+            "       {'a': NULL} <> {'a': NULL} AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a is None and r.b is False and r.c is True and r.d is None
+
+    def test_string_agg_all_null_group(self, engine):
+        rows = engine.query(
+            "SELECT g, string_agg(x, '-') AS v FROM (VALUES "
+            "(1,'a'),(1,NULL),(2,NULL),(3,'')) t(g,x) "
+            "GROUP BY g ORDER BY g",
+            dialect="duckdb",
+        ).collect()
+        # all-NULL group → NULL; empty-string aggregate survives
+        assert [(r.g, r.v) for r in rows] == [(1, "a"), (2, None), (3, "")]
+
+    def test_incall_order_by_null_order(self, engine):
+        r = engine.query(
+            "SELECT array_agg(x ORDER BY x NULLS FIRST) AS a,"
+            "       array_agg(x ORDER BY x DESC NULLS FIRST) AS b,"
+            "       array_agg(x ORDER BY x) AS c,"
+            "       string_agg(x::VARCHAR, ',' ORDER BY x NULLS FIRST) AS d "
+            "FROM (VALUES (2),(NULL),(1)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == [None, 1, 2] and r.b == [None, 2, 1]
+        assert r.c == [1, 2, None] and r.d == "1,2"
+
+    def test_scanner_case_end_operands(self, engine):
+        r = engine.query(
+            "SELECT CASE WHEN 1=1 THEN 4 ELSE 2 END / 3 AS a,"
+            "       CASE WHEN 1=1 THEN 5 ELSE 2 END::INT AS b,"
+            "       CASE WHEN 1=1 THEN 4 ELSE 2 END ^ 2 AS c,"
+            "       3 / CASE WHEN 1=1 THEN 2 ELSE 4 END AS d,"
+            "       CASE WHEN 1=1 THEN 4 ELSE 2 END - 2 ^ 2 AS e",
+            dialect="duckdb",
+        ).collect()[0]
+        assert abs(r.a - 4 / 3) < 1e-9 and r.b == 5 and r.c == 16.0
+        assert r.d == 1.5 and r.e == 0.0
+
+    def test_scanner_filter_over_operands(self, engine):
+        r = engine.query(
+            "SELECT count(*) FILTER (WHERE x > 1) % 5 AS a "
+            "FROM (VALUES (1),(2),(3)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == 2
+        rows = engine.query(
+            "SELECT DISTINCT sum(x) OVER (PARTITION BY x % 2) / 2 AS v "
+            "FROM (VALUES (2),(4)) t(x)",
+            dialect="duckdb",
+        ).collect()
+        assert [r.v for r in rows] == [3.0]
+
+    def test_power_unary_minus_keyword_context(self, engine):
+        r = engine.query(
+            "SELECT -2 ^ 2 AS a, 2 ^ -2 AS b, 0 - 2 ^ 2 AS c, "
+            "3 * -2 ^ 2 AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == 4.0 and r.b == 0.25 and r.c == -4.0 and r.d == 12.0
+
+    def test_numeric_underscore_fraction_exponent(self, engine):
+        r = engine.query(
+            "SELECT 1.5_0 AS a, 1_0.5_0 AS b, 1e1_0 AS c, 1_000e2 AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert float(r.a) == 1.5 and float(r.b) == 10.5
+        assert r.c == 1e10 and r.d == 1e5
+
+    def test_dollar_quote_in_comment_inert(self, engine):
+        r = engine.query(
+            "SELECT 1 AS a -- $$\n, $$x$$ AS b",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == 1 and r.b == "x"
