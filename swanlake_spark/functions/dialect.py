@@ -1361,9 +1361,10 @@ def _rewrite_in_subquery_3vl(sql: str) -> str:
     NULL. The CASE pair (IN decides TRUE, NOT IN decides FALSE, the
     both-miss case falls through to NULL) restores it in every
     context. Filter-position INs stay native — NULL and FALSE filter
-    identically there, and the rewrite would double the join; the
-    residual observable corner (``WHERE (x IN (sub)) IS NULL``) is a
-    documented divergence (PARITY.md)."""
+    identically there, and the rewrite would double the join — EXCEPT
+    when an IS/comparison right after the close paren observes the
+    predicate's value (``WHERE (x IN (sub)) IS NULL``), which forces
+    the rewrite."""
     if not _IN_SUBQ.search(sql):
         return sql
     masked: set[int] = set()
@@ -1379,9 +1380,6 @@ def _rewrite_in_subquery_3vl(sql: str) -> str:
                 break
         if m is None:
             return sql
-        if _in_filter_context(sql, m.start(), spans):
-            masked.add(m.start())
-            continue
         # matching close paren of the subquery
         po = sql.index("(", m.start())
         depth, i, n = 1, po + 1, len(sql)
@@ -1396,6 +1394,17 @@ def _rewrite_in_subquery_3vl(sql: str) -> str:
             i += 1
         if depth:
             return sql
+        if _in_filter_context(sql, m.start(), spans):
+            # filter position — EXCEPT when the predicate's value is
+            # observed right after (``(x IN (sub)) IS NULL``, ``=
+            # false``): an IS/comparison after the close paren(s) sees
+            # the NULL that filtering would not
+            j = i
+            while j < n and (sql[j].isspace() or sql[j] == ")"):
+                j += 1
+            if not re.match(r"IS\b|=|<>|!=", sql[j:], re.IGNORECASE):
+                masked.add(m.start())
+                continue
         sub = sql[po + 1 : i - 1]
         ls = _scan_left_additive(sql, m.start(), spans)
         if ls < 0:
@@ -3828,6 +3837,34 @@ def transpile_duckdb(sql: str) -> str:
         _array_agg_order,
     )
     out = _rewrite_array_agg_nulls(out)
+
+    # len(x) is BOTH string length and list size in DuckDB; Spark
+    # splits them (length vs size) and has no len. A syntactically
+    # arrayish argument (post-bracket-rewrite array(...) heads) →
+    # size; anything else → length (the string/binary case). A
+    # column-typed LIST argument still fails loud (documented — text
+    # can't see the catalog); length() over a syntactic array also
+    # maps to size (DuckDB length is the same alias).
+    def _len_call(args, fn):
+        body = args[0].strip()
+        inner = (
+            body[1:-1].strip()
+            if re.fullmatch(r"\(.*\)", body, re.DOTALL)
+            else body
+        )
+        if _ARRAY_HEAD.match(inner):
+            return f"size({body})"
+        if fn == "len":
+            return f"length({body})"
+        return None
+
+    for fn_name in ("len", "length"):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{fn_name}\s*\(", re.IGNORECASE),
+            1,
+            lambda a, fn=fn_name: _len_call(a, fn),
+        )
 
     # list_resize / list_where / list_select / list_grade_up — probe-
     # verified compositions. The huge-index try_element_at is the typed

@@ -1381,6 +1381,98 @@ def _q52r9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("q52_r9_semantics_battery", _q52r9, _Q52_SQL)
 
+
+# -- Q53: r10 dialect-semantics battery ---------------------------------------
+# The round-10 dialect surface through a client_dialect session, oracle
+# = the SAME text verbatim on DuckDB. Arms: three-valued membership in
+# VALUE position (= ANY / NOT IN over NULL-bearing subqueries, encoded
+# -1/0/1 so NULL is distinguishable from FALSE; plus a table-scale
+# IS-NULL observation arm), three-valued list/struct comparisons with
+# NULL elements, the string_agg all-NULL count witness, array_agg NULL
+# retention + explicit NULLS FIRST in-call ordering, string_agg DESC
+# NULLS LAST over real data, the -2 ^ 2 sign matrix, CASE…END and
+# FILTER(WHERE…) operands under operator rewrites, and
+# fractional/exponent numeric underscores through a VARCHAR cast.
+_Q53_SQL = """
+    SELECT src, k, v FROM (
+      SELECT 'mem' AS src, concat('any', CAST(i AS STRING)) AS k,
+             CAST(CASE WHEN r IS NULL THEN -1 WHEN r THEN 1 ELSE 0 END
+                  AS DOUBLE) AS v
+      FROM (SELECT i, i = ANY (SELECT x FROM (VALUES (1),(NULL)) q(x)) AS r
+            FROM (VALUES (1),(5)) t(i)) s
+      UNION ALL
+      SELECT 'mem' AS src, concat('nin', CAST(i AS STRING)) AS k,
+             CAST(CASE WHEN r IS NULL THEN -1 WHEN r THEN 1 ELSE 0 END
+                  AS DOUBLE) AS v
+      FROM (SELECT i, i NOT IN (SELECT x FROM (VALUES (1),(NULL)) q(x)) AS r
+            FROM (VALUES (1),(5)) t(i)) s
+      UNION ALL
+      FROM orders SELECT 'mem' AS src, 'tbl' AS k,
+           CAST(count(CASE WHEN (o_orderkey NOT IN (SELECT NULL))
+                           IS NULL THEN 1 END) AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'lst' AS src, concat('c', CAST(n AS STRING)) AS k,
+             CAST(CASE WHEN r IS NULL THEN -1 WHEN r THEN 1 ELSE 0 END
+                  AS DOUBLE) AS v
+      FROM (
+        SELECT 1 AS n, [1,NULL] = [1,NULL] AS r UNION ALL
+        SELECT 2, [1,NULL] = [2,NULL] UNION ALL
+        SELECT 3, [1,NULL] < [1,2] UNION ALL
+        SELECT 4, [1] < [1,NULL] UNION ALL
+        SELECT 5, {'a': NULL} = {'a': NULL} UNION ALL
+        SELECT 6, {'a': 1, 'b': NULL} = {'a': 2, 'b': NULL}
+      ) s
+      UNION ALL
+      SELECT 'agg' AS src,
+             coalesce(string_agg(CASE WHEN i > 10 THEN 'x' END, ','),
+                      'allnull') AS k, 1.0 AS v
+      FROM (VALUES (1),(2)) t(i)
+      UNION ALL
+      SELECT 'agg' AS src,
+             array_to_string(list_transform(
+               array_agg(x ORDER BY x NULLS FIRST),
+               e -> coalesce(CAST(e AS STRING), 'n')), '|') AS k,
+             CAST(2 AS DOUBLE) AS v
+      FROM (VALUES (2),(NULL),(1)) t(x)
+      UNION ALL
+      FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) d
+      SELECT 'agg' AS src,
+             string_agg(p, '+' ORDER BY p DESC NULLS LAST) AS k,
+             CAST(3 AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'pre' AS src, 'pm' AS k, -2 ^ 2 AS v
+      UNION ALL
+      SELECT 'pre' AS src, 'case' AS k,
+             CASE WHEN 1=1 THEN 4 ELSE 2 END / 3 AS v
+      UNION ALL
+      FROM lineitem SELECT 'pre' AS src, 'fil' AS k,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) % 1000
+                AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'lex' AS src, (1_0.5_0)::VARCHAR AS k,
+             CAST(1e1_0 AS DOUBLE) AS v
+    ) u ORDER BY src, k, v
+"""
+
+
+def _q53r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    eng = Engine(
+        spark=spark, config=EngineConfig(client_dialect="duckdb")
+    )
+    sid = f"q53-{uuid.uuid4().hex[:8]}"
+    sess = eng.sessions.get_or_create(sid)
+    try:
+        ensure_tables(sess.spark, sf_dir)
+        return sess.query(_Q53_SQL).df
+    finally:
+        eng.sessions.remove(sid)
+
+
+_add("q53_r10_semantics_battery", _q53r10, _Q53_SQL)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
@@ -1404,7 +1496,17 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # through a client_dialect session, oracle = the same text
     # verbatim.
     "q52_r9_semantics_battery",
-    "q45_ddl_dml_battery",
+    # r10 rotation: q45_ddl_dml_battery (window-green since r6, the
+    # longest-stable non-TPC-H battery) moves to corpus-only — still
+    # hash-matched every pytest run by tests/test_oracle_corpus.py —
+    # and its slot goes to the r10 dialect-semantics battery
+    # (three-valued membership in value position, NULL-element
+    # list/struct comparisons, string_agg count witness, array_agg
+    # NULL retention + explicit null orders, the -2^2 sign matrix,
+    # CASE…END / FILTER(WHERE…) operand scanning, underscore literals)
+    # through a client_dialect session, oracle = the same text
+    # verbatim.
+    "q53_r10_semantics_battery",
     "q47_matview_incremental",
     # r7 (VERDICT r6 #4): dedicated CDC row at data scale — the slot
     # came from folding the three near-dup singles into

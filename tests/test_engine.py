@@ -412,7 +412,8 @@ class TestDialect:
             "SELECT string_agg(x, ' ORDER BY ') FROM t"
         ) == (
             "SELECT (CASE WHEN count(x) = 0 THEN NULL ELSE "
-            "array_join(collect_list(x), ' ORDER BY ') END) FROM t"
+            "array_join(collect_list(/*swl*/ x), ' ORDER BY ') END) "
+            "FROM t"
         )
         # NULLS FIRST/LAST is supported (r10): the null-flag struct
         # field pins the explicit null order

@@ -502,6 +502,8 @@ QUERY_PROBES: list[tuple[str, str]] = [
     #    stringification claim) --
     ("lex2", "SELECT concat([1],[2]) AS a"),
     ("lex2", "SELECT concat([1,2]) AS a"),
+    ("lex2", "SELECT concat_ws('|', ['a','b']) AS a"),
+    ("lex2", "SELECT array_to_string(['a',NULL,'b'], '|') AS a"),
     ("quant", "SELECT a.x FROM (VALUES (1),(2)) a(x) SEMI JOIN (VALUES (2)) b(y) ON a.x = b.y"),
     ("quant", "SELECT a.x FROM (VALUES (1),(2)) a(x) ANTI JOIN (VALUES (2)) b(y) ON a.x = b.y"),
     ("quant", "SELECT lag(x IGNORE NULLS) OVER (ORDER BY n) AS l FROM (VALUES (1,1),(NULL,2),(3,3)) t(x,n) ORDER BY n"),
@@ -527,6 +529,9 @@ DOCUMENTED: dict[str, str] = {
                 "month returns TIMESTAMP in Spark (type-level)",
     "SELECT upper('straße') AS u": "JVM locale maps ß→SS "
                 "(ICU vs JVM case tables)",
+    "SELECT concat_ws('|', ['a','b']) AS a": "DuckDB STRINGIFIES a "
+                "list argument ('[a, b]'); Spark concat_ws joins its "
+                "elements — type-level, use array_to_string to join",
 }
 
 
