@@ -1474,7 +1474,7 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
         if ls < 0:
             return sql
         expr = sql[ls : m.start()].strip()
-        if _has_bare_marker(expr):
+        if _has_bare_marker(expr) or _has_bare_marker(sub):
             return sql  # duplication would corrupt positional binding
         is_any = kind in ("ANY", "SOME")
         if (op == "=" and is_any) or (
@@ -1608,7 +1608,7 @@ def _rewrite_ignore_nulls(sql: str) -> str:
 _ARRAY_HEAD = re.compile(
     r"^(?:array|array_distinct|array_sort|array_compact|array_remove|"
     r"array_repeat|array_union|array_intersect|array_except|sort_array|"
-    r"sequence|slice|flatten|split|zip_with|transform|reverse|"
+    r"sequence|slice|flatten|split|zip_with|transform|"
     r"collect_list|collect_set)\s*\(.*\)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1714,7 +1714,7 @@ def _rewrite_collection_comparisons(sql: str) -> str:
     # to do (keeps plain comparison-heavy queries out of the scan loop)
     if not re.search(
         r"\b(?:array|named_struct|sequence|sort_array|slice|flatten|"
-        r"split|zip_with|transform|collect_list|collect_set|reverse)"
+        r"split|zip_with|transform|collect_list|collect_set)"
         r"\s*\(",
         sql,
         re.IGNORECASE,
@@ -3182,6 +3182,40 @@ def transpile_duckdb(sql: str) -> str:
             lambda a: (
                 f"(get_json_object({a[0]}, '$') IS NOT NULL "
                 f"OR trim({a[0]}) = 'null')"
+            ),
+        ),
+        (
+            # json_type(j): top-level JSON type name, DuckDB's exact
+            # labels (probe-pinned): OBJECT/ARRAY/VARCHAR/BOOLEAN/NULL;
+            # integers split UBIGINT (fits uint64) / BIGINT (negative,
+            # fits int64) / DOUBLE (overflow or fraction/exponent).
+            # Malformed docs raise like DuckDB (lenient parses that
+            # Spark's get_json_object accepts are a documented
+            # superset). 2-arg path form stays loud — extraction
+            # unquotes strings, which would silently misclassify.
+            r"\bjson_type\s*\(",
+            1,
+            lambda a: (
+                f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS STRING) "
+                f"WHEN NOT (get_json_object({a[0]}, '$') IS NOT NULL "
+                f"OR trim({a[0]}) = 'null') "
+                f"THEN raise_error('Malformed JSON') "
+                f"WHEN trim({a[0]}) RLIKE '^\\{{' THEN 'OBJECT' "
+                f"WHEN trim({a[0]}) RLIKE '^\\[' THEN 'ARRAY' "
+                f"WHEN trim({a[0]}) RLIKE '^\"' THEN 'VARCHAR' "
+                f"WHEN trim({a[0]}) IN ('true', 'false') THEN 'BOOLEAN' "
+                f"WHEN trim({a[0]}) = 'null' THEN 'NULL' "
+                f"WHEN trim({a[0]}) RLIKE '^-[0-9]+$' THEN "
+                f"(CASE WHEN length(trim({a[0]})) < 20 OR "
+                f"(length(trim({a[0]})) = 20 AND "
+                f"substring(trim({a[0]}), 2) <= '9223372036854775808') "
+                f"THEN 'BIGINT' ELSE 'DOUBLE' END) "
+                f"WHEN trim({a[0]}) RLIKE '^[0-9]+$' THEN "
+                f"(CASE WHEN length(trim({a[0]})) < 20 OR "
+                f"(length(trim({a[0]})) = 20 AND "
+                f"trim({a[0]}) <= '18446744073709551615') "
+                f"THEN 'UBIGINT' ELSE 'DOUBLE' END) "
+                f"ELSE 'DOUBLE' END)"
             ),
         ),
         (

@@ -232,6 +232,18 @@ PROBES: list[tuple[str, str]] = [
     ("json", "json_structure('{\"a\": 1}')"),
     ("json", "json_type('{\"a\": 1}')"),
     ("json", "json_valid('{bad')"),
+    ("json", "json_type('[1]')"),
+    ("json", "json_type('\"x\"')"),
+    ("json", "json_type('1')"),
+    ("json", "json_type('-1')"),
+    ("json", "json_type('1.5')"),
+    ("json", "json_type('1e5')"),
+    ("json", "json_type('true')"),
+    ("json", "json_type('null')"),
+    ("json", "json_type('18446744073709551615')"),
+    ("json", "json_type('99999999999999999999999999')"),
+    ("json", "json_type('-9223372036854775808')"),
+    ("json", "json_type(NULL)"),
     ("json", "json_merge_patch('{\"a\":1}', '{\"b\":2}')"),
     ("json", "to_json([1,2])"),
     ("json", "json_quote('x')"),
