@@ -1774,11 +1774,12 @@ def _rewrite_array_agg_nulls(sql: str) -> str:
     (structs are never NULL) and unwrap after collecting:
     ``transform(collect_list(named_struct('_swl_v', x)), s -> s._swl_v)``;
     DISTINCT adds array_distinct on the unwrapped array (one NULL
-    survives, like DuckDB). Skipped: struct-constructor bodies (their
-    elements can't be NULL — also makes the rewrite its own fixed
-    point), marked internal emissions, and calls followed by OVER /
-    FILTER / WITHIN (the wrapper can't carry a window or filter
-    clause; window array_agg NULL retention is a documented gap)."""
+    survives, like DuckDB). The window form keeps its OVER clause
+    attached to the collect_list INSIDE the wrapper
+    (``transform(collect_list(ns(x)) OVER (…), unwrap)``). Skipped:
+    struct-constructor bodies (their elements can't be NULL — also
+    makes the rewrite its own fixed point), marked internal emissions,
+    and FILTER / WITHIN / windowed-DISTINCT forms (fail loud)."""
     if not _COLLECT_CALL.search(sql):
         return sql
     masked: set[int] = set()
@@ -1814,20 +1815,55 @@ def _rewrite_array_agg_nulls(sql: str) -> str:
         dm = re.match(r"DISTINCT\s+(.+)$", body, re.IGNORECASE | re.DOTALL)
         x = dm.group(1).strip() if dm else body
         if (
-            follow
+            (follow and follow.group(1).upper() != "OVER")
+            or (follow and dm)
             or _marked_arg(body)
             or re.match(r"named_struct\s*\(", x, re.IGNORECASE)
             or _depth0_keyword(body, "ORDER") >= 0
         ):
             masked.add(m.start())
             continue
+        end = i
+        over = ""
+        if follow:
+            # window form: the OVER clause stays attached to the
+            # collect_list call INSIDE the transform wrapper —
+            # ``transform(collect_list(ns(x)) OVER (…), unwrap)``
+            w = j + 4
+            while w < n and sql[w].isspace():
+                w += 1
+            if w < n and sql[w] == "(":
+                depth2, e2 = 1, w + 1
+                while e2 < n and depth2:
+                    if _in_span(e2, spans):
+                        e2 += 1
+                        continue
+                    if sql[e2] == "(":
+                        depth2 += 1
+                    elif sql[e2] == ")":
+                        depth2 -= 1
+                    e2 += 1
+                if depth2:
+                    masked.add(m.start())
+                    continue
+                end = e2
+            else:
+                e2 = w
+                while e2 < n and (sql[e2].isalnum() or sql[e2] in "_$"):
+                    e2 += 1
+                if e2 == w:
+                    masked.add(m.start())
+                    continue
+                end = e2
+            over = " OVER " + sql[w:end]
         wrapped = (
             f"transform(collect_list({_MARK} "
-            f"named_struct('_swl_v', {x})), _swl_s -> _swl_s._swl_v)"
+            f"named_struct('_swl_v', {x})){over}, "
+            f"_swl_s -> _swl_s._swl_v)"
         )
         if dm:
             wrapped = f"array_distinct({wrapped})"
-        sql = sql[: m.start()] + wrapped + sql[i:]
+        sql = sql[: m.start()] + wrapped + sql[end:]
         masked = {p for p in masked if p < m.start()}
     return sql
 

@@ -2649,3 +2649,53 @@ class TestDialectR10:
             dialect="duckdb",
         ).collect()[0]
         assert r.a == 1 and r.b == "x"
+
+    def test_array_agg_keeps_null_elements(self, engine):
+        r = engine.query(
+            "SELECT list_sort(array_agg(x), 'ASC', 'NULLS FIRST') AS a,"
+            "       list_sort(array_agg(DISTINCT x), 'ASC', 'NULLS FIRST') AS b "
+            "FROM (VALUES (1),(NULL),(2),(1)) t(x)",
+            dialect="duckdb",
+        ).collect()[0]
+        # DuckDB array_agg KEEPS NULL elements; DISTINCT keeps one
+        assert r.a == [None, 1, 1, 2] and r.b == [None, 1, 2]
+
+    def test_array_agg_window_keeps_nulls(self, engine):
+        rows = engine.query(
+            "SELECT n, array_agg(x) OVER (ORDER BY n ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS a "
+            "FROM (VALUES (1,1),(NULL,2),(3,3)) t(x,n) ORDER BY n",
+            dialect="duckdb",
+        ).collect()
+        assert [r.a for r in rows] == [[1], [1, None], [None, 3]]
+
+    def test_cast_typename_spellings(self, engine):
+        r = engine.query(
+            "SELECT 1.50::VARCHAR AS a, CAST(7 AS TEXT) AS b,"
+            "       TRY_CAST('x' AS BPCHAR) AS c, 2::FLOAT8 AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == "1.50" and r.b == "7" and r.c == "x" and r.d == 2.0
+
+    def test_json_type_labels(self, engine):
+        r = engine.query(
+            "SELECT json_type('{\"a\":1}') AS o, json_type('[1]') AS a,"
+            "       json_type('\"x\"') AS s, json_type('1') AS u,"
+            "       json_type('-1') AS b, json_type('1.5') AS d,"
+            "       json_type('true') AS t, json_type('null') AS n,"
+            "       json_type('18446744073709551615') AS mx,"
+            "       json_type('99999999999999999999999999') AS ov",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.o, r.a, r.s, r.u, r.b, r.d, r.t, r.n, r.mx, r.ov) == (
+            "OBJECT", "ARRAY", "VARCHAR", "UBIGINT", "BIGINT", "DOUBLE",
+            "BOOLEAN", "NULL", "UBIGINT", "DOUBLE",
+        )
+
+    def test_reverse_string_comparison_untouched(self, engine):
+        rows = engine.query(
+            "SELECT x FROM (VALUES ('ab'),('ba')) t(x) "
+            "WHERE reverse(x) = 'ab'",
+            dialect="duckdb",
+        ).collect()
+        assert [r.x for r in rows] == ["ba"]

@@ -479,6 +479,8 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("aggnull", "SELECT array_agg(DISTINCT x ORDER BY x NULLS FIRST) AS a FROM (VALUES (2),(NULL),(1),(2)) t(x)"),
     ("aggnull", "SELECT array_agg(DISTINCT x ORDER BY x) AS a FROM (VALUES (2),(NULL),(1),(2)) t(x)"),
     ("aggnull", "SELECT list(x ORDER BY x NULLS FIRST) AS a FROM (VALUES (2),(NULL),(1)) t(x)"),
+    ("aggnull", "SELECT list_sort(array_agg(x) OVER (), 'ASC', 'NULLS FIRST') AS a FROM (VALUES (1),(NULL)) t(x)"),
+    ("aggnull", "SELECT array_agg(x) OVER (ORDER BY n ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a FROM (VALUES (1,1),(NULL,2),(3,3)) t(x,n) ORDER BY n"),
     ("aggnull", "SELECT min(x) AS a, max(x) AS b FROM (VALUES (NULL::INT)) t(x)"),
     ("aggnull", "SELECT sum(x) AS a, avg(x) AS b FROM (VALUES (NULL::INT)) t(x)"),
     ("aggnull", "SELECT bool_and(x) AS a FROM (VALUES (NULL::BOOLEAN)) t(x)"),
