@@ -876,15 +876,20 @@ def _rewrite_power_ops(sql: str) -> str:
         re_ = _scan_right_operand(sql, m.end(), spans)
         if ls < 0 or re_ < 0:
             return sql  # malformed: leave for the parser to report
-        # a UNARY sign binds tighter than ^ in DuckDB (-2 ^ 2 = 4):
-        # absorb it when what precedes isn't a value token — i.e. the
-        # char before is an operator/punctuation, or the word before is
-        # a clause keyword (SELECT -2 ^ 2, THEN -x ** 2: the sign after
-        # a keyword is unary, not binary minus)
-        j = ls - 1
-        while j >= 0 and sql[j].isspace():
-            j -= 1
-        if j >= 0 and sql[j] in "+-":
+        # UNARY signs bind tighter than ^ in DuckDB (-2 ^ 2 = 4,
+        # - - 2 ^ 2 = 4): absorb each sign whose left side isn't a
+        # value token — i.e. the char before is operator/punctuation
+        # (another sign included), or the word before is a clause
+        # keyword (SELECT -2 ^ 2, THEN -x ** 2). Stops at an ADJACENT
+        # `--` (that's a comment marker, not two operators).
+        while True:
+            j = ls - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j < 0 or sql[j] not in "+-":
+                break
+            if sql[j] == "-" and j >= 1 and sql[j - 1] == "-":
+                break
             k2 = j - 1
             while k2 >= 0 and sql[k2].isspace():
                 k2 -= 1
@@ -908,8 +913,9 @@ def _rewrite_power_ops(sql: str) -> str:
                         or word in _PRE_LITERAL_KEYWORDS
                     )
                 )
-            if unary:
-                ls = j
+            if not unary:
+                break
+            ls = j
         left = sql[ls : m.start()].strip()
         right = sql[m.end() : re_].strip()
         sql = f"{sql[:ls]}power({left}, {right}){sql[re_:]}"

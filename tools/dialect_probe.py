@@ -458,6 +458,17 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("null3", "SELECT {'a': NULL} <> {'a': NULL} AS a"),
     ("null3", "SELECT {'a': 1, 'b': 2} = {'a': 1, 'b': 2} AS a"),
     ("null3", "SELECT x FROM (VALUES (1),(2)) t(x) WHERE [x, 9] = [1, 9]"),
+    # DuckDB 1.0.0 is internally inconsistent on NULL-element list
+    # comparisons: its constant-folder and projections are
+    # three-valued (SELECT [1,NULL]=[1,NULL] → NULL; WHERE with the
+    # same CONSTANT filters out) while its expression-executor paths
+    # (CASE conditions, HAVING, column-bearing WHERE) use two-valued
+    # total ordering (same comparison → TRUE). The engine is uniformly
+    # three-valued — the standard's semantics and the half of DuckDB
+    # the r9 judge probe pinned. These two rows pin the documented
+    # disagreement with DuckDB's OTHER half:
+    ("null3", "SELECT CASE WHEN [1,NULL] = [1,NULL] THEN 'y' ELSE 'n' END AS a"),
+    ("null3", "SELECT x FROM (VALUES (1),(2)) t(x) WHERE [x, NULL] = [1, NULL]"),
     # -- aggregate NULL-element semantics (string_agg witness, in-call
     #    ORDER BY explicit null order; judge r9 #4/#5) --
     ("aggnull", "SELECT string_agg(NULL, ',') AS a"),
@@ -546,6 +557,14 @@ DOCUMENTED: dict[str, str] = {
     "SELECT concat_ws('|', ['a','b']) AS a": "DuckDB STRINGIFIES a "
                 "list argument ('[a, b]'); Spark concat_ws joins its "
                 "elements — type-level, use array_to_string to join",
+    "SELECT CASE WHEN [1,NULL] = [1,NULL] THEN 'y' ELSE 'n' END AS a":
+        "DuckDB's expression-executor path is two-valued total-order "
+        "here (TRUE) while its own constant-folder/projection is "
+        "three-valued (NULL); engine is uniformly three-valued",
+    "SELECT x FROM (VALUES (1),(2)) t(x) WHERE [x, NULL] = [1, NULL]":
+        "same DuckDB internal inconsistency, column-bearing WHERE "
+        "path; engine filters the NULL like the standard and "
+        "DuckDB's own constant path",
 }
 
 
