@@ -890,30 +890,7 @@ def _rewrite_power_ops(sql: str) -> str:
                 break
             if sql[j] == "-" and j >= 1 and sql[j - 1] == "-":
                 break
-            k2 = j - 1
-            while k2 >= 0 and sql[k2].isspace():
-                k2 -= 1
-            unary = k2 < 0 or not (
-                sql[k2].isalnum()
-                or sql[k2] in "_$)]"
-                or _in_span(k2, spans)
-            )
-            if not unary and sql[k2].isalnum() and not _in_span(k2, spans):
-                w = k2
-                while w >= 0 and (sql[w].isalnum() or sql[w] in "_$"):
-                    w -= 1
-                word = sql[w + 1 : k2 + 1].lower()
-                # ``end`` CLOSES an expression (CASE … END - 2 ^ 2 is
-                # a binary minus); every other keyword opens one
-                unary = (
-                    (w < 0 or sql[w] != ".")
-                    and word != "end"
-                    and (
-                        word in _OPERAND_STOP_WORDS
-                        or word in _PRE_LITERAL_KEYWORDS
-                    )
-                )
-            if not unary:
+            if not _is_unary_sign(sql, j, spans):
                 break
             ls = j
         left = sql[ls : m.start()].strip()
@@ -1117,6 +1094,93 @@ def _rewrite_int_cast_rounding(sql: str) -> str:
     return sql
 
 
+def _is_unary_sign(s: str, j: int, spans) -> bool:
+    """True when the ``+``/``-`` at ``j`` is a UNARY sign: what
+    precedes (skipping whitespace) is not a value token — punctuation,
+    another operator, start of input, or a clause keyword (``end``
+    excepted — it CLOSES an expression, so a sign after it is
+    binary)."""
+    k2 = j - 1
+    while k2 >= 0 and s[k2].isspace():
+        k2 -= 1
+    if k2 < 0 or not (
+        s[k2].isalnum() or s[k2] in "_$)]" or _in_span(k2, spans)
+    ):
+        return True
+    if s[k2].isalnum() and not _in_span(k2, spans):
+        w = k2
+        while w >= 0 and (s[w].isalnum() or s[w] in "_$"):
+            w -= 1
+        word = s[w + 1 : k2 + 1].lower()
+        return (
+            (w < 0 or s[w] != ".")
+            and word != "end"
+            and (
+                word in _OPERAND_STOP_WORDS
+                or word in _PRE_LITERAL_KEYWORDS
+            )
+        )
+    return False
+
+
+def _scan_left_mul(s: str, pos: int, spans) -> int:
+    """Left operand extended over the MULTIPLICATIVE tier (``*``, raw
+    ``/``/``%`` not yet rewritten, and the ``\\x05``/``\\x06``
+    sentinels) — ``/``, ``//`` and ``%`` are LEFT-ASSOCIATIVE at the
+    same precedence as ``*`` in DuckDB, so ``-5 * 3 % 5`` is
+    ``(-5 * 3) % 5``, not ``-5 * (3 % 5)`` (fuzz-found). Stops at
+    additive operators, ``**`` residue, comment delimiters, keywords,
+    commas and opening parens."""
+    ls = _scan_left_operand(s, pos, spans)
+    if ls < 0:
+        return ls
+    while True:
+        j = ls - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j < 0:
+            return ls
+        if s[j] in "+-":
+            # a UNARY sign joins the operand and the scan continues
+            # left of it (``5 % -5 / 2`` must still see the ``%``);
+            # a binary additive sign ends the tier
+            if not _is_unary_sign(s, j, spans) or (
+                s[j] == "-" and j >= 1 and s[j - 1] == "-"
+            ):
+                return ls
+            ls = j
+            continue
+        if s[j] not in "*%/\x05\x06":
+            return ls
+        if s[j] == "*" and (
+            (j >= 1 and s[j - 1] == "*") or s[j + 1 : j + 2] == "/"
+        ):
+            return ls  # '**' power residue / '*/' comment tail
+        if s[j] == "/" and s[j + 1 : j + 2] == "*":
+            return ls  # '/*' comment head
+        op_start = j
+        if s[j] in "/%" and j >= 1 and s[j - 1] == s[j]:
+            op_start = j - 1  # '//' consumes both chars
+        prev = _scan_left_operand(s, op_start, spans)
+        prev_tok = s[prev:op_start].strip() if prev >= 0 else ""
+        if prev < 0 or (
+            re.fullmatch(r"\w+", prev_tok)
+            and prev_tok.lower() in _PRE_LITERAL_KEYWORDS
+        ):
+            return ls
+        ls = prev
+
+
+# syntactically non-integral operand: a decimal/exponent literal, a
+# power() result (always DOUBLE), an explicit DOUBLE/FLOAT cast, or an
+# already-rewritten division (the \x05 sentinel / CAST AS DOUBLE text)
+_NONINTEGRAL = re.compile(
+    r"\d\s*\.\s*\d|(?<![\w.])\.\d|\d[eE][+-]?\d|\bpower\s*\(|"
+    r"\bDOUBLE\b|\bFLOAT[48]?\b|\bREAL\b|\x05|/(?![*/])",
+    re.IGNORECASE,
+)
+
+
 def _rewrite_divisions(sql: str) -> str:
     """DuckDB division semantics (probe-verified):
 
@@ -1159,13 +1223,23 @@ def _rewrite_divisions(sql: str) -> str:
                 break
         if m is None:
             break
-        ls = _scan_left_operand(sql, m.start(), spans)
+        ls = _scan_left_mul(sql, m.start(), spans)
         re_ = _scan_right_operand(sql, m.end(), spans)
         if ls < 0 or re_ < 0:
             break
         a = sql[ls : m.start()].strip()
         b = sql[m.end() : re_].strip()
-        sql = f"{sql[:ls]}({a} div nullif({b}, 0)){sql[re_:]}"
+        if _NONINTEGRAL.search(a) or _NONINTEGRAL.search(b):
+            # DuckDB 1.0's `//` is PLAIN division whenever an operand
+            # is non-integral (2.5 // 2 = 1.25, 8.0 // 3 = 2.67,
+            # power(2,3) // 2 = 4.0) — only integer // integer
+            # floor-divides (fuzz-verified). Emit a raw `/`; the later
+            # `/` pass applies the double-division + NULL-on-zero
+            # contract. Column-typed non-integer operands can't be
+            # seen textually and keep div (documented).
+            sql = f"{sql[:ls]}({a} / {b}){sql[re_:]}"
+        else:
+            sql = f"{sql[:ls]}({a} div nullif({b}, 0)){sql[re_:]}"
     # true division and modulo, sentinel-guarded
     for op, build in (
         (
@@ -1193,7 +1267,7 @@ def _rewrite_divisions(sql: str) -> str:
                     break
             if m is None:
                 break
-            ls = _scan_left_operand(sql, m.start(), spans)
+            ls = _scan_left_mul(sql, m.start(), spans)
             re_ = _scan_right_operand(sql, m.end(), spans)
             if ls < 0 or re_ < 0:
                 masked.add(m.start())
@@ -1625,22 +1699,28 @@ _CMP_OP = re.compile(r"(?<![<>!=:\-])(==|<=|>=|<>|!=|=|<|>)(?![<>=])")
 
 
 def _tv_array_eq(a: str, b: str, neg: bool) -> str:
-    """Three-valued list equality (DuckDB semantics, probe-verified):
-    pairwise over the common prefix, any definite mismatch → FALSE
-    (dominates NULL: [1,NULL]=[2,NULL] is FALSE), else any NULL pair →
-    NULL (even when lengths differ: [1,NULL]=[1,NULL,3] is NULL), else
-    compare lengths."""
+    """Three-valued list equality (DuckDB semantics, fuzz-verified):
+    an ORDERED left-to-right scan over the common prefix — the FIRST
+    non-TRUE pair decides, whether FALSE or NULL ([1,NULL]=[2,NULL] is
+    FALSE but [NULL,1]=[1,2] is NULL; position order matters, not
+    FALSE dominance) — else compare lengths ([1,NULL]=[1] is FALSE,
+    [1,NULL]=[1,NULL,3] is NULL via its second pair)."""
     A, B = f"({a})", f"({b})"
     m = f"least(size{A}, size{B})"
-    pairs = f"zip_with(slice({A}, 1, {m}), slice({B}, 1, {m}), (x, y) -> x = y)"
+    pairs = (
+        f"zip_with(slice({A}, 1, {m}), slice({B}, 1, {m}), "
+        f"(x, y) -> struct(x AS x, y AS y))"
+    )
     t, f = ("false", "true") if neg else ("true", "false")
     return (
         f"(CASE WHEN {A} IS NULL OR {B} IS NULL "
         f"THEN CAST(NULL AS BOOLEAN) "
-        f"WHEN exists({pairs}, p -> NOT p) THEN {f} "
-        f"WHEN exists({pairs}, p -> p IS NULL) "
-        f"THEN CAST(NULL AS BOOLEAN) "
-        f"WHEN size{A} <> size{B} THEN {f} ELSE {t} END)"
+        f"ELSE aggregate({pairs}, 'u', (acc, p) -> "
+        f"CASE WHEN acc <> 'u' THEN acc WHEN p.x = p.y THEN 'u' "
+        f"WHEN (p.x = p.y) IS NULL THEN 'n' ELSE 'f' END, "
+        f"acc -> CASE WHEN acc = 'f' THEN {f} "
+        f"WHEN acc = 'n' THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN size{A} <> size{B} THEN {f} ELSE {t} END) END)"
     )
 
 
@@ -1672,20 +1752,23 @@ def _tv_array_cmp(a: str, b: str, op: str) -> str:
 
 
 def _tv_struct_eq(a: str, b: str, fields: list[str], neg: bool) -> str:
-    """Three-valued struct equality, field-by-field with the same
-    FALSE-dominates-NULL rule ({'a':1,'b':NULL} = {'a':2,'b':NULL} is
-    FALSE; {'a':NULL} = {'a':NULL} is NULL)."""
+    """Three-valued struct equality, field-by-field in DECLARATION
+    order with the same first-non-TRUE-decides rule as lists
+    (fuzz-verified: {'a':NULL,'b':2} = {'a':1,'b':3} is NULL — the
+    NULL first field decides even though the second definitely
+    differs; {'a':1,'b':NULL} = {'a':2,'b':NULL} is FALSE)."""
     A, B = f"({a})", f"({b})"
-    eqs = [f"({A}.{fld} = {B}.{fld})" for fld in fields]
     t, f = ("false", "true") if neg else ("true", "false")
-    any_false = " OR ".join(f"({e} = false)" for e in eqs)
-    any_null = " OR ".join(f"{e} IS NULL" for e in eqs)
+    branches = []
+    for fld in fields:
+        e = f"({A}.{fld} = {B}.{fld})"
+        branches.append(f"WHEN {e} IS NULL THEN CAST(NULL AS BOOLEAN) ")
+        branches.append(f"WHEN NOT {e} THEN {f} ")
     return (
         f"(CASE WHEN {A} IS NULL OR {B} IS NULL "
         f"THEN CAST(NULL AS BOOLEAN) "
-        f"WHEN {any_false} THEN {f} "
-        f"WHEN {any_null} THEN CAST(NULL AS BOOLEAN) "
-        f"ELSE {t} END)"
+        + "".join(branches)
+        + f"ELSE {t} END)"
     )
 
 

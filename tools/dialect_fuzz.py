@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Deterministic differential fuzzer for the dialect layer.
+
+Generates expressions from small grammars over the round's semantic
+hot spots — operator precedence with unary signs, DuckDB division /
+modulo / power, NULL-element list comparisons, projection-context
+membership, aggregate ORDER BY null placement — and runs every case
+through DuckDB AND the engine (``dialect="duckdb"``), comparing
+values. Seeded PRNG: the same seed always replays the same corpus, so
+a found divergence is a permanent regression test.
+
+Usage: python tools/dialect_fuzz.py [--n 400] [--seed 7]
+Exit 0 iff no silent divergences. Cases where DuckDB errors are
+skipped (the engine may accept a superset); engine-only errors print
+as LOUD and fail with --strict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gen_arith(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rng.random() < 0.3:
+        v = rng.choice(["2", "3", "5", "7", "0", "2.5", "1.5", "4"])
+        if rng.random() < 0.3:
+            v = "-" + v
+        return v
+    op = rng.choice(["+", "-", "*", "/", "//", "%", "^"])
+    a = gen_arith(rng, depth + 1)
+    b = gen_arith(rng, depth + 1)
+    if op == "^":
+        # keep exponents tiny so both engines stay in DOUBLE range
+        b = rng.choice(["2", "3", "-2", "0"])
+    if rng.random() < 0.25:
+        return f"({a} {op} {b})"
+    return f"{a} {op} {b}"
+
+
+def gen_list(rng: random.Random) -> str:
+    n = rng.randint(0, 4)
+    elems = [rng.choice(["1", "2", "3", "NULL"]) for _ in range(n)]
+    return "[" + ",".join(elems) + "]"
+
+
+def gen_list_cmp(rng: random.Random) -> str:
+    op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+    return f"{gen_list(rng)} {op} {gen_list(rng)}"
+
+
+def gen_membership(rng: random.Random) -> str:
+    vals = [rng.choice(["1", "2", "3", "NULL"]) for _ in range(rng.randint(1, 3))]
+    sub = "SELECT x FROM (VALUES " + ",".join(f"({v})" for v in vals) + ") q(x)"
+    lhs = rng.choice(["1", "2", "5", "NULL"])
+    form = rng.choice(["in", "notin", "any", "all", "gtany", "ltall"])
+    if form == "in":
+        return f"{lhs} IN ({sub})"
+    if form == "notin":
+        return f"{lhs} NOT IN ({sub})"
+    if form == "any":
+        return f"{lhs} = ANY ({sub})"
+    if form == "all":
+        return f"{lhs} <> ALL ({sub})"
+    if form == "gtany":
+        return f"{lhs} > ANY ({sub})"
+    return f"{lhs} < ALL ({sub})"
+
+
+def gen_agg_query(rng: random.Random) -> str:
+    vals = [rng.choice(["1", "2", "3", "NULL"]) for _ in range(rng.randint(1, 5))]
+    table = "(VALUES " + ",".join(f"({v})" for v in vals) + ") t(x)"
+    direction = rng.choice(["", " ASC", " DESC"])
+    norder = rng.choice(["", " NULLS FIRST", " NULLS LAST"])
+    kind = rng.choice(["sa", "aa", "aad", "plain"])
+    if kind == "sa":
+        expr = f"string_agg(x::VARCHAR, ',' ORDER BY x{direction}{norder})"
+    elif kind == "aa":
+        expr = f"array_agg(x ORDER BY x{direction}{norder})"
+    elif kind == "aad":
+        expr = f"array_agg(DISTINCT x ORDER BY x{direction}{norder})"
+    else:
+        expr = "list_sort(array_agg(x), 'ASC', 'NULLS FIRST')"
+    return f"SELECT {expr} AS v FROM {table}"
+
+
+def gen_case_mix(rng: random.Random) -> str:
+    inner = rng.choice([gen_list_cmp(rng), gen_membership(rng)])
+    return (
+        f"CASE WHEN ({inner}) IS NULL THEN -1 "
+        f"WHEN {inner} THEN 1 ELSE 0 END"
+    )
+
+
+def build_corpus(rng: random.Random, n: int) -> list[str]:
+    out = []
+    gens = [
+        lambda: f"SELECT {gen_arith(rng)} AS v",
+        lambda: f"SELECT {gen_list_cmp(rng)} AS v",
+        lambda: f"SELECT {gen_membership(rng)} AS v",
+        lambda: gen_agg_query(rng),
+        lambda: f"SELECT {gen_case_mix(rng)} AS v",
+    ]
+    for i in range(n):
+        out.append(gens[i % len(gens)]())
+    return out
+
+
+import re as _re
+
+# documented divergence classes (PARITY.md) the generator can produce:
+# DuckDB 1.0 performs PLAIN division for `//` over DECIMAL operands
+# (2.5 // 2 = 1.25) where the engine keeps floor-div semantics.
+_DOCUMENTED_PATTERNS = [
+    _re.compile(r"\d\.\d[\d_]*\s*//"),
+    _re.compile(r"//\s*-?\s*\d+\.\d"),
+]
+
+
+def documented(sql: str) -> bool:
+    return any(p.search(sql) for p in _DOCUMENTED_PATTERNS)
+
+
+def norm(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        return round(v, 6)
+    if isinstance(v, int):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=400)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--strict", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    rng = random.Random(args.seed)
+    corpus = build_corpus(rng, args.n)
+
+    eng = Engine(
+        config=EngineConfig(
+            app_name="dialect-fuzz",
+            cpus=4,
+            shuffle_partitions=4,
+            warehouse_dir=tempfile.mkdtemp(prefix="swl_fuzz_"),
+        )
+    )
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+
+    ok = skip = doc = 0
+    silent: list[tuple[str, object, object]] = []
+    loud: list[tuple[str, str]] = []
+    for sql in corpus:
+        try:
+            want = [tuple(norm(c) for c in r) for r in con.execute(sql).fetchall()]
+        except Exception:
+            skip += 1  # DuckDB rejects (overflow, malformed): no oracle
+            continue
+        try:
+            got = [
+                tuple(norm(c) for c in r)
+                for r in eng.query(sql, dialect="duckdb").collect()
+            ]
+        except Exception as exc:  # noqa: BLE001
+            loud.append((sql, f"{type(exc).__name__}: {str(exc).splitlines()[0][:100]}"))
+            continue
+
+        def close(a, b):
+            if a == b:
+                return True
+            return (
+                isinstance(a, float)
+                and isinstance(b, float)
+                and math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
+            )
+
+        same = len(want) == len(got) and all(
+            len(w) == len(g) and all(close(x, y) for x, y in zip(w, g))
+            for w, g in zip(want, got)
+        )
+        if same:
+            ok += 1
+        elif documented(sql):
+            doc += 1
+        else:
+            silent.append((sql, want, got))
+
+    print(
+        f"\n=== {ok} agree, {doc} documented-divergence, "
+        f"{skip} duckdb-rejected (skipped) ==="
+    )
+    print(f"=== {len(silent)} SILENT divergences ===")
+    for sql, w, g in silent:
+        print(f"  {sql}\n    duckdb={w!r}\n    engine={g!r}")
+    print(f"=== {len(loud)} engine-only errors ===")
+    for sql, msg in loud[:20]:
+        print(f"  {sql}\n    {msg}")
+    eng.stop()
+    if silent:
+        return 1
+    if args.strict and loud:
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

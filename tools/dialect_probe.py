@@ -546,8 +546,6 @@ QUERY_PROBES: list[tuple[str, str]] = [
 # the list is the machine-readable twin of PARITY.md's divergence
 # table, so a NEW silent divergence still exits 1.
 DOCUMENTED: dict[str, str] = {
-    "7.5 // 2": "// on DECIMAL operands keeps plain division typing "
-                "(PARITY r9: documented type-level)",
     "DATE '2024-02-01' - DATE '2024-01-01'": "DATE−DATE returns BIGINT "
                 "days vs DuckDB INTERVAL (type-level)",
     "SELECT DATE '2024-01-31' + INTERVAL 1 MONTH AS d": "DATE+INTERVAL "
