@@ -3008,10 +3008,22 @@ def transpile_duckdb(sql: str) -> str:
     def _dd_year_scale(a, b, k):
         return f"CAST({_MARK} (year({b}) div {k}) - (year({a}) div {k}) AS BIGINT)"
 
-    def _dd_trunc_micros(a, b, unit, micros):
-        ta = f"unix_micros(CAST(date_trunc('{unit}', {a}) AS TIMESTAMP))"
-        tb = f"unix_micros(CAST(date_trunc('{unit}', {b}) AS TIMESTAMP))"
-        return f"CAST({_MARK} ({tb} - {ta}) div {micros} AS BIGINT)"
+    def _dd_epoch_div(a, b, micros):
+        # DuckDB's sub-day diffs are EPOCH-INDEX arithmetic, not
+        # calendar floors: each side's epoch-micros integer-divides by
+        # the unit (trunc toward ZERO — Spark `div` matches), so
+        # pre-1970 fractional units round toward the epoch
+        # (fuzz-found: date_diff('hour', 1969-07-20 20:17:40, …) is
+        # one LESS than the calendar-floor count; 'minute' of
+        # 1969-12-31 23:59:30 → 1970-01-01 is 0, not 1). Positive
+        # epochs truncate == floor, so post-1970 boundary counting is
+        # unchanged.
+        ta = f"unix_micros(CAST({a} AS TIMESTAMP))"
+        tb = f"unix_micros(CAST({b} AS TIMESTAMP))"
+        return (
+            f"CAST({_MARK} ({tb} div {micros}) - ({ta} div {micros}) "
+            f"AS BIGINT)"
+        )
 
     _DATE_DIFF_BUILDERS = {
         "year": lambda a, b: _dd_year_scale(a, b, 1),
@@ -3026,17 +3038,25 @@ def transpile_duckdb(sql: str) -> str:
         "decade": lambda a, b: _dd_year_scale(a, b, 10),
         "century": lambda a, b: _dd_year_scale(a, b, 100),
         "millennium": lambda a, b: _dd_year_scale(a, b, 1000),
+        # week diff is a Monday-anchored EPOCH-WEEK index difference,
+        # trunc toward zero ((days_since_epoch + 3) div 7 — datediff
+        # vs 1969-12-29, the Monday of the epoch week). Matches the
+        # boundary count post-1970 and DuckDB's toward-zero behavior
+        # pre-1970 (fuzz-derived: 1969-12-20 → 1970-01-05 is 2, not
+        # the 3 Monday crossings)
         "week": lambda a, b: (
-            f"CAST({_MARK} datediff(CAST(date_trunc('week', {b}) AS DATE), "
-            f"CAST(date_trunc('week', {a}) AS DATE)) div 7 AS BIGINT)"
+            f"CAST({_MARK} (datediff(CAST({b} AS DATE), "
+            f"DATE '1969-12-29') div 7) - "
+            f"(datediff(CAST({a} AS DATE), "
+            f"DATE '1969-12-29') div 7) AS BIGINT)"
         ),
         "day": lambda a, b: (
             f"CAST({_MARK} datediff(CAST({b} AS DATE), CAST({a} AS DATE)) "
             f"AS BIGINT)"
         ),
-        "hour": lambda a, b: _dd_trunc_micros(a, b, "hour", 3600000000),
-        "minute": lambda a, b: _dd_trunc_micros(a, b, "minute", 60000000),
-        "second": lambda a, b: _dd_trunc_micros(a, b, "second", 1000000),
+        "hour": lambda a, b: _dd_epoch_div(a, b, 3600000000),
+        "minute": lambda a, b: _dd_epoch_div(a, b, 60000000),
+        "second": lambda a, b: _dd_epoch_div(a, b, 1000000),
         "millisecond": lambda a, b: (
             f"CAST({_MARK} (unix_micros(CAST({b} AS TIMESTAMP)) div 1000) - "
             f"(unix_micros(CAST({a} AS TIMESTAMP)) div 1000) AS BIGINT)"
@@ -3066,6 +3086,40 @@ def transpile_duckdb(sql: str) -> str:
         re.compile(r"\b(?:date_diff|datediff)\s*\(", re.IGNORECASE),
         3,
         _date_diff3,
+    )
+
+    # DuckDB levenshtein/editdist3 measure BYTES (levenshtein('héllo',
+    # '') = 6 — fuzz-found); Spark's measures characters. The
+    # encode/decode Latin-1 round-trip maps every UTF-8 byte to one
+    # character, making Spark's char distance the byte distance.
+    def _lev_bytes(args):
+        a, b = args
+        if re.match(
+            r"decode\s*\(\s*encode\s*\(", a.lstrip(), re.IGNORECASE
+        ):
+            return None  # own emission: fixed point
+        return (
+            f"levenshtein(decode(encode({_MARK} {a}, 'UTF-8'), "
+            f"'ISO-8859-1'), decode(encode({b}, 'UTF-8'), "
+            f"'ISO-8859-1'))"
+        )
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\blevenshtein\s*\(", re.IGNORECASE),
+        2,
+        _lev_bytes,
+    )
+
+    # INTERVAL n QUARTER(S) → 3n months (Spark has no QUARTER unit)
+    def _quarter_iv(m: re.Match) -> str:
+        n = int(m.group(1).strip("'"))
+        return f"INTERVAL {3 * n} MONTH"
+
+    out = _sub_outside(
+        r"\bINTERVAL\s+(-?\d+|'-?\d+')\s+QUARTERS?\b",
+        _quarter_iv,
+        out,
     )
 
     # 5b) date_sub('unit', a, b): COMPLETE units between (DuckDB

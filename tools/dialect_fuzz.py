@@ -90,6 +90,76 @@ def gen_agg_query(rng: random.Random) -> str:
     return f"SELECT {expr} AS v FROM {table}"
 
 
+def gen_window(rng: random.Random) -> str:
+    # DISTINCT x values (ties would make lag/lead nondeterministic on
+    # both sides — not a divergence, just an unusable oracle)
+    pool = ["1", "2", "3", "4", "NULL"]
+    rng.shuffle(pool)
+    vals = pool[: rng.randint(2, 5)]
+    rows = ",".join(f"({v},{i})" for i, v in enumerate(vals))
+    fn = rng.choice(
+        ["lag(x)", "lead(x)", "first_value(x)", "last_value(x)",
+         "sum(x)", "rank()", "dense_rank()", "count(x)"]
+    )
+    direction = rng.choice(["", " ASC", " DESC"])
+    norder = rng.choice(["", " NULLS FIRST", " NULLS LAST"])
+    frame = rng.choice(
+        ["", " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+         " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"]
+    )
+    if fn in ("rank()", "dense_rank()") or fn.startswith(("lag", "lead")):
+        frame = ""  # ranking/offset functions take no frame
+    spec = f"ORDER BY x{direction}{norder}{frame}"
+    return (
+        f"SELECT n, {fn} OVER ({spec}) AS v "
+        f"FROM (VALUES {rows}) t(x,n) ORDER BY n"
+    )
+
+
+def gen_datearith(rng: random.Random) -> str:
+    ts = rng.choice(
+        ["TIMESTAMP '2024-02-28 23:30:00'", "TIMESTAMP '2000-01-01 00:00:00'",
+         "TIMESTAMP '1969-07-20 20:17:40'", "TIMESTAMP '2024-12-31 23:59:59'"]
+    )
+    ts2 = rng.choice(
+        ["TIMESTAMP '2024-03-01 00:00:00'", "TIMESTAMP '2023-02-28 12:00:00'",
+         "TIMESTAMP '2024-02-29 00:00:00'"]
+    )
+    unit = rng.choice(
+        ["year", "quarter", "month", "week", "day", "hour", "minute",
+         "second"]
+    )
+    kind = rng.choice(["diff", "trunc", "add", "epoch", "part"])
+    if kind == "diff":
+        return f"SELECT date_diff('{unit}', {ts}, {ts2}) AS v"
+    if kind == "trunc":
+        return f"SELECT date_trunc('{unit}', {ts}) AS v"
+    if kind == "add":
+        k = rng.randint(-3, 3)
+        return f"SELECT {ts} + INTERVAL {k} {unit.upper()} AS v"
+    if kind == "epoch":
+        return f"SELECT epoch({ts}) AS v"
+    return f"SELECT date_part('{unit}', {ts}) AS v"
+
+
+def gen_strfn(rng: random.Random) -> str:
+    s = rng.choice(["'abc'", "''", "'héllo'", "'a,b,c'", "'A_b%'"])
+    t = rng.choice(["'b'", "'x'", "''", "'é'"])
+    k = rng.randint(-2, 5)
+    i = rng.randint(-3, 4)
+    tmpl = rng.choice([
+        f"upper({s})", f"reverse({s})", f"left({s}, {k})",
+        f"right({s}, {k})", f"substr({s}, {i}, 2)", f"substring({s}, {i})",
+        f"lpad({s}, {abs(k)}, 'xy')", f"rpad({s}, {abs(k)}, 'xy')",
+        f"split_part({s}, ',', {max(i, 0)})", f"replace({s}, {t}, 'Z')",
+        f"instr({s}, {t})", f"levenshtein({s}, {t})",
+        f"contains({s}, {t})", f"position({t} IN {s})",
+        f"{s}[{i}]", f"{s}[{max(i, 0)}:{max(i, 0) + 2}]",
+        f"concat({s}, NULL, {t})", f"length({s})",
+    ])
+    return f"SELECT {tmpl} AS v"
+
+
 def gen_case_mix(rng: random.Random) -> str:
     inner = rng.choice([gen_list_cmp(rng), gen_membership(rng)])
     return (
@@ -106,6 +176,9 @@ def build_corpus(rng: random.Random, n: int) -> list[str]:
         lambda: f"SELECT {gen_membership(rng)} AS v",
         lambda: gen_agg_query(rng),
         lambda: f"SELECT {gen_case_mix(rng)} AS v",
+        lambda: gen_window(rng),
+        lambda: gen_datearith(rng),
+        lambda: gen_strfn(rng),
     ]
     for i in range(n):
         out.append(gens[i % len(gens)]())

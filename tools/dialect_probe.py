@@ -141,6 +141,8 @@ PROBES: list[tuple[str, str]] = [
     ("str", "title('hello world')"),
     ("str", "capitalize('hello world')"),
     ("str", "levenshtein('kitten', 'sitting')"),
+    ("str", "levenshtein('héllo', '')"),     # BYTES in DuckDB (6)
+    ("str", "levenshtein('héllo', 'hello')"),
     ("str", "editdist3('kitten', 'sitting')"),
     ("str", "format_bytes(1024)"),
     ("str", "to_base(255, 16)"),
@@ -170,6 +172,18 @@ PROBES: list[tuple[str, str]] = [
     ("date", "date_diff('month', DATE '2024-01-31', DATE '2024-02-01')"),
     ("date", "date_diff('year', DATE '2023-12-31', DATE '2024-01-01')"),
     ("date", "date_diff('hour', TIMESTAMP '2024-01-01 00:59:59', TIMESTAMP '2024-01-01 01:00:00')"),
+    # pre-1970 sub-day diffs are EPOCH-INDEX arithmetic (trunc toward
+    # zero), day is calendar, week is the Monday-anchored epoch-week
+    # index (fuzz r10)
+    ("date", "date_diff('hour', TIMESTAMP '1969-07-20 20:17:40', TIMESTAMP '1970-01-01 00:00:00')"),
+    ("date", "date_diff('minute', TIMESTAMP '1969-12-31 23:59:30', TIMESTAMP '1970-01-01 00:00:00')"),
+    ("date", "date_diff('second', TIMESTAMP '1969-12-31 23:59:59.5', TIMESTAMP '1970-01-01 00:00:00')"),
+    ("date", "date_diff('day', TIMESTAMP '1969-12-31 12:00:00', TIMESTAMP '1970-01-01 00:00:00')"),
+    ("date", "date_diff('week', DATE '1969-12-20', DATE '1970-01-05')"),
+    ("date", "date_diff('week', DATE '2024-01-07', DATE '2024-01-08')"),
+    ("date", "date_diff('week', DATE '2024-01-01', DATE '2024-01-07')"),
+    ("date", "date_diff('hour', TIMESTAMP '1970-01-01 00:30:00', TIMESTAMP '1969-12-31 23:30:00')"),
+    ("date", "TIMESTAMP '2024-02-28 23:30:00' + INTERVAL 1 QUARTER"),
     ("date", "date_sub('day', DATE '2024-01-01', DATE '2024-03-01')"),
     ("date", "datediff('day', DATE '2024-01-01', DATE '2024-01-05')"),
     ("date", "date_add(DATE '2024-01-01', INTERVAL 1 MONTH)"),
