@@ -22,9 +22,9 @@ _NAME_MAP = {
     "arg_min": "min_by",
     # generate_series: call rewrite below (2-arg descending → []; Spark
     # sequence COUNTS DOWN when start > stop, DuckDB returns empty)
-    "list_contains": "array_contains",
-    "list_has": "array_contains",
-    "list_distinct": "array_distinct",
+    # list_contains/list_has/array_has and list_distinct/array_distinct:
+    # call rewrites below (DuckDB's membership is two-valued over NULL
+    # elements and its distinct DROPS NULLs — bare name maps diverge)
     "list_intersect": "array_intersect",
     # list_cat/list_concat: call rewrite in 6f (marked concat) — a name
     # map would collide with the NULL-skipping string concat rewrite
@@ -424,6 +424,49 @@ def _transform_string_agg(sql: str) -> str:
 
     sql = _transform_calls(sql, _STRING_AGG_CALL, 2, build)
     return _transform_calls(sql, _STRING_AGG_CALL, 1, build1)
+
+
+def _transform_list_nulls(sql: str) -> str:
+    """DuckDB list NULL-element semantics the bare name maps miss
+    (fuzz r10): ``list_distinct``/``array_distinct`` DROP NULL
+    elements ([1,2,1,NULL] → {1,2}); ``list_contains``/``list_has``/
+    ``array_has`` are TWO-valued over NULL elements (FALSE when the
+    value is absent, NULL only when the list or probe value itself is
+    NULL — Spark's array_contains yields NULL for absent-with-nulls).
+    Runs on raw user text; later internal array_distinct emissions
+    (array_agg DISTINCT paths rely on keeping one NULL) are untouched
+    by construction."""
+
+    def _dst(args):
+        x = args[0]
+        if re.match(
+            r"array_compact\s*\(", x.lstrip(), re.IGNORECASE
+        ):
+            return None  # own emission: fixed point
+        return f"array_distinct(array_compact({_MARK} {x}))"
+
+    for nm in ("list_distinct", "array_distinct"):
+        sql = _transform_calls(
+            sql, re.compile(rf"\b{nm}\s*\(", re.IGNORECASE), 1, _dst
+        )
+
+    def _cont(args):
+        l, v = args
+        return (
+            f"(CASE WHEN ({l}) IS NULL OR ({v}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(array_contains({l}, {v}), false) END)"
+        )
+
+    return _transform_calls(
+        sql,
+        re.compile(
+            r"\b(?:list_contains|list_has|array_has)\s*\(",
+            re.IGNORECASE,
+        ),
+        2,
+        _cont,
+    )
 
 
 def _depth0_keyword(sql: str, word: str, start: int = 0) -> int:
@@ -2414,7 +2457,11 @@ def _rewrite_json_arrows(sql: str) -> str:
         if sm:
             key = sm.group(1)
             end = tail_pos + sm.end()
-            if re.fullmatch(r"[A-Za-z_]\w*", key):
+            if key.startswith("$"):
+                # a full JSONPath string is legal in DuckDB arrows
+                # (j ->> '$.b') — pass it through verbatim (fuzz r10)
+                path = f"'{key}'"
+            elif re.fullmatch(r"[A-Za-z_]\w*", key):
                 path = f"'$.{key}'"
             else:
                 path = f"'$[''{key}'']'"
@@ -2849,6 +2896,7 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_ignore_nulls(sql)
     sql = _transform_slices(sql)
     sql = _transform_string_agg(sql)
+    sql = _transform_list_nulls(sql)
     spans = _mask_spans(sql)
 
     # 1) plain name-for-name call-site rewrites
@@ -3361,6 +3409,24 @@ def transpile_duckdb(sql: str) -> str:
             lambda a: (
                 f"(get_json_object({a[0]}, '$') IS NOT NULL "
                 f"OR trim({a[0]}) = 'null')"
+            ),
+        ),
+        (
+            # DuckDB json_array_length is 0 for any VALID non-array
+            # document ('{\"a\":1}', '"plain"', 'null' → 0) and raises
+            # on malformed input; Spark returns NULL for both
+            # (fuzz r10)
+            r"\bjson_array_length\s*\(",
+            1,
+            lambda a: (
+                None if _marked_arg(a[0]) else (
+                    f"coalesce(json_array_length({_MARK} {a[0]}), "
+                    f"CASE WHEN (get_json_object({_MARK} {a[0]}, '$') "
+                    f"IS NOT NULL OR trim({_MARK} {a[0]}) = 'null') "
+                    f"THEN 0 "
+                    f"ELSE CAST(raise_error('Malformed JSON') AS INT) "
+                    f"END)"
+                )
             ),
         ),
         (

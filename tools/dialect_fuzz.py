@@ -160,6 +160,95 @@ def gen_strfn(rng: random.Random) -> str:
     return f"SELECT {tmpl} AS v"
 
 
+def gen_groupby(rng: random.Random) -> str:
+    rows = ",".join(
+        f"({rng.choice(['1', '2', 'NULL'])},"
+        f"{rng.choice(['10', '20', '30', 'NULL'])})"
+        for _ in range(rng.randint(2, 6))
+    )
+    pred = rng.choice(
+        ["x > 10", "x IS NOT NULL", "x IN (10, 30)", "x IN (10, NULL)",
+         "true", "g = 1 OR x < 25"]
+    )
+    having = rng.choice(
+        ["", " HAVING count(*) > 0", " HAVING sum(x) > 10",
+         " HAVING min(x) IS NOT NULL"]
+    )
+    norder = rng.choice([" NULLS FIRST", " NULLS LAST"])
+    agg = rng.choice(
+        ["sum(x)", "count(x)", "count(*)", "min(x)", "max(x)", "avg(x)",
+         "count(*) FILTER (WHERE x > 15)", "bool_or(x > 15)"]
+    )
+    return (
+        f"SELECT g, {agg} AS s FROM (VALUES {rows}) t(g,x) "
+        f"WHERE {pred} GROUP BY g{having} ORDER BY g{norder}"
+    )
+
+
+def gen_listfn(rng: random.Random) -> str:
+    l = gen_list(rng)
+    i = rng.randint(-3, 4)
+    j = rng.randint(-2, 5)
+    tmpl = rng.choice([
+        f"list_sort({l})",
+        f"list_sort({l}, 'DESC')",
+        f"list_sort({l}, 'ASC', 'NULLS FIRST')",
+        f"list_reverse_sort({l})",
+        f"({l})[{i}]",
+        f"({l})[{min(i, j)}:{max(i, j)}]",
+        f"list_resize({l}, {abs(i)})",
+        f"list_unique({l})",
+        f"list_sort(list_distinct({l}), 'ASC', 'NULLS FIRST')",
+        f"list_has({l}, 2)",
+        f"list_sum({l})",
+        f"list_avg({l})",
+        f"len({l})",
+        f"list_contains({l}, 2)",
+        f"list_position({l}, 2)",
+        f"array_slice({l}, {i}, {j})",
+        f"flatten([{l}, {gen_list(rng)}])",
+        f"list_append({l}, 9)",
+        f"list_prepend(9, {l})",
+            ])
+    return f"SELECT {tmpl} AS v"
+
+
+def gen_json(rng: random.Random) -> str:
+    doc = rng.choice([
+        "'{\"a\": 1, \"b\": [1,2,3]}'",
+        "'{\"a\": {\"c\": \"x\"}}'",
+        "'[1, 2, {\"k\": null}]'",
+        "'\"plain\"'",
+        "'17'",
+        "'null'",
+    ])
+    path = rng.choice(["'$.a'", "'$.b'", "'$.a.c'", "'$[0]'", "'$.missing'"])
+    tmpl = rng.choice([
+        f"json_extract({doc}, {path})",
+        f"json_extract_string({doc}, {path})",
+        f"json_array_length({doc})",
+        f"json_valid({doc})",
+        f"json_type({doc})",
+        f"({doc}::JSON)->>{path}",
+    ])
+    return f"SELECT {tmpl} AS v"
+
+
+def gen_setop(rng: random.Random) -> str:
+    def arm():
+        # typed NULLs: an all-NULL VALUES arm would make the column
+        # NullType, where Spark's set ops lose null-safety (a Spark
+        # NullType corner, documented in PARITY — not a dialect bug)
+        vals = ",".join(
+            f"({rng.choice(['1', '2', '3', 'CAST(NULL AS INT)'])})"
+            for _ in range(rng.randint(1, 4))
+        )
+        return f"SELECT x FROM (VALUES {vals}) t(x)"
+
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    return f"{arm()} {op} {arm()} ORDER BY 1 NULLS FIRST"
+
+
 def gen_case_mix(rng: random.Random) -> str:
     inner = rng.choice([gen_list_cmp(rng), gen_membership(rng)])
     return (
@@ -179,6 +268,10 @@ def build_corpus(rng: random.Random, n: int) -> list[str]:
         lambda: gen_window(rng),
         lambda: gen_datearith(rng),
         lambda: gen_strfn(rng),
+        lambda: gen_groupby(rng),
+        lambda: gen_listfn(rng),
+        lambda: gen_json(rng),
+        lambda: gen_setop(rng),
     ]
     for i in range(n):
         out.append(gens[i % len(gens)]())
