@@ -786,13 +786,20 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
             j -= 1
         else:
             break
-        # chaining: a '.' or an identifier directly before a '(' group
-        # (function name) extends the operand leftward. The dot itself
-        # joins the operand — a LEADING dot (.5e-1 literals) must not
-        # be dropped when nothing precedes it (review r9 round 2)
+        # chaining: a '.', a '::' cast, or an identifier directly
+        # before a '(' group (function name) extends the operand
+        # leftward. The dot itself joins the operand — a LEADING dot
+        # (.5e-1 literals) must not be dropped when nothing precedes
+        # it (review r9 round 2). The '::' absorb keeps
+        # ``x::DOUBLE / 2`` from taking the bare type word as the
+        # operand (fuzz r10: it emitted ``x::(CAST(DOUBLE AS …))``)
         if j >= 0 and s[j] == ".":
             start = j
             j -= 1
+            continue
+        if j >= 1 and s[j - 1 : j + 1] == "::":
+            start = j - 1
+            j -= 2
             continue
         if (
             start is not None
@@ -2470,9 +2477,19 @@ def _rewrite_json_arrows(sql: str) -> str:
             key = im.group(0)
             end = tail_pos + im.end()
             path = f"'$[{key}]'"
-        sql = (
-            f"{sql[:ls]}get_json_object({base}, {path}){sql[end:]}"
-        )
+        if len(m.group(0)) == 2:
+            # single arrow: DuckDB returns the JSON REPRESENTATION
+            # (scalar strings keep quotes) — the VARIANT composition
+            # reproduces it exactly (fuzz r10; closes the old
+            # documented scalar-string edge). ->> keeps
+            # get_json_object (text extraction, already exact).
+            repl = (
+                f"to_json(try_variant_get("
+                f"parse_json({base}), {path}))"
+            )
+        else:
+            repl = f"get_json_object({base}, {path})"
+        sql = f"{sql[:ls]}{repl}{sql[end:]}"
     return sql
 
 
@@ -4373,18 +4390,25 @@ def transpile_duckdb(sql: str) -> str:
         ),
     )
 
-    # json_extract / json_extract_path → get_json_object with the path
-    # normalized ('a' → '$.a'; '$'-paths pass through). DOCUMENTED
-    # DIVERGENCE: DuckDB returns the JSON representation (strings keep
-    # quotes); get_json_object unquotes scalar strings — numbers,
-    # booleans, objects and arrays are identical. Text extraction
-    # (json_extract_string / ->>) matches exactly.
+    # json_extract / json_extract_path → the VARIANT composition with
+    # the path normalized ('a' → '$.a'; '$'-paths pass through).
+    # DuckDB returns the JSON REPRESENTATION at the path — scalar
+    # strings keep their quotes ('"x"') — which
+    # to_json(try_variant_get(parse_json(…))) reproduces exactly
+    # (fuzz r10; the old get_json_object map unquoted strings);
+    # malformed documents raise in both engines (parse_json is the
+    # non-try form on purpose). Missing paths → NULL. Text extraction
+    # (json_extract_string / ->>) stays get_json_object.
     def _json_extract(args):
         j, p = args
+        if _marked_arg(j):
+            return None
         pm = re.fullmatch(r"'(\w+)'", p.strip())
         if pm is not None:
             p = f"'$.{pm.group(1)}'"
-        return f"get_json_object({j}, {p})"
+        return (
+            f"to_json(try_variant_get(parse_json({_MARK} {j}), {p}))"
+        )
 
     out = _transform_calls(
         out,

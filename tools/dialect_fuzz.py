@@ -249,6 +249,64 @@ def gen_setop(rng: random.Random) -> str:
     return f"{arm()} {op} {arm()} ORDER BY 1 NULLS FIRST"
 
 
+def gen_cast(rng: random.Random) -> str:
+    v = rng.choice(
+        ["2.5", "-2.5", "3.49", "'5.7'", "'  8 '", "'x'", "NULL",
+         "2.5::DOUBLE", "1.5::FLOAT4", "TRUE", "'-3'", "127.6"]
+    )
+    ty = rng.choice(
+        ["INT", "BIGINT", "SMALLINT", "TINYINT", "VARCHAR", "DOUBLE",
+         "BOOLEAN", "DECIMAL(6,2)"]
+    )
+    fn = rng.choice(["CAST({} AS {})", "TRY_CAST({} AS {})", "{}::{}"])
+    expr = fn.format(v, ty)
+    if rng.random() < 0.3:
+        expr = f"TRY_CAST({expr} AS VARCHAR)"
+    return f"SELECT {expr} AS v"
+
+
+def gen_like(rng: random.Random) -> str:
+    s = rng.choice(["'abc'", "'a%c'", "'A_C'", "''", "'aXbXc'", "'a.b'"])
+    pat = rng.choice(
+        ["'a%'", "'%b%'", "'a_c'", "'%'", "'_'", "''", "'A%'"]
+    )
+    op = rng.choice(
+        ["LIKE", "NOT LIKE", "ILIKE", "NOT ILIKE", "SIMILAR TO"]
+    )
+    if op == "SIMILAR TO":
+        pat = rng.choice(["'a.c'", "'[ab]+.*'", "'a%'"])
+        pat = pat  # literal regex-ish patterns
+    g = rng.choice(["GLOB 'a*'", "GLOB '*b*'", "GLOB '[ab]?c'"])
+    tmpl = rng.choice(
+        [f"{s} {op} {pat}", f"{s} {g}",
+         f"regexp_extract({s}, '[abc]+')",
+         f"regexp_matches({s}, '[aA].')",
+         f"regexp_replace({s}, 'a', 'Z')",
+         f"regexp_replace({s}, 'a', 'Z', 'g')"]
+    )
+    return f"SELECT {tmpl} AS v"
+
+
+def gen_cond(rng: random.Random) -> str:
+    vals = ["1", "2", "NULL", "0"]
+    a, b, c = (rng.choice(vals) for _ in range(3))
+    tmpl = rng.choice([
+        f"coalesce({a}, {b}, {c})",
+        f"nullif({a}, {b})",
+        f"ifnull({a}, {b})",
+        f"if({a} > {b}, {a}, {c})",
+        f"iif({a} IS NULL, {b}, {c})",
+        f"greatest({a}, {b}, {c})",
+        f"least({a}, {b}, {c})",
+        f"CASE {a} WHEN 1 THEN 'one' WHEN 2 THEN 'two' ELSE 'other' END",
+        f"CASE WHEN {a} > {b} THEN {a} ELSE {b} END + coalesce({c}, 0)",
+        f"nvl({a}, {b})",
+        f"{a} IS DISTINCT FROM {b}",
+        f"{a} IS NOT DISTINCT FROM {b}",
+    ])
+    return f"SELECT {tmpl} AS v"
+
+
 def gen_case_mix(rng: random.Random) -> str:
     inner = rng.choice([gen_list_cmp(rng), gen_membership(rng)])
     return (
@@ -272,6 +330,9 @@ def build_corpus(rng: random.Random, n: int) -> list[str]:
         lambda: gen_listfn(rng),
         lambda: gen_json(rng),
         lambda: gen_setop(rng),
+        lambda: gen_cast(rng),
+        lambda: gen_like(rng),
+        lambda: gen_cond(rng),
     ]
     for i in range(n):
         out.append(gens[i % len(gens)]())
