@@ -112,23 +112,25 @@ _NAME_MAP = {
 # - log(x): log10 in DuckDB, ln in Spark; log(b, x) agrees. Can't pick
 #   without arity analysis — callers use log10()/ln() explicitly.
 # - `//` on DECIMAL/DOUBLE: DuckDB's `//` is plain division for
-#   non-integers (7.5 // 2 = 3.75) but floor-division for integers; a
-#   text rewrite can't see the operand types — `div` (the integer
-#   semantics) is emitted, matching every integer case exactly.
+#   non-integers (7.5 // 2 = 3.75) but floor-division for integers;
+#   syntactically non-integral operands (decimal/exponent literals,
+#   power(), DOUBLE casts, division results) emit `/` and match
+#   exactly (r10); only COLUMN-typed non-integer operands keep `div`
+#   — text can't see the catalog.
 # - DATE - DATE: BIGINT days in DuckDB, INTERVAL in Spark — operator
 #   typing, not rewritable from text (use date_diff('day', a, b)).
 # - typeof() on arrays/structs keeps Spark's rendering
 #   ('ARRAY<INT>' vs 'INTEGER[]'); the scalar surface is mapped.
-# - json_extract / `->` return the JSON representation in DuckDB
-#   (strings keep their quotes); get_json_object unquotes bare scalar
-#   strings. Numbers/booleans/objects/arrays are identical;
-#   json_extract_string / `->>` match exactly.
+# - json_extract / `->` return DuckDB's JSON representation exactly
+#   (r10): to_json(try_variant_get(parse_json(…))) keeps scalar-string
+#   quotes; json_extract_string / `->>` are get_json_object (exact).
 # - list_zip / row(): Spark struct field names ('0','1' / 'col1') vs
 #   DuckDB's — values identical.
 # - nextafter, gamma (continuous), nfc_normalize, age (calendar
-#   INTERVAL does not survive collection), json_structure, json_type
-#   (DuckDB's UBIGINT-flavored names), json_merge_patch, json_quote:
-#   no exact Spark composition — fail loud at analysis.
+#   INTERVAL does not survive collection), json_structure,
+#   json_merge_patch, json_quote, 2-arg json_type (extraction loses
+#   stringness): no exact Spark composition — fail loud at analysis.
+#   1-arg json_type IS composed (r10, DuckDB's exact labels).
 # - window frame EXCLUDE (CURRENT ROW/GROUP/TIES): Spark's frame
 #   grammar has no EXCLUDE and the subtraction composition is
 #   aggregate-specific — fails loud at parse. GROUPS frame mode is
