@@ -232,9 +232,13 @@ class Engine:
         session layer falls back to typed literal rendering there."""
         pivot_zero_cols: list[str] = []
         pivot_renames: dict = {}
+        replace_probe: str | None = None
         if dialect == "duckdb":
             from swanlake_spark.functions import transpile_duckdb
-            from swanlake_spark.functions.dialect import pivot_adjustments
+            from swanlake_spark.functions.dialect import (
+                pivot_adjustments,
+                replace_position_probe,
+            )
 
             # DuckDB zero-fills empty PIVOT count cells (Spark leaves
             # them NULL — the cell NULL is produced by the pivot
@@ -243,7 +247,15 @@ class Engine:
             # `<value>_<agg>` where Spark drops the agg alias. Collect
             # both adjustments now, apply on the result frame below.
             pivot_zero_cols, pivot_renames = pivot_adjustments(sql)
+            # `* REPLACE` keeps each replaced column at its original
+            # star position in DuckDB; the transpiled star-EXCEPT form
+            # appends them at the end. The probe (same statement, bare
+            # `*`) analyzes to DuckDB's column order; the result frame
+            # is reordered to it below (analysis only — never runs).
+            probe_raw = replace_position_probe(sql)
             sql = transpile_duckdb(sql)
+            if probe_raw is not None:
+                replace_probe = transpile_duckdb(probe_raw)
         t0 = time.perf_counter()
         with self.metrics.start_query():
             try:
@@ -267,7 +279,42 @@ class Engine:
                 lambda: self._run_script_swap_safe(sql, args=args).df
             )
         apply_pivot_adjustments(res, pivot_zero_cols, pivot_renames)
+        if replace_probe is not None:
+            self._apply_replace_order(res, replace_probe, args)
         return res
+
+    def _apply_replace_order(
+        self, res: QueryResult, probe_sql: str, args: list | None
+    ) -> None:
+        """Reorder a ``* REPLACE`` result frame to DuckDB's column
+        order (replaced columns keep their original star position).
+        The probe statement analyzes lazily — no execution. Skipped
+        when the probe fails (multi-statement scripts, DDL) or the
+        result has duplicate/mismatched column names."""
+        if not res.is_query or res.df is None:
+            return
+        try:
+            pdf = (
+                self.spark.sql(probe_sql, args=args)
+                if args
+                else self.spark.sql(probe_sql)
+            )
+            desired = pdf.columns
+        except Exception:
+            return
+        cur = res.df.columns
+        if (
+            cur == desired
+            or sorted(cur) != sorted(desired)
+            or len(set(cur)) != len(cur)
+        ):
+            return
+        quoted = ["`" + c.replace("`", "``") + "`" for c in desired]
+        res.df = res.df.select(*quoted)
+        res.schema = res.df.schema
+        prev = res._requery
+        if prev is not None:
+            res._requery = lambda: prev().select(*quoted)
 
     def execute(self, sql: str) -> QueryResult:
         """Execute any SQL (row-returning or not)."""

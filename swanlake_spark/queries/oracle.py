@@ -1473,6 +1473,107 @@ def _q53r10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("q53_r10_semantics_battery", _q53r10, _Q53_SQL)
 
+
+# -- Q54: r11 dialect-semantics battery ---------------------------------------
+# The round-11 dialect surface through a client_dialect session, oracle
+# = the SAME text verbatim on DuckDB. Arms: NESTED three-valued
+# collection comparisons (depth-2/3 lists, list-of-struct,
+# struct-of-list, encoded -1/0/1 so NULL is distinguishable from
+# FALSE; plus || binding tighter than =), string bracket slicing over
+# parenthesized/function/cast bases, the split_part empty/NULL
+# separator matrix, list_intersect NULL-drop + asymmetric NULL args,
+# list_concat NULL-as-empty vs || NULL propagation, NULL membership
+# probes, any_value NULL-skipping at table scale, bar eighth-block
+# rendering, struct_extract, * REPLACE through a subquery at table
+# scale, json_array_length over a NULL-bearing column, literal-masked
+# `//`, and a value-observed IN-subquery under coalesce in WHERE.
+_Q54_SQL = """
+    SELECT src, k, v FROM (
+      SELECT 'nest' AS src, concat('c', CAST(n AS STRING)) AS k,
+             CAST(CASE WHEN r IS NULL THEN -1 WHEN r THEN 1 ELSE 0 END
+                  AS DOUBLE) AS v
+      FROM (
+        SELECT 1 AS n, [[1,NULL]] = [[1,NULL]] AS r UNION ALL
+        SELECT 2, [{'a':1},{'a':NULL}] = [{'a':1},{'a':NULL}] UNION ALL
+        SELECT 3, {'a':[1,NULL]} = {'a':[1,NULL]} UNION ALL
+        SELECT 4, [[1,2],[3,NULL]] < [[1,2],[3,4]] UNION ALL
+        SELECT 5, [[2]] = [[1,NULL]] UNION ALL
+        SELECT 6, [[1]] = [[1],[2]] UNION ALL
+        SELECT 7, [0] || [1] = [2] UNION ALL
+        SELECT 8, [[[1,NULL]]] = [[[1,NULL]]]
+      ) s
+      UNION ALL
+      SELECT 'slc' AS src,
+             concat_ws('|', ('abcdef')[2:4], ('abcdef')[-3:-1],
+                       ('abcdef')[:3], ('abcdef')[4:2],
+                       upper('abc')[2], ('ab' || 'cd')[2:3]) AS k,
+             1.0 AS v
+      UNION ALL
+      SELECT 'spl' AS src,
+             concat_ws('|', split_part('a,b,c', '', 2),
+                       split_part('a,b,c', NULL, 1),
+                       split_part('a,b,c', ',', -2),
+                       split_part(NULL, ',', 1) || 'e',
+                       split_part('héllo', '', 2)) AS k,
+             2.0 AS v
+      UNION ALL
+      SELECT 'lfn' AS src,
+             array_to_string(list_sort(
+               list_intersect([1,2,NULL],[2,NULL,3]),
+               'ASC', 'NULLS FIRST'), ',') AS k,
+             CAST(CASE WHEN list_contains([1,NULL], NULL) IS NULL
+                  THEN 10 ELSE 0 END
+                  + CASE WHEN [1,2] || NULL IS NULL THEN 100 ELSE 0 END
+                  + len(list_concat([1], NULL)) AS DOUBLE) AS v
+      UNION ALL
+      FROM orders SELECT 'agg' AS src, 'av' AS k,
+           CAST(any_value(CASE WHEN o_orderkey % 2 = 0 THEN 7 END)
+                AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'bar' AS src, bar(i, 0, 10, 10) AS k, CAST(i AS DOUBLE) AS v
+      FROM (VALUES (0.3),(4.9),(5),(12),(-1)) t(i)
+      UNION ALL
+      SELECT 'st' AS src, 'x' AS k,
+             CAST(struct_extract({'a': 7, 'b': 'x'}, 'a') AS DOUBLE) AS v
+      UNION ALL
+      FROM (SELECT * REPLACE (o_totalprice * 0 + 3 AS o_totalprice)
+            FROM orders) r
+      SELECT 'rep' AS src, 'sum' AS k,
+             CAST(sum(o_totalprice) AS DOUBLE) AS v
+      UNION ALL
+      FROM orders SELECT 'jal' AS src, 'n' AS k,
+           CAST(coalesce(sum(json_array_length(
+                CASE WHEN o_orderkey % 3 = 0 THEN '[1,2]' END)), -1)
+                AS DOUBLE) AS v
+      UNION ALL
+      SELECT 'div' AS src, 'mask' AS k,
+             CAST(length('1.5') // 2 AS DOUBLE) AS v
+      UNION ALL
+      FROM orders SELECT 'inw' AS src, 'co' AS k,
+           CAST(count(*) AS DOUBLE) AS v
+      WHERE coalesce(o_orderkey IN (SELECT NULL), true)
+    ) u ORDER BY src, k, v
+"""
+
+
+def _q54r11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    eng = Engine(
+        spark=spark, config=EngineConfig(client_dialect="duckdb")
+    )
+    sid = f"q54-{uuid.uuid4().hex[:8]}"
+    sess = eng.sessions.get_or_create(sid)
+    try:
+        ensure_tables(sess.spark, sf_dir)
+        return sess.query(_Q54_SQL).df
+    finally:
+        eng.sessions.remove(sid)
+
+
+_add("q54_r11_semantics_battery", _q54r11, _Q54_SQL)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
@@ -1495,7 +1596,17 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # gcd, the escape layer, NULLS-LAST ordering, dollar quotes)
     # through a client_dialect session, oracle = the same text
     # verbatim.
-    "q52_r9_semantics_battery",
+    # r11 rotation: q52_r9_semantics_battery (window-green since r9)
+    # moves to corpus-only — still hash-matched every pytest run by
+    # tests/test_oracle_corpus.py — and its slot goes to the r11
+    # dialect-semantics battery (nested three-valued collection
+    # comparisons, string bracket slicing, the split_part matrix,
+    # list_intersect/list_concat/membership NULL semantics, any_value
+    # NULL-skipping, bar, struct_extract, * REPLACE at table scale,
+    # json_array_length NULL guard, literal-masked //, value-observed
+    # IN under coalesce in WHERE) through a client_dialect session,
+    # oracle = the same text verbatim.
+    "q54_r11_semantics_battery",
     # r10 rotation: q45_ddl_dml_battery (window-green since r6, the
     # longest-stable non-TPC-H battery) moves to corpus-only — still
     # hash-matched every pytest run by tests/test_oracle_corpus.py —

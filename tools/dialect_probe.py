@@ -552,6 +552,97 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("win2", "SELECT count(DISTINCT x) FILTER (WHERE x > 0) AS c FROM (VALUES (1),(1),(-2)) t(x)"),
     ("win2", "SELECT array_agg(DISTINCT x ORDER BY x) AS l FROM (VALUES (2),(NULL),(1),(2)) t(x)"),
     ("win2", "SELECT array_agg(DISTINCT x ORDER BY x DESC) AS l FROM (VALUES (2),(1),(NULL)) t(x)"),
+    # -- r11: nested three-valued collection comparisons (judge r10 #1) --
+    ("r11", "SELECT [[1,NULL]] = [[1,NULL]] AS v"),
+    ("r11", "SELECT [{'a':1},{'a':NULL}] = [{'a':1},{'a':NULL}] AS v"),
+    ("r11", "SELECT {'a':[1,NULL]} = {'a':[1,NULL]} AS v"),
+    ("r11", "SELECT [[1,2],[3,NULL]] < [[1,2],[3,4]] AS v"),
+    ("r11", "SELECT [[[1,NULL]]] = [[[1,NULL]]] AS v"),
+    ("r11", "SELECT [[2]] = [[1,NULL]] AS v"),
+    ("r11", "SELECT [[1,NULL]] <> [[1,NULL]] AS v"),
+    ("r11", "SELECT {'a':{'b':NULL}} = {'a':{'b':NULL}} AS v"),
+    ("r11", "SELECT [[1]] = [[1],[2]] AS v"),
+    ("r11", "SELECT [[1],[2]] < [[1],[3]] AS v"),
+    # -- r11: string bracket slicing (judge r10 #4a) --
+    ("r11", "SELECT ('abcdef')[2:4] AS v"),
+    ("r11", "SELECT ('abcdef')[-3:-1] AS v"),
+    ("r11", "SELECT ('abcdef')[2:] AS v"),
+    ("r11", "SELECT ('abcdef')[:3] AS v"),
+    ("r11", "SELECT ('abcdef')[0:2] AS v"),
+    ("r11", "SELECT ('abcdef')[4:2] AS v"),
+    ("r11", "SELECT ('abcdef')[2:-2] AS v"),
+    ("r11", "SELECT ('héllo')[2:3] AS v"),
+    ("r11", "SELECT ('abcdef')[NULL:3] AS v"),
+    ("r11", "SELECT upper('abc')[2] AS v"),
+    ("r11", "SELECT ('ab' || 'cd')[2:3] AS v"),
+    ("r11", "SELECT ('abcdef'::VARCHAR)[2:3] AS v"),
+    # -- r11: any_value ignores NULLs; arbitrary/first do NOT (judge
+    #    r10 #2 — probe-pinned asymmetry) --
+    ("r11", "SELECT any_value(x) AS v FROM (VALUES (NULL),(3)) t(x)"),
+    ("r11", "SELECT any_value(x) AS v FROM (VALUES (NULL),(NULL)) t(x)"),
+    ("r11", "SELECT arbitrary(x) AS v FROM (VALUES (NULL),(3)) t(x)"),
+    ("r11", "SELECT first(x) AS v FROM (VALUES (NULL),(3)) t(x)"),
+    # -- r11: split_part full matrix (empty/NULL separator; judge r10 #3) --
+    ("r11", "SELECT split_part('a,b,c', '', 1) AS v"),
+    ("r11", "SELECT split_part('a,b,c', '', 2) AS v"),
+    ("r11", "SELECT split_part('a,b,c', '', -1) AS v"),
+    ("r11", "SELECT split_part('a,b,c', '', 9) AS v"),
+    ("r11", "SELECT split_part('héllo', '', 2) AS v"),
+    ("r11", "SELECT split_part('a,b,c', NULL, 1) AS v"),
+    ("r11", "SELECT split_part('a,b,c', NULL, 2) AS v"),
+    ("r11", "SELECT split_part('a,b,c', NULL, -1) AS v"),
+    ("r11", "SELECT split_part(NULL, ',', 1) AS v"),
+    ("r11", "SELECT split_part('a,b,c', ',', -2) AS v"),
+    ("r11", "SELECT split_part('a,b,c', ',', 9) AS v"),
+    # -- r11: list_intersect drops NULLs, asymmetric NULL args (judge
+    #    r10 #3) --
+    ("r11", "SELECT list_sort(list_intersect([1,2,NULL],[2,NULL,3]), 'ASC', 'NULLS FIRST') AS v"),
+    ("r11", "SELECT list_intersect(NULL, [1]) AS v"),
+    ("r11", "SELECT list_intersect([1], NULL) AS v"),
+    ("r11", "SELECT list_intersect([NULL],[NULL]) AS v"),
+    # -- r11: NULL-side list concat, NULL membership probes (judge r10
+    #    #4b/#4c) --
+    ("r11", "SELECT [1,2] || NULL AS v"),
+    ("r11", "SELECT NULL || [1,2] AS v"),
+    ("r11", "SELECT list_concat([1], NULL) AS v"),
+    ("r11", "SELECT list_concat(NULL, [1]) AS v"),
+    ("r11", "SELECT list_concat(NULL, NULL) AS v"),
+    ("r11", "SELECT list_concat([1], [2]) AS v"),
+    ("r11", "SELECT list_contains([1,NULL], NULL) AS v"),
+    ("r11", "SELECT list_contains([1,2], NULL) AS v"),
+    ("r11", "SELECT list_contains(NULL, 1) AS v"),
+    ("r11", "SELECT list_position([1,NULL,2], NULL) AS v"),
+    # -- r11: struct_extract + bar (judge r10 #4d/#4e) --
+    ("r11", "SELECT struct_extract({'a': 7, 'b': 'x'}, 'a') AS v"),
+    ("r11", "SELECT struct_extract(row(4, 5), 1) AS v"),
+    ("r11", "SELECT bar(5, 0, 10, 10) AS v"),
+    ("r11", "SELECT bar(0.3, 0, 10, 10) AS v"),
+    ("r11", "SELECT bar(4.9, 0, 10, 10) AS v"),
+    ("r11", "SELECT bar(-1, 0, 10, 10) AS v"),
+    ("r11", "SELECT bar(12, 0, 10, 10) AS v"),
+    ("r11", "SELECT bar(NULL, 0, 10, 10) AS v"),
+    ("r11", "SELECT bar(5, 10, 0, 10) AS v"),
+    ("r11", "SELECT bar(5, 0, 10) AS v"),
+    # -- r11: * REPLACE keeps original column position (judge r10 #5) --
+    ("r11", "SELECT * REPLACE (a*10 AS a) FROM (VALUES (1,2)) t(a,b)"),
+    ("r11", "SELECT * REPLACE (b||'!' AS b) FROM (VALUES (1,'x',3)) t(a,b,c)"),
+    ("r11", "SELECT * EXCLUDE (a) REPLACE (b*3 AS b) FROM (VALUES (1,2,3)) t(a,b,c)"),
+    ("r11", "SELECT * FROM (SELECT * REPLACE (a*10 AS a) FROM (VALUES (1,2)) t(a,b)) s"),
+    # -- r11: json_array_length NULL guard (ADVICE r10 high) --
+    ("r11", "SELECT json_array_length(NULL) AS v"),
+    ("r11", "SELECT json_array_length(x) AS v FROM (VALUES ('[1,2]'),(NULL)) t(x)"),
+    # -- r11: `//` literal masking (ADVICE r10 medium) --
+    ("r11", "SELECT length('1.5') // 2 AS v"),
+    ("r11", "SELECT strpos('a/b','/') // 2 AS v"),
+    ("r11", "SELECT length('a.b') // 2 AS v"),
+    # -- r11: IN-subquery under a value-observing function in WHERE
+    #    (ADVICE r10 low) --
+    ("r11", "SELECT a FROM (VALUES (1),(2)) t(a) WHERE coalesce(a IN (SELECT * FROM (VALUES (1),(NULL)) u(x)), true)"),
+    ("r11", "SELECT coalesce(5 IN (SELECT * FROM (VALUES (1),(NULL)) u(x)), true) AS v"),
+    # -- r11: || binds tighter than comparisons (ADVICE r10 low) --
+    ("r11", "SELECT [0] || [1] = [2] AS v"),
+    ("r11", "SELECT [1,2] = [1] || [2] AS v"),
+    ("r11", "SELECT [1] || [2] || [3] = [1,2,3] AS v"),
 ]
 
 
