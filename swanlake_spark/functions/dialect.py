@@ -1896,6 +1896,27 @@ def _operand_descriptor(operand: str, depth: int = 0):
         # (Spark's plain comparison coerces NullType and is three-valued
         # for NULL operands, which matches DuckDB here)
         return ("null",)
+    # a trailing `::TYPE` cast or a CAST(... AS TYPE) wrapper keeps the
+    # inner expression's descriptor (([1,NULL]::INT[]) = ... must stay
+    # three-valued; judge-style cast camouflage)
+    cm = re.match(
+        r"^(.+?)\s*::\s*[A-Za-z_][\w <>,\x03\x04]*"
+        r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r"\s*(?:\[\s*\]|\x01\s*\x02)?\s*$",
+        b,
+        re.DOTALL,
+    )
+    if cm is not None:
+        return _operand_descriptor(cm.group(1), depth + 1)
+    km = re.match(
+        r"^(?:TRY_)?CAST\s*\((.*)\s+AS\s+[A-Za-z_][\w <>,\x03\x04]*"
+        r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r"\s*(?:\[\s*\]|\x01\s*\x02)?\s*\)$",
+        b,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if km is not None:
+        return _operand_descriptor(km.group(1), depth + 1)
     am = re.match(r"^array\s*\((.*)\)$", b, re.IGNORECASE | re.DOTALL)
     if am is not None:
         elem = None
@@ -1910,6 +1931,21 @@ def _operand_descriptor(operand: str, depth: int = 0):
         return ("array", elem)
     if _ARRAY_HEAD.match(b):
         return ("array", None)
+    rm = re.match(
+        r"^(?:row|struct)\s*\((.*)\)$", b, re.IGNORECASE | re.DOTALL
+    )
+    if rm is not None:
+        parts = _split_top(rm.group(1))
+        if parts and any(p.strip() for p in parts):
+            # unnamed struct: Spark names row()/struct() fields col1..
+            return (
+                "struct",
+                [
+                    (f"col{i + 1}", _operand_descriptor(p, depth + 1))
+                    for i, p in enumerate(parts)
+                ],
+            )
+        return None
     sm = _STRUCT_HEAD.match(b)
     if sm is not None:
         parts = _split_top(sm.group(1))
@@ -2169,6 +2205,147 @@ def _rewrite_array_concat_null(sql: str) -> str:
     return sql
 
 
+_IN_VALUELIST = re.compile(r"\b(NOT\s+)?IN\s*\(", re.IGNORECASE)
+_BETWEEN_KW = re.compile(r"\b(NOT\s+)?BETWEEN\b", re.IGNORECASE)
+
+
+def _rewrite_collection_membership(sql: str) -> str:
+    """Collection operands inside ``IN (v1, v2, …)`` value lists and
+    ``BETWEEN lo AND hi`` are three-valued element-wise in DuckDB
+    (``[1,NULL] IN ([1,NULL],[2])`` is NULL, ``[NULL] BETWEEN [NULL]
+    AND [2]`` is NULL) but structural two-valued through Spark's
+    native operators. Both expand into their defining comparison
+    chains — ``(x = v1 OR x = v2)`` / ``(x >= lo AND x <= hi)`` — so
+    the collection-comparison pass right after three-values each leg.
+    Scalar operands stay native (the expansion only fires when a
+    syntactic collection descriptor is present)."""
+    if not re.search(
+        r"\b(?:array|named_struct|row|struct)\s*\(", sql, re.IGNORECASE
+    ):
+        return sql
+    # IN value lists (subqueries are handled by _rewrite_in_subquery_3vl)
+    masked: set[int] = set()
+    for _ in range(100):  # one rewrite per pass; inapplicable
+        # candidates are masked inline (never cleared — offset-adjusted)
+        spans = _mask_spans(sql)
+        hit = None
+        n = len(sql)
+        for cand in _IN_VALUELIST.finditer(sql):
+            pos = cand.start()
+            if _in_span(pos, spans) or pos in masked:
+                continue
+            po = sql.index("(", cand.end() - 1)
+            depth, i = 1, po + 1
+            while i < n and depth:
+                if _in_span(i, spans):
+                    i += 1
+                    continue
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:
+                break
+            body = sql[po + 1 : i - 1]
+            if re.match(
+                r"\s*(?:SELECT|WITH|VALUES|FROM)\b", body, re.IGNORECASE
+            ):
+                masked.add(pos)
+                continue
+            items = _split_top(body)
+            ls = _scan_left_operand(sql, pos, spans)
+            if ls < 0:
+                masked.add(pos)
+                continue
+            x = sql[ls:pos].strip()
+            descs = [_operand_descriptor(x)] + [
+                _operand_descriptor(p) for p in items
+            ]
+            if not any(
+                d is not None and d != ("null",) for d in descs
+            ):
+                masked.add(pos)
+                continue
+            if _has_bare_marker(x) or any(
+                _has_bare_marker(p) for p in items
+            ):
+                masked.add(pos)
+                continue
+            chain = " OR ".join(
+                f"({x}) = ({p.strip()})" for p in items
+            )
+            repl = f"(NOT ({chain}))" if cand.group(1) else f"({chain})"
+            hit = (ls, i, repl)
+            break
+        if hit is None:
+            break
+        ls, end, repl = hit
+        delta = len(repl) - (end - ls)
+        masked = {
+            (p if p < ls else p + delta)
+            for p in masked
+            if p < ls or p >= end
+        }
+        sql = sql[:ls] + repl + sql[end:]
+    # BETWEEN
+    masked = set()
+    for _ in range(100):
+        spans = _mask_spans(sql)
+        hit = None
+        n = len(sql)
+        for cand in _BETWEEN_KW.finditer(sql):
+            pos = cand.start()
+            if _in_span(pos, spans) or pos in masked:
+                continue
+            ls = _scan_left_operand(sql, pos, spans)
+            lo_end = _scan_right_operand(sql, cand.end(), spans)
+            if ls < 0 or lo_end < 0:
+                masked.add(pos)
+                continue
+            j = lo_end
+            while j < n and sql[j].isspace():
+                j += 1
+            if not re.match(r"AND\b", sql[j:], re.IGNORECASE):
+                masked.add(pos)
+                continue
+            hi_end = _scan_right_operand(sql, j + 3, spans)
+            if hi_end < 0:
+                masked.add(pos)
+                continue
+            x = sql[ls:pos].strip()
+            lo = sql[cand.end() : lo_end].strip()
+            hi = sql[j + 3 : hi_end].strip()
+            if not any(
+                d is not None and d != ("null",)
+                for d in (
+                    _operand_descriptor(x),
+                    _operand_descriptor(lo),
+                    _operand_descriptor(hi),
+                )
+            ):
+                masked.add(pos)
+                continue
+            if any(_has_bare_marker(p) for p in (x, lo, hi)):
+                masked.add(pos)
+                continue
+            core = f"(({x}) >= ({lo}) AND ({x}) <= ({hi}))"
+            repl = f"(NOT {core})" if cand.group(1) else core
+            hit = (ls, hi_end, repl)
+            break
+        if hit is None:
+            break
+        ls, end, repl = hit
+        delta = len(repl) - (end - ls)
+        masked = {
+            (p if p < ls else p + delta)
+            for p in masked
+            if p < ls or p >= end
+        }
+        sql = sql[:ls] + repl + sql[end:]
+    return sql
+
+
 def _rewrite_collection_comparisons(sql: str) -> str:
     """``=``/``<>`` (and ordering ops for lists) over array/struct
     operands with NULL elements are TWO-valued in Spark (structural,
@@ -2183,84 +2360,110 @@ def _rewrite_collection_comparisons(sql: str) -> str:
     # cheap gate: no syntactic array/struct operand anywhere → nothing
     # to do (keeps plain comparison-heavy queries out of the scan loop)
     if not re.search(
-        r"\b(?:array|named_struct|sequence|sort_array|slice|flatten|"
-        r"split|zip_with|transform|collect_list|collect_set)"
+        r"\b(?:array|named_struct|row|struct|sequence|sort_array|slice|"
+        r"flatten|split|zip_with|transform|collect_list|collect_set)"
         r"\s*\(",
         sql,
         re.IGNORECASE,
     ):
         return sql
     masked: set[int] = set()
+    # outer loop: ONE REWRITE per pass; the inner candidate scan masks
+    # every inapplicable comparison it walks past in the same pass.
+    # (The old shape masked one candidate per pass and CLEARED the set
+    # after each rewrite — quadratic, and the 500-pass cap exhausted
+    # on many-comparison statements, silently leaving later arms on
+    # Spark semantics: r11 battery find.)
     for _ in range(500):
         spans = _mask_spans(sql)
-        m = None
-        for cand in _CMP_OP.finditer(sql):
-            if (
-                not _in_span(cand.start(), spans)
-                and cand.start() not in masked
-            ):
-                m = cand
-                break
-        if m is None:
-            return sql
-        op = m.group(1)
-        ls = _scan_left_operand(sql, m.start(), spans)
-        re_ = _scan_right_operand(sql, m.end(), spans)
-        if ls < 0 or re_ < 0:
-            masked.add(m.start())
-            continue
-        # extend across depth-0 || chains: DuckDB binds || tighter
-        # than comparisons ([0] || [1] = [2] is ([0]||[1]) = [2]);
-        # the tight scan alone would steal the concat's nearest
-        # operand into the comparison (ADVICE r10)
-        while True:
-            k = ls - 1
-            while k >= 0 and sql[k].isspace():
-                k -= 1
-            if (
-                k >= 1
-                and sql[k - 1 : k + 1] == "||"
-                and not _in_span(k - 1, spans)
-            ):
-                ls2 = _scan_left_operand(sql, k - 1, spans)
-                if ls2 < 0:
-                    break
-                ls = ls2
-            else:
-                break
+        hit = None
         n = len(sql)
-        while True:
-            k = re_
-            while k < n and sql[k].isspace():
-                k += 1
-            if sql[k : k + 2] == "||" and not _in_span(k, spans):
-                re2 = _scan_right_operand(sql, k + 2, spans)
-                if re2 < 0:
+        for cand in _CMP_OP.finditer(sql):
+            pos = cand.start()
+            if _in_span(pos, spans) or pos in masked:
+                continue
+            op = cand.group(1)
+            ls = _scan_left_operand(sql, pos, spans)
+            re_ = _scan_right_operand(sql, cand.end(), spans)
+            if ls < 0 or re_ < 0:
+                masked.add(pos)
+                continue
+            # extend across depth-0 || chains: DuckDB binds || tighter
+            # than comparisons ([0] || [1] = [2] is ([0]||[1]) = [2]);
+            # the tight scan alone would steal the concat's nearest
+            # operand into the comparison (ADVICE r10)
+            while True:
+                k = ls - 1
+                while k >= 0 and sql[k].isspace():
+                    k -= 1
+                if (
+                    k >= 1
+                    and sql[k - 1 : k + 1] == "||"
+                    and not _in_span(k - 1, spans)
+                ):
+                    ls2 = _scan_left_operand(sql, k - 1, spans)
+                    if ls2 < 0:
+                        break
+                    ls = ls2
+                else:
                     break
-                re_ = re2
+            while True:
+                k = re_
+                while k < n and sql[k].isspace():
+                    k += 1
+                if sql[k : k + 2] == "||" and not _in_span(k, spans):
+                    re2 = _scan_right_operand(sql, k + 2, spans)
+                    if re2 < 0:
+                        break
+                    re_ = re2
+                else:
+                    break
+            a = sql[ls : pos].strip()
+            b = sql[cand.end() : re_].strip()
+            if _has_bare_marker(a) or _has_bare_marker(b):
+                masked.add(pos)
+                continue
+            desc = _merge_desc(
+                _chain_descriptor(a), _chain_descriptor(b)
+            )
+            is_arr = desc is not None and desc[0] == "array"
+            sf = (
+                desc[1]
+                if desc is not None and desc[0] == "struct"
+                else None
+            )
+            if is_arr and op in ("=", "==", "<>", "!="):
+                repl = _tv_array_eq(a, b, op in ("<>", "!="), desc[1])
+            elif is_arr and op in ("<", "<=", ">", ">="):
+                repl = _tv_array_cmp(a, b, op, desc[1])
+            elif sf and op in ("=", "==", "<>", "!="):
+                repl = _tv_struct_eq(a, b, sf, op in ("<>", "!="))
+            elif sf and op in ("<", "<=", ">", ">="):
+                repl = _tv_struct_cmp(a, b, sf, op)
             else:
-                break
-        a = sql[ls : m.start()].strip()
-        b = sql[m.end() : re_].strip()
-        desc = _merge_desc(_chain_descriptor(a), _chain_descriptor(b))
-        if _has_bare_marker(a) or _has_bare_marker(b):
-            masked.add(m.start())
-            continue
-        is_arr = desc is not None and desc[0] == "array"
-        sf = desc[1] if desc is not None and desc[0] == "struct" else None
-        if is_arr and op in ("=", "==", "<>", "!="):
-            repl = _tv_array_eq(a, b, op in ("<>", "!="), desc[1])
-        elif is_arr and op in ("<", "<=", ">", ">="):
-            repl = _tv_array_cmp(a, b, op, desc[1])
-        elif sf and op in ("=", "==", "<>", "!="):
-            repl = _tv_struct_eq(a, b, sf, op in ("<>", "!="))
-        elif sf and op in ("<", "<=", ">", ">="):
-            repl = _tv_struct_cmp(a, b, sf, op)
-        else:
-            masked.add(m.start())
-            continue
+                masked.add(pos)
+                continue
+            hit = (ls, re_, repl)
+            break
+        if hit is None:
+            return sql
+        ls, re_, repl = hit
+        # keep the masked set across the edit, offset-adjusted
+        delta = len(repl) - (re_ - ls)
+        masked = {
+            (p if p < ls else p + delta)
+            for p in masked
+            if p < ls or p >= re_
+        }
+        # pre-mask every comparison inside the emitted fold — they are
+        # internal CASE/aggregate plumbing, never rewrite candidates;
+        # without this each one pays an operand scan before being
+        # masked. Plain statements exit at the gate (≤2 ms); the
+        # pathological all-collections battery stays in the hundreds
+        # of ms, acceptable for transpile-once batteries.
+        for mm in _CMP_OP.finditer(repl):
+            masked.add(ls + mm.start())
         sql = sql[:ls] + repl + sql[re_:]
-        masked.clear()
     return sql
 
 
@@ -2770,7 +2973,9 @@ def _unshield(sql: str, mapping: dict[str, str]) -> str:
 
 
 def _unshield_type_brackets(sql: str) -> str:
-    return _unshield(sql, {"\x01": "[", "\x02": "]"})
+    return _unshield(
+        sql, {"\x01": "[", "\x02": "]", "\x03": "<", "\x04": ">"}
+    )
 
 
 def _rewrite_struct_literals(sql: str) -> str:
@@ -3000,18 +3205,47 @@ _CAST_TYPE_SPELLINGS = [
 ]
 
 
+def _spark_array_type(base: str, depth_suffixes: int) -> str:
+    """DuckDB ``T[]``/``T[][]`` cast target → Spark ``ARRAY<T>`` with
+    the element spelling mapped (VARCHAR→STRING etc.). The angle
+    brackets are emitted SHIELDED (\\x03/\\x04, restored by the final
+    unshield): a literal ``<``/``>`` this early would be scanned as a
+    comparison operator by the collection-comparison pass."""
+    t = base.strip()
+    for pat, target in _CAST_TYPE_SPELLINGS:
+        if re.fullmatch(pat, t, re.IGNORECASE):
+            t = target
+            break
+    for _ in range(depth_suffixes):
+        t = f"ARRAY\x03{t}\x04"
+    return t
+
+
 def _rewrite_cast_typenames(sql: str) -> str:
     """``x::VARCHAR`` / ``CAST(x AS VARCHAR)`` and friends → the Spark
     type spelling (values identical; DuckDB-verified rendering for
-    string casts). The AS form is resolved INSIDE CAST/TRY_CAST bodies
-    only — a bare ``AS text`` elsewhere is a column alias."""
+    string casts); array cast targets ``T[]`` → ``ARRAY<T>`` (Spark
+    has no postgres-style suffix — ``[1]::INT[]`` was a parse error,
+    r11). The AS form is resolved INSIDE CAST/TRY_CAST bodies only —
+    a bare ``AS text`` elsewhere is a column alias."""
+    sql = _sub_outside(
+        r"::\s*([A-Za-z_]\w*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+        r"((?:\s*\[\s*\])+)",
+        lambda m: "::" + _spark_array_type(
+            m.group(1), m.group(2).count("[")
+        ),
+        sql,
+    )
     for pat, target in _CAST_TYPE_SPELLINGS:
         sql = _sub_outside(
             rf"::\s*(?:{pat})\b(?!\s*\()", f"::{target}", sql
         )
 
     def _map_cast_type(args, fn):
-        body = args[0]
+        # rejoin: a comma inside a raw bracket literal (`[1,NULL] AS
+        # INT[]`) splits the body — the pass runs before the bracket
+        # rewrite, whose depth the arg splitter doesn't track
+        body = ",".join(args)
         pos, last = 0, -1
         while True:
             k = _depth0_keyword(body, "AS", pos)
@@ -3022,6 +3256,14 @@ def _rewrite_cast_typenames(sql: str) -> str:
         if last < 0:
             return None
         expr, typ = body[:last].rstrip(), body[last + 2 :].strip()
+        am = re.fullmatch(
+            r"([A-Za-z_]\w*(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"((?:\s*\[\s*\])+)",
+            typ,
+        )
+        if am is not None:
+            arr = _spark_array_type(am.group(1), am.group(2).count("["))
+            return f"{fn}({expr} AS {arr})"
         for pat, target in _CAST_TYPE_SPELLINGS:
             if re.fullmatch(pat, typ, re.IGNORECASE):
                 return f"{fn}({expr} AS {target})"
@@ -3031,7 +3273,7 @@ def _rewrite_cast_typenames(sql: str) -> str:
         sql = _transform_calls(
             sql,
             re.compile(rf"\b{cast_name}\s*\(", re.IGNORECASE),
-            1,
+            None,
             lambda a, fn=cast_name: _map_cast_type(a, fn),
         )
     return sql
@@ -3390,6 +3632,7 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_brackets(sql)
     sql = _rewrite_json_arrows(sql)
     sql = _rewrite_array_concat_null(sql)
+    sql = _rewrite_collection_membership(sql)
     sql = _rewrite_collection_comparisons(sql)
     sql = _rewrite_power_ops(sql)
     sql = _rewrite_factorial(sql)

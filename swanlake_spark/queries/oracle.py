@@ -1500,7 +1500,12 @@ _Q54_SQL = """
         SELECT 5, [[2]] = [[1,NULL]] UNION ALL
         SELECT 6, [[1]] = [[1],[2]] UNION ALL
         SELECT 7, [0] || [1] = [2] UNION ALL
-        SELECT 8, [[[1,NULL]]] = [[[1,NULL]]]
+        SELECT 8, [[[1,NULL]]] = [[[1,NULL]]] UNION ALL
+        SELECT 9, [1,NULL] IN ([1,NULL], [2]) UNION ALL
+        SELECT 10, [NULL] BETWEEN [NULL] AND [2] UNION ALL
+        SELECT 11, row(1,NULL) = row(1,NULL) UNION ALL
+        SELECT 12, ([1,NULL]::INT[]) = ([1,NULL]::INT[]) UNION ALL
+        SELECT 13, {'a':NULL} < {'a':1}
       ) s
       UNION ALL
       SELECT 'slc' AS src,

@@ -340,8 +340,29 @@ def gen_nested(rng: random.Random) -> str:
         mk = lambda: "{'a':%s,'b':%s}" % (inner_struct(), scalar())
     else:
         mk = lambda: "[[" + inner_list() + "]]"
+    shape = rng.random()
+    if shape < 0.70:
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        a, b = mk(), mk()
+        if rng.random() < 0.15 and kind in ("ll", "lll"):
+            # array-typed cast camouflage (r11: INT[] targets)
+            ty = "INT[]" if kind == "ll" else "INT[][]"
+            a = rng.choice([f"({a})::{ty}", f"CAST({a} AS {ty})"])
+        return f"SELECT {a} {op} {b} AS v"
+    if shape < 0.80:
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT {mk()} {neg}IN ({mk()}, {mk()}) AS v"
+        )
+    if shape < 0.90:
+        neg = rng.choice(["", "NOT "])
+        return f"SELECT {mk()} {neg}BETWEEN {mk()} AND {mk()} AS v"
+    # unnamed structs (row()) compare like named ones
+    def rw():
+        return "row(%s, %s)" % (scalar(), scalar())
+
     op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
-    return f"SELECT {mk()} {op} {mk()} AS v"
+    return f"SELECT {rw()} {op} {rw()} AS v"
 
 
 def gen_starmod(rng: random.Random) -> str:

@@ -628,6 +628,38 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("r11", "SELECT * REPLACE (b||'!' AS b) FROM (VALUES (1,'x',3)) t(a,b,c)"),
     ("r11", "SELECT * EXCLUDE (a) REPLACE (b*3 AS b) FROM (VALUES (1,2,3)) t(a,b,c)"),
     ("r11", "SELECT * FROM (SELECT * REPLACE (a*10 AS a) FROM (VALUES (1,2)) t(a,b)) s"),
+    # -- r11 second sweep: membership/BETWEEN over collections,
+    #    unnamed-struct comparisons, array-typed casts (builder finds
+    #    beyond the verdict) --
+    ("r11", "SELECT [1,NULL] IN ([1,NULL], [2]) AS v"),
+    ("r11", "SELECT [1,2] IN ([1,NULL], [1,2]) AS v"),
+    ("r11", "SELECT [1,2] NOT IN ([1,NULL], [3]) AS v"),
+    ("r11", "SELECT {'a':1,'b':NULL} IN ({'a':1,'b':NULL}, {'a':2,'b':3}) AS v"),
+    ("r11", "SELECT [NULL] BETWEEN [NULL] AND [2] AS v"),
+    ("r11", "SELECT [1,NULL] BETWEEN [0] AND [2] AS v"),
+    ("r11", "SELECT [1] NOT BETWEEN [2] AND [3] AS v"),
+    ("r11", "SELECT row(1,NULL) = row(1,NULL) AS v"),
+    ("r11", "SELECT row(1,NULL) <> row(1,NULL) AS v"),
+    ("r11", "SELECT row(1,NULL) < row(2,NULL) AS v"),
+    ("r11", "SELECT {'a':NULL} < {'a':1} AS v"),
+    ("r11", "SELECT {'a':1,'b':NULL} < {'a':2,'b':NULL} AS v"),
+    ("r11", "SELECT {'a':1} <= {'a':1} AS v"),
+    ("r11", "SELECT {'a':1} < {'a':1} AS v"),
+    ("r11", "SELECT [{'a':NULL,'b':NULL}] < [{'a':1,'b':3}] AS v"),
+    ("r11", "SELECT {'a':[NULL]} < {'a':[1]} AS v"),
+    ("r11", "SELECT [] = [{'a':NULL,'b':3}] AS v"),
+    ("r11", "SELECT [{'a':3,'b':1}] >= [] AS v"),
+    ("r11", "SELECT [NULL] > [] AS v"),
+    ("r11", "SELECT [NULL] = [[1]] AS v"),
+    ("r11", "SELECT CAST([1] AS INT[]) AS v"),
+    ("r11", "SELECT [1]::INT[] AS v"),
+    ("r11", "SELECT [[1],[2]]::INT[][] AS v"),
+    ("r11", "SELECT ['a','b']::VARCHAR[] AS v"),
+    ("r11", "SELECT ([1,NULL]::INT[]) = ([1,NULL]::INT[]) AS v"),
+    ("r11", "SELECT CAST([1,NULL] AS INT[]) = CAST([1,NULL] AS INT[]) AS v"),
+    # documented: row ORDERING of array columns with NULL elements
+    # (engine-level sort order, not transpilable from text)
+    ("r11", "SELECT x AS v FROM (VALUES ([1,NULL]),([1,2]),([1])) t(x) ORDER BY x"),
     # -- r11: json_array_length NULL guard (ADVICE r10 high) --
     ("r11", "SELECT json_array_length(NULL) AS v"),
     ("r11", "SELECT json_array_length(x) AS v FROM (VALUES ('[1,2]'),(NULL)) t(x)"),
@@ -668,6 +700,10 @@ DOCUMENTED: dict[str, str] = {
         "same DuckDB internal inconsistency, column-bearing WHERE "
         "path; engine filters the NULL like the standard and "
         "DuckDB's own constant path",
+    "SELECT x AS v FROM (VALUES ([1,NULL]),([1,2]),([1])) t(x) ORDER BY x":
+        "row ORDERING of array values with NULL elements: Spark sorts "
+        "a NULL element LOW, DuckDB HIGH — engine-level sort "
+        "semantics, not reachable from a text transpile",
 }
 
 
