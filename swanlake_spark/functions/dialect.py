@@ -2383,6 +2383,15 @@ def _rewrite_collection_comparisons(sql: str) -> str:
             if _in_span(pos, spans) or pos in masked:
                 continue
             op = cand.group(1)
+            # a quantified comparison (`= ANY (sub)`) belongs to the
+            # later quantified rewrite — grabbing ANY as the right
+            # operand built a fold over the bare keyword (fuzz r11)
+            k = cand.end()
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if re.match(r"(?:ANY|ALL|SOME)\b", sql[k:], re.IGNORECASE):
+                masked.add(pos)
+                continue
             ls = _scan_left_operand(sql, pos, spans)
             re_ = _scan_right_operand(sql, cand.end(), spans)
             if ls < 0 or re_ < 0:
@@ -4310,20 +4319,33 @@ def transpile_duckdb(sql: str) -> str:
     # possible match — coalesce to false, preserving NULL for NULL
     # list ARGUMENTS (both engines). has_all: DuckDB IGNORES NULL
     # needles (list_has_all([1],[NULL]) = true) — compact them first.
+    def _has_any(a):
+        # a literal untyped NULL list argument is NULL in DuckDB and an
+        # analysis error through arrays_overlap (fuzz r11)
+        if a[0].strip().upper() == "NULL" or a[1].strip().upper() == "NULL":
+            return "CAST(NULL AS BOOLEAN)"
+        return (
+            f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL THEN NULL "
+            f"ELSE coalesce(arrays_overlap({a[0]}, {a[1]}), false) END)"
+        )
+
     out = _transform_calls(
         out,
         re.compile(r"\b(?:list_has_any|array_has_any)\s*\(", re.IGNORECASE),
         2,
-        lambda a: (
-            f"(CASE WHEN {a[0]} IS NULL OR {a[1]} IS NULL THEN NULL "
-            f"ELSE coalesce(arrays_overlap({a[0]}, {a[1]}), false) END)"
-        ),
+        _has_any,
     )
+
+    def _has_all(a):
+        if a[0].strip().upper() == "NULL" or a[1].strip().upper() == "NULL":
+            return "CAST(NULL AS BOOLEAN)"
+        return f"(size(array_except(array_compact({a[1]}), {a[0]})) = 0)"
+
     out = _transform_calls(
         out,
         re.compile(r"\b(?:list_has_all|array_has_all)\s*\(", re.IGNORECASE),
         2,
-        lambda a: f"(size(array_except(array_compact({a[1]}), {a[0]})) = 0)",
+        _has_all,
     )
     # unicode/ord: DuckDB returns -1 for the EMPTY string where Spark's
     # ascii returns 0; NULL propagates through both branches

@@ -660,6 +660,17 @@ QUERY_PROBES: list[tuple[str, str]] = [
     # documented: row ORDERING of array columns with NULL elements
     # (engine-level sort order, not transpilable from text)
     ("r11", "SELECT x AS v FROM (VALUES ([1,NULL]),([1,2]),([1])) t(x) ORDER BY x"),
+    # -- r11 third sweep: NULL list args in has_any/has_all, quantified
+    #    comparisons over collection operands (must NOT be stolen by
+    #    the comparison fold) --
+    ("r11", "SELECT list_has_any(NULL, [1]) AS v"),
+    ("r11", "SELECT list_has_all(NULL, [1]) AS v"),
+    ("r11", "SELECT list_has_all([1], NULL) AS v"),
+    ("r11", "SELECT list_has_any([1,NULL],[NULL,3]) AS v"),
+    ("r11", "SELECT list_has_all([1,2,NULL],[NULL]) AS v"),
+    ("r11", "SELECT [1,NULL] = ANY (SELECT * FROM (VALUES ([1,NULL])) t(x)) AS v"),
+    ("r11", "SELECT [1,NULL] <> ALL (SELECT * FROM (VALUES ([2])) t(x)) AS v"),
+    ("r11", "SELECT list_contains([[1,NULL]], [1,NULL]) AS v"),
     # -- r11: json_array_length NULL guard (ADVICE r10 high) --
     ("r11", "SELECT json_array_length(NULL) AS v"),
     ("r11", "SELECT json_array_length(x) AS v FROM (VALUES ('[1,2]'),(NULL)) t(x)"),
