@@ -153,6 +153,12 @@ _NAME_MAP = {
 #   jaro_similarity, strip_accents: no Spark builtin and no exact
 #   expression composition — fail loud at analysis (levenshtein,
 #   jaccard, hamming and bar ARE covered; see 6e / _bar_expr).
+# - COLUMNS('regex') star expansion: needs the table schema, which a
+#   text-level transpile cannot see — fails loud at parse (same class
+#   as column-typed collection comparisons keeping Spark semantics).
+# - Row ORDERING of array values with NULL elements (ORDER BY a list
+#   column): Spark sorts a NULL element LOW, DuckDB HIGH — engine sort
+#   semantics, not reachable from text (probe DOCUMENTED row).
 # - cbrt/exp/trig tails: both engines call their platform libm — last-
 #   ulp differences possible (cbrt(27): 3.0000000000000004 in DuckDB,
 #   3.0 in Spark). Tolerance-compare floats downstream, never hash.
@@ -843,6 +849,29 @@ def _scan_left_operand(s: str, pos: int, spans) -> int:
             # a positional parameter marker is a valid operand atom
             start = j
             j -= 1
+        elif s[j] == "\x0f":
+            # shielded ARRAY-cast type tail (ARRAY\x0eT\x0f, emitted by
+            # _spark_array_type): absorb the balanced shield pair plus
+            # the type word before it, so ``x::INT[] <> y`` scans the
+            # whole cast as the operand (fuzz r11 — the bare \x0f
+            # stopped the scan and the comparison stayed native)
+            depth = 0
+            k = j
+            while k >= 0:
+                if s[k] == "\x0f":
+                    depth += 1
+                elif s[k] == "\x0e":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                break
+            w = k - 1
+            while w >= 0 and (s[w].isalnum() or s[w] in "_$"):
+                w -= 1
+            start = w + 1
+            j = w
         else:
             break
         # chaining: a '.', a '::' cast, or an identifier directly
@@ -959,6 +988,22 @@ def _scan_right_operand(s: str, pos: int, spans) -> int:
             continue
         if s[j : j + 2] == "::":
             j += 2
+            continue
+        if j < n and s[j] == "\x0e":
+            # shielded ARRAY-cast element type (ARRAY\x0eT\x0f): the
+            # type word was consumed as a token; absorb the balanced
+            # shield group so the whole cast joins the operand
+            depth = 0
+            while j < n:
+                if s[j] == "\x0e":
+                    depth += 1
+                elif s[j] == "\x0f":
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            end = j
             continue
         break
     return end if end is not None else -1
@@ -1900,7 +1945,7 @@ def _operand_descriptor(operand: str, depth: int = 0):
     # inner expression's descriptor (([1,NULL]::INT[]) = ... must stay
     # three-valued; judge-style cast camouflage)
     cm = re.match(
-        r"^(.+?)\s*::\s*[A-Za-z_][\w <>,\x03\x04]*"
+        r"^(.+?)\s*::\s*[A-Za-z_][\w <>,\x0e\x0f]*"
         r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
         r"\s*(?:\[\s*\]|\x01\s*\x02)?\s*$",
         b,
@@ -1909,7 +1954,7 @@ def _operand_descriptor(operand: str, depth: int = 0):
     if cm is not None:
         return _operand_descriptor(cm.group(1), depth + 1)
     km = re.match(
-        r"^(?:TRY_)?CAST\s*\((.*)\s+AS\s+[A-Za-z_][\w <>,\x03\x04]*"
+        r"^(?:TRY_)?CAST\s*\((.*)\s+AS\s+[A-Za-z_][\w <>,\x0e\x0f]*"
         r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
         r"\s*(?:\[\s*\]|\x01\s*\x02)?\s*\)$",
         b,
@@ -2983,7 +3028,7 @@ def _unshield(sql: str, mapping: dict[str, str]) -> str:
 
 def _unshield_type_brackets(sql: str) -> str:
     return _unshield(
-        sql, {"\x01": "[", "\x02": "]", "\x03": "<", "\x04": ">"}
+        sql, {"\x01": "[", "\x02": "]", "\x0e": "<", "\x0f": ">"}
     )
 
 
@@ -3217,7 +3262,7 @@ _CAST_TYPE_SPELLINGS = [
 def _spark_array_type(base: str, depth_suffixes: int) -> str:
     """DuckDB ``T[]``/``T[][]`` cast target → Spark ``ARRAY<T>`` with
     the element spelling mapped (VARCHAR→STRING etc.). The angle
-    brackets are emitted SHIELDED (\\x03/\\x04, restored by the final
+    brackets are emitted SHIELDED (\\x0e/\\x0f, restored by the final
     unshield): a literal ``<``/``>`` this early would be scanned as a
     comparison operator by the collection-comparison pass."""
     t = base.strip()
@@ -3226,7 +3271,7 @@ def _spark_array_type(base: str, depth_suffixes: int) -> str:
             t = target
             break
     for _ in range(depth_suffixes):
-        t = f"ARRAY\x03{t}\x04"
+        t = f"ARRAY\x0e{t}\x0f"
     return t
 
 

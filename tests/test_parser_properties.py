@@ -10,7 +10,7 @@ runs in milliseconds and shakes thousands of statements.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from swanlake_spark.operators.dml import (
@@ -338,6 +338,10 @@ _DIALECT_BAIT = st.sampled_from([
     ),
 )
 @settings(max_examples=60, deadline=None)
+@example(
+    baits=["regexp_extract_all(s, 'a{2,3}')"],
+    pad='',  # or any other generated value
+).via('discovered failure')
 def test_transpile_never_rewrites_inside_string_literals(baits, pad):
     """EVERY dialect rewrite must leave string-literal contents intact:
     a literal whose content spells any rewritable syntax survives
