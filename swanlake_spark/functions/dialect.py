@@ -156,6 +156,10 @@ _NAME_MAP = {
 # - COLUMNS('regex') star expansion: needs the table schema, which a
 #   text-level transpile cannot see — fails loud at parse (same class
 #   as column-typed collection comparisons keeping Spark semantics).
+# - POSITIONAL JOIN: pairs rows by PHYSICAL order — not a defined
+#   concept for a distributed table (Spark has no row order without a
+#   sort key); fails loud at parse rather than fabricating an order.
+#   (ASOF JOIN IS covered — _rewrite_asof_join.)
 # - Row ORDERING of array values with NULL elements (ORDER BY a list
 #   column): Spark sorts a NULL element LOW, DuckDB HIGH — engine sort
 #   semantics, not reachable from text (probe DOCUMENTED row).
@@ -2391,6 +2395,213 @@ def _rewrite_collection_membership(sql: str) -> str:
     return sql
 
 
+_ASOF_JOIN = re.compile(
+    r"\bASOF\s+(LEFT\s+)?(?:OUTER\s+)?JOIN\b", re.IGNORECASE
+)
+_INEQ_OP = re.compile(r"(?<![<>!=])(>=|<=|>|<)(?![<>=])")
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB ``l ASOF [LEFT] JOIN r ON eqs AND l.ts >= r.ts``: each
+    left row joins the single right row with the LARGEST r.ts ≤ l.ts
+    (direction per the inequality; exactly one inequality, the rest
+    equalities — DuckDB's own grammar rule). Spark has no ASOF JOIN;
+    rewritten to a plain [LEFT] JOIN plus a correlated extremum pin:
+    ``r.ts = (SELECT max(r2.ts) FROM <right> r2 WHERE <on-conds with
+    r→r2>)`` appended to the WHERE (OR r-is-unmatched for LEFT).
+    Supports a named-table or parenthesized-subquery right side with an
+    alias; anything else (USING form, multiple inequalities) is left
+    untouched and fails loud at parse. Right-side ties on the extremum
+    keep ALL tied rows (DuckDB picks one — documented edge).
+    The engine's DataFrame-level asof_join (operators/joins.py) remains
+    the scale path; this covers the SQL spelling."""
+    if not _ASOF_JOIN.search(sql):
+        return sql
+    for _ in range(20):
+        spans = _mask_spans(sql)
+        m = None
+        for cand in _ASOF_JOIN.finditer(sql):
+            if not _in_span(cand.start(), spans):
+                m = cand
+                break
+        if m is None:
+            return sql
+        is_left = bool(m.group(1))
+        n = len(sql)
+        j = m.end()
+        while j < n and sql[j].isspace():
+            j += 1
+        # right side: bare table name [AS alias] or (subquery) alias
+        if j < n and sql[j] == "(":
+            depth, k = 0, j
+            while k < n:
+                if _in_span(k, spans):
+                    k += 1
+                    continue
+                if sql[k] == "(":
+                    depth += 1
+                elif sql[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if depth != 0:
+                return sql
+            rtab = sql[j : k + 1]
+            k += 1
+        else:
+            t = re.match(r"[\w.$\"`]+", sql[j:])
+            if t is None:
+                return sql
+            rtab = t.group(0)
+            k = j + len(rtab)
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)(\s*\([\w\s,]*\))?",
+            sql[k:],
+            re.IGNORECASE,
+        )
+        alias = None
+        col_alias = ""
+        if am is not None and am.group(1).upper() not in ("ON", "USING"):
+            alias = am.group(1)
+            col_alias = am.group(2) or ""
+            k += am.end()
+        if alias is None:
+            if re.fullmatch(r"[\w.$]+", rtab):
+                alias = rtab.split(".")[-1]
+            else:
+                return sql  # subquery without alias: leave loud
+        om = re.match(r"\s*ON\b", sql[k:], re.IGNORECASE)
+        if om is None:
+            return sql  # USING form: leave loud
+        cond_start = k + om.end()
+        # ON condition extends to the next depth-0 clause keyword
+        ce = cond_start
+        depth = 0
+        while ce < n:
+            if _in_span(ce, spans):
+                ce += 1
+                continue
+            c = sql[ce]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                w = re.match(r"[A-Za-z_]\w*", sql[ce:]).group(0)
+                if w.lower() in (
+                    "where", "group", "order", "limit", "having",
+                    "qualify", "union", "intersect", "except", "join",
+                    "left", "right", "full", "inner", "cross", "asof",
+                    "window", "offset", "using",
+                ):
+                    break
+                ce += len(w)
+                continue
+            ce += 1
+        cond = sql[cond_start:ce].strip()
+        # split AND-ed terms at depth 0; exactly one inequality term
+        terms = []
+        cur, depth, i = [], 0, 0
+        csp = _mask_spans(cond)
+        while i < len(cond):
+            if _in_span(i, csp):
+                cur.append(cond[i])
+                i += 1
+                continue
+            c = cond[i]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            if depth == 0 and re.match(
+                r"AND\b", cond[i:], re.IGNORECASE
+            ) and (i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] in "_$")):
+                terms.append("".join(cur).strip())
+                cur = []
+                i += 3
+                continue
+            cur.append(c)
+            i += 1
+        terms.append("".join(cur).strip())
+        ineqs = [
+            t for t in terms
+            if _INEQ_OP.search(_blank_literals(t)) is not None
+        ]
+        if len(ineqs) != 1:
+            return sql
+        ineq = ineqs[0]
+        im = _INEQ_OP.search(_blank_literals(ineq))
+        op = im.group(1)
+        lhs = ineq[: im.start()].strip()
+        rhs = ineq[im.end() :].strip()
+        # the right table's matching expression is whichever side
+        # references the right alias
+        a_ref = re.compile(rf"\b{re.escape(alias)}\s*\.", re.IGNORECASE)
+        if a_ref.search(rhs) and not a_ref.search(lhs):
+            r_expr, eff = rhs, op
+        elif a_ref.search(lhs) and not a_ref.search(rhs):
+            # mirror: r.ts <= l.ts  ≡  l.ts >= r.ts
+            r_expr = lhs
+            eff = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+        else:
+            return sql
+        agg = "max" if eff in (">", ">=") else "min"
+        sub_alias = "_swl_asof"
+        sub_cond = a_ref.sub(f"{sub_alias}.", cond)
+        pin = (
+            f"({r_expr}) = (SELECT {agg}({a_ref.sub(f'{sub_alias}.', r_expr)}) "
+            f"FROM {rtab} {sub_alias}{col_alias} WHERE {sub_cond})"
+        )
+        if is_left:
+            pin = f"(({r_expr}) IS NULL OR {pin})"
+        join_txt = "LEFT JOIN" if is_left else "JOIN"
+        head = sql[: m.start()] + join_txt + sql[m.end() : ce]
+        tail = sql[ce:]
+        # splice the pin into the WHERE (or create one)
+        wm = re.match(r"\s*WHERE\b", tail, re.IGNORECASE)
+        if wm is not None:
+            tail = (
+                tail[: wm.end()] + f" {pin} AND (" +
+                _splice_where_body(tail[wm.end():])
+            )
+        else:
+            tail = f" WHERE {pin}" + tail
+        sql = head + tail
+    return sql
+
+
+def _splice_where_body(rest: str) -> str:
+    """Wrap the existing WHERE body in parens (up to the next depth-0
+    clause keyword) so the prepended asof pin ANDs correctly."""
+    spans = _mask_spans(rest)
+    depth, i, n = 0, 0, len(rest)
+    while i < n:
+        if _in_span(i, spans):
+            i += 1
+            continue
+        c = rest[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_") and (
+            i == 0 or not (rest[i - 1].isalnum() or rest[i - 1] in "_$")
+        ):
+            w = re.match(r"[A-Za-z_]\w*", rest[i:]).group(0)
+            if w.lower() in (
+                "group", "order", "limit", "having", "qualify",
+                "union", "intersect", "except", "window", "offset",
+            ):
+                break
+            i += len(w)
+            continue
+        i += 1
+    return rest[:i] + ")" + rest[i:]
+
+
 def _rewrite_collection_comparisons(sql: str) -> str:
     """``=``/``<>`` (and ordering ops for lists) over array/struct
     operands with NULL elements are TWO-valued in Spark (structural,
@@ -3677,6 +3888,7 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_dollar_quotes(sql)
     sql = _strip_numeric_underscores(sql)
     sql = _rewrite_from_first(sql)
+    sql = _rewrite_asof_join(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_json_casts(sql)

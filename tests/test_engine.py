@@ -2699,3 +2699,123 @@ class TestDialectR10:
             dialect="duckdb",
         ).collect()
         assert [r.x for r in rows] == ["ba"]
+
+
+class TestDialectR11:
+    """Round-11 dialect semantics: nested three-valued collection
+    comparisons, string slicing, the split_part matrix, NULL list-fn
+    semantics, * REPLACE column position, ASOF JOIN SQL. Expected
+    values DuckDB-1.0.0-produced."""
+
+    def test_nested_three_valued_comparisons(self, engine):
+        r = engine.query(
+            "SELECT [[1,NULL]] = [[1,NULL]] AS a,"
+            "       [{'a':1},{'a':NULL}] = [{'a':1},{'a':NULL}] AS b,"
+            "       {'a':[1,NULL]} = {'a':[1,NULL]} AS c,"
+            "       [[1,2],[3,NULL]] < [[1,2],[3,4]] AS d,"
+            "       [[2]] = [[1,NULL]] AS e,"
+            "       {'a':NULL} < {'a':1} AS f,"
+            "       row(1,NULL) = row(1,NULL) AS g",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e, r.f, r.g) == (
+            None, None, None, None, False, None, None,
+        )
+
+    def test_collection_membership_and_between(self, engine):
+        r = engine.query(
+            "SELECT [1,NULL] IN ([1,NULL], [2]) AS a,"
+            "       [1,2] NOT IN ([1,NULL], [3]) AS b,"
+            "       [NULL] BETWEEN [NULL] AND [2] AS c,"
+            "       [1,NULL] BETWEEN [0] AND [2] AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == (None, None, None, True)
+
+    def test_string_bracket_slicing(self, engine):
+        r = engine.query(
+            "SELECT ('abcdef')[2:4] AS a, ('abcdef')[-3:-1] AS b,"
+            "       ('abcdef')[4:2] AS c, upper('abc')[2] AS d,"
+            "       ('héllo')[2:3] AS e, ('abcdef')[NULL:3] AS f",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e, r.f) == (
+            "bcd", "def", "", "B", "él", None,
+        )
+
+    def test_split_part_matrix(self, engine):
+        r = engine.query(
+            "SELECT split_part('a,b,c', '', 2) AS a,"
+            "       split_part('a,b,c', NULL, 1) AS b,"
+            "       split_part(NULL, ',', 1) AS c,"
+            "       split_part('a,b,c', ',', -2) AS d,"
+            "       split_part('héllo', '', 2) AS e",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e) == (",", "a,b,c", "", "b", "é")
+
+    def test_list_fn_null_semantics(self, engine):
+        r = engine.query(
+            "SELECT list_sort(list_intersect([1,2,NULL],[2,NULL,3]),"
+            "                 'ASC', 'NULLS FIRST') AS a,"
+            "       list_concat([1], NULL) AS b,"
+            "       [1,2] || NULL AS c,"
+            "       list_contains([1,NULL], NULL) AS d,"
+            "       list_has_any(NULL, [1]) AS e,"
+            "       any_value(7) AS f",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.e, r.f) == (
+            [2], [1], None, None, None, 7,
+        )
+
+    def test_bar_and_struct_extract(self, engine):
+        r = engine.query(
+            "SELECT bar(5, 0, 10, 10) AS a, bar(0.3, 0, 10, 10) AS b,"
+            "       bar(-1, 0, 10, 10) AS c,"
+            "       struct_extract({'a': 7, 'b': 'x'}, 'a') AS d",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == "█████" and r.b == "▎       " and r.d == 7
+        assert r.c == " " * 10
+
+    def test_star_replace_keeps_position(self, engine):
+        res = engine.query(
+            "SELECT * REPLACE (a*10 AS a) FROM (VALUES (1,2)) t(a,b)",
+            dialect="duckdb",
+        )
+        assert res.df.columns == ["a", "b"]
+        assert [tuple(r) for r in res.collect()] == [(10, 2)]
+
+    def test_array_typed_casts(self, engine):
+        r = engine.query(
+            "SELECT [1]::INT[] AS a,"
+            "       CAST([1,NULL] AS INT[]) = CAST([1,NULL] AS INT[]) AS b,"
+            "       [[1],[2]]::INT[][] AS c",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == [1] and r.b is None and r.c == [[1], [2]]
+
+    def test_asof_join_sql(self, engine):
+        rows = engine.query(
+            "SELECT l.v AS lv, r.v AS rv "
+            "FROM (VALUES (1,'l1'),(3,'l3'),(0,'l0')) l(ts,v) "
+            "ASOF JOIN (VALUES (0,'r0'),(2,'r2')) r(ts2,v) "
+            "ON l.ts >= r.ts2 ORDER BY lv",
+            dialect="duckdb",
+        ).collect()
+        assert [(r.lv, r.rv) for r in rows] == [
+            ("l0", "r0"), ("l1", "r0"), ("l3", "r2"),
+        ]
+
+    def test_asof_left_join_sql(self, engine):
+        rows = engine.query(
+            "SELECT l.v AS lv, r.v AS rv "
+            "FROM (VALUES (1,'l1'),(-5,'lx')) l(ts,v) "
+            "ASOF LEFT JOIN (VALUES (0,'r0'),(2,'r2')) r(ts2,v) "
+            "ON l.ts >= r.ts2 ORDER BY lv",
+            dialect="duckdb",
+        ).collect()
+        assert [(r.lv, r.rv) for r in rows] == [
+            ("l1", "r0"), ("lx", None),
+        ]

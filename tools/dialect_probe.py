@@ -671,6 +671,12 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("r11", "SELECT [1,NULL] = ANY (SELECT * FROM (VALUES ([1,NULL])) t(x)) AS v"),
     ("r11", "SELECT [1,NULL] <> ALL (SELECT * FROM (VALUES ([2])) t(x)) AS v"),
     ("r11", "SELECT list_contains([[1,NULL]], [1,NULL]) AS v"),
+    # -- r11: ASOF JOIN SQL spelling (rewritten to a correlated
+    #    extremum pin; the DataFrame asof_join stays the scale path) --
+    ("r11", "SELECT l.v AS lv, r.v AS rv FROM (VALUES (1,'l1'),(3,'l3'),(0,'l0')) l(ts,v) ASOF JOIN (VALUES (0,'r0'),(2,'r2')) r(ts2,v) ON l.ts >= r.ts2 ORDER BY lv"),
+    ("r11", "SELECT l.v AS lv, r.v AS rv FROM (VALUES (1,'l1'),(-5,'lx')) l(ts,v) ASOF LEFT JOIN (VALUES (0,'r0'),(2,'r2')) r(ts2,v) ON l.ts >= r.ts2 ORDER BY lv"),
+    ("r11", "SELECT l.k AS k, l.ts AS lts, r.ts2 AS rts FROM (VALUES (1,5),(1,9),(2,5)) l(k,ts) ASOF JOIN (VALUES (1,4),(1,8),(2,9)) r(k2,ts2) ON l.k = r.k2 AND l.ts >= r.ts2 ORDER BY k, lts"),
+    ("r11", "SELECT l.ts AS lts, r.ts2 AS rts FROM (VALUES (1),(3)) l(ts) ASOF JOIN (VALUES (2),(4)) r(ts2) ON l.ts <= r.ts2 ORDER BY lts"),
     # -- r11: json_array_length NULL guard (ADVICE r10 high) --
     ("r11", "SELECT json_array_length(NULL) AS v"),
     ("r11", "SELECT json_array_length(x) AS v FROM (VALUES ('[1,2]'),(NULL)) t(x)"),
