@@ -253,6 +253,14 @@ class Engine:
             # `*`) analyzes to DuckDB's column order; the result frame
             # is reordered to it below (analysis only — never runs).
             probe_raw = replace_position_probe(sql)
+            if probe_raw is not None:
+                # a result-frame reorder can't reach DML: an INSERT
+                # binds its source select POSITIONALLY, so the
+                # end-position REPLACE columns would write swapped
+                # VALUES (ADVICE r11). Rewrite the DML's source select
+                # to the probe's column order before execution.
+                sql = self._reorder_replace_dml(sql)
+                probe_raw = replace_position_probe(sql)
             sql = transpile_duckdb(sql)
             if probe_raw is not None:
                 replace_probe = transpile_duckdb(probe_raw)
@@ -315,6 +323,101 @@ class Engine:
         prev = res._requery
         if prev is not None:
             res._requery = lambda: prev().select(*quoted)
+
+    def _reorder_replace_dml(self, sql: str) -> str:
+        """Rewrite any DML statement whose SOURCE SELECT carries a
+        ``* REPLACE`` star modifier so the select emits DuckDB's column
+        order (replaced columns at their original star position) —
+        INSERT binds positionally, so the transpiled end-position form
+        would otherwise write swapped VALUES into the wrong columns
+        (ADVICE r11: DuckDB inserts (10, 2), the engine inserted
+        (2, 10)). The source select is wrapped in an explicit-column
+        outer select ordered by the analysis-only bare-star probe
+        (never executed — probing the full INSERT would run it).
+        Covers INSERT ... SELECT and CREATE [OR REPLACE] TABLE ... AS
+        SELECT; other DML heads (MERGE/UPDATE/DELETE/COPY) with a
+        star-REPLACE fail loud rather than corrupt. Query statements
+        pass through untouched (the result-frame reorder handles
+        them)."""
+        from swanlake_spark.functions import transpile_duckdb
+        from swanlake_spark.functions.dialect import (
+            _in_span,
+            _mask_spans,
+            replace_position_probe,
+        )
+
+        out = []
+        for stmt in split_statements(sql):
+            if replace_position_probe(stmt) is None:
+                out.append(stmt)
+                continue
+            head_m = re.match(r"\s*([A-Za-z]+)", stmt)
+            head = head_m.group(1).upper() if head_m else ""
+            is_ctas = head == "CREATE" and re.search(
+                r"\bAS\b", stmt, re.IGNORECASE
+            )
+            if head in ("MERGE", "UPDATE", "DELETE", "COPY"):
+                raise EngineError(
+                    "* REPLACE inside a %s statement is unsupported "
+                    "(positional binding would reorder values)" % head
+                )
+            if head != "INSERT" and not is_ctas:
+                out.append(stmt)
+                continue
+            spans = _mask_spans(stmt)
+            sel_start = -1
+            for m in re.finditer(r"\bSELECT\b", stmt, re.IGNORECASE):
+                if not _in_span(m.start(), spans):
+                    sel_start = m.start()
+                    break
+            if sel_start < 0:
+                out.append(stmt)
+                continue
+            prefix, rest = stmt[:sel_start], ""
+            sel = stmt[sel_start:]
+            if prefix.rstrip().endswith("("):
+                # AS ( SELECT ... ) form: the select ends at the
+                # matching close paren, not at end of statement
+                depth = 1
+                for i in range(sel_start, len(stmt)):
+                    if _in_span(i, spans):
+                        continue
+                    if stmt[i] == "(":
+                        depth += 1
+                    elif stmt[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            sel = stmt[sel_start:i]
+                            rest = stmt[i:]
+                            break
+            probe_sel = replace_position_probe(sel)
+            if probe_sel is None:
+                raise EngineError(
+                    "* REPLACE outside the DML source select is "
+                    "unsupported"
+                )
+            try:
+                desired = self.spark.sql(
+                    transpile_duckdb(probe_sel)
+                ).columns
+            except Exception as e:
+                raise EngineError(
+                    "cannot derive * REPLACE column order for this "
+                    "DML source select: %s" % e
+                ) from e
+            if len(set(desired)) != len(desired):
+                raise EngineError(
+                    "* REPLACE over duplicate source column names is "
+                    "unsupported in DML"
+                )
+            cols = ", ".join(
+                "`" + c.replace("`", "``") + "`" for c in desired
+            )
+            out.append(
+                "%sSELECT %s FROM (%s) _swl_rpl_src%s"
+                % (prefix, cols, sel, rest)
+            )
+        return ";\n".join(out)
 
     def execute(self, sql: str) -> QueryResult:
         """Execute any SQL (row-returning or not)."""

@@ -2787,6 +2787,42 @@ class TestDialectR11:
         assert res.df.columns == ["a", "b"]
         assert [tuple(r) for r in res.collect()] == [(10, 2)]
 
+    def test_star_replace_in_insert_select(self, engine):
+        # ADVICE r11 (medium): INSERT binds its source select
+        # POSITIONALLY — the end-position transpiled REPLACE columns
+        # wrote swapped values. DuckDB inserts (10, 2).
+        engine.query(
+            "CREATE TABLE rpl_src (a INT, b INT); "
+            "INSERT INTO rpl_src VALUES (1, 2); "
+            "CREATE TABLE rpl_dst (a INT, b INT)",
+            dialect="duckdb",
+        )
+        try:
+            engine.query(
+                "INSERT INTO rpl_dst SELECT * REPLACE (a*10 AS a) "
+                "FROM rpl_src",
+                dialect="duckdb",
+            )
+            rows = engine.query(
+                "SELECT * FROM rpl_dst", dialect="duckdb"
+            ).collect()
+            assert [tuple(r) for r in rows] == [(10, 2)]
+            # CTAS keeps DuckDB's column order too
+            res = engine.query(
+                "CREATE TABLE rpl_ctas AS "
+                "SELECT * REPLACE (b*100 AS b) FROM rpl_src; "
+                "SELECT * FROM rpl_ctas",
+                dialect="duckdb",
+            )
+            assert res.df.columns == ["a", "b"]
+            assert [tuple(r) for r in res.collect()] == [(1, 200)]
+        finally:
+            engine.query(
+                "DROP TABLE IF EXISTS rpl_src; "
+                "DROP TABLE IF EXISTS rpl_dst; "
+                "DROP TABLE IF EXISTS rpl_ctas"
+            )
+
     def test_array_typed_casts(self, engine):
         r = engine.query(
             "SELECT [1]::INT[] AS a,"
