@@ -31,6 +31,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _tree_hash() -> str:
+    """Content hash of the package source + this file — the band
+    sidecar's version key (a history recorded under different code
+    must never produce the headline median, ADVICE r11)."""
+    import glob
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for f in sorted(
+        glob.glob(
+            os.path.join(root, "swanlake_spark", "**", "*.py"),
+            recursive=True,
+        )
+    ) + [os.path.abspath(__file__)]:
+        try:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:12]
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 MEASURE_RUNS = int(os.environ.get("SWL_BENCH_RUNS", "5"))
 WARMUP_RUNS = int(os.environ.get("SWL_BENCH_WARMUPS", "2"))
@@ -766,23 +789,35 @@ def main() -> None:
             ".bench_band.json",
         )
         try:
-            sf_key = os.path.basename(SF_DIR.rstrip("/"))
+            # r12 (ADVICE r11): key the sidecar by sf AND a tree hash
+            # so a history recorded under a different code version can
+            # never become the headline value; stale keys are pruned.
+            # r12 (VERDICT #10): record EVERY entry (pipeline/matview
+            # included, not just sub-0.35 s TPC-H) — cross-invocation
+            # medians cost nothing extra and make uniform host-drift
+            # rounds self-adjudicating.
+            sf_key = "%s@%s" % (
+                os.path.basename(SF_DIR.rstrip("/")),
+                _tree_hash(),
+            )
             try:
                 with open(band_path) as fh:
                     hist = json.load(fh)
             except Exception:
                 hist = {}
             runs = hist.get(sf_key, [])
-            runs.append({k: results[k] for k in fast})
+            runs.append(dict(results))
             runs = runs[-5:]
-            hist[sf_key] = runs
+            hist = {sf_key: runs}  # other tree versions are stale
             with open(band_path, "w") as fh:
                 json.dump(hist, fh)
-            for k in fast:
+            for k in results:
                 vals = sorted(r[k] for r in runs if k in r)
                 if len(vals) >= 2:
                     results[k] = round(vals[len(vals) // 2], 4)
-                BANDS[k] = [vals[0], vals[-1]]
+                    BANDS[k] = [vals[0], vals[-1]]
+                elif k in fast:
+                    BANDS[k] = [vals[0], vals[-1]]
         except Exception:
             pass  # the band is advisory; never fail the bench on it
 

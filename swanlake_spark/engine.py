@@ -708,9 +708,23 @@ class Engine:
                 spans = _mask_spans(stmt)
                 m = None
                 for cand in op_re.finditer(stmt):
-                    if not _in_span(cand.start(), spans):
-                        m = cand
-                        break
+                    if _in_span(cand.start(), spans):
+                        continue
+                    depth = 0
+                    for idx in range(cand.start()):
+                        if _in_span(idx, spans):
+                            continue
+                        if stmt[idx] == "(":
+                            depth += 1
+                        elif stmt[idx] == ")":
+                            depth -= 1
+                    if depth != 0:
+                        # a parenthesized/subquery BY NAME: the arm
+                        # split below is only valid at statement level
+                        # — leave it to fail loud at parse
+                        continue
+                    m = cand
+                    break
                 if m is None:
                     break
                 if re.match(r"\s*WITH\b", stmt, re.IGNORECASE):

@@ -1579,6 +1579,126 @@ def _q54r11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _add("q54_r11_semantics_battery", _q54r11, _Q54_SQL)
 
+
+# -- Q55: r12 dialect-semantics battery ---------------------------------------
+# The round-12 dialect surface through a client_dialect session, oracle
+# = the SAME text verbatim on DuckDB. Arms: bare parenthesized
+# row-value comparisons three-valued in every context (encoded -1/0/1
+# so NULL is distinguishable from FALSE), 1-arg log→log10 + chr code
+# points, the DECIMAL-cast truncation matrix (decimal sources truncate
+# toward zero, double/string sources round), median's DECIMAL discrete
+# dispatch, the embedding-distance SQL spellings (incl. DuckDB's
+# zero-norm −1.0 clamp), table-valued generate_series/range (integer
+# and temporal), COLUMNS(regex) expansion over orders at table scale,
+# and the r12 loud-residue closures (in-call ORDER BY on sum, 2-arg
+# array_length, list_extract string branch, sub-second extract parts,
+# lambda-body len over list elements, prefix @ abs).
+_Q55_SQL = """
+    SELECT src, k, v FROM (
+      SELECT 'row' AS src, concat('c', CAST(n AS STRING)) AS k,
+             CAST(CASE WHEN r IS NULL THEN -1 WHEN r THEN 1 ELSE 0 END
+                  AS DOUBLE) AS v
+      FROM (
+        SELECT 1 AS n, (1, NULL) = (1, 2) AS r UNION ALL
+        SELECT 2, (1, 5) IN ((1, NULL), (3, 4)) UNION ALL
+        SELECT 3, (1, NULL) < (1, 2) UNION ALL
+        SELECT 4, ((1,2),(3,NULL)) = ((1,2),(3,4)) UNION ALL
+        SELECT 5, (1,2) IN ((3,4),(1,2)) UNION ALL
+        SELECT 6, (2, NULL) <= (1, 2) UNION ALL
+        SELECT 7, (1,NULL) BETWEEN (0,0) AND (2,2) UNION ALL
+        SELECT 8, CASE WHEN (1, NULL) = (1, 2) THEN true
+                       ELSE false END
+      ) s
+      UNION ALL
+      SELECT 'fn' AS src,
+             concat(chr(8364), chr(65), '|',
+                    CAST(log(100) AS STRING), '|',
+                    CAST(log(2, 8) AS STRING)) AS k,
+             1.0 AS v
+      UNION ALL
+      SELECT 'dec' AS src, concat('d', CAST(n AS STRING)) AS k,
+             CAST(x AS DOUBLE) AS v
+      FROM (
+        SELECT 1 AS n, 2.55::DECIMAL(3,1) AS x UNION ALL
+        SELECT 2, 2.56::DECIMAL(3,1) UNION ALL
+        SELECT 3, (-2.55)::DECIMAL(3,1) UNION ALL
+        SELECT 4, 2.999::DECIMAL(2,0) UNION ALL
+        SELECT 5, '2.999'::DECIMAL(2,0) UNION ALL
+        SELECT 6, (2.56::DOUBLE)::DECIMAL(3,1) UNION ALL
+        SELECT 7, 2.5678::DECIMAL
+      ) d
+      UNION ALL
+      SELECT 'med' AS src, 'm' AS k,
+             CAST(median(x) AS DOUBLE) AS v
+      FROM (VALUES (1.0),(2.0),(4.0),(9.0)) t(x)
+      UNION ALL
+      SELECT 'emb' AS src, 'e1' AS k,
+             round(list_cosine_similarity([1.0,2.0,3.0],
+                                          [4.0,5.0,6.0]), 7) AS v
+      UNION ALL
+      SELECT 'emb', 'e2', list_dot_product([1.0,2.0],[3.0,4.0])
+      UNION ALL
+      SELECT 'emb', 'e3', list_distance([1.0,2.0],[4.0,6.0])
+      UNION ALL
+      SELECT 'emb', 'e4', list_cosine_similarity([0.0,0.0],[1.0,2.0])
+      UNION ALL
+      SELECT 'emb', 'e5', CAST(list_any_value([NULL, 3, 4]) AS DOUBLE)
+      UNION ALL
+      SELECT 'ser' AS src, 'gs' AS k,
+             CAST(sum(generate_series) AS DOUBLE) AS v
+      FROM generate_series(1,100)
+      UNION ALL
+      SELECT 'ser', 'rg', CAST(sum(range) AS DOUBLE)
+      FROM range(1,100)
+      UNION ALL
+      SELECT 'ser', 'dt', CAST(count(*) AS DOUBLE)
+      FROM generate_series(DATE '2020-01-01', DATE '2020-03-01',
+                           INTERVAL 1 DAY)
+      UNION ALL
+      SELECT 'col' AS src, 'n' AS k,
+             CAST(count(*) + sum(o_orderkey * 0) AS DOUBLE) AS v
+      FROM (SELECT COLUMNS('o_order.*') FROM orders) c
+      UNION ALL
+      SELECT 'res', 'r1', CAST(sum(x ORDER BY x) AS DOUBLE)
+      FROM (VALUES (1),(2),(3)) t(x)
+      UNION ALL
+      SELECT 'res', 'r2', CAST(array_length([1,2,3], 1) AS DOUBLE)
+      UNION ALL
+      SELECT 'res',
+             concat('x', list_extract('hello', 2),
+                    list_extract('hello', -1)), 3.0
+      UNION ALL
+      SELECT 'res', 'r4',
+             CAST(extract(microseconds FROM
+                  TIMESTAMP '2020-01-01 01:02:03.456789') AS DOUBLE)
+      UNION ALL
+      SELECT 'res', 'r5', CAST(@(-7) AS DOUBLE)
+      UNION ALL
+      SELECT 'res',
+             array_to_string(list_transform([[1,2],[3]],
+                                            x -> len(x)), ','), 6.0
+    ) u ORDER BY src, k, v
+"""
+
+
+def _q55r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    eng = Engine(
+        spark=spark, config=EngineConfig(client_dialect="duckdb")
+    )
+    sid = f"q55-{uuid.uuid4().hex[:8]}"
+    sess = eng.sessions.get_or_create(sid)
+    try:
+        ensure_tables(sess.spark, sf_dir)
+        return sess.query(_Q55_SQL).df
+    finally:
+        eng.sessions.remove(sid)
+
+
+_add("q55_r12_semantics_battery", _q55r12, _Q55_SQL)
+
 # Curated selection for the driver window: unique-surface batteries only;
 # everything redundant with the TPC-H suite (q01/q03/q12/q13/... shapes)
 # is verified by the pytest corpus instead.
@@ -1612,6 +1732,17 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # IN under coalesce in WHERE) through a client_dialect session,
     # oracle = the same text verbatim.
     "q54_r11_semantics_battery",
+    # r12 rotation: q53_r10_semantics_battery (window-green since r10)
+    # moves to corpus-only — still hash-matched every pytest run by
+    # tests/test_oracle_corpus.py — and its slot goes to the r12
+    # dialect-semantics battery (bare row-value three-valued
+    # comparisons in every context, log/chr semantics, the
+    # DECIMAL-cast truncation matrix, median's DECIMAL discrete
+    # dispatch, the embedding-distance SQL spellings, table-valued
+    # generate_series/range, COLUMNS(regex) at table scale, and the
+    # r12 loud-residue closures) through a client_dialect session,
+    # oracle = the same text verbatim.
+    "q55_r12_semantics_battery",
     # r10 rotation: q45_ddl_dml_battery (window-green since r6, the
     # longest-stable non-TPC-H battery) moves to corpus-only — still
     # hash-matched every pytest run by tests/test_oracle_corpus.py —
@@ -1622,7 +1753,6 @@ DRIVER_ORACLE_NAMES: tuple[str, ...] = (
     # CASE…END / FILTER(WHERE…) operand scanning, underscore literals)
     # through a client_dialect session, oracle = the same text
     # verbatim.
-    "q53_r10_semantics_battery",
     "q47_matview_incremental",
     # r7 (VERDICT r6 #4): dedicated CDC row at data scale — the slot
     # came from folding the three near-dup singles into

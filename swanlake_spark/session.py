@@ -225,14 +225,20 @@ class Session:
         self.touch()
         from swanlake_spark.engine import Engine, apply_pivot_adjustments
 
+        eng = Engine(spark=self.spark)
+        eng.metrics = self.engine.metrics
         pivot_adj: tuple = ([], {})
+        replace_probe: str | None = None
         if self.dialect == "duckdb" and pre_transpiled:
             from swanlake_spark.functions.dialect import pivot_adjustments
 
             pivot_adj = pivot_adjustments(sql)
         if self.dialect == "duckdb" and not pre_transpiled:
             from swanlake_spark.functions import transpile_duckdb
-            from swanlake_spark.functions.dialect import pivot_adjustments
+            from swanlake_spark.functions.dialect import (
+                pivot_adjustments,
+                replace_position_probe,
+            )
 
             # transpile HERE (not via eng.query's dialect arg) so the
             # transactional and literal-binding paths below also see
@@ -242,15 +248,30 @@ class Session:
             # would corrupt positional binding — it fails loud at
             # analysis instead). PIVOT count zero-fill/rename applies
             # on the result below, same as the engine's dialect path.
+            # The schema-probe rewrites (COLUMNS expansion, UNION BY
+            # NAME alignment, DML * REPLACE reorder — r12) run here
+            # too, against THIS session's Spark fork, so the
+            # client_dialect wire path reaches them.
+            if re.search(r"\bCOLUMNS\s*\(", sql, re.IGNORECASE):
+                sql = eng._expand_columns_star(sql)
+            if re.search(r"\bBY\s+NAME\b", sql, re.IGNORECASE):
+                sql = eng._rewrite_union_by_name(sql)
+            probe_raw = replace_position_probe(sql)
+            if probe_raw is not None:
+                sql = eng._reorder_replace_dml(sql)
+                probe_raw = replace_position_probe(sql)
             pivot_adj = pivot_adjustments(sql)
             sql = transpile_duckdb(sql)
+            if probe_raw is not None:
+                # result-frame reorder for SELECT * REPLACE (the
+                # session path used to be a documented carve-out)
+                replace_probe = transpile_duckdb(probe_raw)
 
         def _finish(res):
             apply_pivot_adjustments(res, *pivot_adj)
+            if replace_probe is not None:
+                eng._apply_replace_order(res, replace_probe, None)
             return res
-
-        eng = Engine(spark=self.spark)
-        eng.metrics = self.engine.metrics
         try:
             if params and self.txn_id is None and classify(sql).all_queries:
                 # Native parameterized SQL (typed, injection-safe — the
@@ -286,11 +307,24 @@ class Session:
     def create_prepared_statement(self, sql: str, ephemeral: bool = False) -> PreparedStatement:
         self.touch()
         if self.dialect == "duckdb":
+            from swanlake_spark.engine import Engine
             from swanlake_spark.functions import transpile_duckdb
+            from swanlake_spark.functions.dialect import (
+                replace_position_probe,
+            )
 
             # stored transpiled, so classification, placeholder
             # counting, parameter-schema inference, and the NULL-probe
-            # schema path all see conventional SQL
+            # schema path all see conventional SQL. Schema-probe
+            # rewrites (COLUMNS, BY NAME, DML * REPLACE — r12) apply
+            # at prepare time against this session's fork.
+            eng = Engine(spark=self.spark)
+            if re.search(r"\bCOLUMNS\s*\(", sql, re.IGNORECASE):
+                sql = eng._expand_columns_star(sql)
+            if re.search(r"\bBY\s+NAME\b", sql, re.IGNORECASE):
+                sql = eng._rewrite_union_by_name(sql)
+            if replace_position_probe(sql) is not None:
+                sql = eng._reorder_replace_dml(sql)
             sql = transpile_duckdb(sql)
         stripped = strip_select_locks(sql).sql
         parsed = classify(stripped)
