@@ -1855,8 +1855,46 @@ _KMV_OVERLAP_ORACLE = """
 _add("pipe_kmv_overlap", _kmv_overlap, _KMV_OVERLAP_ORACLE)
 
 
+# r12 (VERDICT missing #4): the similarity operators' SQL face — the
+# same DuckDB text runs through a client_dialect session (engine) and
+# verbatim on DuckDB (oracle). DOUBLE[] casts keep both engines in
+# double math so round(6) is stable; the ones-vector probe comes from
+# list_transform so the arm exercises the lambda path too.
+_SIM_SQL_SPELL = """
+    SELECT 'sqlspell' AS op, CAST(vec_id AS BIGINT) AS a,
+           CAST(NULL AS BIGINT) AS b, sim
+    FROM (
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[],
+                   list_transform(embedding::DOUBLE[], x -> 1.0)),
+                   6) AS sim
+      FROM embeddings
+    ) s ORDER BY sim DESC, a LIMIT 8
+"""
+
+
+def _sim_sqlspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    eng = Engine(
+        spark=spark, config=EngineConfig(client_dialect="duckdb")
+    )
+    sid = f"simsql-{uuid.uuid4().hex[:8]}"
+    sess = eng.sessions.get_or_create(sid)
+    try:
+        ensure_tables(sess.spark, sf_dir)
+        return sess.query(_SIM_SQL_SPELL).df
+    finally:
+        eng.sessions.remove(sid)
+
+
 def _sim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k + threshold near-pairs in one frame."""
+    """Exact cosine top-k + threshold near-pairs + the SQL-spelling
+    arm (list_cosine_similarity through client_dialect) in one
+    frame."""
     b = F.lit(None).cast("bigint")
     topk = _cos_topk(spark, sf_dir).select(
         F.lit("topk").alias("op"), F.col("vec_id").cast("long").alias("a"),
@@ -1864,7 +1902,10 @@ def _sim_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _cos_pairs_exact(spark, sf_dir).select(
         F.lit("pairs").alias("op"), F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"), F.col("sim"))
-    return topk.unionAll(pairs).orderBy("op", "a", "b")
+    spell = _sim_sqlspell(spark, sf_dir).select(
+        "op", F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"), F.col("sim"))
+    return topk.unionAll(pairs).unionAll(spell).orderBy("op", "a", "b")
 
 
 def _sim_battery_oracle() -> str:
@@ -1877,6 +1918,8 @@ def _sim_battery_oracle() -> str:
     SELECT 'pairs' AS op, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
            sim
     FROM ({q['pipe_sim_cosine_pairs'].oracle}) t_pairs
+    UNION ALL
+    SELECT op, a, b, sim FROM ({_SIM_SQL_SPELL}) t_spell
     ORDER BY op, a, b
     """
 

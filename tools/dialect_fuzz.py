@@ -439,6 +439,126 @@ def gen_scalarfn(rng: random.Random) -> str:
     return f"SELECT {expr} AS v"
 
 
+def gen_rowvalue(rng: random.Random) -> str:
+    """Bare parenthesized row-values (judge r12 #1): DuckDB's implicit
+    ROW constructor in comparison/IN/BETWEEN/CASE/WHERE position —
+    NULL leaves, nested tuples, list and string positions."""
+
+    def val(ty):
+        if rng.random() < 0.25:
+            return "NULL"
+        if ty == "i":
+            return rng.choice(["1", "2", "3"])
+        if ty == "s":
+            return rng.choice(["'a'", "'b'"])
+        if ty == "l":
+            return "[" + ",".join(
+                rng.choice(["1", "2", "NULL"])
+                for _ in range(rng.randint(0, 2))
+            ) + "]"
+        return "(" + ", ".join(
+            rng.choice(["1", "2", "NULL"]) for _ in range(2)
+        ) + ")"
+
+    k = rng.randint(2, 3)
+    types = [rng.choice(["i", "i", "s", "l", "t"]) for _ in range(k)]
+
+    def tup():
+        return "(" + ", ".join(val(t) for t in types) + ")"
+
+    shape = rng.random()
+    if shape < 0.5:
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        return f"SELECT {tup()} {op} {tup()} AS v"
+    if shape < 0.7:
+        neg = rng.choice(["", "NOT "])
+        return f"SELECT {tup()} {neg}IN ({tup()}, {tup()}) AS v"
+    if shape < 0.8:
+        return f"SELECT {tup()} BETWEEN {tup()} AND {tup()} AS v"
+    if shape < 0.9:
+        inner = f"{tup()} = {tup()}"
+        return (
+            f"SELECT CASE WHEN ({inner}) IS NULL THEN -1 "
+            f"WHEN {inner} THEN 1 ELSE 0 END AS v"
+        )
+    op = rng.choice(["=", "<"])
+    return (
+        f"SELECT x FROM (VALUES (1),(2)) t(x) "
+        f"WHERE {tup()} {op} {tup()}"
+    )
+
+
+def gen_scalarfn12(rng: random.Random) -> str:
+    """Rotating battery over the r12 surface: log arity dispatch, chr
+    code points, DECIMAL-cast truncation, median DECIMAL dispatch,
+    embedding-distance spellings, table-valued series, in-call ORDER
+    BY on order-insensitive aggregates, list_extract string branch."""
+    pick = rng.randrange(10)
+    if pick == 0:
+        v = rng.choice(["1", "10", "100", "2.5", "0.5", "1000"])
+        return f"SELECT round(log({v}), 6) AS v"
+    if pick == 1:
+        b = rng.choice(["2", "10", "2.0"])
+        x = rng.choice(["8", "16", "1"])
+        return f"SELECT round(log({b}, {x}), 6) AS v"
+    if pick == 2:
+        cp = rng.choice(
+            ["65", "97", "955", "8364", "128169", "49", "NULL"]
+        )
+        return f"SELECT chr({cp}) AS v"
+    if pick == 3:
+        num = rng.choice(
+            ["2.55", "2.44", "-2.55", "2.999", "-2.449",
+             "0.05", "99.99", "2.5"]
+        )
+        p, s = rng.choice([("3", "1"), ("4", "2"), ("5", "0"), ("6", "3")])
+        e = f"({num}::DOUBLE)" if rng.random() < 0.3 else num
+        if rng.random() < 0.5:
+            return f"SELECT {e}::DECIMAL({p},{s}) AS v"
+        return f"SELECT CAST({e} AS DECIMAL({p},{s})) AS v"
+    if pick == 4:
+        vals = ",".join(
+            f"({rng.choice(['1.0', '2.0', '4.5', '9.0', '3.5'])})"
+            for _ in range(rng.randint(1, 5))
+        )
+        return (
+            f"SELECT CAST(median(x) AS DOUBLE) AS v "
+            f"FROM (VALUES {vals}) t(x)"
+        )
+    if pick == 5:
+        mk = lambda: "[" + ",".join(
+            rng.choice(["1.0", "2.0", "3.0", "0.5"]) for _ in range(3)
+        ) + "]"
+        fn = rng.choice(["list_dot_product", "list_distance"])
+        return f"SELECT round({fn}({mk()}, {mk()}), 6) AS v"
+    if pick == 6:
+        mk = lambda: "[" + ",".join(
+            rng.choice(["1.0", "2.0", "0.0"]) for _ in range(2)
+        ) + "]"
+        return (
+            f"SELECT round(list_cosine_similarity({mk()}, {mk()}), 6)"
+            f" AS v"
+        )
+    if pick == 7:
+        a = rng.randint(0, 5)
+        b = rng.randint(a, a + 6)
+        s = rng.choice([1, 2, 3])
+        fn = rng.choice(["generate_series", "range"])
+        return f"SELECT sum({fn}) AS v FROM {fn}({a},{b},{s})"
+    if pick == 8:
+        agg = rng.choice(["sum", "min", "max", "avg", "count"])
+        d = rng.choice(["", "DESC"])
+        vals = ",".join(
+            f"({rng.randint(0, 9)})" for _ in range(rng.randint(1, 4))
+        )
+        return (
+            f"SELECT CAST({agg}(x ORDER BY x {d}) AS DOUBLE) AS v "
+            f"FROM (VALUES {vals}) t(x)"
+        )
+    i = rng.choice(["1", "2", "-1", "0", "99", "NULL"])
+    return f"SELECT list_extract('hello', {i}) AS v"
+
+
 def gen_case_mix(rng: random.Random) -> str:
     inner = rng.choice([gen_list_cmp(rng), gen_membership(rng)])
     return (
@@ -468,6 +588,8 @@ def build_corpus(rng: random.Random, n: int) -> list[str]:
         lambda: gen_nested(rng),
         lambda: gen_starmod(rng),
         lambda: gen_scalarfn(rng),
+        lambda: gen_rowvalue(rng),
+        lambda: gen_scalarfn12(rng),
     ]
     for i in range(n):
         out.append(gens[i % len(gens)]())
