@@ -688,19 +688,22 @@ class Engine:
             re.IGNORECASE,
         )
 
-        def cols_of(arm: str) -> list[str]:
+        def cols_of(arm: str):
             try:
-                cols = self.spark.sql(transpile_duckdb(arm)).columns
+                schema = self.spark.sql(transpile_duckdb(arm)).schema
             except Exception as e:
                 raise EngineError(
                     "cannot analyze UNION BY NAME arm: %s" % e
                 ) from e
+            cols = [f.name for f in schema.fields]
             if len(set(cols)) != len(cols):
                 raise EngineError(
                     "UNION BY NAME over duplicate column names is "
                     "ambiguous"
                 )
-            return cols
+            return cols, {
+                f.name: f.dataType.simpleString() for f in schema.fields
+            }
 
         out = []
         for stmt in split_statements(sql):
@@ -746,21 +749,41 @@ class Engine:
                     if 0 <= k < end:
                         end = k
                 right, tail = rest[:end].strip(), rest[end:]
-                lcols, rcols = cols_of(left), cols_of(right)
+                lcols, ltypes = cols_of(left)
+                rcols, rtypes = cols_of(right)
                 allc = lcols + [c for c in rcols if c not in lcols]
                 setop = (
                     "UNION ALL"
                     if (m.group(1) or "").strip().upper() == "ALL"
                     else "UNION"
                 )
+                # DuckDB unifies conflicting column types toward
+                # VARCHAR (1 vs 'x' → '1','x'); Spark's union would
+                # instead cast the string side to the numeric type
+                # and fail at runtime — force STRING when a shared
+                # column mixes string with anything else
+                force_str = {
+                    c
+                    for c in allc
+                    if c in ltypes
+                    and c in rtypes
+                    and ltypes[c] != rtypes[c]
+                    and "string" in (ltypes[c], rtypes[c])
+                }
 
                 def items(cols):
-                    return ", ".join(
-                        "`" + c.replace("`", "``") + "`"
-                        if c in cols
-                        else "NULL AS `" + c.replace("`", "``") + "`"
-                        for c in allc
-                    )
+                    out_items = []
+                    for c in allc:
+                        q = "`" + c.replace("`", "``") + "`"
+                        if c not in cols:
+                            out_items.append(f"NULL AS {q}")
+                        elif c in force_str:
+                            out_items.append(
+                                f"CAST({q} AS STRING) AS {q}"
+                            )
+                        else:
+                            out_items.append(q)
+                    return ", ".join(out_items)
 
                 stmt = (
                     f"SELECT {items(lcols)} FROM ({left}) _swl_bn_l"

@@ -2150,6 +2150,45 @@ def _rewrite_table_series(sql: str) -> str:
     return sql
 
 
+_IS_DISTINCT = re.compile(
+    r"\bIS\s+(NOT\s+)?DISTINCT\s+FROM\b", re.IGNORECASE
+)
+
+
+def _rewrite_tuple_distinct(sql: str) -> str:
+    """Bare row-values around ``IS [NOT] DISTINCT FROM`` become
+    explicit structs — both engines' distinct-from is the same
+    two-valued total comparison (probe-pinned: (1,NULL) IS DISTINCT
+    FROM (1,2) is TRUE in both), Spark just can't parse the bare
+    tuple spelling."""
+    if not _IS_DISTINCT.search(sql):
+        return sql
+    for _ in range(50):
+        spans = _mask_spans(sql)
+        hit = None
+        for m in _IS_DISTINCT.finditer(sql):
+            if _in_span(m.start(), spans):
+                continue
+            ls = _scan_left_operand(sql, m.start(), spans)
+            re_ = _scan_right_operand(sql, m.end(), spans)
+            if ls < 0 or re_ < 0:
+                continue
+            a = sql[ls : m.start()].strip()
+            b = sql[m.end() : re_].strip()
+            if _has_bare_marker(a) or _has_bare_marker(b):
+                continue
+            a2, b2 = _tupleize_row_value(a), _tupleize_row_value(b)
+            if a2 == a and b2 == b:
+                continue
+            hit = (ls, re_, f"{a2} {m.group(0)} {b2}")
+            break
+        if hit is None:
+            return sql
+        s, e, repl = hit
+        sql = sql[:s] + repl + sql[e:]
+    return sql
+
+
 _AGG_ORDER_DROP = re.compile(
     r"\b(?:sum|avg|mean|count|min|max|bit_and|bit_or|bit_xor|"
     r"bool_and|bool_or|product|stddev|stddev_pop|stddev_samp|"
@@ -2204,19 +2243,39 @@ def _drop_insensitive_agg_order(sql: str) -> str:
 
 
 def _rewrite_at_abs(sql: str) -> str:
-    """DuckDB's prefix ``@`` operator is abs (``@(-7)`` = 7,
-    probe-pinned). Judge r12 missing #6."""
+    """DuckDB's prefix ``@`` operator is abs, and it binds LOOSER
+    than arithmetic (probe-pinned: ``@ 2 - 5`` = 3 = abs(2−5),
+    ``1 + @ 2 - 5`` = 4, ``@ 2 = 2`` TRUE) — the operand extends
+    across the arithmetic chain up to a comparison/clause boundary.
+    Rightmost-first so ``@ 1 + @ 2`` nests correctly. Judge r12
+    missing #6."""
     if "@" not in sql:
         return sql
     for _ in range(100):
         spans = _mask_spans(sql)
         hit = None
-        for m in re.finditer("@", sql):
+        for m in list(re.finditer("@", sql))[::-1]:
             if _in_span(m.start(), spans):
                 continue
             re_ = _scan_right_operand(sql, m.start() + 1, spans)
             if re_ < 0:
                 continue
+            # absorb the rest of the arithmetic chain
+            n = len(sql)
+            while True:
+                k = re_
+                while k < n and sql[k].isspace():
+                    k += 1
+                if sql[k : k + 2] == "//":
+                    oplen = 2
+                elif k < n and sql[k] in "+-*/%^" and sql[k : k + 2] not in ("->",):
+                    oplen = 1
+                else:
+                    break
+                re2 = _scan_right_operand(sql, k + oplen, spans)
+                if re2 < 0:
+                    break
+                re_ = re2
             operand = sql[m.start() + 1 : re_].strip()
             if not operand:
                 continue
@@ -2268,18 +2327,40 @@ def _rewrite_median_decimal(sql: str) -> str:
                 or re.match(r"DISTINCT\b", arg, re.IGNORECASE)
             ):
                 continue
-            tail = sql[i:].lstrip()
-            if re.match(
-                r"(?:OVER|FILTER|WITHIN)\b", tail, re.IGNORECASE
-            ):
+            end = i
+            eff = arg
+            fm = re.match(
+                r"\s*FILTER\s*\(\s*WHERE\b", sql[i:], re.IGNORECASE
+            )
+            if fm is not None:
+                # fold FILTER (WHERE c) into a CASE-wrapped argument
+                # (median ignores NULLs, so the forms are equivalent —
+                # a bare CASE can't carry a FILTER clause); DuckDB's
+                # DECIMAL discrete dispatch applies to the filtered
+                # form too (probe-pinned)
+                depth2, j2 = 1, i + fm.end()
+                while j2 < len(sql) and depth2:
+                    if not _in_span(j2, spans):
+                        if sql[j2] == "(":
+                            depth2 += 1
+                        elif sql[j2] == ")":
+                            depth2 -= 1
+                    j2 += 1
+                if depth2:
+                    continue
+                cond = sql[i + fm.end() : j2 - 1].strip()
+                eff = f"CASE WHEN {cond} THEN {arg} END"
+                end = j2
+            tail = sql[end:].lstrip()
+            if re.match(r"(?:OVER|WITHIN|FILTER)\b", tail, re.IGNORECASE):
                 continue
             repl = (
                 f"(CASE WHEN typeof({_MARK} any_value({_MARK} {arg}))"
                 f" LIKE 'decimal%' THEN percentile_disc(0.5) "
-                f"WITHIN GROUP (ORDER BY {arg}) "
-                f"ELSE median({_MARK} {arg}) END)"
+                f"WITHIN GROUP (ORDER BY {eff}) "
+                f"ELSE median({_MARK} {eff}) END)"
             )
-            hit = (m.start(), i, repl)
+            hit = (m.start(), end, repl)
             break
         if hit is None:
             return sql
@@ -3478,14 +3559,17 @@ def _bar_expr(x: str, mn: str, mx: str, w: str) -> str:
 
 def _char_extract(base: str, idx: str) -> str:
     """DuckDB character extraction: 1-based, negatives from the back,
-    OOB and 0 yield '' (shared by list_element('str', i) and 'str'[i])."""
+    OOB and 0 yield '', a NULL index yields NULL (fuzz r12 — the
+    unguarded substring compose produced '') (shared by
+    list_element('str', i) and 'str'[i])."""
     norm = (
         f"(CASE WHEN ({idx}) < 0 THEN length({base}) + "
         f"({idx}) + 1 ELSE ({idx}) END)"
     )
     return (
-        f"substring({base} FROM greatest({norm}, 1) "
-        f"FOR CASE WHEN {norm} >= 1 THEN 1 ELSE 0 END)"
+        f"(CASE WHEN ({idx}) IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE substring({base} FROM greatest({norm}, 1) "
+        f"FOR CASE WHEN {norm} >= 1 THEN 1 ELSE 0 END) END)"
     )
 
 
@@ -4386,6 +4470,7 @@ def transpile_duckdb(sql: str) -> str:
     sql = _rewrite_quantified_comparisons(sql)
     sql = _drop_insensitive_agg_order(sql)
     sql = _rewrite_at_abs(sql)
+    sql = _rewrite_tuple_distinct(sql)
     sql = _rewrite_any_value(sql)
     sql = _rewrite_median_decimal(sql)
     sql = _rewrite_ignore_nulls(sql)
@@ -4975,14 +5060,7 @@ def transpile_duckdb(sql: str) -> str:
             r"\b(?:list_element|list_extract|array_extract)\s*\(",
             2,
             lambda a: (
-                (
-                    f"substring({a[0]} FROM greatest("
-                    f"(CASE WHEN ({a[1]}) < 0 THEN length({a[0]}) + "
-                    f"({a[1]}) + 1 ELSE ({a[1]}) END), 1) "
-                    f"FOR CASE WHEN (CASE WHEN ({a[1]}) < 0 THEN "
-                    f"length({a[0]}) + ({a[1]}) + 1 ELSE ({a[1]}) END) "
-                    f">= 1 THEN 1 ELSE 0 END)"
-                )
+                _char_extract(a[0], f"({a[1]})")
                 if _syntactic_string(a[0].strip())
                 else (
                     f"try_element_at({a[0]}, "
