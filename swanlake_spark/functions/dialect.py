@@ -275,6 +275,11 @@ def _transform_calls(sql: str, pattern: re.Pattern, n_args, build) -> str:
     split, literal-aware) via ``build(args) -> replacement``; calls with
     a different arity are left untouched. ``n_args=None`` accepts any
     arity; ``build`` may return ``None`` to leave a call untouched."""
+    if not pattern.search(sql):
+        # cheap pre-gate: no raw match → no masked match either; the
+        # span computation below is the expensive part (r12 perf —
+        # dozens of call-rewrite passes share this function)
+        return sql
     for _ in range(10):  # re-scan to catch nested calls in rewritten text
         spans = _mask_spans(sql)
         edits = []
@@ -2351,8 +2356,43 @@ def _rewrite_median_decimal(sql: str) -> str:
                 cond = sql[i + fm.end() : j2 - 1].strip()
                 eff = f"CASE WHEN {cond} THEN {arg} END"
                 end = j2
+            om = re.match(r"\s*OVER\b", sql[end:], re.IGNORECASE)
+            if om is not None:
+                # windowed median is discrete over DECIMAL in DuckDB
+                # too (probe-pinned); Spark supports percentile_disc
+                # WITHIN GROUP ... OVER, and in window context the
+                # per-row typeof(x) replaces the aggregate sample
+                j3 = end + om.end()
+                while j3 < len(sql) and sql[j3].isspace():
+                    j3 += 1
+                if j3 < len(sql) and sql[j3] == "(":
+                    depth3 = 1
+                    j3 += 1
+                    while j3 < len(sql) and depth3:
+                        if not _in_span(j3, spans):
+                            if sql[j3] == "(":
+                                depth3 += 1
+                            elif sql[j3] == ")":
+                                depth3 -= 1
+                        j3 += 1
+                    if depth3:
+                        continue
+                else:
+                    wm = re.match(r"[A-Za-z_]\w*", sql[j3:])
+                    if wm is None:
+                        continue
+                    j3 += wm.end()
+                over = sql[end + om.end() : j3].strip()
+                repl = (
+                    f"(CASE WHEN typeof({_MARK} {arg}) LIKE "
+                    f"'decimal%' THEN percentile_disc(0.5) "
+                    f"WITHIN GROUP (ORDER BY {eff}) OVER {over} "
+                    f"ELSE median({_MARK} {eff}) OVER {over} END)"
+                )
+                hit = (m.start(), j3, repl)
+                break
             tail = sql[end:].lstrip()
-            if re.match(r"(?:OVER|WITHIN|FILTER)\b", tail, re.IGNORECASE):
+            if re.match(r"(?:WITHIN|FILTER)\b", tail, re.IGNORECASE):
                 continue
             repl = (
                 f"(CASE WHEN typeof({_MARK} any_value({_MARK} {arg}))"

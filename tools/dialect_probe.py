@@ -758,6 +758,25 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("r12", "SELECT list_filter([[1],[2,3]], x -> len(x) > 1) AS v"),
     ("r12", "SELECT @(-7) AS v"),
     ("r12", "SELECT @(7.5) AS v"),
+    # -- r12 blind-probe finds (builder adversarial pass) --
+    ("r12", "SELECT (1,NULL) IS DISTINCT FROM (1,2) AS v"),
+    ("r12", "SELECT (1,NULL) IS NOT DISTINCT FROM (1,NULL) AS v"),
+    ("r12", "SELECT NOT ((1,NULL) = (1,2)) AS v"),
+    ("r12", "SELECT (1,2) = row(1,2) AS v"),
+    ("r12", "SELECT @ 2 - 5 AS v"),
+    ("r12", "SELECT 1 + @ 2 - 5 AS v"),
+    ("r12", "SELECT @ 1 + @ 2 AS v"),
+    ("r12", "SELECT @ 2 = 2 AS v"),
+    ("r12", "SELECT list_extract('hello', NULL) AS v"),
+    ("r12", "SELECT ('hello')[NULL] AS v"),
+    ("r12", "SELECT CAST(median(x) AS DOUBLE) AS v FROM (VALUES (1.0),(2.0),(9.0)) t(x) WHERE x < 5.0"),
+    ("r12", "SELECT CAST(median(x) FILTER (WHERE x < 5.0) AS DOUBLE) AS v FROM (VALUES (1.0),(2.0),(9.0)) t(x)"),
+    ("r12", "SELECT CAST(median(x) OVER () AS DOUBLE) AS v FROM (VALUES (1.0),(2.0)) t(x)"),
+    ("r12", "SELECT 1 AS a UNION BY NAME SELECT 'x' AS a ORDER BY a"),
+    ("r12", "SELECT 2.55::DECIMAL(3,1)::DECIMAL(2,0) AS v"),
+    ("r12", "SELECT TRY_CAST(999.9 AS DECIMAL(3,1)) AS v"),
+    ("r12", "SELECT * FROM generate_series(3,1,-1)"),
+    ("r12", "SELECT * FROM range(10,0,-3)"),
     # -- r12: promoted Known-UNMAPPED comment items (judge #2 tail) --
     ("r12", "SELECT typeof([1,2]) AS v"),
     ("r12", "SELECT hash(42) AS v"),
