@@ -2293,6 +2293,71 @@ def _rewrite_at_abs(sql: str) -> str:
     return sql
 
 
+# DuckDB spellings that are pure aliases of already-mapped names —
+# normalized EARLY so every downstream special rewrite (list_concat
+# NULL rules, list_unique count, lcm/gcd folds, strptime formats, …)
+# applies to them too (r12 catalog sweep).
+_EARLY_FN_ALIASES = {
+    "array_cat": "list_concat",
+    "array_concat": "list_concat",
+    "array_indexof": "list_indexof",
+    "array_unique": "list_unique",
+    "array_resize": "list_resize",
+    "array_select": "list_select",
+    "array_grade_up": "list_grade_up",
+    "array_reverse_sort": "list_reverse_sort",
+    "least_common_multiple": "lcm",
+    "greatest_common_divisor": "gcd",
+    "make_timestamptz": "make_timestamp",
+    "transaction_timestamp": "current_timestamp",
+    "current_localtimestamp": "localtimestamp",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+}
+_EARLY_FN_ALIAS_RE = re.compile(
+    r"\b(" + "|".join(sorted(_EARLY_FN_ALIASES, key=len, reverse=True))
+    + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_fn_aliases(sql: str) -> str:
+    if not _EARLY_FN_ALIAS_RE.search(sql):
+        return sql
+    return _sub_outside(
+        _EARLY_FN_ALIAS_RE.pattern,
+        lambda m: _EARLY_FN_ALIASES[m.group(1).lower()] + "(",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_arith_fn_ops(sql: str) -> str:
+    """DuckDB's operator-function spellings: ``add``/``subtract``/
+    ``multiply`` map to their operators; ``divide`` is the `//`
+    operator exactly (integer floor-div for integers, plain division
+    otherwise — divide(7,2)=3, divide(7.5,2)=3.75, probe-pinned).
+    Runs BEFORE the division rewrite so `//` gets its full operand
+    classification."""
+    if not re.search(
+        r"\b(?:add|subtract|multiply|divide)\s*\(", sql, re.IGNORECASE
+    ):
+        return sql
+    for name, op in (
+        ("add", "+"),
+        ("subtract", "-"),
+        ("multiply", "*"),
+        ("divide", "//"),
+    ):
+        sql = _transform_calls(
+            sql,
+            re.compile(rf"\b{name}\s*\(", re.IGNORECASE),
+            2,
+            lambda a, o=op: f"(({a[0]}) {o} ({a[1]}))",
+        )
+    return sql
+
+
 def _rewrite_median_decimal(sql: str) -> str:
     """DuckDB ``median`` dispatches by input type: DECIMAL (and
     VARCHAR) take the DISCRETE lower-middle element; integers, floats
@@ -4487,6 +4552,8 @@ def transpile_duckdb(sql: str) -> str:
     """Rewrite DuckDB-only spellings to Spark equivalents."""
     sql = _rewrite_dollar_quotes(sql)
     sql = _strip_numeric_underscores(sql)
+    sql = _rewrite_fn_aliases(sql)
+    sql = _rewrite_arith_fn_ops(sql)
     sql = _rewrite_from_first(sql)
     sql = _rewrite_table_series(sql)
     sql = _rewrite_asof_join(sql)
@@ -5385,17 +5452,30 @@ def transpile_duckdb(sql: str) -> str:
     # (DECIMAL(8,6)); the BIGINT cast truncates toward zero like
     # DuckDB's ms value. Judge r12 missing #6.
     def _subsec_expr(unit: str, x: str) -> str | None:
-        u = unit.lower()
-        if u not in (
-            "microseconds", "microsecond", "us",
-            "milliseconds", "millisecond", "ms",
-        ):
+        u = {
+            "microseconds": "us", "microsecond": "us", "us": "us",
+            "milliseconds": "ms", "millisecond": "ms", "ms": "ms",
+            "millennium": "mil", "millenniums": "mil",
+            "millennia": "mil",
+            "century": "cen", "centuries": "cen",
+            "decade": "dec", "decades": "dec",
+        }.get(unit.lower())
+        if u is None:
             return None
-        mult = "1000000" if u[0] == "u" or u.startswith("micro") else "1000"
-        return (
-            f"CAST({_MARK} date_part('SECOND', "
-            f"CAST({x} AS TIMESTAMP)) * {mult} AS BIGINT)"
-        )
+        if u in ("us", "ms"):
+            mult = "1000000" if u == "us" else "1000"
+            return (
+                f"CAST({_MARK} date_part('SECOND', "
+                f"CAST({x} AS TIMESTAMP)) * {mult} AS BIGINT)"
+            )
+        # era units (probe-pinned: decade 2021→202 floor, century
+        # 2021→21 / 2000→20 ceil, millennium 2021→3 / 2000→2 ceil)
+        y = f"year(CAST({x} AS TIMESTAMP))"
+        if u == "dec":
+            return f"CAST({_MARK} floor({y} / 10) AS BIGINT)"
+        if u == "cen":
+            return f"CAST({_MARK} ceil({y} / 100.0) AS BIGINT)"
+        return f"CAST({_MARK} ceil({y} / 1000.0) AS BIGINT)"
 
     def _extract_subsec(args):
         m = re.fullmatch(
@@ -5424,6 +5504,125 @@ def transpile_duckdb(sql: str) -> str:
         re.compile(r"\bdate_part\s*\(", re.IGNORECASE),
         2,
         _date_part_subsec,
+    )
+
+    # the function spellings of the same units (r12 catalog sweep)
+    for unit_fn in (
+        "microsecond", "millisecond", "millennium", "century",
+        "decade",
+    ):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{unit_fn}\s*\(", re.IGNORECASE),
+            1,
+            lambda a, u=unit_fn: (
+                None if _marked_arg(a[0]) else _subsec_expr(u, a[0])
+            ),
+        )
+
+    # -- r12 catalog sweep: composable scalar functions --------------
+    # julian(x): DuckDB's julian day (midnight = .0; epoch day 0 is
+    # JD 2440588 — probe-pinned 2021-03-04 → 2459278.0, noon → .5)
+    out = _transform_calls(
+        out,
+        re.compile(r"\bjulian\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0"
+            f" + 2440588.0)"
+        ),
+    )
+    # signbit: probe-pinned — literal -0.0 folds to 0.0 in DuckDB, so
+    # plain (x < 0) matches the whole matrix
+    out = _transform_calls(
+        out,
+        re.compile(r"\bsignbit\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"(({a[0]}) < 0)",
+    )
+    # regexp_escape: RE2 QuoteMeta — every non-[A-Za-z0-9_] character
+    # is backslash-escaped ('a b' → 'a\ b', probe-pinned). RAW
+    # backslashes; the final literal-escape pass doubles them.
+    out = _transform_calls(
+        out,
+        re.compile(r"\bregexp_escape\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            # Java replacement processing needs the VALUE `\\$1`
+            # (escaped backslash + group) — built with char(92) to
+            # stay clear of the literal-escape layer entirely
+            f"regexp_replace({a[0]}, '([^A-Za-z0-9_])', "
+            f"concat(char(92), char(92), '$1'))"
+        ),
+    )
+    # 1-arg decode/encode: BLOB↔VARCHAR casts in DuckDB (the 2-arg
+    # charset forms are Spark's own and pass through)
+    out = _transform_calls(
+        out,
+        re.compile(r"\bdecode\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"CAST({_MARK} {a[0]} AS STRING)",
+    )
+    out = _transform_calls(
+        out,
+        re.compile(r"\bencode\s*\(", re.IGNORECASE),
+        1,
+        lambda a: f"CAST({_MARK} {a[0]} AS BINARY)",
+    )
+    # 1-arg least/greatest are the identity in DuckDB; Spark requires
+    # two arguments
+    out = _transform_calls(
+        out,
+        re.compile(r"\b(?:least|greatest)\s*\(", re.IGNORECASE),
+        1,
+        lambda a: None if _marked_arg(a[0]) else f"({a[0]})",
+    )
+    # try_strptime → try_to_timestamp with the format mapped (NULL on
+    # parse failure, like DuckDB)
+    out = _sub_outside(
+        r"\btry_strptime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        lambda m: (
+            f"try_to_timestamp({m.group(1)}, "
+            f"'{strftime_to_date_format(m.group(2))}')"
+        ),
+        out,
+    )
+    # to_* INTERVAL constructors (values match DuckDB; INTERVAL typing
+    # follows Spark's ym/dt split). The divisions here are Spark plain
+    # division (this runs after the `//` rewrite).
+    for to_name, to_build in (
+        ("to_years", lambda n: f"make_ym_interval(CAST(({n}) AS INT), 0)"),
+        ("to_decades", lambda n: f"make_ym_interval(CAST(({n}) * 10 AS INT), 0)"),
+        ("to_centuries", lambda n: f"make_ym_interval(CAST(({n}) * 100 AS INT), 0)"),
+        ("to_millennia", lambda n: f"make_ym_interval(CAST(({n}) * 1000 AS INT), 0)"),
+        ("to_months", lambda n: f"make_ym_interval(0, CAST(({n}) AS INT))"),
+        ("to_quarters", lambda n: f"make_ym_interval(0, CAST(({n}) * 3 AS INT))"),
+        ("to_days", lambda n: f"make_dt_interval(CAST(({n}) AS INT))"),
+        ("to_weeks", lambda n: f"make_dt_interval(CAST(({n}) * 7 AS INT))"),
+        ("to_hours", lambda n: f"make_dt_interval(0, CAST(({n}) AS INT))"),
+        ("to_minutes", lambda n: f"make_dt_interval(0, 0, CAST(({n}) AS INT))"),
+        ("to_seconds", lambda n: f"make_dt_interval(0, 0, 0, CAST(({n}) AS DECIMAL(18,6)))"),
+        ("to_milliseconds", lambda n: f"make_dt_interval(0, 0, 0, CAST(({n}) / 1000 AS DECIMAL(18,6)))"),
+        ("to_microseconds", lambda n: f"make_dt_interval(0, 0, 0, CAST(({n}) / 1000000 AS DECIMAL(18,6)))"),
+    ):
+        out = _transform_calls(
+            out,
+            re.compile(rf"\b{to_name}\s*\(", re.IGNORECASE),
+            1,
+            lambda a, b=to_build: (
+                None if _marked_arg(a[0]) else b(a[0])
+            ),
+        )
+    # parse_dirpath: everything before the last separator
+    # (probe-pinned: '/a/b/c' → '/a/b', '/a' → '', 'a/b/' → 'a/b',
+    # 'x' → '')
+    out = _transform_calls(
+        out,
+        re.compile(r"\bparse_dirpath\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            f"regexp_replace({a[0]}, '/?[^/]*$', '')"
+        ),
     )
 
     # substring/substr 3-arg: DuckDB (PostgreSQL) treats start 0 /
@@ -6251,6 +6450,7 @@ def transpile_duckdb(sql: str) -> str:
         1,
         lambda a: (
             f"(CASE WHEN startswith({a[0]}, '/') THEN '/' "
+            f"WHEN NOT contains({a[0]}, '/') THEN '' "
             f"ELSE try_element_at({_path_comps(a[0])}, 1) END)"
         ),
     )

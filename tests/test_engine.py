@@ -2845,6 +2845,39 @@ class TestDialectR11:
         assert r.us == 3456789 and r.ms == 3456
         assert r.ll == [2, 1] and r.ab == 7
 
+    def test_r12_catalog_sweep_batch(self, engine):
+        # r12 duckdb_functions() sweep: operator-function spellings,
+        # array_* aliases, unit functions, interval constructors
+        r = engine.query(
+            "SELECT add(2,3) AS a, subtract(5,2) AS b,"
+            "       multiply(3,4) AS c, divide(7,2) AS d,"
+            "       divide(7.5,2) AS e, least(3) AS f,"
+            "       least_common_multiple(4,6) AS g,"
+            "       microsecond(TIMESTAMP '2021-03-04 05:06:07.456789')"
+            "       AS h,"
+            "       century(DATE '2021-03-04') AS i,"
+            "       decade(DATE '1999-12-31') AS j,"
+            "       signbit(-2.5) AS k,"
+            "       regexp_escape('a.b*c') AS l,"
+            "       parse_dirname('ab c') AS m,"
+            "       parse_dirpath('/a/b/c') AS n,"
+            "       array_cat([1],[2]) AS o,"
+            "       array_indexof([5,6],6) AS p,"
+            "       try_strptime('xx', '%Y-%m-%d') AS q",
+            dialect="duckdb",
+        ).collect()[0]
+        assert (r.a, r.b, r.c, r.d) == (5, 3, 12, 3)
+        assert float(r.e) == 3.75 and r.f == 3 and r.g == 12
+        assert r.h == 7456789 and r.i == 21 and r.j == 199
+        assert r.k is True and r.l == "a\\.b\\*c"
+        assert r.m == "" and r.n == "/a/b"
+        assert r.o == [1, 2] and r.p == 2 and r.q is None
+        rows = engine.query(
+            "SELECT DATE '2020-01-01' + to_days(3) AS a",
+            dialect="duckdb",
+        ).collect()
+        assert str(rows[0].a).startswith("2020-01-04")
+
     def test_columns_star_expansion(self, engine):
         # judge r12 missing #5: COLUMNS(regex)/COLUMNS(*) expand via
         # the analysis-only FROM-clause probe; names follow DuckDB
