@@ -1273,11 +1273,25 @@ def _decimal_cast_bridge(
     vs Spark NULL — the existing cast error-shape class). Judge r12
     #4."""
     t = f"typeof({_MARK} {expr})"
+    # the truncation arm routes through DECIMAL(38,18) so it ANALYZES
+    # for every castable source type (TRUE::DECIMAL(6,2) is legal
+    # DuckDB — floor(bool, s) would fail analysis; fuzz r12). Exact
+    # for all decimal sources with scale ≤ 18; a decimal source with
+    # |value| ≥ 1e20 would NULL in this arm (documented corner — the
+    # non-decimal ELSE arm and all ordinary magnitudes are unaffected)
+    src = f"CAST({_MARK} ({expr}) AS DECIMAL(38,18))"
+    # BOTH arms route through DECIMAL(38,18) so the CASE unifies and
+    # ANALYZES for every castable source (TRUE::DECIMAL(6,2) is legal
+    # DuckDB; boolean couldn't unify with the decimal arm — fuzz r12).
+    # The ELSE arm's (38,18) hop is value-preserving to 18 fractional
+    # digits and the outer cast still rounds HALF_UP at the target
+    # scale (double/string sources agree with DuckDB). Documented
+    # corner: |value| ≥ 1e20 NULLs in the hop
     inner = (
         f"(CASE WHEN {t} LIKE 'decimal%' THEN "
-        f"(CASE WHEN ({expr}) >= 0 THEN floor({_MARK} ({expr}), {s}) "
-        f"ELSE ceil({_MARK} ({expr}), {s}) END) "
-        f"ELSE ({expr}) END)"
+        f"(CASE WHEN {src} >= 0 THEN floor({_MARK} {src}, {s}) "
+        f"ELSE ceil({_MARK} {src}, {s}) END) "
+        f"ELSE {src} END)"
     )
     return f"{fn}({_MARK} {inner} AS DECIMAL({p},{s}))"
 

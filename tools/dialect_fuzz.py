@@ -493,7 +493,36 @@ def gen_scalarfn12(rng: random.Random) -> str:
     code points, DECIMAL-cast truncation, median DECIMAL dispatch,
     embedding-distance spellings, table-valued series, in-call ORDER
     BY on order-insensitive aggregates, list_extract string branch."""
-    pick = rng.randrange(10)
+    pick = rng.randrange(14)
+    if pick == 10:
+        a, b = rng.randint(-9, 9), rng.randint(1, 9)
+        fn = rng.choice(["add", "subtract", "multiply", "divide"])
+        return f"SELECT {fn}({a}, {b}) AS v"
+    if pick == 11:
+        y = rng.randint(1, 2400)
+        fn = rng.choice(["millennium", "century", "decade"])
+        return (
+            f"SELECT {fn}(DATE '{y:04d}-03-04') AS v, "
+            f"extract({fn} FROM DATE '{y:04d}-03-04') AS w"
+        )
+    if pick == 12:
+        s = rng.choice(
+            ["'a/b/c'", "'/a/b/c'", "'x'", "'a/'", "'/a'", "''",
+             "'a b/c d'"]
+        )
+        fn = rng.choice(
+            ["parse_dirname", "parse_dirpath", "parse_filename"]
+        )
+        return f"SELECT {fn}({s}) AS v"
+    if pick == 13:
+        v = rng.choice(["-2.5", "0", "3", "-7"])
+        which = rng.randrange(3)
+        if which == 0:
+            return f"SELECT signbit({v}) AS v"
+        if which == 1:
+            return f"SELECT @({v}) AS v"
+        s = rng.choice(["'a.b*c'", "'h-llo'", "'a_1'", "'[x]'"])
+        return f"SELECT regexp_escape({s}) AS v"
     if pick == 0:
         v = rng.choice(["1", "10", "100", "2.5", "0.5", "1000"])
         return f"SELECT round(log({v}), 6) AS v"
