@@ -6454,8 +6454,10 @@ def transpile_duckdb(sql: str) -> str:
         re.compile(r"\bparse_filename\s*\(", re.IGNORECASE),
         1,
         lambda a: (
-            f"(CASE WHEN endswith({a[0]}, '/') THEN '' "
-            f"ELSE try_element_at({_path_comps(a[0])}, -1) END)"
+            f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS STRING)"
+            f" WHEN endswith({a[0]}, '/') THEN '' "
+            f"ELSE coalesce(try_element_at({_path_comps(a[0])}, -1),"
+            f" '') END)"
         ),
     )
     out = _transform_calls(
@@ -6463,9 +6465,11 @@ def transpile_duckdb(sql: str) -> str:
         re.compile(r"\bparse_dirname\s*\(", re.IGNORECASE),
         1,
         lambda a: (
-            f"(CASE WHEN startswith({a[0]}, '/') THEN '/' "
+            f"(CASE WHEN ({a[0]}) IS NULL THEN CAST(NULL AS STRING)"
+            f" WHEN startswith({a[0]}, '/') THEN '/' "
             f"WHEN NOT contains({a[0]}, '/') THEN '' "
-            f"ELSE try_element_at({_path_comps(a[0])}, 1) END)"
+            f"ELSE coalesce(try_element_at({_path_comps(a[0])}, 1),"
+            f" '') END)"
         ),
     )
     out = _transform_calls(
