@@ -777,6 +777,10 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("r12", "SELECT TRY_CAST(999.9 AS DECIMAL(3,1)) AS v"),
     ("r12", "SELECT * FROM generate_series(3,1,-1)"),
     ("r12", "SELECT * FROM range(10,0,-3)"),
+    ("r12", "SELECT median(DISTINCT x) AS v FROM (VALUES (1.0),(1.0),(2.0)) t(x)"),
+    ("r12", "SELECT array_distinct([1,2,3]) AS v"),
+    ("r12", "SELECT list_distinct([1,2,3]) AS v"),
+    ("r12", "SELECT DATE '2020-01-01' + to_months(2) AS v"),
     # -- r12: promoted Known-UNMAPPED comment items (judge #2 tail) --
     ("r12", "SELECT typeof([1,2]) AS v"),
     ("r12", "SELECT hash(42) AS v"),
@@ -828,6 +832,23 @@ DOCUMENTED: dict[str, str] = {
         "min/max over NULL-bearing arrays reach the documented "
         "NULL-element ordering class through aggregation (Spark "
         "sorts a NULL element LOW, DuckDB HIGH)",
+    "SELECT median(DISTINCT x) AS v FROM (VALUES (1.0),(1.0),(2.0)) t(x)":
+        "median(DISTINCT) over DECIMAL keeps Spark's interpolation "
+        "(the discrete dispatch can't compose over a DISTINCT "
+        "multiset without a subquery); plain/FILTER/windowed forms "
+        "ARE dispatched",
+    "SELECT array_distinct([1,2,3]) AS v":
+        "element ORDER of array_distinct/list_distinct is "
+        "engine-specific (set semantics; DuckDB returns reversed) — "
+        "values-as-set identical; sort for a stable order",
+    "SELECT list_distinct([1,2,3]) AS v":
+        "element ORDER of array_distinct/list_distinct is "
+        "engine-specific (set semantics; DuckDB returns reversed) — "
+        "values-as-set identical; sort for a stable order",
+    "SELECT DATE '2020-01-01' + to_months(2) AS v":
+        "DATE + month-interval type promotion (DuckDB → TIMESTAMP, "
+        "Spark keeps DATE) — the documented DATE+INTERVAL class "
+        "reached through the to_* constructors",
 }
 
 
