@@ -5639,6 +5639,100 @@ def transpile_duckdb(sql: str) -> str:
         ),
     )
 
+    # grapheme-cluster functions: Java's \X regex segments extended
+    # grapheme clusters exactly like DuckDB's utf8proc (probe-pinned:
+    # the ZWJ facepalm emoji is ONE cluster in both). The RAW \X
+    # backslash is doubled by the final literal-escape pass. Negative
+    # counts drop from the other end (left_grapheme('héllo',-2) =
+    # 'hél'); substring_grapheme uses the same virtual-axis
+    # normalization as 3-arg substring (0/negative starts,
+    # probe-pinned matrix). NULL input → NULL through the NULL array.
+    def _gr_arr(s: str) -> str:
+        return f"regexp_extract_all({s}, '\\X', 0)"
+
+    def _gr_n(s: str) -> str:
+        return f"size({_gr_arr(s)})"
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\blength_grapheme\s*\(", re.IGNORECASE),
+        1,
+        lambda a: (
+            None
+            if _marked_arg(a[0])
+            else f"CAST({_MARK} {_gr_n(a[0])} AS BIGINT)"
+        ),
+    )
+
+    def _left_grapheme(args):
+        s, n = args
+        if _marked_arg(s) or _marked_arg(n):
+            return None
+        cnt = (
+            f"greatest(CASE WHEN ({n}) < 0 THEN {_gr_n(s)} + ({n}) "
+            f"ELSE least(({n}), {_gr_n(s)}) END, 0)"
+        )
+        return (
+            f"array_join(slice({_MARK} {_gr_arr(s)}, 1, {cnt}), '')"
+        )
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bleft_grapheme\s*\(", re.IGNORECASE),
+        2,
+        _left_grapheme,
+    )
+
+    def _right_grapheme(args):
+        s, n = args
+        if _marked_arg(s) or _marked_arg(n):
+            return None
+        cnt = (
+            f"greatest(CASE WHEN ({n}) < 0 THEN {_gr_n(s)} + ({n}) "
+            f"ELSE least(({n}), {_gr_n(s)}) END, 0)"
+        )
+        return (
+            f"array_join(slice({_MARK} {_gr_arr(s)}, "
+            f"{_gr_n(s)} - {cnt} + 1, {cnt}), '')"
+        )
+
+    out = _transform_calls(
+        out,
+        re.compile(r"\bright_grapheme\s*\(", re.IGNORECASE),
+        2,
+        _right_grapheme,
+    )
+
+    def _substring_grapheme(args):
+        if len(args) == 2:
+            s, b = args
+            l = None
+        else:
+            s, b, l = args
+        if any(_marked_arg(x) for x in args):
+            return None
+        nb = (
+            f"(CASE WHEN ({b}) < 0 THEN {_gr_n(s)} + ({b}) + 1 "
+            f"ELSE ({b}) END)"
+        )
+        if l is None:
+            lo = f"greatest({nb}, 1)"
+            ln = f"{_gr_n(s)}"
+        else:
+            lo = f"greatest({nb} + least(({l}), 0), 1)"
+            ln = f"greatest({nb} + greatest(({l}), 0) - {lo}, 0)"
+        return (
+            f"array_join(slice({_MARK} {_gr_arr(s)}, {lo}, {ln}), '')"
+        )
+
+    for n_args_g in (2, 3):
+        out = _transform_calls(
+            out,
+            re.compile(r"\bsubstring_grapheme\s*\(", re.IGNORECASE),
+            n_args_g,
+            _substring_grapheme,
+        )
+
     # substring/substr 3-arg: DuckDB (PostgreSQL) treats start 0 /
     # negative start / negative length as a window on a virtual axis —
     # substring('hello', 0, 3)='he', (2,-1)='h' — where Spark clamps

@@ -777,6 +777,25 @@ QUERY_PROBES: list[tuple[str, str]] = [
     ("r12", "SELECT TRY_CAST(999.9 AS DECIMAL(3,1)) AS v"),
     ("r12", "SELECT * FROM generate_series(3,1,-1)"),
     ("r12", "SELECT * FROM range(10,0,-3)"),
+    # grapheme-cluster family (Java \X == utf8proc segmentation)
+    ("r12", "SELECT length_grapheme('héllo') AS v"),
+    ("r12", "SELECT left_grapheme('héllo', 2) AS v"),
+    ("r12", "SELECT left_grapheme('héllo', -2) AS v"),
+    ("r12", "SELECT right_grapheme('héllo', 2) AS v"),
+    ("r12", "SELECT substring_grapheme('héllo', -2, 2) AS v"),
+    ("r12", "SELECT substring_grapheme('héllo', 0, 3) AS v"),
+    # catalog-sweep batch
+    ("r12", "SELECT add(2,3) AS v, divide(7,2) AS w, divide(7.5,2) AS x"),
+    ("r12", "SELECT century(DATE '2000-12-31') AS v, decade(DATE '1999-12-31') AS w"),
+    ("r12", "SELECT signbit(-2.5) AS v, signbit(2.5) AS w"),
+    ("r12", "SELECT regexp_escape('a.b*c') AS v"),
+    ("r12", "SELECT julian(DATE '2021-03-04') AS v"),
+    ("r12", "SELECT parse_dirname('ab c') AS v, parse_dirpath('/a/b/c') AS w"),
+    ("r12", "SELECT parse_filename('') AS v, parse_filename(NULL) AS w"),
+    ("r12", "SELECT array_cat([1],[2]) AS v, array_indexof([5,6],6) AS w"),
+    ("r12", "SELECT least(3) AS v, least_common_multiple(4,6) AS w"),
+    ("r12", "SELECT try_strptime('xx', '%Y-%m-%d') AS v"),
+    ("r12", "SELECT TRUE::DECIMAL(6,2) AS v"),
     ("r12", "SELECT median(DISTINCT x) AS v FROM (VALUES (1.0),(1.0),(2.0)) t(x)"),
     ("r12", "SELECT array_distinct([1,2,3]) AS v"),
     ("r12", "SELECT list_distinct([1,2,3]) AS v"),
