@@ -1279,7 +1279,9 @@ def _decimal_cast_bridge(
     # for all decimal sources with scale ≤ 18; a decimal source with
     # |value| ≥ 1e20 would NULL in this arm (documented corner — the
     # non-decimal ELSE arm and all ordinary magnitudes are unaffected)
-    src = f"CAST({_MARK} ({expr}) AS DECIMAL(38,18))"
+    # the hop uses the OUTER cast kind: TRY_CAST('x' AS DECIMAL) must
+    # be NULL, not a hard NumberFormatException from the hop (fuzz r12)
+    src = f"{fn}({_MARK} ({expr}) AS DECIMAL(38,18))"
     # BOTH arms route through DECIMAL(38,18) so the CASE unifies and
     # ANALYZES for every castable source (TRUE::DECIMAL(6,2) is legal
     # DuckDB; boolean couldn't unify with the decimal arm — fuzz r12).
