@@ -706,7 +706,36 @@ class Engine:
             }
 
         out = []
-        for stmt in split_statements(sql):
+        for full_stmt in split_statements(sql):
+            # a DML statement's arm probe would EXECUTE it (spark.sql
+            # on INSERT is eager) — rewrite only the SOURCE SELECT
+            # span for INSERT/CTAS; other DML heads with a BY NAME
+            # fail loud rather than risk a side-effecting probe
+            hm = re.match(r"\s*([A-Za-z]+)", full_stmt)
+            head = hm.group(1).upper() if hm else ""
+            prefix = ""
+            stmt = full_stmt
+            if head in (
+                "INSERT", "CREATE", "MERGE", "UPDATE", "DELETE",
+                "COPY",
+            ) and op_re.search(full_stmt):
+                if head not in ("INSERT", "CREATE"):
+                    raise EngineError(
+                        "UNION BY NAME inside a %s statement is "
+                        "unsupported" % head
+                    )
+                spans0 = _mask_spans(full_stmt)
+                sel = -1
+                for m0 in re.finditer(
+                    r"\bSELECT\b", full_stmt, re.IGNORECASE
+                ):
+                    if not _in_span(m0.start(), spans0):
+                        sel = m0.start()
+                        break
+                if sel < 0:
+                    out.append(full_stmt)
+                    continue
+                prefix, stmt = full_stmt[:sel], full_stmt[sel:]
             for _ in range(20):
                 spans = _mask_spans(stmt)
                 m = None
@@ -791,7 +820,7 @@ class Engine:
                     f"SELECT {items(rcols)} FROM ({right}) _swl_bn_r "
                     f"{tail}"
                 )
-            out.append(stmt)
+            out.append(prefix + stmt)
         return ";\n".join(out)
 
     def execute(self, sql: str) -> QueryResult:

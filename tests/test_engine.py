@@ -2986,6 +2986,25 @@ class TestDialectR11:
             (tuple(r) for r in res.collect()), key=str
         ) == sorted([(1, None), (None, 2)], key=str)
 
+    def test_union_by_name_in_insert_source(self, engine):
+        # an eager arm probe would EXECUTE the partial INSERT —
+        # only the source select may be probed (r12 builder find)
+        engine.query(
+            "CREATE TABLE byn_t (a INT, b INT)", dialect="duckdb"
+        )
+        try:
+            engine.query(
+                "INSERT INTO byn_t SELECT 1 AS a, 2 AS b "
+                "UNION ALL BY NAME SELECT 3 AS b, 4 AS a",
+                dialect="duckdb",
+            )
+            rows = engine.query(
+                "SELECT * FROM byn_t ORDER BY a", dialect="duckdb"
+            ).collect()
+            assert [tuple(r) for r in rows] == [(1, 2), (4, 3)]
+        finally:
+            engine.query("DROP TABLE IF EXISTS byn_t")
+
     def test_bare_row_value_three_valued(self, engine):
         # judge r12 #1: a bare parenthesized comma-list is DuckDB's
         # implicit ROW constructor; comparisons must be three-valued
