@@ -2661,6 +2661,44 @@ def _merge_desc(d1, d2):
     return d1
 
 
+def _null_array_len(s: str, depth: int = 0):
+    """Length of a syntactic array literal whose elements are ALL
+    literal NULLs (through paren/cast tails); None otherwise. Such a
+    literal types as ARRAY<NULL> and breaks the fold's concat
+    unification when the OTHER side is nested (fuzz r12:
+    CAST([NULL,NULL] AS INT[]) = [NULL,NULL,[3,NULL]])."""
+    if depth > 4:
+        return None
+    b = _strip_outer_parens(s)
+    cm = re.match(
+        r"^(.+?)\s*::\s*[A-Za-z_][\w <>,\x0e\x0f]*"
+        r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r"\s*(?:\[\s*\]|\x01\s*\x02)?\s*$",
+        b,
+        re.DOTALL,
+    )
+    if cm is not None:
+        return _null_array_len(cm.group(1), depth + 1)
+    km = re.match(
+        r"^(?:TRY_)?CAST\s*\((.*)\s+AS\s+[A-Za-z_][\w <>,\x0e\x0f]*"
+        r"(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+        r"\s*(?:\[\s*\]|\x01\s*\x02)?\s*\)$",
+        b,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if km is not None:
+        return _null_array_len(km.group(1), depth + 1)
+    am = re.match(r"^array\s*\((.*)\)$", b, re.IGNORECASE | re.DOTALL)
+    if am is None:
+        return None
+    parts = [p.strip() for p in _split_top(am.group(1))]
+    if parts == [""]:
+        return 0
+    if all(p.upper() == "NULL" for p in parts):
+        return len(parts)
+    return None
+
+
 def _tupleize_row_value(s: str) -> str:
     """A bare parenthesized row-value ``(a, b, …)`` — DuckDB's implicit
     ROW constructor in comparison/IN operand position — rewritten to
@@ -3375,6 +3413,45 @@ def _rewrite_collection_comparisons(sql: str) -> str:
                 if desc is not None and desc[0] == "struct"
                 else None
             )
+            if (
+                is_arr
+                and desc[1] is not None
+                and desc[1][0] in ("array", "struct")
+            ):
+                # an all-NULL array literal against a NESTED other
+                # side types as ARRAY<NULL> and breaks the fold's
+                # concat unification. DuckDB semantics (probe-pinned):
+                # any common prefix pair is NULL → NULL; empty-vs-any
+                # decides by length alone
+                hit2 = None
+                for x, y in ((a, b), (b, a)):
+                    nn = _null_array_len(x)
+                    if nn is None:
+                        continue
+                    mmn = f"size({_MARK} ({y}))"
+                    cmpx = {
+                        "=": f"({nn} = {mmn})",
+                        "==": f"({nn} = {mmn})",
+                        "<>": f"({nn} <> {mmn})",
+                        "!=": f"({nn} <> {mmn})",
+                        # when the all-NULL side is the RIGHT operand
+                        # the comparison reads `other op nulls`
+                        "<": f"({nn} < {mmn})" if x == a else f"({mmn} < {nn})",
+                        "<=": f"({nn} <= {mmn})" if x == a else f"({mmn} <= {nn})",
+                        ">": f"({nn} > {mmn})" if x == a else f"({mmn} > {nn})",
+                        ">=": f"({nn} >= {mmn})" if x == a else f"({mmn} >= {nn})",
+                    }[op]
+                    hit2 = (
+                        f"(CASE WHEN ({y}) IS NULL "
+                        f"THEN CAST(NULL AS BOOLEAN) "
+                        f"WHEN least({nn}, {mmn}) > 0 "
+                        f"THEN CAST(NULL AS BOOLEAN) "
+                        f"ELSE {cmpx} END)"
+                    )
+                    break
+                if hit2 is not None:
+                    hit = (ls, re_, hit2)
+                    break
             if is_arr and op in ("=", "==", "<>", "!="):
                 repl = _tv_array_eq(a, b, op in ("<>", "!="), desc[1])
             elif is_arr and op in ("<", "<=", ">", ">="):

@@ -2878,6 +2878,22 @@ class TestDialectR11:
         ).collect()
         assert str(rows[0].a).startswith("2020-01-04")
 
+    def test_grapheme_functions(self, engine):
+        # Java \X segments extended grapheme clusters like utf8proc
+        r = engine.query(
+            "SELECT length_grapheme('héllo') AS a,"
+            "       left_grapheme('héllo', 2) AS b,"
+            "       left_grapheme('héllo', -2) AS c,"
+            "       right_grapheme('héllo', 2) AS d,"
+            "       substring_grapheme('héllo', 2, 3) AS e,"
+            "       substring_grapheme('héllo', -2, 2) AS f,"
+            "       length_grapheme(NULL) AS g",
+            dialect="duckdb",
+        ).collect()[0]
+        assert r.a == 5 and r.b == "hé" and r.c == "hél"
+        assert r.d == "lo" and r.e == "éll" and r.f == "lo"
+        assert r.g is None
+
     def test_columns_star_expansion(self, engine):
         # judge r12 missing #5: COLUMNS(regex)/COLUMNS(*) expand via
         # the analysis-only FROM-clause probe; names follow DuckDB
