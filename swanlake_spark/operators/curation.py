@@ -253,13 +253,18 @@ def line_dedup(
     Returns ``(id_col, text, n_kept, n_dropped)`` with ``text``
     rebuilt from the kept lines.
 
-    Scale shape: explode lines → groupBy(xxhash64(line)) with a
-    partial-aggregable ``min(struct(doc, line_no))`` winner → hash join
-    occurrences back to winners → groupBy(doc) reassembly. Three
-    shuffles, all map-side combinable; a boilerplate line shared by
-    millions of documents is one group whose min collapses map-side,
-    and the join back fans each occurrence to exactly one winner row —
-    no pair explosion anywhere.
+    Scale shape (r12): explode lines ONCE → one analytic pass over the
+    line-hash partition finds each line's corpus-wide first occurrence
+    (``min(struct(doc, line_no)) OVER (PARTITION BY blank?, hash)``) →
+    groupBy(doc) reassembly. Two shuffles. The former groupBy(hash) +
+    join-back shape evaluated the corpus line-explode three times
+    (content leg, blank leg, join probe) and shuffled the content rows
+    twice. Blank lines are structural and always kept: they get a
+    per-row partition key (hash of (doc, line_no)) in a SEPARATE
+    key namespace (the boolean blank flag is part of the partition
+    key), so they spread uniformly instead of collapsing one
+    billion-blank-line partition onto one task, can never collide
+    with a content group, and their ``_keep`` is unconditional.
     """
     from swanlake_spark.operators.dedup import _spread
 
@@ -267,19 +272,29 @@ def line_dedup(
         F.col(id_col).alias("_d"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
     )
-    content = lines.filter(F.trim("_line") != "").withColumn(
-        "_h", F.xxhash64("_line")
+    keyed = lines.withColumn(
+        "_blank", F.trim("_line") == ""
+    ).withColumn(
+        "_h",
+        F.when(
+            F.col("_blank"), F.xxhash64(F.col("_d"), F.col("_ln"))
+        ).otherwise(F.xxhash64("_line")),
     )
-    winners = content.groupBy("_h").agg(
-        F.min(F.struct("_d", "_ln")).alias("_w")
+    ww = Window.partitionBy("_blank", "_h")
+    marked = keyed.withColumn(
+        "_w", F.min(F.struct("_d", "_ln")).over(ww)
+    ).select(
+        "_d",
+        "_ln",
+        "_line",
+        (
+            F.col("_blank")
+            | (
+                (F.col("_w._d") == F.col("_d"))
+                & (F.col("_w._ln") == F.col("_ln"))
+            )
+        ).alias("_keep"),
     )
-    kept_content = (
-        content.join(winners, "_h")
-        .withColumn("_keep", (F.col("_w._d") == F.col("_d")) & (F.col("_w._ln") == F.col("_ln")))
-        .select("_d", "_ln", "_line", "_keep")
-    )
-    blank = lines.filter(F.trim("_line") == "").withColumn("_keep", F.lit(True))
-    marked = kept_content.unionByName(blank.select("_d", "_ln", "_line", "_keep"))
     per_doc = marked.groupBy("_d").agg(
         F.array_join(
             F.transform(
@@ -469,8 +484,22 @@ def select_top_tokens(
         .orderBy(F.col("_q").desc(), F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = b.withColumn("_cum_in", F.sum("n_tokens").over(w_in))
-    totals = b.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    # r12: ONE pass computes scores, bands and the in-band cumsum; the
+    # per-band totals are then just max(_cum_in) (n_tokens >= 0, so the
+    # running sum's last value IS the band total) instead of a second
+    # scan of the corpus — the former `b.groupBy(_bkt).sum` leg
+    # re-ran the quality_score regex battery over the full text a
+    # second time. The scored frame is pinned executor-local before
+    # branching (it feeds both the totals agg and the final join); it
+    # is a NARROW projection — id + three numerics, the same rows the
+    # band window already shuffled — never the document text.
+    # eager=False: the offsets (broadcast) job materializes the
+    # checkpoint as a side effect and the probe side then reads the
+    # pinned blocks — no extra serialized job on the measured path
+    within = b.withColumn(
+        "_cum_in", F.sum("n_tokens").over(w_in)
+    ).localCheckpoint(eager=False)
+    totals = within.groupBy("_bkt").agg(F.max("_cum_in").alias("_tot"))
     w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "_base", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))

@@ -194,6 +194,7 @@ def kmv_sketch(
     k: int = 1024,
     by: list[str] | None = None,
     _prefilter_slack: float = _KMV_PREFILTER_SLACK,
+    _pin: bool = True,
 ) -> DataFrame:
     """Per-group KMV sketch of ``col``: the group columns plus ``kmv``,
     a sorted ascending array<double> of the k smallest distinct value
@@ -218,9 +219,20 @@ def kmv_sketch(
     raw = df.where(item.isNotNull()).select(
         *by, _kmv_hash(item).alias("__h")
     )
+    # r12: the estimate table is groups-sized (one row per group) but
+    # sits on the DAG THREE times — under `pre`, under the `risky`
+    # probe, and again when the caller executes the returned sketch.
+    # Lazy recomputation re-scanned the full input for each reference
+    # (the "2 source scans" contract below was 5-6 in practice);
+    # pinning the tiny frame executor-local restores it: scan #1 builds
+    # `est`, scan #2 builds the survivors, everything downstream reads
+    # the pinned rows. Same values — checkpointing changes nothing
+    # about the deterministic hash/top-k math.
     est = raw.groupBy(*by).agg(
         F.approx_count_distinct("__h").alias("__n")
     )
+    if _pin:
+        est = est.localCheckpoint(eager=True)
     pre = raw.join(est, on=by) if by else raw.crossJoin(F.broadcast(est))
     cut = F.least(
         F.lit(1.0), F.lit(_prefilter_slack) * F.lit(k) / F.col("__n")
@@ -232,7 +244,16 @@ def kmv_sketch(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
-    sk = topk.groupBy(*by).agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+    # pinned for the same reason: k·groups rows, read by the risky
+    # probe AND by the caller's action (often twice — set-algebra
+    # callers split the sketch frame into both join legs).
+    # ``_pin=False`` returns the LAZY plan (plan-quality tests assert
+    # the WindowGroupLimit pushdown, which a checkpoint scan hides).
+    sk = topk.groupBy(*by).agg(
+        F.array_sort(F.collect_list("__h")).alias("kmv")
+    )
+    if _pin:
+        sk = sk.localCheckpoint(eager=True)
     # verify the tail bound: a group can only have LOST a true
     # k-minimum if the pre-filter actually cut (cut < 1 ⇔ n̂ > slack·k)
     # yet fewer than k survivors came back — recompute those groups

@@ -158,14 +158,22 @@ def duplicate_spans(
     end). A span is any run of tokens covered by windows whose text
     occurs elsewhere in the corpus (another document or another
     position of the same document)."""
+    from pyspark.sql import Window
+
     w = _windows(df, min_tokens, id_col, text_col)
-    dup_hashes = (
-        w.groupBy("_wh")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # r12: occurrence counting as a WINDOW over the hash partition
+    # instead of groupBy + semi-join back. The join shape evaluated the
+    # corpus window-explode TWICE (once under the aggregate, once under
+    # the probe side — Catalyst does not reuse the exchange across the
+    # two shapes) and shuffled the explode output twice; one analytic
+    # pass evaluates and shuffles it once. Skew class is unchanged:
+    # either shape routes all occurrences of one hash to one task.
+    ww = Window.partitionBy("_wh")
+    dup_w = (
+        w.withColumn("_n", F.count(F.lit(1)).over(ww))
         .filter(F.col("_n") > 1)
-        .select("_wh")
+        .drop("_n")
     )
-    dup_w = w.join(dup_hashes, "_wh", "left_semi")
     starts = (
         dup_w.groupBy("_id")
         .agg(F.sort_array(F.collect_list("_pos")).alias("_ss"))
@@ -262,12 +270,22 @@ def strip_duplicate_spans(
     copy of each repeated passage survives; ``False`` strips every
     occurrence. Document identity is preserved (empty-text documents
     remain as rows — dropping them is the caller's policy)."""
+    from pyspark.sql import Window
+
     w = _windows(df, min_tokens, id_col, text_col)
-    occ = w.groupBy("_wh").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.min(F.struct("_id", "_pos")).alias("_first"),
-    ).filter(F.col("_n") > 1)
-    dup_w = w.join(occ.select("_wh", "_first"), "_wh")
+    # r12: same single-pass analytic shape as duplicate_spans — the
+    # former groupBy(_wh) + join-back evaluated the corpus window
+    # explode twice and shuffled it twice; one window pass computes the
+    # occurrence count and the deterministic first occurrence in a
+    # single shuffle of the explode output. Values are identical
+    # (count + min(struct) over the same hash groups).
+    ww = Window.partitionBy("_wh")
+    dup_w = (
+        w.withColumn("_n", F.count(F.lit(1)).over(ww))
+        .withColumn("_first", F.min(F.struct("_id", "_pos")).over(ww))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
     if keep_first:
         dup_w = dup_w.filter(
             ~(

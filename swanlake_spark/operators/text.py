@@ -179,10 +179,16 @@ def tfidf_top_terms(
     n_per_doc: int = 3,
 ) -> DataFrame:
     """Smooth TF-IDF (sklearn's formula: idf = ln((N+1)/(df+1)) + 1) with
-    the top ``n_per_doc`` terms per document. Shapes: one shuffle for
-    per-doc term counts, one for document frequency, a broadcast-sized
-    join of df_t back onto tf, and a per-doc window for the top-n — all
-    partitioned by document or term, never a global sort."""
+    the top ``n_per_doc`` terms per document.
+
+    Shape (r12): ONE corpus explode. The ``(doc, token)`` count table
+    already holds exactly one row per document-term pair, so document
+    frequency is an analytic ``count(*) OVER (PARTITION BY token)`` on
+    it — the former separate explode → distinct → groupBy(token) →
+    join leg re-tokenized the whole corpus a second time for a number
+    derivable from the first pass. Three token/doc-keyed shuffles
+    total (tf groupBy, df window, top-n window), never a global sort;
+    values are identical (integer pair counts either way)."""
     from pyspark.sql.window import Window
 
     toks = (
@@ -194,11 +200,11 @@ def tfidf_top_terms(
         F.count("*").cast("long").alias("tf")
     )
     n_docs = df.select(id_col).distinct().count()
-    dfreq = toks.select(id_col, "token").distinct().groupBy("token").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    w_t = Window.partitionBy("token")
     idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(dfreq, "token").withColumn(
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(w_t).cast("long")
+    ).withColumn(
         "tfidf",
         F.floor(F.col("tf") * idf * 10000 + 0.5) / 10000.0,
     )

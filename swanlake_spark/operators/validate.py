@@ -111,17 +111,46 @@ def validate(df: DataFrame, rule_list: list[Rule]) -> DataFrame:
     """Run every expectation; return one row per rule:
     ``(rule STRING, violations BIGINT, checked BIGINT, passed BOOLEAN)``.
 
-    Cost model: one full scan for ALL row-local + unique rules (a single
-    agg with N sum(when) columns + count_distincts), plus one broadcast
-    anti-join per ref_integrity rule. Nothing materializes on the
-    driver beyond the one summary row per rule."""
+    Cost model: ONE full scan for ALL rules. Row-local + unique rules
+    compile into a single agg (N sum(when) columns + count_distincts);
+    each ref_integrity rule becomes one broadcast LEFT join of the
+    distinct dimension keys chained UNDER that same agg, with its
+    orphan/checked counts as two more agg columns — so however many
+    rules, the fact table is read exactly once (r12: the former
+    per-FK anti-join + count pair re-scanned the fact side twice per
+    FK rule). Nothing materializes on the driver beyond the one
+    summary row per rule."""
     spark = df.sparkSession
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     agg_rules: list[Rule] = []
     fk_rules: list[Rule] = []
+    probed = df
     for r in rule_list:
         if r.kind == "ref_integrity":
+            i = len(fk_rules)
             fk_rules.append(r)
+            # distinct keys guarantee no fan-out; the marker column
+            # makes "no match" observable under a LEFT join, which is
+            # exactly the anti-join predicate as an agg column
+            dim = (
+                r.ref.select(F.col(r.ref_column).alias(r.column))
+                .distinct()
+                .withColumn(f"_swl_fk_{i}", F.lit(1))
+            )
+            probed = probed.join(F.broadcast(dim), on=r.column, how="left")
+            key = F.col(r.column)
+            aggs.append(
+                F.count(key).cast("long").alias(f"_fk_n_{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        key.isNotNull()
+                        & F.col(f"_swl_fk_{i}").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).cast("long").alias(f"_fk_v_{i}")
+            )
             continue
         agg_rules.append(r)
         if r.kind == "unique":
@@ -136,21 +165,16 @@ def validate(df: DataFrame, rule_list: list[Rule]) -> DataFrame:
                 .cast("long").alias(f"_v_{len(agg_rules) - 1}")
             )
     out_rows = []
-    if agg_rules:
-        row = df.agg(*aggs).collect()[0]  # one summary row — not data
+    if agg_rules or fk_rules:
+        row = probed.agg(*aggs).collect()[0]  # one summary row — not data
         n = row["_n"]
         for i, r in enumerate(agg_rules):
             v = row[f"_v_{i}"] or 0
             out_rows.append((r.name, int(v), int(n)))
-    for r in fk_rules:
-        dim = r.ref.select(F.col(r.ref_column).alias(r.column)).distinct()
-        orphans = (
-            df.filter(F.col(r.column).isNotNull())
-            .join(F.broadcast(dim), on=r.column, how="left_anti")
-            .count()
-        )
-        checked = df.filter(F.col(r.column).isNotNull()).count()
-        out_rows.append((r.name, int(orphans), int(checked)))
+        for i, r in enumerate(fk_rules):
+            out_rows.append(
+                (r.name, int(row[f"_fk_v_{i}"] or 0), int(row[f"_fk_n_{i}"]))
+            )
     res = spark.createDataFrame(
         out_rows, schema="rule string, violations long, checked long"
     )

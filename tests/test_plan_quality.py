@@ -516,7 +516,10 @@ class TestSketchPlanQuality:
         from swanlake_spark.operators import sketch
 
         df = warehouse.spark.table("documents")
-        sk = sketch.kmv_sketch(df, "lang", k=64, by=["source"])
+        # _pin=False: the r12 executor-local pin of the finished sketch
+        # would hide the build plan behind a checkpoint scan; the lazy
+        # form exposes the window the pushdown claim is about
+        sk = sketch.kmv_sketch(df, "lang", k=64, by=["source"], _pin=False)
         plan = _formatted_plan(sk)
         assert "WindowGroupLimit" in plan, (
             "kmv_sketch's top-k window must be rank-limit pushed"
