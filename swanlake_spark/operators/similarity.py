@@ -173,11 +173,34 @@ def ivf_assign(
     plan); assignment is a single narrow pass, no shuffle. At scale the
     assigned table is written partitioned by ``_cid`` so probes prune
     partitions."""
+    import math
+
     cents = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+    # centroid norms are driver-side constants (same left-to-right
+    # double summation as the JVM fold → identical bits — the
+    # cosine_topk precedent); norm(v) is LET-BOUND via the
+    # single-element transform idiom so it folds once per row, not
+    # once per centroid (Catalyst does no CSE through lambda bodies —
+    # the old form re-ran the interpreted norm fold n_centroids times
+    # per row, 3x the arithmetic of the assignment itself).
+    cnorms = F.array(
+        *[
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
+            for c in centroids
+        ]
+    )
     v = _as_double(vec_col)
-    sims = F.transform(cents, lambda c: dot(v, c) / (norm(v) * norm(c)))
+    sims = F.element_at(
+        F.transform(
+            F.array(norm(v)),
+            lambda nv: F.zip_with(
+                cents, cnorms, lambda c, nc: dot(v, c) / (nv * nc)
+            ),
+        ),
+        F.lit(1),
+    )
     cid = F.array_position(sims, F.array_max(sims)) - 1
     return df.withColumn("_cid", cid.cast("int"))
 
@@ -395,16 +418,22 @@ def pq_encode(
         ]
     )
     subs = _subvectors(vec_col, m, sub_dim)
+    # the per-subspace distance list is LET-BOUND (single-element
+    # transform idiom) so each (subvector, centroid) L2 computes once —
+    # referencing the transform twice (argmin position + min) doubled
+    # every distance fold (Catalyst does no CSE through lambda bodies)
     code = F.zip_with(
         subs,
         books,
-        lambda sv, book: (
-            F.array_position(
-                F.transform(book, lambda cent: _l2sq(sv, cent)),
-                F.array_min(F.transform(book, lambda cent: _l2sq(sv, cent))),
-            )
-            - 1
-        ).cast("int"),
+        lambda sv, book: F.element_at(
+            F.transform(
+                F.array(F.transform(book, lambda cent: _l2sq(sv, cent))),
+                lambda ds: (
+                    F.array_position(ds, F.array_min(ds)) - 1
+                ).cast("int"),
+            ),
+            F.lit(1),
+        ),
     )
     return df.withColumn("pq_code", code)
 
