@@ -235,7 +235,6 @@ def train_bpe(
     merges: list[tuple[str, str]] = []
     cur = words
     k = max(1, int(merge_batch))
-    folds_since_checkpoint = 0
     while len(merges) < n_merges:
         want = min(k, n_merges - len(merges))
         # over-fetch so greedy disjoint selection can skip interacting
@@ -261,11 +260,16 @@ def train_bpe(
         merges.extend(batch)
         # the whole batch applies in ONE fold pass (exact — see
         # select_batch/_merge_fold_multi), so lineage grows one fold
-        # layer per ROUND, not per merge. Folds stay LAZY between
-        # checkpoints: each pair-count job re-executes at most
-        # _CHECKPOINT_EVERY pending fold layers over the bounded word
-        # table, and the periodic checkpoint truncates lineage so
-        # plan-analysis cost stays flat.
+        # layer per ROUND, not per merge. r12: the fold materializes
+        # EVERY round (the connected_components cadence) — each fold
+        # layer is a 16-pair CASE chain inside an aggregate, and
+        # leaving K layers lazy made every subsequent pair-count job
+        # re-analyze and re-execute all K (measured on the bench
+        # corpus: per-round checkpoint 3.6-4.0 s vs the lazy cadence's
+        # 4.7-6.0 s for train+encode; planning time, not data, is the
+        # cost at small vocab). The checkpoint is vocabulary-sized —
+        # bounded at any corpus scale, the module-docstring lineage
+        # contract unchanged.
         if len(batch) == 1:
             cur = cur.withColumn(
                 "syms", _merge_fold(F.col("syms"), *batch[0])
@@ -274,10 +278,7 @@ def train_bpe(
             cur = cur.withColumn(
                 "syms", _merge_fold_multi(F.col("syms"), batch)
             )
-        folds_since_checkpoint += 1
-        if folds_since_checkpoint >= _CHECKPOINT_EVERY:
-            cur = cur.localCheckpoint(eager=True)
-            folds_since_checkpoint = 0
+        cur = cur.localCheckpoint(eager=True)
     segmented = cur.select(
         "word", "freq", F.col("syms").alias("tokens")
     )
