@@ -275,14 +275,23 @@ def minhash_dedup_pairs(
     document."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
     cand = lsh_candidate_pairs(sig, id_col, bands)
-    sh = _spread(df).select(F.col(id_col), shingles(text_col, shingle_n).alias("sh"))
     legs = cand.select(
         "a",
         "b",
         F.explode(F.array(F.col("a"), F.col("b"))).alias("_d"),
     )
+    # r12: shingle AFTER the leg join, not before — the former
+    # corpus-wide (id, shingles) projection sat below the broadcast
+    # join in the plan, so the whole corpus was tokenized and shingled
+    # a SECOND time just to verify an LSH-output-sized candidate set.
+    # Joining the raw (id, text) rows with the legs first bounds the
+    # verify shingle pass by the candidate count (same shingle math,
+    # identical values; at scale, verify cost tracks candidates — the
+    # LSH output — not the corpus).
+    src = df.select(F.col(id_col), F.col(text_col))
     per_pair = (
-        sh.join(F.broadcast(legs), legs["_d"] == sh[id_col])
+        src.join(F.broadcast(legs), legs["_d"] == src[id_col])
+        .withColumn("sh", shingles(text_col, shingle_n))
         .groupBy("a", "b")
         .agg(
             F.first(F.when(F.col("_d") == F.col("a"), F.col("sh")), True).alias(
@@ -407,13 +416,33 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    toks = df.select(
-        F.col(id_col), F.array_distinct(tokens(text_col)).alias("t")
+    # r12: tokenize AFTER the candidate-leg join (the minhash verify
+    # shape) — the former (id, tokens) projection fed two separate
+    # joins, each re-tokenizing the WHOLE corpus to verify a
+    # candidate-sized pair set. One broadcast leg join + groupBy(a, b)
+    # reassembles the pair; the token pass is bounded by the candidate
+    # count. Same token math, identical values.
+    legs = cand.select(
+        "a",
+        "b",
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("_d"),
+    )
+    src = df.select(F.col(id_col), F.col(text_col))
+    per_pair = (
+        src.join(F.broadcast(legs), legs["_d"] == src[id_col])
+        .withColumn("t", F.array_distinct(tokens(text_col)))
+        .groupBy("a", "b")
+        .agg(
+            F.first(F.when(F.col("_d") == F.col("a"), F.col("t")), True).alias(
+                "ta"
+            ),
+            F.first(F.when(F.col("_d") == F.col("b"), F.col("t")), True).alias(
+                "tb"
+            ),
+        )
     )
     return (
-        cand.join(toks.select(F.col(id_col).alias("a"), F.col("t").alias("ta")), "a")
-        .join(toks.select(F.col(id_col).alias("b"), F.col("t").alias("tb")), "b")
-        .withColumn(
+        per_pair.withColumn(
             "jaccard",
             F.round(
                 F.size(F.array_intersect("ta", "tb"))
