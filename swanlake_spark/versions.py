@@ -500,14 +500,15 @@ def version_at_timestamp(spark: SparkSession, table: str, ts: float) -> int:
 
 
 def read_version(
-    spark: SparkSession, table: str, version: int, loc: str | None = None
+    spark: SparkSession, table: str, version: int, loc: str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Scan exactly the snapshot's file list. Files are read under
     their tree's basePath (table dir or the mirrored retained dir) so
     directory-encoded partition values are recovered on partitioned
     tables; a snapshot spanning both trees unions the two scans."""
     files = resolve_files(spark, table, version, loc)
-    return _read_files(spark, table, files, loc)
+    return _read_files(spark, table, files, loc, schema)
 
 
 def _read_files(
@@ -515,12 +516,20 @@ def _read_files(
     table: str,
     files: list[str],
     loc: str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Scan an explicit resolved file list of ``table``. Files are read
     under their tree's basePath (table dir or the mirrored retained
     dir) so directory-encoded partition values are recovered on
     partitioned tables; a list spanning both trees unions the two
-    scans."""
+    scans.
+
+    ``schema`` (optional StructType) skips parquet schema inference —
+    one driver job per read call otherwise. Callers that pin the
+    CURRENT catalog schema anyway (maintenance/CDC paths that
+    ``.select`` the base's columns right after) pass it; time-travel
+    readers keep inference so historical files surface their own
+    schema."""
     if not files:
         return spark.table(table).limit(0)
     if loc is None:
@@ -532,11 +541,14 @@ def _read_files(
     rdir = _retained_dir(root)
     live = [f for f in files if f.startswith(loc + "/")]
     kept = [f for f in files if not f.startswith(loc + "/")]
+    def _rd():
+        return spark.read.schema(schema) if schema is not None else spark.read
+
     parts = []
     if live:
-        parts.append(spark.read.option("basePath", loc).parquet(*live))
+        parts.append(_rd().option("basePath", loc).parquet(*live))
     if kept:
-        parts.append(spark.read.option("basePath", rdir).parquet(*kept))
+        parts.append(_rd().option("basePath", rdir).parquet(*kept))
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
@@ -597,16 +609,22 @@ def table_changes(
         set(snapshot_file_names(spark, table, v_from)) if v_from else set()
     )
     names_to = set(snapshot_file_names(spark, table, v_to))
-    cols = [f.name for f in spark.table(table).schema.fields]
+    # the .select(*cols) below already pins the CURRENT catalog schema
+    # on both sides — passing it to the read skips one parquet
+    # schema-inference driver job per side (r12)
+    cur_schema = spark.table(table).schema
+    cols = [f.name for f in cur_schema.fields]
     added = _read_files(
         spark, table,
         _resolve_names(spark, table, sorted(names_to - names_from),
                        f"v{v_to}"),
+        schema=cur_schema,
     ).select(*cols)
     removed = _read_files(
         spark, table,
         _resolve_names(spark, table, sorted(names_from - names_to),
                        f"v{v_from}"),
+        schema=cur_schema,
     ).select(*cols)
     from pyspark.sql import functions as F
 
