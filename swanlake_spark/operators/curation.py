@@ -71,11 +71,22 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _grams(t: Column, n: int) -> Column:
     """Token n-grams as space-joined strings (same shape as the dedup
-    shingles — ``array_to_string(t[i:i+n], ' ')`` on the DuckDB side)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-    )
+    shingles — ``array_to_string(t[i:i+n], ' ')`` on the DuckDB side).
+
+    The input array is LET-BOUND via a single-element transform before
+    the per-gram slice (the ``dedup.shingles`` pattern): callers pass
+    the whole tokenize chain as ``t``, and referencing it directly
+    inside the lambda would re-evaluate the split once per gram —
+    Catalyst does no CSE through lambda bodies, so the inline form is
+    quadratic in document length."""
+
+    def _per_doc(arr):
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(arr, i + 1, n), " "),
+        )
+
+    return F.flatten(F.transform(F.array(t), _per_doc))
 
 
 def _round4(x: Column) -> Column:
@@ -96,20 +107,52 @@ def repetition_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
       frequent token (boilerplate/spam detector).
 
     All higher-order array expressions over the token list — per-row,
-    no shuffle, codegen'd."""
-    t = tokens(text_col)
+    no shuffle, codegen'd.
+
+    The token array and both gram arrays are LET-BOUND once per row
+    (nested single-element transforms) and the four ratios come out as
+    one struct column expanded in a separate projection: the inline
+    form re-evaluated the tokenize chain inside the ``top`` lambda once
+    per DISTINCT token (quadratic) and re-split the text once per
+    output column (Catalyst does no CSE through lambda bodies, and
+    ``CollapseProject`` would otherwise inline the chain per use)."""
     uniq = lambda g: _round4(F.size(F.array_distinct(g)) / F.size(g))  # noqa: E731
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(t),
-            lambda w: F.size(F.filter(t, lambda x: x == w)),
+
+    def _metrics(b):
+        arr, g2, g3 = b["t"], b["g2"], b["g3"]
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
         )
-    )
-    return (
-        df.withColumn("uniq_1gram_ratio", uniq(t))
-        .withColumn("uniq_2gram_ratio", uniq(_grams(t, 2)))
-        .withColumn("uniq_3gram_ratio", uniq(_grams(t, 3)))
-        .withColumn("top_token_frac", _round4(top / F.size(t)))
+        return F.struct(
+            uniq(arr).alias("u1"),
+            uniq(g2).alias("u2"),
+            uniq(g3).alias("u3"),
+            _round4(top / F.size(arr)).alias("tf"),
+        )
+
+    def _bound(arr):
+        return F.transform(
+            F.array(
+                F.struct(
+                    arr.alias("t"),
+                    _grams(arr, 2).alias("g2"),
+                    _grams(arr, 3).alias("g3"),
+                )
+            ),
+            _metrics,
+        )[0]
+
+    scores = F.transform(F.array(tokens(text_col)), _bound)[0]
+    out = df.withColumn("_rs", scores)
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col("_rs.u1").alias("uniq_1gram_ratio"),
+        F.col("_rs.u2").alias("uniq_2gram_ratio"),
+        F.col("_rs.u3").alias("uniq_3gram_ratio"),
+        F.col("_rs.tf").alias("top_token_frac"),
     )
 
 

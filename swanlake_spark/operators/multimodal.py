@@ -151,6 +151,8 @@ def decode_media(
     use_codec = codec or _default_codec
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, mtypes, nbytes, sums, ws, hs, srs = [], [], [], [], [], [], []
             for rid, blob, mtype in zip(pdf["id"], pdf["media"], pdf["media_type"]):
@@ -164,7 +166,12 @@ def decode_media(
                 ids.append(rid)
                 mtypes.append(mtype)
                 nbytes.append(len(b))
-                sums.append(int(sum(b) % (1 << 31)))
+                # vectorized byte sum (uint64 accumulator — exact for any
+                # blob under 2^56 bytes, same value as the Python loop)
+                sums.append(
+                    int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.uint64))
+                    % (1 << 31)
+                )
                 ws.append(d.get("width"))
                 hs.append(d.get("height"))
                 srs.append(d.get("sample_rate"))
@@ -181,7 +188,12 @@ def decode_media(
             )
 
     ship_package(df.sparkSession)
-    return df.mapInPandas(run, DECODED_SCHEMA)
+    # only the three consumed columns cross the Arrow boundary — an
+    # opaque mapInPandas otherwise ships (and reads) every input column,
+    # e.g. the unused meta struct synthesize_media attaches (guide §4.1)
+    return df.select("id", "media", "media_type").mapInPandas(
+        run, DECODED_SCHEMA
+    )
 
 
 def decode_media_strict(df: DataFrame) -> DataFrame:
@@ -238,7 +250,8 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
     ship_package(df.sparkSession)
-    return df.mapInPandas(run, FEATURES_SCHEMA)
+    # ship only the consumed columns across the Arrow boundary
+    return df.select("id", "media").mapInPandas(run, FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -290,7 +303,11 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             )
 
     ship_package(df.sparkSession)
-    return df.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
+    return (
+        df.filter(F.col("media_type") == "image")
+        .select("id", "media")  # drop unused columns before the boundary
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
 
 
 def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
