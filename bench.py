@@ -84,27 +84,14 @@ ONLY = [
 ]
 
 
-def main() -> None:
-    from swanlake_spark.config import EngineConfig
-    from swanlake_spark.engine import Engine
+def build_suite(spark) -> dict:
+    """The bench suite: every headline entry, keyed as the output
+    JSON keys them. Shared by main() and tools/ (plan capture,
+    profiling) so dev tooling measures exactly what the bench
+    measures."""
     from swanlake_spark.queries.pipeline import PIPELINE_QUERIES
     from swanlake_spark.queries.tpch import TPCH_QUERIES
     from swanlake_spark.queries.ycsb import YCSB_QUERIES
-
-    # Shuffle partitions sized to the data scale (~600k-row lineitem →
-    # a handful of ~16 MB partitions); AQE stays on and would coalesce a
-    # larger setting at runtime anyway, but starting small avoids paying
-    # 32-task scheduling overhead per sub-second stage. At cluster scale
-    # this knob is deployment-sized (see EngineConfig docs).
-    cfg = EngineConfig(
-        app_name="swanlake-spark-bench",
-        cpus=CPUS,
-        shuffle_partitions=SHUFFLE_PARTITIONS,
-        driver_memory=DRIVER_MEM,
-    )
-    eng = Engine(config=cfg)
-    eng.spark.sparkContext.setLogLevel("ERROR")
-    spark = eng.spark
 
     # Headline set: the 22 TPC-H-shaped queries (keys match BASELINE.md)
     # plus representative large-scale pipeline operators.
@@ -641,6 +628,29 @@ def main() -> None:
             ).df
 
     suite["cdc_table_changes"] = _CdcTableChanges
+    return suite
+
+
+def main() -> None:
+    from swanlake_spark.config import EngineConfig
+    from swanlake_spark.engine import Engine
+
+    # Shuffle partitions sized to the data scale (~600k-row lineitem →
+    # a handful of ~16 MB partitions); AQE stays on and would coalesce a
+    # larger setting at runtime anyway, but starting small avoids paying
+    # 32-task scheduling overhead per sub-second stage. At cluster scale
+    # this knob is deployment-sized (see EngineConfig docs).
+    cfg = EngineConfig(
+        app_name="swanlake-spark-bench",
+        cpus=CPUS,
+        shuffle_partitions=SHUFFLE_PARTITIONS,
+        driver_memory=DRIVER_MEM,
+    )
+    eng = Engine(config=cfg)
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    spark = eng.spark
+
+    suite = build_suite(spark)
 
     # Load phase (like the reference's BenchBase load into DuckLake,
     # outside the measured window): ingest the single-file source tables

@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from swanlake_spark.operators._arraylit import darray
+
 
 def _as_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -55,7 +57,7 @@ def cosine_topk(
     per-partition top-k rows move."""
     import math
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = darray(query_vec)
     # The query norm is a constant: computing it driver-side (same
     # left-to-right double summation as the JVM aggregate → identical
     # bits) saves one interpreted higher-order aggregate per ROW.
@@ -75,16 +77,38 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_bucket(vec_col, planes: np.ndarray) -> Column:
-    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+    """Random-hyperplane signature: one bit per plane (sign of dot).
+
+    Built as ONE nested higher-order expression — fold over the 2-D
+    plane literal, inner left-fold dot per plane — instead of one
+    aggregate+zip_with pair per plane: a 12-plane signature is ~5 py4j
+    higher-order constructions instead of ~25 (~0.5 s of driver time
+    per plan build at 12x64). Bit-identical to the unrolled form: the
+    per-plane dot is the same left-to-right double fold, the bucket is
+    the same exact-integer sum of ``1 << i`` terms in plane order."""
     v = _as_double(vec_col)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        s = F.aggregate(
-            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bucket = bucket + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return bucket
+    planes2d = darray(planes)
+    powers = F.expr(
+        "array(%s)" % ",".join(str(1 << i) + "L" for i in range(len(planes)))
+    )
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        F.zip_with(
+            planes2d,
+            powers,
+            lambda p, w: F.when(
+                F.aggregate(
+                    F.zip_with(v, p, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0,
+                w,
+            ).otherwise(zero),
+        ),
+        zero,
+        lambda a, x: a + x,
+    )
 
 
 def cosine_topk_lsh(
@@ -110,7 +134,7 @@ def cosine_topk_lsh(
     cand = bucketed.filter(
         F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(qsig))) <= 1
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = darray(query_vec)
     scored = cand.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("sim")
     )
@@ -175,9 +199,7 @@ def ivf_assign(
     partitions."""
     import math
 
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = darray(centroids)
     # centroid norms are driver-side constants (same left-to-right
     # double summation as the JVM fold → identical bits — the
     # cosine_topk precedent); norm(v) is LET-BOUND via the
@@ -185,11 +207,8 @@ def ivf_assign(
     # once per centroid (Catalyst does no CSE through lambda bodies —
     # the old form re-ran the interpreted norm fold n_centroids times
     # per row, 3x the arithmetic of the assignment itself).
-    cnorms = F.array(
-        *[
-            F.lit(math.sqrt(sum(float(x) * float(x) for x in c)))
-            for c in centroids
-        ]
+    cnorms = darray(
+        [math.sqrt(sum(float(x) * float(x) for x in c)) for c in centroids]
     )
     v = _as_double(vec_col)
     sims = F.element_at(
@@ -234,7 +253,7 @@ def cosine_topk_ivf(
     # files (plan-asserted in tests).
     assigned = df if "_cid" in df.columns else ivf_assign(df, cents, id_col, vec_col)
     cand = assigned.filter(F.col("_cid").isin(probe))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = darray(query_vec)
     scored = cand.select(
         F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("sim")
     )
@@ -406,17 +425,7 @@ def pq_encode(
     64 floats → 8 bytes at the defaults)."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    books = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cent])
-                    for cent in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
+    books = darray(codebooks)
     subs = _subvectors(vec_col, m, sub_dim)
     # the per-subspace distance list is LET-BOUND (single-element
     # transform idiom) so each (subvector, centroid) L2 computes once —
@@ -463,9 +472,7 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    dlit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in dtable]
-    )
+    dlit = darray(dtable)
     score = F.aggregate(
         F.zip_with(
             dlit,
