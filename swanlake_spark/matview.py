@@ -1214,8 +1214,12 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     # write jobs — a 4-row rollup refresh otherwise rides ~2 s of job
     # floor (SCALE.md r6 table). Beyond the bound, everything takes the
     # distributed path unchanged.
+    # ONE catalog resolution of the view serves the eligibility probe,
+    # the merge's old side, and the schema reads below (each
+    # spark.table call is a ~25 ms analyze round trip)
+    o = spark.table(name)
     try:
-        in_paths = set(spark.table(name).inputFiles())
+        in_paths = set(o.inputFiles())
         for t in tinfo:
             if t["add"]:
                 in_paths.update(
@@ -1268,8 +1272,7 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
     except Exception:
         small = False
 
-    o = spark.table(name)
-    view_fields = spark.table(name).schema.fields
+    view_fields = o.schema.fields
     view_types = {f.name: f.dataType for f in view_fields}
     state_types = (
         {f.name: f.dataType for f in s.schema.fields} if s is not None else {}

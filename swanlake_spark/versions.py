@@ -107,6 +107,31 @@ def _retained_dir(root: str) -> str:
 def _list_data_files(spark: SparkSession, loc: str) -> list[tuple[str, int]]:
     """Recursive (relpath, size) listing of the table's data files,
     skipping ``_``/``.`` names at every level — metadata only, no read."""
+    from swanlake_spark.operators.dml import _local_os_path
+
+    osp = _local_os_path(loc)
+    if osp is not None:
+        # local scheme: one scandir per directory vs ~3 Py4J round
+        # trips per child — this walk runs after every publish that
+        # didn't stash its file list (same fast-path policy as
+        # _read_json/_manifest_paths above)
+        out_l: list[tuple[str, int]] = []
+
+        def walk_os(d: str, rel: str) -> None:
+            try:
+                entries = list(os.scandir(d))
+            except OSError:
+                return
+            for e in entries:
+                if e.name.startswith(("_", ".")):
+                    continue
+                if e.is_dir(follow_symlinks=True):
+                    walk_os(e.path, f"{rel}{e.name}/")
+                else:
+                    out_l.append((rel + e.name, e.stat().st_size))
+
+        walk_os(osp.rstrip("/"), "")
+        return sorted(out_l)
     jvm, fs, base = _fs(spark, loc)
     out: list[tuple[str, int]] = []
     # listStatus renders fully-qualified child paths (file:/...); the
