@@ -117,15 +117,18 @@ def minhash_signature(
     ex = _spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("g")
     )
+    # r12: each agg as ONE F.expr instead of F.min(F.xxhash64(col,
+    # lit)) — the py4j-built form cost ~4 driver round trips per seed
+    # per plan build (~0.5 s of the entry's wall time at 32 hashes);
+    # the SQL text parses JVM-side to the identical expression (same
+    # int-literal seed, same xxhash64).
     aggs = [
-        F.min(F.xxhash64(F.col("g"), F.lit(seed))).alias(f"h{seed}")
+        F.expr(f"min(xxhash64(g, {seed})) AS h{seed}")
         for seed in range(num_hashes)
     ]
     sig = ex.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{seed}") for seed in range(num_hashes)]).alias("sig"),
-    )
+    arr = "array(" + ",".join(f"h{s}" for s in range(num_hashes)) + ")"
+    return sig.select(F.col(id_col), F.expr(arr).alias("sig"))
 
 
 def minhash_signature_rowlocal(
@@ -144,20 +147,15 @@ def minhash_signature_rowlocal(
     sh = df.select(
         F.col(id_col), shingles(text_col, shingle_n).alias("_sh")
     )
-
-    # NB: a two-parameter lambda would be treated by F.transform as
-    # (element, index) — the seed must be captured in a closure, not a
-    # default argument.
-    def _hash_with(seed: int):
-        return lambda g: F.xxhash64(g, F.lit(seed))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), _hash_with(seed)))
-            for seed in range(num_hashes)
-        ]
-    )
-    return sh.select(F.col(id_col), sig.alias("sig"))
+    # one F.expr for the whole signature array (r12: the per-seed
+    # F.array_min(F.transform(...)) chain cost ~8 driver round trips
+    # per seed per plan build); values identical — same per-seed
+    # transform + array_min, int-literal seeds.
+    sig = "array(" + ",".join(
+        f"array_min(transform(_sh, g -> xxhash64(g, {seed})))"
+        for seed in range(num_hashes)
+    ) + ")"
+    return sh.select(F.col(id_col), F.expr(sig).alias("sig"))
 
 
 def band_hashes(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
