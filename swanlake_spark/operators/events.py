@@ -170,12 +170,21 @@ def funnel(
         F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(steps))
     ]
     counts = reached.agg(*aggs).collect()[0]
-    rows = [
-        (i + 1, steps[i], int(counts[f"_n{i}"])) for i in range(len(steps))
-    ]
     spark = df.sparkSession
-    return spark.createDataFrame(
-        rows, "step_index int, step string, users bigint"
+    # JVM-side VALUES relation (r12): createDataFrame(list) backs the
+    # result with a Python RDD, so every downstream action pays Python
+    # worker startup (~1 s on the bench host) for a steps-sized frame.
+    vals = ",".join(
+        "({}, '{}', {}L)".format(
+            i + 1,
+            steps[i].replace("\\", "\\\\").replace("'", "\\'"),
+            int(counts[f"_n{i}"]),
+        )
+        for i in range(len(steps))
+    )
+    return spark.sql(
+        f"SELECT CAST(step_index AS INT) AS step_index, step, users "
+        f"FROM (VALUES {vals}) AS t(step_index, step, users)"
     )
 
 
