@@ -60,16 +60,28 @@ def count_min(
     builds need no special merge path because the groupBy already IS
     the merge."""
     item = (F.col(col) if isinstance(col, str) else col).cast("string")
-    pair = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("i"), _bucket(item, i, w).alias("b")
-                )
+    if isinstance(col, str):
+        # one F.expr per plan build (r12) — the per-row-hash py4j
+        # construction cost ~0.7 s of driver time per build; the SQL
+        # text parses to the identical explode/struct/pmod expression
+        pair = F.expr(
+            "explode(array(" + ",".join(
+                f"named_struct('i', {i}, 'b', CAST(pmod(xxhash64("
+                f"CAST(`{col}` AS STRING), {i}), {w}) AS INT))"
                 for i in range(d)
-            ]
-        )
-    ).alias("p")
+            ) + "))"
+        ).alias("p")
+    else:
+        pair = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _bucket(item, i, w).alias("b")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p")
     cells = (
         df.where(item.isNotNull())
         .select(pair)
@@ -86,28 +98,41 @@ def densify(cells: DataFrame, w: int) -> DataFrame:
     above and the streaming sink (streaming/sketch.py), whose
     cross-batch merged cells densify without any driver collect."""
     dense = cells.groupBy("i").agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("b", "cnt")))
+        F.expr(
+            "map_from_entries(sort_array(collect_list(struct(b, cnt))))"
         ).alias("m")
     )
     dense = dense.select(
         "i",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(w - 1)),
-            lambda x: F.coalesce(F.try_element_at("m", x), F.lit(0)),
+        F.expr(
+            f"transform(sequence(0, {w - 1}), "
+            "x -> coalesce(try_element_at(m, x), 0))"
         ).alias("arr"),
     )
     return dense.groupBy().agg(
-        F.map_from_entries(F.collect_list(F.struct("i", "arr"))).alias(
+        F.expr("map_from_entries(collect_list(struct(i, arr)))").alias(
             "cms"
         )
     )
 
 
-def cm_estimate(cms: Column, item: Column, d: int, w: int) -> Column:
+def cm_estimate(
+    cms: Column | str, item: Column | str, d: int, w: int
+) -> Column:
     """Min over the d row estimates — the count-min upper bound on the
-    item's true count (d map probes + O(1) array reads per row)."""
-    item = item.cast("string")
+    item's true count (d map probes + O(1) array reads per row).
+    String arguments take the one-round-trip F.expr path (r12); Column
+    arguments keep the composable py4j form."""
+    if isinstance(cms, str) and isinstance(item, str):
+        probes = ",".join(
+            f"coalesce(try_element_at(try_element_at(`{cms}`, {i}), "
+            f"CAST(pmod(xxhash64(CAST(`{item}` AS STRING), {i}), {w}) "
+            f"AS INT) + 1), 0)"
+            for i in range(d)
+        )
+        return F.expr(f"least({probes})")
+    cms = F.col(cms) if isinstance(cms, str) else cms
+    item = (F.col(item) if isinstance(item, str) else item).cast("string")
     return F.least(
         *[
             F.coalesce(
@@ -139,7 +164,7 @@ def heavy_hitters(
         df.select(item.alias("value"))
         .where(F.col("value").isNotNull())
         .crossJoin(cms)
-        .where(cm_estimate(F.col("cms"), F.col("value"), d, w) >= threshold)
+        .where(cm_estimate("cms", "value", d, w) >= threshold)
     )
     return (
         survivors.groupBy("value")

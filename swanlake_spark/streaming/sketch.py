@@ -263,9 +263,7 @@ def heavy_hitters_stream(
             cand_vals.crossJoin(F.broadcast(cms_row))
             .select(
                 "value",
-                sketch.cm_estimate(F.col("cms"), F.col("value"), d, w).alias(
-                    "est"
-                ),
+                sketch.cm_estimate("cms", "value", d, w).alias("est"),
             )
             .where(F.col("est") >= threshold)
         )
