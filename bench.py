@@ -180,7 +180,7 @@ def build_suite(spark) -> dict:
                 "l_returnflag",
                 *[
                     sketch.hist_quantile(
-                        F.col("counts"), F.col("lo"), F.col("hi"), q
+                        "counts", "lo", "hi", q
                     ).alias(f"q{int(q * 100)}")
                     for q in (0.5, 0.9, 0.99)
                 ],

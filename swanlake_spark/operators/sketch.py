@@ -453,17 +453,71 @@ def hist_merge(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x + y)
 
 
+def _hq_operand(v) -> str:
+    """Render a hist_quantile operand as SQL text: a column name
+    backticked, a number as a double literal."""
+    if isinstance(v, str):
+        return f"`{v}`"
+    return repr(float(v)) + "D"
+
+
 def hist_quantile(
-    counts: Column, lo: Column | float, hi: Column | float, q: float
+    counts: Column | str,
+    lo: Column | float | str,
+    hi: Column | float | str,
+    q: float,
 ) -> Column:
     """Quantile estimate from a histogram sketch: walk the CDF to the
     q·total rank, interpolate linearly inside the crossing bin. Value
     error ≤ one bin width by construction. ``q`` in [0, 1].
 
-    Implementation note: the rank target is let-bound via a 1-element
-    ``transform`` so the CDF walk computes it once — Catalyst does no
-    CSE through lambda bodies (an inlined aggregate would re-sum the
-    array per step, an O(B²) trap)."""
+    Implementation note: the rank target AND the CDF-walk struct are
+    let-bound via 1-element ``transform``s so each computes once —
+    Catalyst does no CSE through lambda bodies (an inlined aggregate
+    would re-sum the array per step/reference, an O(B²) trap). With a
+    string/number operand set the whole expression renders as ONE SQL
+    string (r12: the py4j-built form cost ~0.2 s of driver time per
+    call AND re-evaluated the walk aggregate once per reference —
+    4× per row — because lambda bodies skip codegen subexpression
+    elimination); Column operands keep the composable py4j form."""
+    if isinstance(counts, str) and not isinstance(lo, Column) and not isinstance(hi, Column):
+        c, lo_s, hi_s = f"`{counts}`", _hq_operand(lo), _hq_operand(hi)
+        width = f"(({hi_s} - {lo_s}) / size({c}))"
+        target = (
+            f"greatest({repr(float(q))}D * CAST(aggregate({c}, "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS DOUBLE), 1.0D)"
+        )
+        init = (
+            "named_struct('cum', 0.0D, 'i', 0, 'fi', -1, "
+            "'fcum', 0.0D, 'fcnt', 0.0D)"
+        )
+        step = (
+            "(acc, x) -> named_struct("
+            "'cum', acc.cum + x, "
+            "'i', acc.i + 1, "
+            "'fi', CASE WHEN acc.fi < 0 AND (acc.cum + x) >= t "
+            "THEN acc.i ELSE acc.fi END, "
+            "'fcum', CASE WHEN acc.fi < 0 AND (acc.cum + x) >= t "
+            "THEN acc.cum ELSE acc.fcum END, "
+            "'fcnt', CASE WHEN acc.fi < 0 AND (acc.cum + x) >= t "
+            "THEN CAST(x AS DOUBLE) ELSE acc.fcnt END)"
+        )
+        frac = (
+            "CASE WHEN w.fcnt > 0.0D THEN (t - w.fcum) / w.fcnt "
+            "ELSE 0.0D END"
+        )
+        body = (
+            f"CASE WHEN w.fi < 0 THEN {hi_s} "
+            f"ELSE {lo_s} + {width} * (CAST(w.fi AS DOUBLE) + {frac}) END"
+        )
+        return F.expr(
+            "try_element_at(transform(array("
+            + target
+            + "), t -> try_element_at(transform(array("
+            + f"aggregate({c}, {init}, {step})"
+            + f"), w -> {body}), 1)), 1)"
+        )
+    counts = F.col(counts) if isinstance(counts, str) else counts
     lo = F.lit(lo) if not isinstance(lo, Column) else lo
     hi = F.lit(hi) if not isinstance(hi, Column) else hi
     nbins = F.size(counts)

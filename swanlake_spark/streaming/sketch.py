@@ -452,6 +452,6 @@ def read_histogram(
     for q in quantiles or []:
         df = df.withColumn(
             f"q_{int(round(q * 100))}",
-            sketch.hist_quantile(F.col("counts"), F.col("lo"), F.col("hi"), q),
+            sketch.hist_quantile("counts", "lo", "hi", q),
         )
     return df
