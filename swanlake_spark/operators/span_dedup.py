@@ -69,33 +69,27 @@ def _windows(df: DataFrame, min_tokens: int, id_col: str, text_col: str):
     from swanlake_spark.operators.dedup import _spread
 
     df = _spread(df)
-    toks = tokens(text_col)
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _per_doc(arr):
-        # ``arr`` is a LAMBDA VARIABLE bound to the token-hash array —
-        # the let-binding below evaluates ``th`` exactly once per doc.
-        # Referencing ``th`` directly inside the window lambda would
-        # re-evaluate the whole token-hash transform for EVERY window
-        # (Catalyst does no CSE through lambda chains): measured 50 s
-        # vs 0.3 s on a 20k-token doc — quadratic in doc length, on
-        # exactly the boilerplate-heavy docs span dedup exists for.
-        m = F.size(arr)
-        # guard: sequence(1, m-L+1) COUNTS DOWN when the doc is shorter
-        # than one window (Spark auto-negates the step) — short docs
-        # have zero windows, not a descending index walk
-        return F.when(
-            m >= F.lit(min_tokens),
-            F.transform(
-                F.sequence(F.lit(1), m - F.lit(min_tokens - 1)),
-                lambda i: F.xxhash64(F.slice(arr, i, min_tokens)),
-            ),
-        ).otherwise(F.array().cast("array<long>"))
-
-    # "let th in ..." via a single-element transform: F.array(th)
-    # materializes the hashes once; the inner lambdas see the bound
-    # array, never the unevaluated expression tree
-    win_hash = F.flatten(F.transform(F.array(th), _per_doc))
+    # One F.expr for the whole window-hash chain (r12: the py4j-built
+    # lambda nest cost ~0.14 s of driver time per plan build). The
+    # structure is UNCHANGED from the py4j form, preserving two hard-won
+    # properties documented in earlier rounds:
+    # - the token-hash array is LET-BOUND via a single-element
+    #   transform so it evaluates once per doc — referencing the
+    #   tokenize chain inside the window lambda re-evaluates it per
+    #   window (no CSE through lambda bodies; measured 50 s vs 0.3 s
+    #   on a 20k-token doc);
+    # - short docs yield an EMPTY array, not a descending
+    #   sequence(1, m-L+1) walk (Spark auto-negates the step).
+    L = int(min_tokens)
+    win_hash = F.expr(
+        "flatten(transform(array(transform(split(trim(`"
+        + text_col
+        + "`), '\\\\s+'), t -> xxhash64(t))), arr -> "
+        f"CASE WHEN size(arr) >= {L} "
+        f"THEN transform(sequence(1, size(arr) - {L - 1}), "
+        f"i -> xxhash64(slice(arr, i, {L}))) "
+        "ELSE CAST(array() AS array<bigint>) END))"
+    )
     # posexplode the INLINE expression in one select: aliasing the
     # array into a column and exploding the alias in a second select
     # measured 17x slower at sf1 (Catalyst pushes a size>0 filter that
@@ -109,13 +103,36 @@ def _windows(df: DataFrame, min_tokens: int, id_col: str, text_col: str):
     )
 
 
+def _merged_spans_sql(ss: str, min_tokens: int) -> str:
+    """:func:`_merged_spans` rendered as SQL text over the array
+    expression ``ss`` — one parse round trip instead of the ~30 py4j
+    calls the Column form costs per plan build (r12). Same fold, same
+    types; try_element_at because plain element_at raises under the
+    engine's ANSI mode even inside the unmatched branch's condition."""
+    L = int(min_tokens)
+    last = "try_element_at(acc, -1)"
+    return (
+        f"aggregate({ss}, "
+        "CAST(array() AS array<struct<s:bigint,e:bigint>>), "
+        f"(acc, s) -> CASE WHEN {last} IS NOT NULL AND s <= {last}.e "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(named_struct('s', {last}.s, "
+        f"'e', CAST(s + {L} AS BIGINT)))) "
+        f"ELSE concat(acc, array(named_struct('s', CAST(s AS BIGINT), "
+        f"'e', CAST(s + {L} AS BIGINT)))) END)"
+    )
+
+
 def _merged_spans(ss, min_tokens: int):
     """Fold a SORTED array of duplicated window starts into maximal
     ``[start, end)`` spans: starts s1 <= s2 coalesce when s2 <=
     prev_end (windows overlap or touch — a repeated passage of K
     tokens yields K-min_tokens+1 windows that fold into one span).
     Fold state: array of ``struct<s,e>`` pairs, bounded by the doc's
-    own token count."""
+    own token count. ``ss`` is a column NAME (rendered as one SQL
+    expression) or a Column (py4j form kept for composability)."""
+    if isinstance(ss, str):
+        return F.expr(_merged_spans_sql(f"`{ss}`", min_tokens))
     L = F.lit(min_tokens)
     init = F.array().cast("array<struct<s:long,e:long>>")
 
@@ -179,7 +196,7 @@ def duplicate_spans(
         .agg(F.sort_array(F.collect_list("_pos")).alias("_ss"))
     )
     spans = starts.select(
-        "_id", _merged_spans(F.col("_ss"), min_tokens).alias("_spans")
+        "_id", _merged_spans("_ss", min_tokens).alias("_spans")
     )
     return (
         spans.select("_id", F.explode("_spans").alias("_sp"))
@@ -214,38 +231,22 @@ def _strip_starts(
     )
     joined = base.join(starts, "_id", "left")
 
-    def _rebuild(spans):
-        # ``spans`` is let-bound (see _windows) so the merge fold runs
-        # once per doc even though two expressions below reference it
-        T = F.size("_toks")
-        keep_from = F.concat(
-            F.array(F.lit(0).cast("long")),
-            F.transform(spans, lambda p: p["e"]),
-        )
-        keep_to = F.concat(
-            F.transform(spans, lambda p: p["s"]),
-            F.array(T.cast("long")),
-        )
-        return F.zip_with(
-            keep_from,
-            keep_to,
-            # spans are sorted+disjoint with e_i <= s_{i+1} and
-            # e_K <= T, so every complement length is >= 0; slice
-            # is 1-based, zero-length slices yield empty arrays
-            lambda a, b: F.slice(
-                F.col("_toks"), (a + 1).cast("int"), (b - a).cast("int")
-            ),
-        )
-
-    kept = F.when(F.col("_ss").isNull(), F.col("_toks")).otherwise(
-        F.flatten(
-            F.flatten(
-                F.transform(
-                    F.array(_merged_spans(F.col("_ss"), min_tokens)),
-                    _rebuild,
-                )
-            )
-        )
+    # One F.expr for the whole rebuild (r12: the py4j lambda nest cost
+    # ~0.23 s of driver time per plan build). Structure unchanged: the
+    # merged span array is let-bound via a single-element transform so
+    # the fold runs once per doc; spans are sorted+disjoint with
+    # e_i <= s_{i+1} and e_K <= T, so every complement length is >= 0
+    # (slice is 1-based; zero-length slices yield empty arrays).
+    merged = _merged_spans_sql("`_ss`", min_tokens)
+    kept = F.expr(
+        "CASE WHEN `_ss` IS NULL THEN `_toks` ELSE "
+        f"flatten(flatten(transform(array({merged}), spans -> "
+        "zip_with("
+        "concat(array(CAST(0 AS BIGINT)), transform(spans, p -> p.e)), "
+        "concat(transform(spans, p -> p.s), "
+        "array(CAST(size(`_toks`) AS BIGINT))), "
+        "(a, b) -> slice(`_toks`, CAST(a + 1 AS INT), "
+        "CAST(b - a AS INT)))))) END"
     )
     return joined.select(
         F.col("_row")[id_col].alias(id_col),
