@@ -247,6 +247,17 @@ def _bench_suite(spark):
             F.count("*").alias("docs"), F.sum("n_tokens").alias("toks")
         )
 
+    def pq_search(spark, sf_dir):
+        # mirrors bench._PqSearch: codebooks train outside the plan
+        # (an index build), the captured plan is the ADC search
+        ensure_tables(spark, sf_dir)
+        emb = spark.table("embeddings")
+        books = similarity.pq_codebooks(emb, m=8, k=16, dim=64)
+        query = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        coded = similarity.pq_encode(emb, books)
+        return similarity.pq_topk(coded, query, books, k=10)
+
+    suite["sim_pq_adc_topk"] = _E(pq_search)
     suite["dedup_embedding_lsh"] = _E(emb_dedup)
     suite["sketch_kmv_overlap"] = _E(kmv_overlap)
     suite["sketch_hist_quantile"] = _E(hist_quantile)
