@@ -272,24 +272,40 @@ def minhash_dedup_pairs(
     moves two shingle arrays per CANDIDATE (LSH output, tiny), not per
     document."""
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sig, id_col, bands)
+    # the candidate set is bounded (LSH output); pin it executor-local
+    # so the two consumers below (legs broadcast + candidate-doc
+    # prune) run the signature/banding DAG once, not twice
+    cand = lsh_candidate_pairs(sig, id_col, bands).localCheckpoint(
+        eager=False
+    )
     legs = cand.select(
         "a",
         "b",
         F.explode(F.array(F.col("a"), F.col("b"))).alias("_d"),
     )
-    # r12: shingle AFTER the leg join, not before — the former
-    # corpus-wide (id, shingles) projection sat below the broadcast
-    # join in the plan, so the whole corpus was tokenized and shingled
-    # a SECOND time just to verify an LSH-output-sized candidate set.
-    # Joining the raw (id, text) rows with the legs first bounds the
-    # verify shingle pass by the candidate count (same shingle math,
-    # identical values; at scale, verify cost tracks candidates — the
-    # LSH output — not the corpus).
-    src = df.select(F.col(id_col), F.col(text_col))
+    # r12: shingle ONCE PER CANDIDATE DOC — the corpus prunes to docs
+    # that appear in ≥1 candidate (broadcast semi-join), each such doc
+    # shingles exactly once, and the leg join then fans out the
+    # COMPUTED arrays (a row-copy, not a re-shingle). The two shapes
+    # this replaces both fail a regime: the pre-r12 corpus-wide
+    # (id, shingles) projection re-shingled every document (even with
+    # zero candidates); the first r12 cut (shingle after the leg join)
+    # re-shingled once PER LEG, which on a clone-heavy corpus — the
+    # sf1 ladder's 10× replicated docs, ~90 legs/doc — measured
+    # 64.6 s vs the corpus-wide shape's 16.9 s. This shape is ≤ both
+    # everywhere: verify shingle work = candidate DOCS, shuffle = two
+    # arrays per pair (unchanged). Same shingle math, identical
+    # values (bit-exact oracle rows re-checked).
+    # _spread: the per-doc shingle pass is CPU-bound and a single-file
+    # source would run it on one core (the _windows precedent)
+    src = _spread(df).select(F.col(id_col), F.col(text_col))
+    cand_docs = legs.select(F.col("_d").alias(id_col)).distinct()
+    sh_tbl = src.join(F.broadcast(cand_docs), id_col, "leftsemi").select(
+        F.col(id_col).alias("_sid"),
+        shingles(text_col, shingle_n).alias("sh"),
+    )
     per_pair = (
-        src.join(F.broadcast(legs), legs["_d"] == src[id_col])
-        .withColumn("sh", shingles(text_col, shingle_n))
+        sh_tbl.join(F.broadcast(legs), F.col("_d") == F.col("_sid"))
         .groupBy("a", "b")
         .agg(
             F.first(F.when(F.col("_d") == F.col("a"), F.col("sh")), True).alias(
@@ -414,21 +430,26 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    # r12: tokenize AFTER the candidate-leg join (the minhash verify
-    # shape) — the former (id, tokens) projection fed two separate
-    # joins, each re-tokenizing the WHOLE corpus to verify a
-    # candidate-sized pair set. One broadcast leg join + groupBy(a, b)
-    # reassembles the pair; the token pass is bounded by the candidate
-    # count. Same token math, identical values.
+    # r12: tokenize ONCE PER CANDIDATE DOC (the minhash verify shape —
+    # see minhash_dedup_pairs for the regime analysis): corpus pruned
+    # to candidate docs by a broadcast semi-join, each doc tokenizes
+    # once, the leg join fans out the computed arrays. The candidate
+    # set is pinned so the inverted-index join runs once for both
+    # consumers. Same token math, identical values.
+    cand = cand.localCheckpoint(eager=False)
     legs = cand.select(
         "a",
         "b",
         F.explode(F.array(F.col("a"), F.col("b"))).alias("_d"),
     )
-    src = df.select(F.col(id_col), F.col(text_col))
+    src = _spread(df).select(F.col(id_col), F.col(text_col))
+    cand_docs = legs.select(F.col("_d").alias(id_col)).distinct()
+    tok_tbl = src.join(F.broadcast(cand_docs), id_col, "leftsemi").select(
+        F.col(id_col).alias("_sid"),
+        F.array_distinct(tokens(text_col)).alias("t"),
+    )
     per_pair = (
-        src.join(F.broadcast(legs), legs["_d"] == src[id_col])
-        .withColumn("t", F.array_distinct(tokens(text_col)))
+        tok_tbl.join(F.broadcast(legs), F.col("_d") == F.col("_sid"))
         .groupBy("a", "b")
         .agg(
             F.first(F.when(F.col("_d") == F.col("a"), F.col("t")), True).alias(

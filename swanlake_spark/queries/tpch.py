@@ -737,69 +737,16 @@ _tpch(
 
 # Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self joins);
 # l_receiptdate/commitdate approximated by l_shipdate comparisons.
-# r12: the Spark side replaces BOTH correlated self-joins with
-# per-order aggregates. The original plan shuffled the full lineitem
-# table twice more (a left-semi leg for EXISTS and a left-anti leg for
-# NOT EXISTS — fact⋈fact self-joins at any scale); now `ls` reduces
-# lineitem to per-(order, supplier) ship maxima once (map-side
-# combined), `og` folds those into per-order quantities:
-#   n_supp  — distinct suppliers in the order (EXISTS ⟺ n_supp ≥ 2),
-#   mx      — latest shipdate in the order,
-#   cnt_mx  — suppliers whose own max hits mx,
-#   mx2     — latest supplier-max strictly below mx
-# (the collect_list in `og` holds per-SUPPLIER maxima of one order —
-# bounded by the order's line count, ≤ 7 in TPC-H, never corpus-sized),
-# and `l1f` takes the supplier's own max as a window over the FILTERED
-# side — valid because the NATION_0/status-F filters are order- and
-# supplier-level, so every lineitem row of a qualifying (order,
-# supplier) pair survives the filter. For an l1 row of supplier s with
-# date d, "no OTHER supplier shipped later" ⟺ d ≥ (mx if s is not the
-# unique latest supplier else mx2): if s's own max < mx another
-# supplier ships at mx > d; if several suppliers tie at mx the
-# threshold stays mx (d must equal it); if s uniquely holds mx the
-# other suppliers' latest is mx2. Strictness of l3.l_shipdate >
-# l1.l_shipdate maps to d >= threshold. NULL edge: mx2 is NULL only
-# when every supplier ties at mx (then cnt_mx ≥ 2 routes to mx) or
-# n_supp = 1 (dropped by n_supp ≥ 2). Measured flat at sf0.1 (0.73 vs
-# 0.70-0.77 s isolated) with two fewer full-lineitem shuffles — the
-# 100 TB shape win. A chained-window variant (per-order analytics over
-# `ls`) measured 1.0-1.4 s — the two 550k-row window sorts cost more
-# than the saved scans — and was rejected. DuckDB oracle keeps the
-# EXISTS/NOT-EXISTS form as cross-check.
+# r12: the per-order-aggregate rewrite (both correlated self-joins
+# folded into per-(order,supplier) ship maxima) was adopted mid-round
+# on a flat sf0.1 A/B, then REVERTED after the sf1 scale ladder
+# measured it 2.2x SLOWER (9.7 s vs 4.4 s isolated, same host): the
+# collect_list/og aggregation and the extra l1f window shuffle cost
+# more at 10x data than the two lineitem semi/anti legs they replaced
+# (which broadcast/AQE handle well on the filtered side). The
+# correlated form below is the shape that scales.
 _tpch(
     21,
-    """
-    WITH ls AS (
-      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
-      FROM lineitem GROUP BY l_orderkey, l_suppkey
-    ), og AS (
-      SELECT l_orderkey, n_supp, mx,
-             size(filter(arr, x -> x = mx)) AS cnt_mx,
-             try_element_at(filter(arr, x -> x < mx), 1) AS mx2
-      FROM (
-        SELECT l_orderkey, count(*) AS n_supp, max(smax) AS mx,
-               reverse(array_sort(collect_list(smax))) AS arr
-        FROM ls GROUP BY l_orderkey
-      ) g
-    ), l1f AS (
-      SELECT s_name, l1.l_orderkey, l1.l_suppkey, l1.l_shipdate,
-             max(l1.l_shipdate) OVER (
-               PARTITION BY l1.l_orderkey, l1.l_suppkey
-             ) AS smax_s
-      FROM supplier
-      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-      JOIN orders   ON o_orderkey = l1.l_orderkey
-      JOIN nation   ON s_nationkey = n_nationkey
-      WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
-    )
-    SELECT s_name, count(*) AS numwait
-    FROM l1f JOIN og ON og.l_orderkey = l1f.l_orderkey
-    WHERE n_supp >= 2
-      AND l_shipdate >=
-            CASE WHEN smax_s < mx OR cnt_mx >= 2 THEN mx ELSE mx2 END
-    GROUP BY s_name ORDER BY numwait DESC, s_name
-    LIMIT 100
-    """,
     """
     SELECT s_name, count(*) AS numwait
     FROM supplier
