@@ -47,36 +47,66 @@ def bpe_ish_token_count(text_col: str | Column = "text") -> Column:
     ).cast("int")
 
 
+def _bq(col: str) -> str:
+    """Backtick-quote a column name for SQL-text interpolation."""
+    return "`" + col.replace("`", "``") + "`"
+
+
+# SQL-text fragments for the quality battery (r12: the py4j-built
+# column trees cost ~0.21 s of driver time per quality_score plan
+# build — ~80 expression-node round trips, mostly the stopword-filter
+# lambdas and the 10-element literal array; each fragment below is ONE
+# F.expr parse JVM-side). The EXPRESSIONS are unchanged: same operator
+# tree, and every double literal carries the D suffix so it parses as
+# DOUBLE exactly like the former Python-float lits (a bare `64.0` in
+# SQL text is DECIMAL(3,1) — decimal division would silently change
+# the math). Verified bit-for-bit (struct.pack doubles) against the
+# py4j form before adoption.
+_SW_EN_SQL = "array(" + ",".join("'%s'" % w for w in STOPWORDS["en"]) + ")"
+
+
+def _tok_sql(cq: str) -> str:
+    """SQL text of ``tokens()`` over an already-quoted column."""
+    return "split(trim(%s), '\\\\s+')" % cq
+
+
+def _stop_cnt_sql(cq: str) -> str:
+    """SQL text of the English-stopword hit count."""
+    return "size(filter(%s, w -> array_contains(%s, lower(w))))" % (
+        _tok_sql(cq),
+        _SW_EN_SQL,
+    )
+
+
+def _feature_exprs(text_col: str) -> dict:
+    """The five quality-feature expressions, in append order (dict
+    insertion order IS the column order ``withColumns`` appends in,
+    matching the former withColumn chain)."""
+    c = _bq(text_col)
+    t = _tok_sql(c)
+    return {
+        "n_chars_q": F.expr("CAST(length(%s) AS INT)" % c),
+        "n_tokens": F.expr("CAST(size(%s) AS INT)" % t),
+        "avg_token_len": F.expr(
+            "round((length(%s) - size(%s) + 1) / size(%s), 4)" % (c, t, t)
+        ),
+        "alpha_ratio": F.expr(
+            "round(length(regexp_replace(%s, '[^A-Za-z]', ''))"
+            " / length(%s), 4)" % (c, c)
+        ),
+        "stopword_ratio": F.expr(
+            "round(%s / size(%s), 4)" % (_stop_cnt_sql(c), t)
+        ),
+    }
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append quality-signal columns: n_chars_q, n_tokens, avg_token_len,
     alpha_ratio, space_ratio, stopword_ratio."""
-    t = tokens(text_col)
-    c = F.col(text_col)
-    n_chars = F.length(c)
-    n_tokens = F.size(t)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    return (
-        df.withColumn("n_chars_q", n_chars.cast("int"))
-        .withColumn("n_tokens", n_tokens.cast("int"))
-        .withColumn(
-            "avg_token_len",
-            F.round((n_chars - n_tokens + 1) / n_tokens, 4),
-        )
-        .withColumn(
-            "alpha_ratio",
-            F.round(
-                F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / n_chars, 4
-            ),
-        )
-        .withColumn(
-            "stopword_ratio",
-            F.round(
-                F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
-                / n_tokens,
-                4,
-            ),
-        )
-    )
+    # one withColumns projection: a 5-deep withColumn chain measured
+    # ~64 ms of driver time vs ~21 ms for the single call (same
+    # replace-if-exists semantics, same append order)
+    return df.withColumns(_feature_exprs(text_col))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,49 +116,65 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     Computed from *unrounded* ratios — combining pre-rounded 4-decimal
     features through the 0.4/0.3 weights lands exactly on decimal half
     boundaries, where engines' rounding modes diverge."""
-    out = quality_features(df, text_col)
-    t = tokens(text_col)
-    c = F.col(text_col)
-    n_tokens = F.size(t)
-    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    alpha_raw = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.length(c)
-    stop_raw = (
-        F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w)))) / n_tokens
+    c = _bq(text_col)
+    t = _tok_sql(c)
+    alpha_raw = (
+        "(length(regexp_replace(%s, '[^A-Za-z]', '')) / length(%s))" % (c, c)
     )
-    length_term = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    stop_raw = "(%s / size(%s))" % (_stop_cnt_sql(c), t)
     score = (
-        0.4 * length_term
-        + 0.3 * alpha_raw
-        + 0.3 * F.least(stop_raw * 4, F.lit(1.0))
+        "(0.4D * least(size(%s) / 64.0D, 1.0D)"
+        " + 0.3D * %s"
+        " + 0.3D * least(%s * 4, 1.0D))" % (t, alpha_raw, stop_raw)
     )
     # floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): the weighted blend
     # can land within 1 ulp of a decimal half-boundary, where engines'
     # round() implementations diverge; floor of identical IEEE doubles
-    # cannot (score >= 0, so this IS half-up).
-    return out.withColumn(
-        "quality", F.floor(score * 10000 + 0.5).cast("double") / 10000.0
+    # cannot (score >= 0, so this IS half-up). `quality` references only
+    # the RAW ratios, never the rounded feature columns, so folding all
+    # six into one withColumns projection is column-for-column identical
+    # to quality_features(...).withColumn("quality", ...).
+    exprs = _feature_exprs(text_col)
+    exprs["quality"] = F.expr(
+        "CAST(floor(%s * 10000 + 0.5D) AS DOUBLE) / 10000.0D" % score
     )
+    return df.withColumns(exprs)
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cheap language ID: per-language stopword hit-rate; argmax wins,
     'und' (undetermined) if the best rate is below 2%."""
-    t = tokens(text_col)
-    out = df
+    # r12: SQL-text build (was ~0.19 s of driver time per plan — four
+    # stopword-filter lambda trees through py4j). Expressions unchanged:
+    # the four _sc_ rate columns land in one withColumns projection,
+    # pred_lang references them from a second (withColumns entries
+    # cannot see each other), and the nested CASE keeps the same
+    # first-language-in-dict-order tie-break the when() fold produced.
+    c = _bq(text_col)
+    t = _tok_sql(c)
+    rates = {}
     for lang, words in STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        out = out.withColumn(
-            f"_sc_{lang}",
-            F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
-            / F.size(t),
+        arr = "array(" + ",".join("'%s'" % w for w in words) + ")"
+        rates[f"_sc_{lang}"] = F.expr(
+            "size(filter(%s, w -> array_contains(%s, lower(w))))"
+            " / size(%s)" % (t, arr, t)
         )
-    best = F.greatest(*[F.col(f"_sc_{lang}") for lang in STOPWORDS])
-    pred = F.lit("und")
+    out = df.withColumns(rates)
+    best = "greatest(%s)" % ",".join(f"`_sc_{la}`" for la in STOPWORDS)
+    pred = "'und'"
     # deterministic tie-break: first language (in dict order) achieving max
     for lang in reversed(list(STOPWORDS)):
-        pred = F.when(F.col(f"_sc_{lang}") == best, F.lit(lang)).otherwise(pred)
+        pred = "CASE WHEN `_sc_%s` = %s THEN '%s' ELSE %s END" % (
+            lang,
+            best,
+            lang,
+            pred,
+        )
     out = out.withColumn(
-        "pred_lang", F.when(best >= 0.02, pred).otherwise(F.lit("und"))
+        "pred_lang",
+        F.expr(
+            "CASE WHEN %s >= 0.02D THEN %s ELSE 'und' END" % (best, pred)
+        ),
     )
     return out.drop(*[f"_sc_{lang}" for lang in STOPWORDS])
 

@@ -185,6 +185,68 @@ class TestText:
         assert fps[0] == fps[1]
         assert len(fps[0]) == 16
 
+    def test_quality_sql_text_matches_column_api_bitwise(self, spark):
+        """The r12 SQL-text builds of quality_score/language_id must be
+        bit-identical to the Column-API expressions they replaced — the
+        double literals in the SQL text carry the D suffix, because a
+        bare `64.0` parses as DECIMAL(3,1) and decimal division would
+        silently move values computed near rounding boundaries."""
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from swanlake_spark.operators.text import STOPWORDS, tokens
+
+        docs = [
+            (1, "the quick brown fox jumps over a lazy dog of it"),
+            (2, "the of and to in is that it for a " * 7),  # ~70 tokens
+            (3, "word " * 63 + "the"),  # 64 tokens, length_term boundary
+            (4, "zzz"),
+            (5, None),
+            (6, "der hund und die katze das ist ein von mit für"),
+            (7, "the der el le"),  # 4-way language tie
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        t = tokens("text")
+        c = F.col("text")
+        sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+        alpha_raw = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / F.length(c)
+        stop_raw = (
+            F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
+            / F.size(t)
+        )
+        score = (
+            0.4 * F.least(F.size(t) / F.lit(64.0), F.lit(1.0))
+            + 0.3 * alpha_raw
+            + 0.3 * F.least(stop_raw * 4, F.lit(1.0))
+        )
+        ref_quality = F.floor(score * 10000 + 0.5).cast("double") / 10000.0
+        got = {
+            r.doc_id: r.quality
+            for r in text.quality_score(df).select("doc_id", "quality").collect()
+        }
+        want = {
+            r.doc_id: r.q
+            for r in df.select("doc_id", ref_quality.alias("q")).collect()
+        }
+        for k in want:
+            a, b = want[k], got[k]
+            if a is None or b is None:
+                assert a is b, (k, a, b)
+            else:
+                assert struct.pack("<d", a) == struct.pack("<d", b), (k, a, b)
+
+        # language_id: argmax + dict-order tie-break + 2% floor unchanged
+        rows = {
+            r.doc_id: r.pred_lang for r in text.language_id(df).collect()
+        }
+        assert rows[1] == "en"
+        assert rows[6] == "de"
+        assert rows[4] == "und"
+        assert rows[5] == "und"
+        assert rows[7] == "en"  # tie resolves to first language in dict order
+
 
 class TestMultimodal:
     def test_synthesize_and_decode_real_headers(self, spark):
