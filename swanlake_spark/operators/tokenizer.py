@@ -61,22 +61,36 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _char_symbols(word_col) -> "F.Column":
+def _char_symbols_sql(col_name: str) -> str:
+    """word → [c1, c2, ..., cn, </w>] as SQL text (same expression the
+    former Column-API form built — split/filter/concat — rendered as
+    one string so plan construction is one py4j round trip, the r12
+    pattern; END contains no SQL specials)."""
+    return (
+        f"concat(filter(split(`{col_name}`, ''), c -> c != ''), "
+        f"array('{END}'))"
+    )
+
+
+def _char_symbols(word_col_name: str) -> "F.Column":
     """word → [c1, c2, ..., cn, </w>]"""
-    chars = F.filter(
-        F.split(word_col, ""), lambda c: c != F.lit("")
-    )
-    return F.concat(chars, F.array(F.lit(END)))
+    return F.expr(_char_symbols_sql(word_col_name))
 
 
-def _adjacent_pairs(syms) -> "F.Column":
+# [(s_i, s_i+1)] structs for counting — zip of the array with its own
+# tail (both slices are length n-1, so zip_with pads nothing). Field
+# names pinned with named_struct, identical to the former
+# struct(a AS a, b AS b) Column form.
+_ADJ_PAIRS_SQL = (
+    "zip_with(slice({c}, 1, size({c}) - 1), "
+    "slice({c}, 2, size({c}) - 1), "
+    "(a, b) -> named_struct('a', a, 'b', b))"
+)
+
+
+def _adjacent_pairs(col_name: str) -> "F.Column":
     """[(s_i, s_i+1)] structs for counting."""
-    n = F.size(syms)
-    return F.zip_with(
-        F.slice(syms, 1, n - 1),
-        F.slice(syms, 2, n - 1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
+    return F.expr(_ADJ_PAIRS_SQL.format(c=f"`{col_name}`"))
 
 
 def _sql_str(s: str) -> str:
@@ -205,7 +219,7 @@ def train_bpe(
     # a 20k-row table is pure scheduling overhead).
     words = (
         word_freqs(df, text_col)
-        .withColumn("syms", _char_symbols(F.col("word")))
+        .withColumn("syms", _char_symbols("word"))
         .coalesce(8)
         # non-eager: materializes inside round 1's pair-count job
         .localCheckpoint(eager=False)
@@ -221,7 +235,7 @@ def train_bpe(
         fetch = want if want == 1 else min(4 * want + 8, 512)
         top = (
             cur.select(
-                F.explode(_adjacent_pairs(F.col("syms"))).alias("p"),
+                F.explode(_adjacent_pairs("syms")).alias("p"),
                 F.col("freq"),
             )
             .groupBy("p")
@@ -307,7 +321,7 @@ def segment_words(
     folded through the merges in conflict-free fused groups. Used for
     OOV words at encode time so unseen words get TRUE BPE
     segmentations, not a character fallback."""
-    out = words.withColumn(out_col, _char_symbols(F.col(word_col)))
+    out = words.withColumn(out_col, _char_symbols(word_col))
     for i, grp in enumerate(group_merges(merges)):
         if len(grp) == 1:
             out = out.withColumn(out_col, _merge_fold(out_col, *grp[0]))
@@ -359,22 +373,20 @@ def encode(
     joined = exploded.join(seg, "word", "left").select(
         id_col,
         "pos",
-        F.coalesce(
-            F.col("tokens"), _char_symbols(F.col("word"))
+        F.expr(
+            f"coalesce(tokens, {_char_symbols_sql('word')})"
         ).alias("word_tokens"),
     )
+    # Same regroup aggregate as the former Column-API form (array_sort
+    # over (pos, word_tokens) structs sorts by pos first — pos is
+    # unique per doc, so the struct order is total), rendered as one
+    # SQL string.
     return (
         joined.groupBy(id_col)
         .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("pos"), F.col("word_tokens"))
-                        )
-                    ),
-                    lambda s: s.word_tokens,
-                )
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(pos, word_tokens))), s -> s.word_tokens))"
             ).alias("tokens")
         )
         .withColumn("n_tokens", F.size("tokens"))
