@@ -61,13 +61,22 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _bt(col_name: str) -> str:
+    """``col_name`` as a backtick-quoted SQL identifier. Embedded
+    backticks escape by doubling (the Spark identifier rule) — these
+    helpers splice caller-supplied column names into SQL text, and an
+    unescaped backtick would produce a malformed or injected
+    expression (ADVICE r12)."""
+    return "`" + col_name.replace("`", "``") + "`"
+
+
 def _char_symbols_sql(col_name: str) -> str:
     """word → [c1, c2, ..., cn, </w>] as SQL text (same expression the
     former Column-API form built — split/filter/concat — rendered as
     one string so plan construction is one py4j round trip, the r12
     pattern; END contains no SQL specials)."""
     return (
-        f"concat(filter(split(`{col_name}`, ''), c -> c != ''), "
+        f"concat(filter(split({_bt(col_name)}, ''), c -> c != ''), "
         f"array('{END}'))"
     )
 
@@ -90,7 +99,7 @@ _ADJ_PAIRS_SQL = (
 
 def _adjacent_pairs(col_name: str) -> "F.Column":
     """[(s_i, s_i+1)] structs for counting."""
-    return F.expr(_ADJ_PAIRS_SQL.format(c=f"`{col_name}`"))
+    return F.expr(_ADJ_PAIRS_SQL.format(c=_bt(col_name)))
 
 
 def _sql_str(s: str) -> str:
@@ -118,7 +127,7 @@ def _fold_sql(col_name: str, pairs: list[tuple[str, str]]) -> str:
         "ELSE acc.out END"
     )
     return (
-        f"aggregate(`{col_name}`, "
+        f"aggregate({_bt(col_name)}, "
         "named_struct('out', CAST(array() AS array<string>), 'prev', ''), "
         f"(acc, x) -> CASE WHEN {tok} IS NOT NULL "
         f"THEN named_struct('out', concat(acc.out, array({tok})), "

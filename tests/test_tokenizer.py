@@ -300,6 +300,27 @@ class TestOovEncodeWithMerges:
         assert list(enc.collect()[0].tokens) == ["z", "q", "z", "q",
                                                  tokenizer.END]
 
+    def test_backtick_column_name_is_escaped(self, spark, corpus):
+        """ADVICE r12: the SQL-text helpers splice column names into
+        backtick quotes; a name CONTAINING a backtick must escape (by
+        doubling) instead of producing a malformed/injected
+        expression. segment_words passes its public word_col straight
+        through, so drive it end-to-end with such a name."""
+        merges, _ = tokenizer.train_bpe(corpus, n_merges=4)
+        words = spark.createDataFrame([("aaab",), ("ba",)], "word string")
+        plain = {
+            r.word: list(r.tokens)
+            for r in tokenizer.segment_words(words, merges).collect()
+        }
+        weird = words.withColumnRenamed("word", "wo`rd")
+        got = {
+            r["wo`rd"]: list(r.tokens)
+            for r in tokenizer.segment_words(
+                weird, merges, word_col="wo`rd"
+            ).collect()
+        }
+        assert got == plain
+
     def test_group_merges_preserves_sequential_semantics(self, spark):
         """Grouped fused application over a merge list with
         INTERACTING consecutive merges (forcing group splits) equals
