@@ -1064,10 +1064,8 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
         # IVM asymmetry reduced to key-local fact I/O. Delta sides
         # under the broadcast bound ship as broadcasts.
         ntab = len(tinfo)
-        colsets = [
-            {f.name.lower() for f in spark.table(t["tbl"]).schema.fields}
-            for t in tinfo
-        ]
+        schemas = [spark.table(t["tbl"]).schema for t in tinfo]
+        colsets = [{f.name.lower() for f in sch.fields} for sch in schemas]
         # normalize each ON so lcol lives in the earlier chain prefix
         # and rcol in the joined table (stamp time validated this)
         conds: list[tuple[str, str]] = []
@@ -1085,8 +1083,14 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
             if (j, which) not in _anchors:
                 t = tinfo[j]
                 v = t["sv"] if which == "old" else t["cur"]
+                # "new" anchors read the CURRENT snapshot, whose files
+                # carry the current catalog schema — pinning it skips
+                # one parquet schema-inference driver job per anchor
+                # (the _read_delta rule, r13). "old" anchors keep
+                # inference: historical files surface their own schema.
                 _anchors[(j, which)] = versions.read_version(
-                    spark, t["tbl"], v, t["loc"]
+                    spark, t["tbl"], v, t["loc"],
+                    schema=schemas[j] if which == "new" else None,
                 )
             return _anchors[(j, which)]
 
@@ -1331,7 +1335,12 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                 [_anchor(j, "new") for j in range(len(tinfo))]
             )
         else:
-            cur_base = versions.read_version(spark, base, cur_v, base_loc)
+            # current snapshot = current catalog schema; pin it to skip
+            # the inference job (the _read_delta rule, r13)
+            cur_base = versions.read_version(
+                spark, base, cur_v, base_loc,
+                schema=spark.table(base).schema,
+            )
         if shape["pred"]:
             cur_base = cur_base.filter(F.expr(shape["pred"]))
         rec_aggs = [
@@ -1435,10 +1444,13 @@ def refresh_incremental(spark: SparkSession, name: str) -> int:
                         spark, staging, tbl.select(view_order)
                     )
                     if published:
+                        # new_df=None: the publish-by-move fast path
+                        # never reads the staged frame, so don't pay
+                        # its eager construction (r13)
                         dml._overwrite(
                             spark,
                             name,
-                            spark.read.parquet(staging),
+                            None,
                             None,
                             staged=True,
                             staged_path=staging,
@@ -1633,10 +1645,12 @@ def refresh(
                         spark, staging, tbl.select(view_order)
                     ):
                         n = tbl.num_rows
+                        # new_df=None: see refresh_incremental's
+                        # staged publish — move path never reads it
                         dml._overwrite(
                             spark,
                             name,
-                            spark.read.parquet(staging),
+                            None,
                             None,
                             staged=True,
                             staged_path=staging,

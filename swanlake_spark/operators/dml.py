@@ -471,7 +471,7 @@ def _retain_partition_files(
 def _overwrite(
     spark: SparkSession,
     table: str,
-    new_df: DataFrame,
+    new_df: DataFrame | None,
     where: str | None,
     staged: bool = False,
     staged_path: str | None = None,
@@ -485,7 +485,19 @@ def _overwrite(
     columns, only matching partitions are rewritten (dynamic
     overwrite); unpartitioned full rewrites publish the staged files by
     rename (:func:`_publish_by_move`) instead of re-encoding them
-    through a second INSERT."""
+    through a second INSERT.
+
+    ``new_df=None`` (allowed only with ``staged=True`` and a
+    ``staged_path``) defers the staged-scan construction to the
+    insertInto fallback: the publish-by-move fast path never reads the
+    frame, and constructing ``spark.read.parquet(staging)`` eagerly
+    costs a schema-inference + file-listing driver round trip per
+    publish (r13)."""
+    if new_df is None and not (staged and staged_path and where is None):
+        raise ValueError(
+            "_overwrite: new_df may be None only for a staged, "
+            "unpredicated publish with a staged_path"
+        )
     part_cols = _partition_columns(spark, table)
     staging = staging_dir(spark, table, loc)
     wrote_staging = False
@@ -549,6 +561,8 @@ def _overwrite(
             if part_cols or staged_path is None or not _publish_by_move(
                 spark, table, staged_path, loc=loc
             ):
+                if new_df is None:
+                    new_df = spark.read.parquet(staged_path)
                 new_df.write.insertInto(table, overwrite=True)
         else:
             new_df.write.parquet(staging, mode="overwrite")
